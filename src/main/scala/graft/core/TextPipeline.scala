@@ -1,0 +1,44 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference engine's tokenizer/normalizer semantics, in ONE place.
+  *
+  * Faithful to `/root/reference/maprdeuce.cpp` (cited per SURVEY.md §2.3):
+  *  - tokens are produced by splitting on the SINGLE space character
+  *    (`maprdeuce.cpp:224` uses `getline(iss, buffer, ' ')`), NOT general
+  *    whitespace — a tab stays inside its token;
+  *  - normalization keeps `[a-zA-Z]` only and ASCII-lowercases
+  *    (`maprdeuce.cpp:204-215`): digits/punctuation/non-ASCII vanish;
+  *  - empty tokens (consecutive spaces, digit-only, punctuation-only) are
+  *    dropped (`maprdeuce.cpp:242`).
+  *
+  * All three steps are stock Catalyst expressions (`Split`, `RegExpReplace`,
+  * `Lower`, `Filter`) — they stay inside whole-stage codegen, the filter and
+  * projection push toward the scan, and nothing here is a UDF.
+  */
+object TextPipeline {
+
+  /** Normalize one token column: strip non-letters, lowercase. */
+  def normalize(tok: Column): Column =
+    lower(regexp_replace(tok, "[^a-zA-Z]", ""))
+
+  /** Split a text column on the literal single space (regex-safe as-is). */
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  /** One row per normalized non-empty word of `textCol`.
+    * Output: single column `word`. Other input columns are dropped unless
+    * listed in `keep`.
+    */
+  def words(df: DataFrame, textCol: String, keep: Seq[String] = Nil): DataFrame = {
+    val kept = keep.map(col)
+    df.select(kept :+ explode(tokens(col(textCol))).as("tok"): _*)
+      .select(kept :+ normalize(col("tok")).as("word"): _*)
+      .where(col("word") =!= "")
+  }
+
+  /** DuckDB spelling of the same per-token normalization, for oracle SQL. */
+  val duckNormalize: String => String =
+    t => s"lower(regexp_replace($t, '[^a-zA-Z]', '', 'g'))"
+}

@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.TextPipeline
+import graft.io.Tables
+
+/** M3 — text-analysis tier over `documents`: the operations a large-scale
+  * training-data pipeline runs per document (token stats, quality scoring,
+  * language ID, n-grams, TF-IDF, fingerprinting).
+  *
+  * Design stance for 100 TB: everything here is per-document array math via
+  * higher-order functions (`transform`/`filter`/`aggregate`) — embarrassingly
+  * parallel, zero shuffles until the final aggregate/rank, no UDFs, all
+  * codegen-friendly. The only shuffles are the analytics-level group-bys
+  * (bigram counts, document frequency), which partial-aggregate map-side
+  * first.
+  *
+  * Cross-engine determinism note: no transcendental functions (ln/exp) in
+  * verified outputs — IEEE +,*,/ are exactly reproducible across engines,
+  * libm functions are not. TF-IDF uses a rational rarity weight (N+1)/(df+1)
+  * instead of log-idf for that reason.
+  */
+object TextAnalysis {
+
+  /** Normalized token array of `text`, reference semantics (TextPipeline). */
+  private val toks: Column = {
+    val raw = split(col("text"), " ", -1)
+    filter(transform(raw, t => TextPipeline.normalize(t)), x => x =!= "")
+  }
+
+  private val duckToks =
+    "list_filter(list_transform(string_split(text, ' '), " +
+      "t -> lower(regexp_replace(t, '[^a-zA-Z]', '', 'g'))), x -> x <> '')"
+
+  /** English stopwords present in the fixture vocabulary. */
+  private val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val duckStop = stop.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** Per-document token statistics (no explode — pure array math). */
+  def qTokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), toks.as("w"), length(col("text")).as("n_chars_str"))
+      .select(col("doc_id"), col("lang"),
+        col("n_chars_str").cast("long").as("n_chars"),
+        size(col("w")).as("n_tokens"),
+        size(array_distinct(col("w"))).as("n_distinct"),
+        (aggregate(col("w"), lit(0L), (acc, x) => acc + length(x)).cast("double")
+          / size(col("w"))).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: alpha ratio, stopword ratio, length bucket — the
+    * standard cheap pre-filters of a web-scale corpus cleaning pipeline. */
+  def qQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") / length(col("text"))
+    val stopRatio = size(filter(col("w"), x => x.isin(stop: _*))).cast("double") / size(col("w"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), toks.as("w"))
+      .select(col("doc_id"),
+        alpha.as("alpha_ratio"),
+        stopRatio.as("stopword_ratio"),
+        when(length(col("text")) < 100, "short")
+          .when(length(col("text")) < 400, "medium")
+          .otherwise("long").as("len_bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting three ways: space-split words, BPE-ish regex units,
+    * chars/4 heuristic — the triple every data-mixing recipe wants. */
+  def qTokenCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(toks).as("n_words"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+          .as("n_bpeish"),
+        ceil(length(col("text")).cast("double") / 4.0).cast("long").as("n_chars_over4"))
+      .orderBy("doc_id")
+
+  /** Corpus-level top-20 bigrams. Array-built bigrams (no self-join), then
+    * one partial-agg'd group-by — at 100 TB the shuffle carries only
+    * (distinct bigram, partial count) pairs. */
+  def qBigramsTop(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(toks.as("w"))
+      .select(explode(expr(
+        // guard: sequence(1, n) descends when n < 1 (1-token/empty docs)
+        """CASE WHEN size(w) >= 2
+          | THEN transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))
+          | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(20)
+
+  /** Language ID, n-gram/stopword heuristic: deterministic rule so the
+    * oracle can replicate it — predicted 'en' iff stopword ratio > 0.05. */
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), toks.as("w"))
+      .select(col("doc_id"), col("lang"),
+        when(size(filter(col("w"), x => x.isin(stop: _*))).cast("double") / size(col("w")) > 0.05,
+          "en").otherwise("unk").as("predicted"))
+      .orderBy("doc_id")
+
+  /** TF-IDF-style top-5 salient terms per document (rational rarity weight,
+    * see scaladoc above). Two aggregations + one join + one window. */
+  def qTfidfTop(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df_ = words.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).count() // tiny scalar; computed once
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word").asc)
+    tf.join(df_, "word")
+      .withColumn("tfidf",
+        col("tf").cast("double") * (lit(n + 1.0) / (col("df").cast("double") + 1.0)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"), col("rnk"))
+      .orderBy("doc_id", "rnk", "word")
+  }
+
+  /** Canonical-form document fingerprint: md5 of the normalized token
+    * stream — the exact-dedup key for q_dedup_exact. */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", toks).cast("binary")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_stats" -> (qTokenStats _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_token_counts" -> (qTokenCounts _),
+    "q_bigrams_top" -> (qBigramsTop _),
+    "q_lang_id" -> (qLangId _),
+    "q_tfidf_top" -> (qTfidfTop _),
+    "q_fingerprint" -> (qFingerprint _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_token_stats" ->
+      s"""SELECT doc_id, lang,
+         | CAST(length(text) AS BIGINT) AS n_chars,
+         | CAST(len($duckToks) AS INT) AS n_tokens,
+         | CAST(len(list_distinct($duckToks)) AS INT) AS n_distinct,
+         | CAST(list_sum(list_transform($duckToks, x -> length(x))) AS DOUBLE)
+         |   / len($duckToks) AS avg_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      s"""SELECT doc_id,
+         | CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |   / length(text) AS alpha_ratio,
+         | CAST(len(list_filter($duckToks, x -> x IN $duckStop)) AS DOUBLE)
+         |   / len($duckToks) AS stopword_ratio,
+         | CASE WHEN length(text) < 100 THEN 'short'
+         |      WHEN length(text) < 400 THEN 'medium'
+         |      ELSE 'long' END AS len_bucket
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_counts" ->
+      s"""SELECT doc_id,
+         | CAST(len($duckToks) AS INT) AS n_words,
+         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_bpeish,
+         | CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_chars_over4
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_bigrams_top" ->
+      s"""SELECT bigram, count(*) AS cnt FROM (
+         |  SELECT unnest(list_transform(l[1:len(l)-1], (x, i) -> x || ' ' || l[i+1])) AS bigram
+         |  FROM (SELECT $duckToks AS l FROM documents))
+         |GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 20""".stripMargin,
+    "q_lang_id" ->
+      s"""SELECT doc_id, lang,
+         | CASE WHEN CAST(len(list_filter($duckToks, x -> x IN $duckStop)) AS DOUBLE)
+         |           / len($duckToks) > 0.05
+         |      THEN 'en' ELSE 'unk' END AS predicted
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_tfidf_top" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest($duckToks) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+         |df AS (SELECT word, count(*) AS df
+         |       FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY word),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT doc_id, word, tf, df, tfidf, CAST(rnk AS INT) AS rnk FROM (
+         |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         |    CAST(tf.tf AS DOUBLE) * ((n.n + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) AS tfidf,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |                       ORDER BY CAST(tf.tf AS DOUBLE) * ((n.n + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) DESC,
+         |                                tf.word ASC) AS rnk
+         |  FROM tf JOIN df USING (word), n)
+         |WHERE rnk <= 5 ORDER BY doc_id, rnk, word""".stripMargin,
+    "q_fingerprint" ->
+      s"""SELECT doc_id, md5(list_aggr($duckToks, 'string_agg', ' ')) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
