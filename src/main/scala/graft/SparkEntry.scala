@@ -15,6 +15,7 @@ object SparkEntry {
                           Map[String, String])] = Seq(
     (q.WordCount.queries, q.WordCount.oracle),
     (q.Relational.queries, q.Relational.oracle),
+    (q.TextAnalysis.queries, q.TextAnalysis.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
