@@ -16,6 +16,9 @@ object SparkEntry {
     (q.WordCount.queries, q.WordCount.oracle),
     (q.Relational.queries, q.Relational.oracle),
     (q.TextAnalysis.queries, q.TextAnalysis.oracle),
+    (q.Dedup.queries, q.Dedup.oracle),
+    (q.Similarity.queries, q.Similarity.oracle),
+    (q.StreamWindows.queries, q.StreamWindows.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

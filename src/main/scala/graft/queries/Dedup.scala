@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.TextPipeline
+import graft.io.Tables
+
+/** M4a — deduplication tier over `documents`: the dedup ladder of a
+  * web-scale training-data pipeline (exact → MinHash/LSH → SimHash →
+  * verified n-gram Jaccard → embedding cosine).
+  *
+  * The reference engine has no dedup (SURVEY.md §2.2 — its only "distinct"
+  * is the distinct-word count, `maprdeuce.cpp:1403-1427`); this tier is the
+  * scale-out extension surface the north star calls for.
+  *
+  * Cross-engine determinism: every hash is derived from md5 (identical in
+  * Spark and DuckDB) reduced to a 32-bit int, then mixed with universal-hash
+  * constants that are INLINED AS LITERALS into both the Spark plan and the
+  * oracle SQL — both engines compute bit-identical integers, so MinHash
+  * signatures, LSH buckets, and SimHash fingerprints match exactly.
+  * Jaccard values are ratios of integers (exact in IEEE double); only
+  * cosine goes through floating point, and is rounded in the output.
+  *
+  * Scale stance (100 TB):
+  *  - fingerprints/signatures are one narrow projection pass — no shuffle;
+  *  - exact dedup shuffles once on the 16-byte fingerprint (not the text);
+  *  - LSH candidate generation shuffles (band_id, band_key) pairs — tokens
+  *    never move; the per-bucket self-join is the standard
+  *    shingle→minhash→band→bucket-join plan, and bucket sizes are bounded
+  *    by the band width (tune bands/rows, or salt a hot bucket);
+  *  - the exact-Jaccard verifier runs ONLY on LSH candidates at scale; the
+  *    within-language all-pairs variant here is the oracle-checkable
+  *    small-scale form (see q_ngram_jaccard scaladoc).
+  */
+object Dedup {
+
+  // ---- portable hashing ----------------------------------------------------
+
+  /** Large prime for universal hashing; all mixed products stay < 2^63. */
+  private val P = 1000000007L
+
+  /** Number of MinHash permutations and the LSH banding layout. */
+  private val NumHashes = 32
+  private val Bands = 8
+  private val RowsPerBand = 4 // Bands * RowsPerBand == NumHashes
+
+  /** Universal-hash constants a_i, b_i — reproduced literally in oracle SQL. */
+  private val hashA: IndexedSeq[Long] =
+    (1 to NumHashes).map(i => (2654435761L * i) % P)
+  private val hashB: IndexedSeq[Long] =
+    (1 to NumHashes).map(i => (40503L * i * 2654435761L) % P)
+
+  /** 32-bit base hash of a string column: first 8 hex chars of md5. */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private def duckH32(e: String): String =
+    s"CAST(('0x' || substring(md5($e),1,8)) AS BIGINT)"
+
+  // ---- shared token/shingle projections ------------------------------------
+
+  /** Normalized token array (reference tokenizer semantics, TextPipeline). */
+  private val toks: Column = {
+    val raw = TextPipeline.tokens(col("text"))
+    filter(transform(raw, t => TextPipeline.normalize(t)), x => x =!= "")
+  }
+
+  private val duckToks =
+    "list_filter(list_transform(string_split(text, ' '), " +
+      "t -> lower(regexp_replace(t, '[^a-zA-Z]', '', 'g'))), x -> x <> '')"
+
+  /** Distinct 3-word shingles of the token array (empty if < 3 tokens). */
+  private def shinglesOf(w: Column): Column =
+    array_distinct(
+      when(size(w) >= 3,
+        transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+
+  /** DuckDB spelling of the same shingle set over a token-list column `w`. */
+  private def duckShingles(w: String): String =
+    s"""list_distinct(CASE WHEN len($w) >= 3
+       | THEN list_transform(range(1, len($w) - 1),
+       |        i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])
+       | ELSE CAST([] AS VARCHAR[]) END)""".stripMargin
+
+  /** MinHash signature array (NumHashes entries) over a shingle-array col.
+    * Empty shingle set → sentinel P for every slot (matches oracle). */
+  private def signatureOf(sh: Column): Column = {
+    array((0 until NumHashes).map { i =>
+      coalesce(
+        array_min(transform(sh, s => (lit(hashA(i)) * (h32(s) % P) + lit(hashB(i))) % P)),
+        lit(P))
+    }: _*)
+  }
+
+  private def duckSignature(sh: String): String =
+    (0 until NumHashes).map { i =>
+      s"coalesce(list_min(list_transform($sh, s -> (${hashA(i)} * (${duckH32("s")} % $P) + ${hashB(i)}) % $P)), $P)"
+    }.mkString("[", ",\n ", "]")
+
+  // ---- queries -------------------------------------------------------------
+
+  /** Exact dedup: canonical-form fingerprint → group → keep lowest doc_id.
+    * One narrow pass to fingerprint, one shuffle on the 16-byte md5 (window
+    * over fingerprint), never on the document text. Output is the full
+    * dedup decision per document. */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(concat_ws(" ", toks)).as("fingerprint"))
+    val w = Window.partitionBy(col("fingerprint"))
+    fp.withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .select(col("doc_id"), col("fingerprint"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"), col("n_copies"))
+      .orderBy("doc_id")
+  }
+
+  /** MinHash signatures, one row per document with all NumHashes slots as
+    * columns (m00..m31) so the oracle verifies every component bit-exactly.
+    * Linear scan, no shuffle (the final ORDER BY is presentation-only). */
+  def qMinhashSignature(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), shinglesOf(toks).as("sh"))
+      .select(col("doc_id"), signatureOf(col("sh")).as("sig"))
+    val cols = col("doc_id") +:
+      (0 until NumHashes).map(i => element_at(col("sig"), i + 1).as(f"m$i%02d"))
+    base.select(cols: _*).orderBy("doc_id")
+  }
+
+  /** MinHash + LSH near-dup pairs: shingle → signature → band → bucket-join.
+    * Bands of RowsPerBand slots hash to a bucket key; documents sharing any
+    * bucket become candidates; candidates are scored by signature agreement
+    * (estimated Jaccard, an exact rational m/32) and kept at est ≥ 0.5.
+    * At 100 TB only (band_id, key) pairs shuffle — never text or shingles —
+    * and the candidate self-join is per-bucket local. */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(s, dir)
+      .select(col("doc_id"), shinglesOf(toks).as("sh"))
+      .select(col("doc_id"), signatureOf(col("sh")).as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(Bands - 1))).as("band_id"))
+      .select(col("doc_id"), col("sig"), col("band_id"),
+        md5(concat_ws(",", transform(
+          slice(col("sig"), col("band_id") * RowsPerBand + 1, lit(RowsPerBand)),
+          x => x.cast("string")))).as("band_key"))
+    val a = bands.select(col("band_id"), col("band_key"),
+      col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val b = bands.select(col("band_id"), col("band_key"),
+      col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+          v => v)).cast("double") / NumHashes).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** SimHash fingerprint (32-bit): per token-occurrence hash, per-bit
+    * +1/-1 vote weighted by term frequency, sign → bit. Pure per-row array
+    * math — no shuffle, codegen-friendly, and bit-identical to the oracle
+    * because the base hash is md5-derived. */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    // 2^j as exact long (h < 2^32 and 2^j ≤ 2^31 are exact in double; the
+    // shiftleft/shiftright builtins take only literal bit counts, so power
+    // arithmetic is the lambda-friendly spelling — same math in the oracle).
+    def pow2(j: Column): Column = pow(lit(2.0), j.cast("double")).cast("long")
+    val bitSum = aggregate(
+      transform(sequence(lit(0), lit(31)), j =>
+        when(size(filter(col("hs"),
+            h => pmod(floor(h.cast("double") / pow2(j).cast("double")).cast("long"), lit(2L)) === 1L))
+          .multiply(2) - size(col("hs")) > 0, pow2(j)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), transform(col("w"), t => h32(t)).as("hs"))
+      .select(col("doc_id"), bitSum.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact n-gram (3-shingle) Jaccard near-dup pairs, within-language.
+    * Jaccard = |A∩B| / |A∪B| over distinct shingle sets, threshold 0.2
+    * (fixture probe: ~6 such pairs at sf0.01, max j ≈ 0.989 — a real
+    * near-dup). Values are integer ratios — exact across engines.
+    * SCALE NOTE: the within-language all-pairs join is the small-scale /
+    * oracle-checkable form; at 100 TB this exact verifier runs only on
+    * q_dedup_minhash candidates (blocked join), same expression. */
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), shinglesOf(toks).as("s"))
+      .filter(size(col("s")) > 0)
+    val a = sh.select(col("lang"), col("doc_id").as("a_id"), col("s").as("a_s"))
+    val b = sh.select(col("lang"), col("doc_id").as("b_id"), col("s").as("b_s"))
+    a.join(b, "lang").filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_s"), col("b_s"))).cast("double") /
+          size(array_union(col("a_s"), col("b_s")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by `label` (the coarse
+    * partition): cosine ≥ 0.4 (fixture max ≈ 0.475 within-label). Dot and
+    * norms are sequential double folds — same order in both engines —
+    * and the output value is rounded to 6 dp. At 100 TB the label (or an
+    * LSH bucket, see Similarity) is the blocking key: the join is
+    * per-block local after one shuffle on the block key. */
+  def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val dot = aggregate(zip_with(col("a_v"), col("b_v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(col("a_v"), x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(col("b_v"), x => x * x), lit(0.0), (acc, x) => acc + x))
+    val a = e.select(col("label"), col("vec_id").as("a_id"), col("v").as("a_v"))
+    val b = e.select(col("label"), col("vec_id").as("b_id"), col("v").as("b_v"))
+    a.join(b, "label").filter(col("a_id") < col("b_id"))
+      .select(col("label"), col("a_id"), col("b_id"),
+        (dot / (na * nb)).as("cos_raw"))
+      .filter(col("cos_raw") >= 0.4)
+      .select(col("label"), col("a_id"), col("b_id"),
+        round(col("cos_raw"), 6).as("cosine"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_minhash_signature" -> (qMinhashSignature _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_dedup_embedding" -> (qDedupEmbedding _),
+  )
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  private val duckSh = duckShingles("w")
+  private def sigCte =
+    s"""toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+       |shing AS (SELECT doc_id, $duckSh AS sh FROM toks),
+       |sigs AS (SELECT doc_id, ${duckSignature("sh")} AS sig FROM shing)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""WITH fp AS (SELECT doc_id,
+         |  md5(list_aggr($duckToks, 'string_agg', ' ')) AS fingerprint
+         |  FROM documents)
+         |SELECT doc_id, fingerprint,
+         |  min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+         |  doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_dup,
+         |  count(*) OVER (PARTITION BY fingerprint) AS n_copies
+         |FROM fp ORDER BY doc_id""".stripMargin,
+    "q_minhash_signature" ->
+      s"""WITH $sigCte
+         |SELECT doc_id,
+         |${(0 until NumHashes).map(i => f" sig[${i + 1}] AS m$i%02d").mkString(",\n")}
+         |FROM sigs ORDER BY doc_id""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH $sigCte,
+         |bands AS (
+         |  SELECT doc_id, sig, band_id,
+         |    md5(array_to_string(list_transform(sig[band_id*$RowsPerBand+1 : band_id*$RowsPerBand+$RowsPerBand], x -> CAST(x AS VARCHAR)), ',')) AS band_key
+         |  FROM sigs, (SELECT unnest(range(0, $Bands)) AS band_id)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / $NumHashes AS est_jaccard
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, est_jaccard FROM cand
+         |WHERE est_jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH hs AS (SELECT doc_id,
+         |  list_transform($duckToks, t -> ${duckH32("t")}) AS hs FROM documents)
+         |SELECT doc_id,
+         |  list_sum(list_transform(range(0, 32), j ->
+         |    CASE WHEN 2 * len(list_filter(hs, h -> (h // (1::BIGINT << j)) % 2 = 1)) - len(hs) > 0
+         |         THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
+         |FROM hs ORDER BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $duckToks AS w FROM documents),
+         |sh AS (SELECT doc_id, lang, $duckSh AS s FROM toks),
+         |nz AS (SELECT * FROM sh WHERE len(s) > 0)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |FROM nz a JOIN nz b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) /
+        |    (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+        |     * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) /
+        |    (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+        |     * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+  )
+}

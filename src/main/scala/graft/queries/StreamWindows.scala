@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.streaming.Windows
+
+/** M5 — batch-verifiable faces of the streaming window operators (the same
+  * plan fragments run under `readStream` in graft.streaming.Windows; the
+  * streaming-vs-batch equivalence is covered by StreamingSpec, the
+  * batch-vs-DuckDB equivalence by these oracle entries).
+  *
+  * Window bounds are exported as epoch MICROSECOND integers, so the oracle
+  * compare is exact integer math — no timestamp formatting, timezone, or
+  * sub-second truncation ambiguity. Event `ts` is micros in both engines
+  * (Tables.events truncates the nanos fixture identically to DuckDB's
+  * nanos→micros read).
+  */
+object StreamWindows {
+
+  def qTumbling(s: SparkSession, dir: String): DataFrame =
+    Windows.tumbling(Tables.events(s, dir))
+      .orderBy("win_start_us", "event_type")
+
+  def qSliding(s: SparkSession, dir: String): DataFrame =
+    Windows.sliding(Tables.events(s, dir))
+      .orderBy("win_start_us", "event_type")
+
+  def qSessions(s: SparkSession, dir: String): DataFrame =
+    Windows.sessions(Tables.events(s, dir))
+      .orderBy("user_id", "session_start_us")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> (qTumbling _),
+    "q_stream_sliding" -> (qSliding _),
+    "q_stream_sessions" -> (qSessions _),
+  )
+
+  private val HourUs = 3600000000L
+  private val HalfHourUs = 1800000000L
+  private val GapUs = 6L * HourUs
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      s"""SELECT (epoch_us(ts) // $HourUs) * $HourUs AS win_start_us,
+         |  (epoch_us(ts) // $HourUs) * $HourUs + $HourUs AS win_end_us,
+         |  event_type, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1, 2, 3 ORDER BY win_start_us, event_type""".stripMargin,
+    "q_stream_sliding" ->
+      s"""WITH assigned AS (
+         |  SELECT ((epoch_us(ts) - off) // $HourUs) * $HourUs + off AS win_start_us,
+         |    event_type, value
+         |  FROM events, (SELECT unnest([0, $HalfHourUs]) AS off))
+         |SELECT win_start_us, win_start_us + $HourUs AS win_end_us, event_type,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM assigned GROUP BY 1, 2, 3 ORDER BY win_start_us, event_type""".stripMargin,
+    "q_stream_sessions" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, epoch_us(ts) AS us, value,
+         |    -- Spark session semantics (verified in StreamingSpec): an event
+         |    -- at EXACTLY prev+gap still MERGES into the session; only a
+         |    -- strictly larger gap opens a new one.
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+         |      OVER (PARTITION BY user_id ORDER BY ts) > $GapUs
+         |      OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |    THEN 1 ELSE 0 END AS new_session
+         |  FROM events),
+         |islands AS (
+         |  SELECT user_id, us, value,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM marked)
+         |SELECT user_id, min(us) AS session_start_us,
+         |  max(us) + $GapUs AS session_end_us,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM islands GROUP BY user_id, session_id
+         |ORDER BY user_id, session_start_us""".stripMargin,
+  )
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.DecimalType
+
+/** M5 — event-time windowing, ONE definition for batch and streaming.
+  *
+  * The reference is strictly batch (SURVEY.md §2.2: streaming absent), so
+  * this tier is pure extension surface, built the Structured-Streaming way:
+  * each aggregation is a plan fragment over a DataFrame that works
+  * identically on a bounded scan (batch — what Verify checks against
+  * DuckDB) and on `readStream` input (what StreamingSpec checks against
+  * the batch run via MemoryStream). Watermarks bound state; session
+  * windows and the typed running-state op handle the custom-state cases.
+  *
+  * Scale stance: streaming state is keyed by (window, event_type) or
+  * user_id — state store size is O(open windows × types) / O(users), not
+  * O(events); the watermark evicts closed windows, and all aggregations
+  * partial-aggregate before the shuffle.
+  */
+object Windows {
+
+  private def dVal(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** Tumbling 1-hour counts/sums per event_type. Window bounds exported as
+    * epoch micros (exact integers — no timestamp formatting ambiguity). */
+  def tumbling(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dVal(col("value"))).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        unix_micros(col("window.end")).as("win_end_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 1-hour window every 30 minutes (each event lands in 2 windows). */
+  def sliding(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dVal(col("value"))).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        unix_micros(col("window.end")).as("win_end_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows per user, 6-hour inactivity gap. Spark semantics:
+    * session end = last event + gap. */
+  def sessions(events: DataFrame): DataFrame =
+    events.groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dVal(col("value"))).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+
+  // ---- true streaming entry points ----------------------------------------
+
+  /** Streaming tumbling aggregation with a 2-hour watermark (bounds state:
+    * windows older than watermark are finalized and evicted). */
+  def tumblingStream(events: DataFrame): DataFrame =
+    tumbling(events.withWatermark("ts", "2 hours"))
+
+  /** Streaming session windows (append mode requires the watermark). */
+  def sessionsStream(events: DataFrame): DataFrame =
+    sessions(events.withWatermark("ts", "2 hours"))
+
+  /** Typed event for the custom-state operator. */
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** Running per-user profile maintained with explicit state. */
+  case class UserProfile(user_id: Long, n_events: Long, total_value: Double,
+                         last_ts_us: Long)
+
+  /** Custom stateful streaming: per-user running profile via
+    * `mapGroupsWithState` — the `KeyValueGroupedDataset` custom-state path
+    * for semantics windowed aggs can't express (running totals emitted
+    * every update). State is one small record per user. */
+  def userProfiles(events: Dataset[UserEvent]): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserProfile, UserProfile](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserProfile]) =>
+          val prev = state.getOption.getOrElse(UserProfile(uid, 0L, 0.0, Long.MinValue))
+          // deterministic in-batch order: fold by event time then value
+          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          val next = evs.foldLeft(prev) { (p, e) =>
+            UserProfile(uid, p.n_events + 1,
+              math.round((p.total_value + e.value) * 100).toDouble / 100,
+              math.max(p.last_ts_us, e.ts.getTime * 1000L))
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: run a streaming DataFrame to an in-memory table and block
+    * until all available input is processed (test/dev harness). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Dedup, Similarity}
+
+/** M4 invariants that the DuckDB oracle can't express: cross-query
+  * consistency between the approximate structures (MinHash/LSH, SimHash,
+  * ANN) and their exact counterparts. */
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("exact dedup: every doc maps to a canonical id <= itself; canonicals are not dups") {
+    val rows = Dedup.qDedupExact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, canon, isDup) =
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("canonical_id"), r.getAs[Boolean]("is_dup"))
+      assert(canon <= id)
+      assert(isDup == (id != canon))
+    }
+  }
+
+  test("minhash signature slots are in [0, P] and vary across docs") {
+    val df = Dedup.qMinhashSignature(spark, sf)
+    val cols = df.columns.filter(_.startsWith("m"))
+    val agg = df.agg(
+      min(least(cols.map(col): _*)).as("lo"),
+      max(greatest(cols.map(col): _*)).as("hi"),
+      countDistinct(col(cols.head)).as("nd")).collect()(0)
+    assert(agg.getAs[Long]("lo") >= 0L)
+    assert(agg.getAs[Long]("hi") <= 1000000007L)
+    assert(agg.getAs[Long]("nd") > 100, "first minhash slot should be well spread")
+  }
+
+  test("LSH candidates contain the high-jaccard near-dup pairs (recall at j>=0.8)") {
+    val exact = Dedup.qNgramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.qDedupMinhash(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain at least one true near-dup pair")
+    assert(exact.subsetOf(lsh),
+      s"high-jaccard pairs ${exact -- lsh} missed by LSH (b=8, r=4 ⇒ ~certain at j≥0.8)")
+  }
+
+  test("simhash: near-dup docs are closer in hamming distance than a random pair") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val sims = Dedup.qDedupSimhash(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val nearDup = Dedup.qNgramJaccard(spark, sf)
+      .orderBy(col("jaccard").desc).limit(1).collect()(0)
+    val (a, b) = (nearDup.getAs[Long]("a_id"), nearDup.getAs[Long]("b_id"))
+    val near = hamming(sims(a), sims(b))
+    // median hamming over a fixed sample of unrelated pairs
+    val ids = sims.keys.toSeq.sorted.take(40)
+    val far = ids.zip(ids.reverse).filter { case (x, y) => x < y }
+      .map { case (x, y) => hamming(sims(x), sims(y)) }.sorted
+    assert(near < far(far.size / 2),
+      s"near-dup hamming $near should beat median unrelated hamming ${far(far.size / 2)}")
+  }
+
+  test("ANN: exact brute-force top-1 dominates LSH and IVF top-1 per query") {
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.filter(col("rank") === 1).collect()
+        .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cosine")).toMap
+    val bf = top1(Similarity.qAnnBruteforce(spark, sf))
+    val lsh = top1(Similarity.qAnnLsh(spark, sf))
+    val ivf = top1(Similarity.qAnnIvf(spark, sf))
+    assert(bf.size == 10)
+    lsh.foreach { case (q, c) => assert(bf(q) >= c - 1e-9, s"LSH beat exact for q=$q") }
+    ivf.foreach { case (q, c) => assert(bf(q) >= c - 1e-9, s"IVF beat exact for q=$q") }
+    // approximate structures should still find *something* for most queries
+    assert(ivf.size == 10, "IVF probes 2 cells — every query has candidates")
+  }
+
+  test("ANN results are top-k ranked with dense ranks starting at 1") {
+    val rows = Similarity.qAnnBruteforce(spark, sf)
+      .groupBy("q_id").agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == 10 && r.getAs[Int]("lo") == 1 && r.getAs[Int]("hi") == 10)
+    }
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Windows
+import graft.streaming.Windows.UserEvent
+
+/** M5 — streaming-vs-batch equivalence: the SAME plan fragments
+  * (Windows.tumbling/sessions) fed incrementally through MemoryStream must
+  * produce what the batch run over the full input produces. This is the
+  * correctness check the DuckDB oracle can't do (it has no readStream).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val eventsData = Seq(
+    // user 1: two sessions (6h+ gap between 03:00 and 10:00)
+    (1L, ts("2024-01-01 00:10:00"), "click", 1.0),
+    (1L, ts("2024-01-01 00:40:00"), "view", 2.5),
+    (1L, ts("2024-01-01 03:00:00"), "click", 1.5),
+    (1L, ts("2024-01-01 10:00:00"), "purchase", 10.0),
+    // user 2: one session
+    (2L, ts("2024-01-01 01:05:00"), "view", 0.5),
+    (2L, ts("2024-01-01 01:55:00"), "view", 0.5),
+    // boundary probes: exactly 6h later MERGES; 6h + 1µs opens a new session
+    (3L, ts("2024-01-01 00:00:00"), "click", 1.0),
+    (3L, ts("2024-01-01 06:00:00"), "click", 1.0),
+    (4L, ts("2024-01-01 00:00:00"), "click", 1.0),
+    (4L, ts("2024-01-01 06:00:00.000001"), "click", 1.0),
+  )
+
+  private def eventsDf(rows: Seq[(Long, Timestamp, String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("user_id", "ts", "event_type", "value")
+  }
+
+  test("streaming tumbling agg (complete mode) equals the batch plan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val streamed = Windows.tumbling(
+      mem.toDF().toDF("user_id", "ts", "event_type", "value"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("t_tumbling").outputMode(OutputMode.Complete()).start()
+    // two incremental batches
+    mem.addData(eventsData.take(4))
+    q.processAllAvailable()
+    mem.addData(eventsData.drop(4))
+    q.processAllAvailable()
+    val got = spark.table("t_tumbling").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+    val want = Windows.tumbling(eventsDf(eventsData)).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+    q.stop()
+    assert(got == want)
+  }
+
+  test("streaming session windows (append + watermark) equal the batch plan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val streamed = Windows.sessionsStream(
+      mem.toDF().toDF("user_id", "ts", "event_type", "value"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("t_sessions").outputMode(OutputMode.Append()).start()
+    mem.addData(eventsData)
+    q.processAllAvailable()
+    // sentinel far in the future advances the watermark so every real
+    // session is finalized and emitted in append mode
+    mem.addData(Seq((99L, ts("2024-02-01 00:00:00"), "click", 0.0)))
+    q.processAllAvailable()
+    val got = spark.table("t_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 != 99L).toSet
+    val want = Windows.sessions(eventsDf(eventsData)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    assert(got == want)
+    // boundary probes: exact gap merges (user 3), gap+1µs splits (user 4)
+    assert(got.count(_._1 == 3L) == 1, "exact-gap event must merge into the session")
+    assert(got.count(_._1 == 4L) == 2, "gap+1µs must open a new session")
+  }
+
+  test("mapGroupsWithState running profiles reflect all events after last batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = Windows.userProfiles(mem.toDS()).writeStream.format("memory")
+      .queryName("t_profiles").outputMode(OutputMode.Update()).start()
+    mem.addData(UserEvent(1L, ts("2024-01-01 00:10:00"), 1.0),
+      UserEvent(1L, ts("2024-01-01 00:40:00"), 2.5))
+    q.processAllAvailable()
+    mem.addData(UserEvent(1L, ts("2024-01-01 03:00:00"), 1.5),
+      UserEvent(2L, ts("2024-01-01 01:05:00"), 0.5))
+    q.processAllAvailable()
+    val last = spark.table("t_profiles").groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("total_value"), col("last_ts_us"))).as("s"))
+      .select(col("user_id"), col("s.n_events"), col("s.total_value"), col("s.last_ts_us"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    q.stop()
+    assert(last(1L)._1 == 3L && last(1L)._2 == 5.0)
+    assert(last(1L)._3 == ts("2024-01-01 03:00:00").getTime * 1000L)
+    assert(last(2L)._1 == 1L && last(2L)._2 == 0.5)
+  }
+}
