@@ -19,6 +19,7 @@ object SparkEntry {
     (q.Dedup.queries, q.Dedup.oracle),
     (q.Similarity.queries, q.Similarity.oracle),
     (q.StreamWindows.queries, q.StreamWindows.oracle),
+    (q.Multimodal.queries, q.Multimodal.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** M7 — multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract / frame-sample
+  * operators.
+  *
+  * The container has no image/audio codecs, so THE DECODE STEP IS A
+  * DETERMINISTIC STUB (clearly marked below): "decoding" derives metadata
+  * and features from the raw bytes with fixed arithmetic. Everything
+  * Spark-side is real and tested — the binary column representation, the
+  * schema, the batched `mapPartitions` extractor (the Scala analogue of a
+  * `mapInPandas` batch UDF: typed input batches → typed output batches),
+  * partitioning, and the frame-sampling explode.
+  *
+  * The fixture carrier is `documents.text` re-encoded as UTF-8 bytes (the
+  * only blob-able fixture column; it is pure printable ASCII, so
+  * byte-level results are oracle-checkable through DuckDB VARCHAR
+  * functions — validated in MultimodalSpec too).
+  *
+  * Scale stance (100 TB of media): content bytes never shuffle — every
+  * operator here is a narrow per-row/per-partition map; only the small
+  * extracted features would ever move. Frame sampling multiplies rows, not
+  * bytes (each frame row carries a 16-byte digest, not the frame).
+  */
+object Multimodal {
+
+  /** The synthetic media table: binary content + typed metadata columns.
+    * media_type cycles deterministically so each type has rows. */
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      col("text").cast("binary").as("content"),
+      col("text"))
+
+  /** STUB DECODER (metadata): width/height/duration derived from leading
+    * bytes — stands in for an image/audio header parse. */
+  private val stubWidth: Column = (pmod(ascii(substring(col("text"), 1, 1)), lit(64)) + 1) * 16
+  private val stubHeight: Column = (pmod(ascii(substring(col("text"), 2, 1)), lit(64)) + 1) * 16
+
+  /** Decode-metadata operator: one narrow projection over the binary
+    * column — n_bytes, content digest, stub-decoded dimensions. */
+  def qMediaMetadata(s: SparkSession, dir: String): DataFrame =
+    media(s, dir).select(
+      col("doc_id"), col("media_type"),
+      length(col("content")).as("n_bytes"),
+      md5(col("content")).as("content_md5"),
+      stubWidth.as("width"),
+      stubHeight.as("height"),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int").as("n_channels"))
+      .orderBy("doc_id")
+
+  /** Frame-sampling operator: stride 64 bytes, 16-byte frame per stride,
+    * one output row per sampled frame carrying its digest (video keyframe
+    * extraction shape: rows multiply, bytes don't). */
+  def qFrameSample(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .select(col("doc_id"), col("media_type"),
+        posexplode(transform(
+          sequence(lit(0), floor((length(col("text")) - 1) / 64).cast("int")),
+          i => md5(col("text").substr(i * 64 + 1, lit(16))))))
+      .select(col("doc_id"), col("media_type"),
+        col("pos").as("frame_idx"), col("col").as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
+  // ---- batched feature extraction (mapInPandas analogue) -------------------
+
+  /** Typed rows crossing the extractor boundary. */
+  case class MediaRecord(doc_id: Long, media_type: String, content: Array[Byte])
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
+                           mean_byte: Double, hist: Array[Long])
+
+  /** Batch size of the stub decoder — the "Arrow batch" shape a real
+    * mapInPandas/mapInArrow extractor would see. */
+  private val DecodeBatch = 64
+
+  /** STUB DECODER (features): per-record byte histogram (8 buckets) + mean.
+    * A real pipeline would decode pixels/samples here; the batching,
+    * iterator discipline (no materializing the partition), and typed
+    * output schema are the real, load-bearing parts. */
+  private[queries] def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map { r =>
+      val hist = new Array[Long](8)
+      var sum = 0L
+      r.content.foreach { b =>
+        val u = b & 0xFF
+        hist(u >> 5) += 1
+        sum += u
+      }
+      MediaFeatures(r.doc_id, r.media_type, r.content.length,
+        if (r.content.isEmpty) 0.0
+        else math.round(sum.toDouble / r.content.length * 1e6) / 1e6,
+        hist)
+    }
+
+  /** Feature-extraction operator: Dataset[MediaRecord] → mapPartitions with
+    * bounded batches → Dataset[MediaFeatures]. Content bytes stay inside
+    * the partition; only features come out. */
+  def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.grouped(DecodeBatch).flatMap(decodeBatch))
+  }
+
+  /** Features as a queries() entry (rows-only driver check — the byte
+    * histogram is not expressible over DuckDB VARCHAR; MultimodalSpec
+    * re-derives it independently instead). */
+  def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = media(s, dir)
+      .select(col("doc_id"), col("media_type"), col("content"))
+      .as[MediaRecord]
+    extractFeatures(recs)
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("mean_byte"),
+        concat_ws(",", col("hist")).as("hist_csv"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_metadata" -> (qMediaMetadata _),
+    "q_frame_sample" -> (qFrameSample _),
+    "q_media_features" -> (qMediaFeatures _),
+  )
+
+  /** q_media_features intentionally omitted → driver rows-only check. */
+  val oracle: Map[String, String] = Map(
+    "q_media_metadata" ->
+      """SELECT doc_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  CAST((ascii(substring(text, 1, 1)) % 64 + 1) * 16 AS INT) AS width,
+        |  CAST((ascii(substring(text, 2, 1)) % 64 + 1) * 16 AS INT) AS height,
+        |  CAST(doc_id % 3 + 1 AS INT) AS n_channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_frame_sample" ->
+      """SELECT doc_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |  CAST(i AS INT) AS frame_idx,
+        |  md5(substring(text, CAST(i * 64 + 1 AS INT), 16)) AS frame_md5
+        |FROM documents, (SELECT unnest(range(0, 100)) AS i)
+        |WHERE i <= (length(text) - 1) // 64
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+  )
+}
