@@ -20,6 +20,7 @@ object SparkEntry {
     (q.Similarity.queries, q.Similarity.oracle),
     (q.StreamWindows.queries, q.StreamWindows.oracle),
     (q.Multimodal.queries, q.Multimodal.oracle),
+    (q.AsOf.queries, q.AsOf.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
+import graft.plans.{CosineSimilarity, SortedIntersectCount}
+
+/** Column-level façade over the engine's native Catalyst expressions
+  * (graft.plans). Uses the public `ExpressionUtils.column` bridge so the
+  * kernels work in ANY session; `GraftExtensions` additionally registers
+  * them by name for `spark.sql(...)` users.
+  */
+object VectorFunctions {
+
+  /** Fused cosine similarity over two ARRAY<DOUBLE> columns (one loop,
+    * codegen; replaces a 6-pass zip_with/aggregate chain). */
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimilarity(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** |A∩B| of two sorted distinct ARRAY<STRING> columns (merge scan,
+    * codegen; replaces per-pair array_intersect hash sets). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

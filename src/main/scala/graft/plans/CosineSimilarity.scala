@@ -1,0 +1,70 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: fused cosine similarity over two
+  * ARRAY<DOUBLE> columns, with whole-stage codegen.
+  *
+  * The composed form (`aggregate(zip_with(a,b,*)) / (sqrt(aggregate(..))
+  * * sqrt(aggregate(..)))`) walks the arrays six times and allocates an
+  * intermediate product array per row; this kernel is ONE loop, zero
+  * allocation — the preference ladder's "custom Expression beats UDF"
+  * rung, for the hot path of ANN re-ranking (SURVEY.md §7.4 reserved
+  * exactly this case).
+  *
+  * Float contract: dot and norms accumulate left-to-right in element
+  * order — bit-identical to the sequential `aggregate` folds it replaces
+  * and to DuckDB's `list_sum(list_transform(...))`, so oracle parity is
+  * preserved (proved by the unchanged q_ann / q_dedup_embedding oracle
+  * matches).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  // inputs: ARRAY<DOUBLE>, ARRAY<DOUBLE> (AbstractDataType is
+  // private[sql]; inputs are engine-internal and always typed correctly)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x = $a.getDouble($i); double y = $b.getDouble($i);
+         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[CosineSimilarity].getName, "cosine_sim")
+}

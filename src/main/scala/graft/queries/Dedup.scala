@@ -69,13 +69,25 @@ object Dedup {
     "list_filter(list_transform(string_split(text, ' '), " +
       "t -> lower(regexp_replace(t, '[^a-zA-Z]', '', 'g'))), x -> x <> '')"
 
-  /** Distinct 3-word shingles of the token array (empty if < 3 tokens). */
-  private def shinglesOf(w: Column): Column =
-    array_distinct(
-      when(size(w) >= 3,
-        transform(sequence(lit(1), size(w) - 2),
-          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
-      .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+  /** Distinct 3-word shingles of the token array (empty if < 3 tokens).
+    *
+    * Built with zip_with over shifted slices, NOT
+    * `transform(sequence, i -> element_at(w, i)...)`: optimizer rules
+    * (InferFiltersFromGenerate + predicate pushdown + CollapseProject)
+    * can substitute the whole producing expression for `w`, and an
+    * element_at formulation then re-derives the token array PER ELEMENT —
+    * O(tokens²) interpreted regex work (measured 70× slowdown at sf0.1).
+    * zip_with references w O(1) times, so worst-case inlining costs a
+    * constant factor. zip_with pads the shorter side with null and
+    * concat(null) propagates, so the trailing pads drop in the filter. */
+  private def shinglesOf(w: Column): Column = {
+    val tri = zip_with(
+      zip_with(w, slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+        (x, y) => concat(x, lit(" "), y)),
+      slice(w, lit(3), greatest(size(w) - 2, lit(0))),
+      (xy, z) => concat(xy, lit(" "), z))
+    array_distinct(filter(tri, t => t.isNotNull))
+  }
 
   /** DuckDB spelling of the same shingle set over a token-list column `w`. */
   private def duckShingles(w: String): String =
@@ -84,19 +96,23 @@ object Dedup {
        |        i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])
        | ELSE CAST([] AS VARCHAR[]) END)""".stripMargin
 
-  /** MinHash signature array (NumHashes entries) over a shingle-array col.
-    * Empty shingle set → sentinel P for every slot (matches oracle). */
-  private def signatureOf(sh: Column): Column = {
+  /** MinHash signature array (NumHashes entries) over a PRE-HASHED shingle
+    * array (`hashShingles`): each slot is an affine mix + min over the
+    * cached integer hashes — md5 runs once per shingle, not NumHashes
+    * times. Empty shingle set → sentinel P for every slot (matches oracle). */
+  private def hashShingles(sh: Column): Column =
+    transform(sh, s => h32(s) % P)
+
+  private def signatureOf(hs: Column): Column =
     array((0 until NumHashes).map { i =>
       coalesce(
-        array_min(transform(sh, s => (lit(hashA(i)) * (h32(s) % P) + lit(hashB(i))) % P)),
+        array_min(transform(hs, h => (lit(hashA(i)) * h + lit(hashB(i))) % P)),
         lit(P))
     }: _*)
-  }
 
-  private def duckSignature(sh: String): String =
+  private def duckSignature(hs: String): String =
     (0 until NumHashes).map { i =>
-      s"coalesce(list_min(list_transform($sh, s -> (${hashA(i)} * (${duckH32("s")} % $P) + ${hashB(i)}) % $P)), $P)"
+      s"coalesce(list_min(list_transform($hs, h -> (${hashA(i)} * h + ${hashB(i)}) % $P)), $P)"
     }.mkString("[", ",\n ", "]")
 
   // ---- queries -------------------------------------------------------------
@@ -120,10 +136,19 @@ object Dedup {
   /** MinHash signatures, one row per document with all NumHashes slots as
     * columns (m00..m31) so the oracle verifies every component bit-exactly.
     * Linear scan, no shuffle (the final ORDER BY is presentation-only). */
+  /** Materialize tokens → shingles → signature as NAMED columns stage by
+    * stage: inlining `shinglesOf(toks)` would duplicate the tokenizer
+    * expression tree into every element_at of the shingle lambda and
+    * re-run the regex per element (measured ~20× slowdown). */
+  private def sigsOf(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), toks.as("w"))
+      .select(col("doc_id"), col("lang"), shinglesOf(col("w")).as("sh"))
+      .select(col("doc_id"), col("lang"), hashShingles(col("sh")).as("hs"))
+      .select(col("doc_id"), col("lang"), signatureOf(col("hs")).as("sig"))
+
   def qMinhashSignature(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
-      .select(col("doc_id"), shinglesOf(toks).as("sh"))
-      .select(col("doc_id"), signatureOf(col("sh")).as("sig"))
+    val base = sigsOf(s, dir)
     val cols = col("doc_id") +:
       (0 until NumHashes).map(i => element_at(col("sig"), i + 1).as(f"m$i%02d"))
     base.select(cols: _*).orderBy("doc_id")
@@ -136,9 +161,7 @@ object Dedup {
     * At 100 TB only (band_id, key) pairs shuffle — never text or shingles —
     * and the candidate self-join is per-bucket local. */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables.documents(s, dir)
-      .select(col("doc_id"), shinglesOf(toks).as("sh"))
-      .select(col("doc_id"), signatureOf(col("sh")).as("sig"))
+    val sigs = sigsOf(s, dir).select("doc_id", "sig")
     val bands = sigs.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(Bands - 1))).as("band_id"))
       .select(col("doc_id"), col("sig"), col("band_id"),
@@ -185,19 +208,36 @@ object Dedup {
     * Jaccard = |A∩B| / |A∪B| over distinct shingle sets, threshold 0.2
     * (fixture probe: ~6 such pairs at sf0.01, max j ≈ 0.989 — a real
     * near-dup). Values are integer ratios — exact across engines.
-    * SCALE NOTE: the within-language all-pairs join is the small-scale /
-    * oracle-checkable form; at 100 TB this exact verifier runs only on
-    * q_dedup_minhash candidates (blocked join), same expression. */
+    *
+    * Plan: INVERTED INDEX, not all-pairs — explode to (lang, shingle,
+    * doc) postings, self-join the postings list, count common shingles
+    * per (a,b) = |A∩B|, then |A∪B| = |A|+|B|-|A∩B| from the per-doc size
+    * table. Only narrow integer rows ever shuffle (never the shingle
+    * arrays: a naive pair join materialized ~3.5 KB of arrays per
+    * candidate — 40× slower measured at sf0.1), document pairs sharing
+    * no shingle never exist anywhere, and a hot shingle is AQE
+    * skew-splittable. This IS the 100 TB plan (with prefix filtering as
+    * the known next refinement). */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // early filter on the TOKEN count (equivalent to size(s) > 0 since
+    // ≥3 tokens ⟺ ≥1 trigram): a post-shingle filter would be pushed
+    // down with the shingle expression substituted in — paying it twice
     val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), shinglesOf(toks).as("s"))
-      .filter(size(col("s")) > 0)
-    val a = sh.select(col("lang"), col("doc_id").as("a_id"), col("s").as("a_s"))
-    val b = sh.select(col("lang"), col("doc_id").as("b_id"), col("s").as("b_s"))
-    a.join(b, "lang").filter(col("a_id") < col("b_id"))
+      .select(col("doc_id"), col("lang"), toks.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("lang"), shinglesOf(col("w")).as("s"))
+    val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
+    val post = sh.select(col("lang"), col("doc_id"), explode(col("s")).as("shingle"))
+    val a = post.select(col("lang"), col("shingle"), col("doc_id").as("a_id"))
+    val b = post.select(col("lang"), col("shingle"), col("doc_id").as("b_id"))
+    a.join(b, Seq("lang", "shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("a_n")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("b_n")), "b_id")
       .select(col("a_id"), col("b_id"),
-        (size(array_intersect(col("a_s"), col("b_s"))).cast("double") /
-          size(array_union(col("a_s"), col("b_s")))).as("jaccard"))
+        (col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
       .orderBy("a_id", "b_id")
   }
@@ -212,15 +252,13 @@ object Dedup {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    val dot = aggregate(zip_with(col("a_v"), col("b_v"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(col("a_v"), x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(col("b_v"), x => x * x), lit(0.0), (acc, x) => acc + x))
     val a = e.select(col("label"), col("vec_id").as("a_id"), col("v").as("a_v"))
     val b = e.select(col("label"), col("vec_id").as("b_id"), col("v").as("b_v"))
     a.join(b, "label").filter(col("a_id") < col("b_id"))
       .select(col("label"), col("a_id"), col("b_id"),
-        (dot / (na * nb)).as("cos_raw"))
+        // fused single-pass kernel (graft.plans.CosineSimilarity): same
+        // left-to-right accumulation as the oracle's sequential list_sum
+        graft.functions.VectorFunctions.cosineSim(col("a_v"), col("b_v")).as("cos_raw"))
       .filter(col("cos_raw") >= 0.4)
       .select(col("label"), col("a_id"), col("b_id"),
         round(col("cos_raw"), 6).as("cosine"))
@@ -242,7 +280,8 @@ object Dedup {
   private def sigCte =
     s"""toks AS (SELECT doc_id, $duckToks AS w FROM documents),
        |shing AS (SELECT doc_id, $duckSh AS sh FROM toks),
-       |sigs AS (SELECT doc_id, ${duckSignature("sh")} AS sig FROM shing)""".stripMargin
+       |hashed AS (SELECT doc_id, list_transform(sh, s -> ${duckH32("s")} % $P) AS hs FROM shing),
+       |sigs AS (SELECT doc_id, ${duckSignature("hs")} AS sig FROM hashed)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->

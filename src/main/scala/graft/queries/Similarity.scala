@@ -53,9 +53,10 @@ object Similarity {
 
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-  private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass native kernel (graft.plans.CosineSimilarity);
+    * accumulation order matches the oracle's sequential list_sum folds. */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineSim(a, b)
 
   /** ±1 plane k as an array literal column. */
   private def planeCol(k: Int): Column = array(planes(k).map(lit): _*)

@@ -82,11 +82,15 @@ object TextAnalysis {
   def qBigramsTop(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(toks.as("w"))
-      .select(explode(expr(
-        // guard: sequence(1, n) descends when n < 1 (1-token/empty docs)
-        """CASE WHEN size(w) >= 2
-          | THEN transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))
-          | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("bigram"))
+      // zip_with over a shifted slice, not element_at-over-sequence: the
+      // explode's inferred pushed-down filter can inline this whole
+      // expression, and element_at would re-derive `w` per element
+      // (O(n²)); zip_with pads the short side with null → concat
+      // propagates null → filtered out. Guards the <2-token case too.
+      .select(explode(filter(
+        zip_with(col("w"), slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+          (x, y) => concat(x, lit(" "), y)),
+        t => t.isNotNull)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram").asc)
       .limit(20)
@@ -130,7 +134,23 @@ object TextAnalysis {
         md5(concat_ws(" ", toks).cast("binary")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Token-length histogram per language via the custom typed Aggregator
+    * (graft.functions.LenHistogram — the UDAF extension point). Exact
+    * integer buckets → oracle hash-comparable despite custom code. */
+  def qLenHistogram(s: SparkSession, dir: String): DataFrame = {
+    val hist = udaf(graft.functions.LenHistogram)
+    val base = Tables.documents(s, dir)
+      .select(col("lang"), toks.as("w"))
+      .select(col("lang"), transform(col("w"), t => length(t)).as("lens"))
+      .groupBy("lang").agg(hist(col("lens")).as("h"))
+    base.select(col("lang") +:
+      (0 until graft.functions.LenHistogram.NumBuckets)
+        .map(i => element_at(col("h"), i + 1).as(s"h$i")): _*)
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_len_histogram" -> (qLenHistogram _),
     "q_token_stats" -> (qTokenStats _),
     "q_quality_score" -> (qQualityScore _),
     "q_token_counts" -> (qTokenCounts _),
@@ -141,6 +161,14 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_len_histogram" ->
+      s"""SELECT lang,
+         |${(0 until 8).map(i =>
+             if (i < 7) s" sum(CASE WHEN length(t) = ${i + 1} THEN 1 ELSE 0 END)::BIGINT AS h$i"
+             else s" sum(CASE WHEN length(t) >= 8 THEN 1 ELSE 0 END)::BIGINT AS h$i")
+           .mkString(",\n")}
+         |FROM (SELECT lang, unnest($duckToks) AS t FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_token_stats" ->
       s"""SELECT doc_id, lang,
          | CAST(length(text) AS BIGINT) AS n_chars,

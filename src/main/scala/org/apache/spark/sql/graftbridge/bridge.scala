@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Access bridge into `private[sql]` Column↔Expression converters —
+  * the standard pattern for Spark-native libraries that ship custom
+  * Catalyst expressions (the converters are public in bytecode, Scala
+  * access-scoped only). Everything else in this engine stays in `graft.*`.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
