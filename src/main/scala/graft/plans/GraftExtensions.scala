@@ -14,16 +14,24 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   *    (merge-scan kernel, see SortedIntersectCount).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      CosineSimilarity.info,
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("sorted_intersect_count"),
-      SortedIntersectCount.info,
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SortedIntersectCount(children(0), children(1))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"), CosineSimilarity.info,
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (FunctionIdentifier("sorted_intersect_count"), SortedIntersectCount.info,
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))),
+  )
+
+  /** Install the same functions on an already-built session (for hosts
+    * that didn't pass `spark.sql.extensions` at build time). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    registrations.foreach { case (name, info, builder) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, name, info, builder)
+    }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Sources/sinks coverage (SURVEY.md §2.2 scans/sources/sinks): the
+  * reference reads one text format and writes one text format; the Spark
+  * engine gets text/csv/json/parquet read+write for free via
+  * DataFrameReader/Writer — these round-trips pin that surface, including
+  * the reference's own "word count" text-output shape. */
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("text source: reference input file reads line-per-row (reference scan semantics)") {
+    val lines = spark.read.textFile("/root/reference/input_file/input.txt")
+    // 26 records: the final line has no trailing newline (wc -l says 25,
+    // awk/Spark correctly count 26)
+    assert(lines.count() == 26)
+    // the reference's whole pipeline over its own fixture file:
+    val wc = graft.core.TextPipeline.words(lines.toDF("text").select(col("text")), "text")
+      .groupBy("word").count().orderBy("word")
+    assert(wc.count() > 0)
+  }
+
+  test("csv sink/source round-trip preserves schema and rows") {
+    val out = tmp("graft_csv")
+    val src = Tables.customer(spark, sf)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(out)
+    assert(back.count() == src.count())
+    assert(back.columns.sorted.sameElements(src.columns.sorted))
+    val sumA = src.agg(sum(col("c_acctbal").cast("decimal(18,2)"))).collect()(0).getDecimal(0)
+    val sumB = back.agg(sum(col("c_acctbal").cast("decimal(18,2)"))).collect()(0).getDecimal(0)
+    assert(sumA == sumB)
+  }
+
+  test("json sink/source round-trip preserves nested props") {
+    val out = tmp("graft_json")
+    val src = Tables.events(spark, sf).limit(500)
+      .select(col("event_id"), col("event_type"), col("value"), col("props"))
+    src.write.mode("overwrite").json(out)
+    val back = spark.read.json(out)
+    assert(back.count() == src.count())
+    // JSON text column survives byte-for-byte (checked via parsed key)
+    val a = src.select(sum(get_json_object(col("props"), "$.k").cast("long"))).collect()(0).getLong(0)
+    val b = back.select(sum(get_json_object(col("props"), "$.k").cast("long"))).collect()(0).getLong(0)
+    assert(a == b)
+  }
+
+  test("parquet sink preserves types exactly (timestamps, doubles, arrays)") {
+    val out = tmp("graft_parquet")
+    val src = Tables.embeddings(spark, sf)
+    src.write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+  }
+
+  test("reference result-file shape: 'word count' text lines, sorted") {
+    val out = tmp("graft_wcout")
+    val wc = graft.queries.WordCount.wordcount(spark, sf)
+    wc.select(concat_ws(" ", col("word"), col("cnt"))).coalesce(1)
+      .write.mode("overwrite").text(out)
+    val back = spark.read.textFile(out).collect()
+    assert(back.length == wc.count())
+    val words = back.map(_.split(" ")(0))
+    assert(words.sameElements(words.sorted), "text output must stay word-sorted")
+  }
+}
