@@ -22,4 +22,9 @@ object VectorFunctions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCount(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** 32-bit SimHash fingerprint of an ARRAY<BIGINT> of token hashes
+    * (single pass, codegen; replaces 32 interpreted per-bit scans). */
+  def simhash32(hs: Column): Column =
+    ExpressionUtils.column(graft.plans.SimHash32(ExpressionUtils.expression(hs)))
 }

@@ -26,6 +26,8 @@ object GraftExtensions {
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
     (FunctionIdentifier("sorted_intersect_count"), SortedIntersectCount.info,
       (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))),
+    (FunctionIdentifier("simhash32"), SimHash32.info,
+      (children: Seq[Expression]) => SimHash32(children(0))),
   )
 
   /** Install the same functions on an already-built session (for hosts

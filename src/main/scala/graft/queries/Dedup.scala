@@ -186,23 +186,15 @@ object Dedup {
     * +1/-1 vote weighted by term frequency, sign → bit. Pure per-row array
     * math — no shuffle, codegen-friendly, and bit-identical to the oracle
     * because the base hash is md5-derived. */
-  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    // 2^j as exact long (h < 2^32 and 2^j ≤ 2^31 are exact in double; the
-    // shiftleft/shiftright builtins take only literal bit counts, so power
-    // arithmetic is the lambda-friendly spelling — same math in the oracle).
-    def pow2(j: Column): Column = pow(lit(2.0), j.cast("double")).cast("long")
-    val bitSum = aggregate(
-      transform(sequence(lit(0), lit(31)), j =>
-        when(size(filter(col("hs"),
-            h => pmod(floor(h.cast("double") / pow2(j).cast("double")).cast("long"), lit(2L)) === 1L))
-          .multiply(2) - size(col("hs")) > 0, pow2(j)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), toks.as("w"))
       .select(col("doc_id"), transform(col("w"), t => h32(t)).as("hs"))
-      .select(col("doc_id"), bitSum.as("simhash"))
+      // native one-pass kernel (graft.plans.SimHash32) — same vote math
+      // as the oracle's per-bit spelling, 32× fewer array walks
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.simhash32(col("hs")).as("simhash"))
       .orderBy("doc_id")
-  }
 
   /** Exact n-gram (3-shingle) Jaccard near-dup pairs, within-language.
     * Jaccard = |A∩B| / |A∪B| over distinct shingle sets, threshold 0.2
