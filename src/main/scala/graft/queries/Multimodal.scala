@@ -68,6 +68,22 @@ object Multimodal {
         col("pos").as("frame_idx"), col("col").as("frame_md5"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Resize operator (STUB DECODER): downsample the content to a fixed
+    * 64-"pixel" thumbnail by sampling bytes at evenly spaced offsets —
+    * stands in for an image resize; the real parts are the fixed output
+    * shape and that bytes never leave the row (output carries the thumb
+    * and its digest, both small). */
+  def qMediaResize(s: SparkSession, dir: String): DataFrame = {
+    val n = length(col("text"))
+    val thumb = concat_ws("", transform(sequence(lit(0), lit(63)),
+      i => col("text").substr((floor(i * n / 64) + 1).cast("int"), lit(1))))
+    media(s, dir)
+      .select(col("doc_id"), col("media_type"), thumb.as("t"))
+      .select(col("doc_id"), col("media_type"),
+        length(col("t")).as("thumb_len"), md5(col("t")).as("thumb_md5"))
+      .orderBy("doc_id")
+  }
+
   // ---- batched feature extraction (mapInPandas analogue) -------------------
 
   /** Typed rows crossing the extractor boundary. */
@@ -124,6 +140,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_metadata" -> (qMediaMetadata _),
     "q_frame_sample" -> (qFrameSample _),
+    "q_media_resize" -> (qMediaResize _),
     "q_media_features" -> (qMediaFeatures _),
   )
 
@@ -146,5 +163,16 @@ object Multimodal {
         |FROM documents, (SELECT unnest(range(0, 100)) AS i)
         |WHERE i <= (length(text) - 1) // 64
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_media_resize" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |    list_aggr(list_transform(range(0, 64),
+        |      i -> substring(text, CAST(i * length(text) // 64 + 1 AS INT), 1)),
+        |      'string_agg', '') AS thumb
+        |  FROM documents)
+        |SELECT doc_id, media_type, CAST(length(thumb) AS INT) AS thumb_len,
+        |  md5(thumb) AS thumb_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
   )
 }
