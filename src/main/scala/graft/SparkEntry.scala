@@ -21,6 +21,7 @@ object SparkEntry {
     (q.StreamWindows.queries, q.StreamWindows.oracle),
     (q.Multimodal.queries, q.Multimodal.oracle),
     (q.AsOf.queries, q.AsOf.oracle),
+    (q.Extras.queries, q.Extras.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
