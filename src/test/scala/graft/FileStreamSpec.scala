@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Windows
+
+/** M5 — the full readStream → transform → writeStream path over a real
+  * file source: parquet dropped into a watched directory in two batches,
+  * windowed aggregation with watermark, parquet sink with checkpoint —
+  * result must equal the batch plan over the union of all files. This is
+  * the deployment shape (file-arrival streaming), complementing
+  * StreamingSpec's MemoryStream harness. */
+class FileStreamSpec extends SparkSpec {
+
+  test("file-source streaming tumbling agg == batch over all arrived files") {
+    val srcDir = Files.createTempDirectory("graft_stream_src").toString
+    val outDir = Files.createTempDirectory("graft_stream_out").toString
+    val ckDir = Files.createTempDirectory("graft_stream_ck").toString
+
+    val events = graft.io.Tables.events(spark, sf)
+      .select("ts", "event_type", "value")
+    // split by TIME, not randomly: file-arrival streaming assumes files
+    // land in rough event-time order; random interleaving would put half
+    // of batch 2 behind the watermark (correctly dropped as late data)
+    val mid = events.agg(expr("percentile(unix_micros(ts), 0.5)")).collect()(0).getDouble(0).toLong
+    val part1 = events.filter(unix_micros(col("ts")) <= mid)
+    val part2 = events.filter(unix_micros(col("ts")) > mid)
+
+    // batch 1 arrives before the query starts
+    part1.write.mode("overwrite").parquet(s"$srcDir/batch1")
+    val schema = events.schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$srcDir/*")
+    val q = Windows.tumblingStream(stream)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    // batch 2 arrives while the query runs
+    part2.write.mode("overwrite").parquet(s"$srcDir/batch2")
+    q.processAllAvailable()
+    q.stop()
+
+    // append mode only emits watermark-closed windows; compare on the
+    // windows the sink actually finalized (all but the tail)
+    val got = spark.read.parquet(outDir)
+      .select("win_start_us", "event_type", "n", "sum_value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = Windows.tumbling(events)
+      .select("win_start_us", "event_type", "n", "sum_value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.nonEmpty, "watermark must have closed at least some windows")
+    assert(got.subsetOf(want),
+      "every finalized streaming window must match the batch result exactly")
+    // everything older than the last emitted window must have been emitted
+    val lastEmitted = got.map(_._1).max
+    val missing = want.filter(_._1 < lastEmitted) -- got
+    assert(missing.isEmpty, s"gaps in emitted windows: ${missing.take(3)}")
+  }
+}
