@@ -27,4 +27,10 @@ object VectorFunctions {
     * (single pass, codegen; replaces 32 interpreted per-bit scans). */
   def simhash32(hs: Column): Column =
     ExpressionUtils.column(graft.plans.SimHash32(ExpressionUtils.expression(hs)))
+
+  /** Full MinHash signature (one pass over the hash array; replaces
+    * |slots| interpreted array walks). Constants are baked into the plan. */
+  def minhashSignature(hs: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
+    ExpressionUtils.column(graft.plans.MinHashSignature(
+      ExpressionUtils.expression(hs), a, b, p))
 }

@@ -104,11 +104,7 @@ object Dedup {
     transform(sh, s => h32(s) % P)
 
   private def signatureOf(hs: Column): Column =
-    array((0 until NumHashes).map { i =>
-      coalesce(
-        array_min(transform(hs, h => (lit(hashA(i)) * h + lit(hashB(i))) % P)),
-        lit(P))
-    }: _*)
+    graft.functions.VectorFunctions.minhashSignature(hs, hashA, hashB, P)
 
   private def duckSignature(hs: String): String =
     (0 until NumHashes).map { i =>

@@ -114,12 +114,15 @@ object TextAnalysis {
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df_ = words.select("doc_id", "word").distinct()
       .groupBy("word").agg(count(lit(1)).as("df"))
-    val n = Tables.documents(s, dir).count() // tiny scalar; computed once
+    // corpus size as a broadcast scalar subquery — NO driver-side action
+    // inside an operator (a .count() here would serialize the job DAG)
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("word").asc)
-    tf.join(df_, "word")
+    tf.join(df_, "word").crossJoin(broadcast(n))
       .withColumn("tfidf",
-        col("tf").cast("double") * (lit(n + 1.0) / (col("df").cast("double") + 1.0)))
+        col("tf").cast("double") *
+          ((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"), col("rnk"))
