@@ -67,6 +67,11 @@ object Windows {
 
   /** Typed event for the custom-state operator. */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Timestamp → epoch micros WITHOUT losing sub-millisecond precision
+    * (`getTime` is millis; the nanos field carries the rest). */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
   /** Running per-user profile maintained with explicit state. */
   case class UserProfile(user_id: Long, n_events: Long, total_value: Double,
                          last_ts_us: Long)
@@ -82,14 +87,69 @@ object Windows {
         (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserProfile]) =>
           val prev = state.getOption.getOrElse(UserProfile(uid, 0L, 0.0, Long.MinValue))
           // deterministic in-batch order: fold by event time then value
-          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          val evs = batch.toSeq.sortBy(e => (tsMicros(e.ts), e.value))
           val next = evs.foldLeft(prev) { (p, e) =>
             UserProfile(uid, p.n_events + 1,
               math.round((p.total_value + e.value) * 100).toDouble / 100,
-              math.max(p.last_ts_us, e.ts.getTime * 1000L))
+              math.max(p.last_ts_us, tsMicros(e.ts)))
           }
           state.update(next)
           next
+      }
+  }
+
+  /** Open-session accumulator carried in the state store (one per user). */
+  case class SessionBuf(start_us: Long, last_us: Long, n: Long, sum: Double)
+  /** A completed session, session_window-compatible (end = last + gap). */
+  case class SessionOut(user_id: Long, session_start_us: Long,
+                        session_end_us: Long, n_events: Long, sum_value: Double)
+
+  private val GapUs = 6L * 3600L * 1000000L
+
+  /** Custom sessionization via `flatMapGroupsWithState` + event-time
+    * timeout: sessions close either inside a batch (a gap between
+    * consecutive events) or when the watermark passes last_event + gap
+    * (timeout fires with an empty batch). Semantics match
+    * `session_window(ts, '6 hours')` exactly, including the merge-at-
+    * exact-gap boundary (<=) — proven against the batch plan in
+    * StreamingSpec. State per user is ONE small record; the watermark
+    * bounds its lifetime. Use when windowed aggs can't express the
+    * session logic (custom close conditions, per-session emissions). */
+  def sessionizeStream(events: Dataset[UserEvent]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[SessionBuf]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var open = state.getOption
+          val evs = batch.toSeq.sortBy(e => (tsMicros(e.ts), e.value))
+          if (evs.isEmpty) {
+            // timeout: watermark passed last + gap — the session is final
+            open.foreach(b => out += SessionOut(uid, b.start_us, b.last_us + GapUs, b.n, b.sum))
+            state.remove()
+          } else {
+            evs.foreach { e =>
+              val t = tsMicros(e.ts)
+              open = open match {
+                case Some(b) if t - b.last_us <= GapUs => // merge (inclusive boundary)
+                  Some(SessionBuf(b.start_us, math.max(b.last_us, t), b.n + 1,
+                    math.round((b.sum + e.value) * 100).toDouble / 100))
+                case Some(b) => // gap exceeded inside the batch: close + reopen
+                  out += SessionOut(uid, b.start_us, b.last_us + GapUs, b.n, b.sum)
+                  Some(SessionBuf(t, t, 1L, e.value))
+                case None =>
+                  Some(SessionBuf(t, t, 1L, e.value))
+              }
+            }
+            val b = open.get
+            state.update(b)
+            // close when the watermark passes the session end
+            state.setTimeoutTimestamp((b.last_us + GapUs) / 1000L)
+          }
+          out.iterator
       }
   }
 

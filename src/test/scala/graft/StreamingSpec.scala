@@ -84,6 +84,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_._1 == 4L) == 2, "gap+1µs must open a new session")
   }
 
+  test("flatMapGroupsWithState sessionizer equals session_window batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = Windows.sessionizeStream(mem.toDS()).writeStream.format("memory")
+      .queryName("t_fmgws").outputMode(OutputMode.Append()).start()
+    // two time-ordered batches from the same fixture rows
+    val asUserEvents = eventsData.map { case (u, t, _, v) => UserEvent(u, t, v) }
+    val (b1, b2) = asUserEvents.sortBy(_.ts.getTime).splitAt(5)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    // advance watermark far past every session end so timeouts fire
+    mem.addData(Seq(UserEvent(99L, ts("2024-03-01 00:00:00"), 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(UserEvent(99L, ts("2024-04-01 00:00:00"), 0.0)))
+    q.processAllAvailable()
+    val got = spark.table("t_fmgws").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 != 99L).toSet
+    val want = Windows.sessions(eventsDf(eventsData)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    assert(got == want,
+      s"custom sessionizer diverged: extra=${got -- want} missing=${want -- got}")
+  }
+
   test("mapGroupsWithState running profiles reflect all events after last batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
