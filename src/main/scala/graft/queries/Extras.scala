@@ -81,7 +81,21 @@ object Extras {
       .groupBy(col("word")).agg(sum(col("c")).as("cnt"))
       .orderBy("word")
 
+  /** Sketch aggregation: HyperLogLog++ distinct-word estimate per language
+    * beside the exact count. At 100 TB the sketch is the point (fixed-size
+    * partial state, one narrow shuffle vs the exact distinct's two-stage
+    * expansion); the exact column here exists to expose the error.
+    * Approximate ⇒ no DuckDB oracle (driver rows-only); the ±5% tolerance
+    * contract is pinned in ExtrasSpec. */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    TextPipeline.words(Tables.documents(s, dir), "text", keep = Seq("lang"))
+      .groupBy("lang")
+      .agg(approx_count_distinct(col("word"), 0.02).as("approx_words"),
+        countDistinct(col("word")).as("exact_words"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_distinct" -> (qApproxDistinct _),
     "q_pivot" -> (qPivot _),
     "q_sample_hash" -> (qSampleHash _),
     "q_range_join" -> (qRangeJoin _),

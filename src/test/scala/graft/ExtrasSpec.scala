@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.queries.Extras
+
+/** Extras-tier contracts SQL can't express, plus storage-layout evidence
+  * (partition pruning) for the scale story. */
+class ExtrasSpec extends SparkSpec {
+
+  test("approx_count_distinct stays within 5% of exact per language") {
+    val rows = Extras.qApproxDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getAs[Long]("approx_words"), r.getAs[Long]("exact_words"))
+      assert(exact > 0)
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+        s"lang=${r.getString(0)}: approx=$approx exact=$exact drift > 5%")
+    }
+  }
+
+  test("hash sample is a true subset at a plausible rate") {
+    val sampled = Extras.qSampleHash(spark, sf).count()
+    val total = graft.io.Tables.orders(spark, sf).count()
+    val rate = sampled.toDouble / total
+    assert(rate > 0.02 && rate < 0.08, s"5%-target hash sample rate was $rate")
+  }
+
+  test("partition-by-column writes prune partitions at read (PartitionFilters)") {
+    val out = Files.createTempDirectory("graft_part").toString
+    graft.io.Tables.documents(spark, sf)
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val back = spark.read.parquet(out).filter(col("lang") === "en")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      "lang filter must prune at the directory level, not post-scan")
+    val expected = graft.io.Tables.documents(spark, sf)
+      .filter(col("lang") === "en").count()
+    assert(back.count() == expected)
+  }
+}
