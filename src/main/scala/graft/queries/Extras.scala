@@ -94,8 +94,46 @@ object Extras {
         countDistinct(col("word")).as("exact_words"))
       .orderBy("lang")
 
+  /** Date-arithmetic sampler (dayofweek numbering differs between
+    * engines — oracle compensates; month-end clamping of add_months
+    * matches DuckDB's +INTERVAL). */
+  def qDateFns(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(
+        col("o_orderkey"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since_95"),
+        date_format(add_months(col("o_orderdate"), 1), "yyyy-MM-dd").as("next_month"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
+      .orderBy("o_orderkey")
+
+  /** Array higher-order-function sampler over the embedding vectors
+    * (scalar outputs only — cross-engine array-cell comparison is
+    * representation-sensitive; scalars are not). */
+  def qArrayFns(s: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 10 === 0)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        round(array_max(v), 6).as("max_val"),
+        round(element_at(v, 1), 6).as("first_val"),
+        size(filter(v, x => x > 0)).as("n_pos"),
+        exists(v, x => x > lit(2.0)).as("has_gt2"),
+        concat_ws(",", slice(reverse(array_sort(transform(v, x => round(x, 4)))), 1, 3))
+          .as("top3_csv"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_date_fns" -> (qDateFns _),
+    "q_array_fns" -> (qArrayFns _),
     "q_pivot" -> (qPivot _),
     "q_sample_hash" -> (qSampleHash _),
     "q_range_join" -> (qRangeJoin _),
@@ -104,6 +142,28 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_date_fns" ->
+      """SELECT o_orderkey,
+        | CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        | CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        | CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+        | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95,
+        | strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month,
+        | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+        |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+    "q_array_fns" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, embedding
+        |  FROM embeddings WHERE vec_id % 10 = 0)
+        |SELECT vec_id,
+        | CAST(len(embedding) AS INT) AS n_dims,
+        | round(list_max(v), 6) AS max_val,
+        | round(v[1], 6) AS first_val,
+        | CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
+        | len(list_filter(v, x -> x > 2.0)) > 0 AS has_gt2,
+        | array_to_string(list_sort(list_transform(v, x -> round(x, 4)), 'DESC')[1:3], ',') AS top3_csv
+        |FROM e ORDER BY vec_id""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority AS priority,
         | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,

@@ -110,6 +110,53 @@ class StreamingSpec extends SparkSpec {
       s"custom sessionizer diverged: extra=${got -- want} missing=${want -- got}")
   }
 
+  test("stream-stream interval join equals the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = Seq(
+      (1L, ts("2024-01-01 01:00:00"), 10.0),
+      (1L, ts("2024-01-01 05:00:00"), 20.0),
+      (2L, ts("2024-01-01 02:30:00"), 30.0))
+    val clicks = Seq(
+      (1L, ts("2024-01-01 00:40:00"), 1.0), // 20 min before p1 -> match
+      (1L, ts("2024-01-01 04:50:00"), 1.0), // 10 min before p2 -> match
+      (1L, ts("2024-01-01 02:00:00"), 1.0), // 1h after p1 -> no match
+      (2L, ts("2024-01-01 02:00:00"), 1.0)) // 30 min before p3 -> match
+    def joined(p: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) = {
+      val pw = p.toDF("p_user", "p_ts", "p_val").withWatermark("p_ts", "1 hour")
+      val cw = c.toDF("c_user", "c_ts", "c_val").withWatermark("c_ts", "1 hour")
+      pw.join(cw, col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+        .select(col("p_user"), unix_micros(col("p_ts")).as("p_us"),
+          unix_micros(col("c_ts")).as("c_us"))
+    }
+    val pMem = MemoryStream[(Long, Timestamp, Double)]
+    val cMem = MemoryStream[(Long, Timestamp, Double)]
+    val q = joined(pMem.toDF(), cMem.toDF()).writeStream.format("memory")
+      .queryName("t_ssjoin").outputMode(OutputMode.Append()).start()
+    // batches split by EVENT TIME (out-of-order arrival beyond the
+    // watermark is correctly dropped — see the file-source spec)
+    val cut = ts("2024-01-01 03:00:00")
+    pMem.addData(purchases.filter(_._2.before(cut)))
+    cMem.addData(clicks.filter(_._2.before(cut)))
+    q.processAllAvailable()
+    pMem.addData(purchases.filterNot(_._2.before(cut)))
+    cMem.addData(clicks.filterNot(_._2.before(cut)))
+    q.processAllAvailable()
+    // advance both watermarks so every joinable pair matures
+    pMem.addData(Seq((99L, ts("2024-02-01 00:00:00"), 0.0)))
+    cMem.addData(Seq((99L, ts("2024-02-01 00:00:01"), 0.0)))
+    q.processAllAvailable()
+    val got = spark.table("t_ssjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).filter(_._1 != 99L).toSet
+    val want = joined(purchases.toDF("a", "b", "c"), clicks.toDF("a", "b", "c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+    assert(want.size == 3, "fixture expects exactly 3 interval matches")
+  }
+
   test("mapGroupsWithState running profiles reflect all events after last batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
