@@ -130,10 +130,29 @@ object Extras {
       .orderBy("vec_id")
   }
 
+  /** RANGE-frame window (value-based frame, vs q_window_rank's ROWS
+    * frames): per customer, orders placed within the trailing 30 days of
+    * each order. Frame bounds computed on epoch-seconds — integer range
+    * arithmetic, identical in both engines. */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val DaySec = 86400L
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("t_sec"))
+      .rangeBetween(-30 * DaySec, 0)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) / 1000000L).cast("long").as("t_sec"))
+      .withColumn("n_last_30d", count(lit(1)).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("n_last_30d"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_date_fns" -> (qDateFns _),
     "q_array_fns" -> (qArrayFns _),
+    "q_window_range" -> (qWindowRange _),
     "q_pivot" -> (qPivot _),
     "q_sample_hash" -> (qSampleHash _),
     "q_range_join" -> (qRangeJoin _),
@@ -142,6 +161,13 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_range" ->
+      """SELECT o_orderkey, o_custkey, n_last_30d FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |    count(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_last_30d
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_date_fns" ->
       """SELECT o_orderkey,
         | CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
