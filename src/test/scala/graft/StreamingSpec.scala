@@ -110,6 +110,31 @@ class StreamingSpec extends SparkSpec {
       s"custom sessionizer diverged: extra=${got -- want} missing=${want -- got}")
   }
 
+  test("streaming dropDuplicates with watermark equals batch distinct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // duplicate event_ids arrive across batches (at-least-once delivery)
+    val rows = Seq(
+      (100L, ts("2024-01-01 00:10:00"), 1.0),
+      (101L, ts("2024-01-01 00:20:00"), 2.0),
+      (100L, ts("2024-01-01 00:10:00"), 1.0), // dup in same batch
+      (102L, ts("2024-01-01 00:40:00"), 3.0))
+    val lateDup = Seq((101L, ts("2024-01-01 00:20:00"), 2.0)) // dup in next batch
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val dedup = mem.toDF().toDF("event_id", "ts", "value")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val q = dedup.writeStream.format("memory")
+      .queryName("t_dedup").outputMode(OutputMode.Append()).start()
+    mem.addData(rows); q.processAllAvailable()
+    mem.addData(lateDup); q.processAllAvailable()
+    val got = spark.table("t_dedup").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSet
+    q.stop()
+    assert(got == Set((100L, 1.0), (101L, 2.0), (102L, 3.0)),
+      "each event_id must survive exactly once across batches")
+  }
+
   test("stream-stream interval join equals the batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
