@@ -22,6 +22,7 @@ object SparkEntry {
     (q.Multimodal.queries, q.Multimodal.oracle),
     (q.AsOf.queries, q.AsOf.oracle),
     (q.Extras.queries, q.Extras.oracle),
+    (q.Corpus.queries, q.Corpus.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

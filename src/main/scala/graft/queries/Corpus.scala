@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.TextPipeline
+import graft.io.Tables
+
+/** Corpus-preparation tier: the whole-corpus operations a training-data
+  * pipeline runs after per-document scoring — redaction, distribution-
+  * based quality gates, and language rebalancing. All deterministic, all
+  * oracle-verified.
+  *
+  * Scale stance: redaction is a narrow map; the gate and the rebalance
+  * need corpus statistics (percentiles, per-language counts) which are
+  * TINY aggregates — computed once, broadcast back against the corpus;
+  * the corpus itself shuffles at most once (the per-language rank).
+  */
+object Corpus {
+
+  private val toks: Column = {
+    val raw = TextPipeline.tokens(col("text"))
+    filter(transform(raw, t => TextPipeline.normalize(t)), x => x =!= "")
+  }
+  private val duckToks =
+    "list_filter(list_transform(string_split(text, ' '), " +
+      "t -> lower(regexp_replace(t, '[^a-zA-Z]', '', 'g'))), x -> x <> '')"
+
+  /** Redaction: scrub email-shaped, long-digit, and url-shaped spans
+    * (the standard PII pre-filters). Pure regexp projection — one narrow
+    * pass, trivially parallel at any scale. */
+  def qRedact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("orig_len"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+            "[0-9]{6,}", "<NUM>"),
+          "https?://[^ ]+", "<URL>").as("clean_text"))
+      .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+        length(col("clean_text")).as("clean_len"),
+        (length(col("clean_text")) =!= col("orig_len")).as("was_redacted"))
+      .orderBy("doc_id")
+
+  /** Distribution-based quality gate: keep documents whose token count
+    * lies within the corpus [p10, p90]. The percentile pair is a 1-row
+    * aggregate broadcast against the corpus — no self-join, no second
+    * scan of text. */
+  def qQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val counted = Tables.documents(s, dir)
+      .select(col("doc_id"), size(toks).as("n_tokens"))
+    val bounds = counted.agg(
+      expr("percentile(n_tokens, 0.1)").as("p10"),
+      expr("percentile(n_tokens, 0.9)").as("p90"))
+    counted.crossJoin(broadcast(bounds))
+      .filter(col("n_tokens") >= col("p10") && col("n_tokens") <= col("p90"))
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-balanced resampling: rank documents inside each language by
+    * a deterministic content hash and keep the smallest language's count
+    * from every language — reproducible down-sampling to a balanced mix
+    * (what a data-mixing recipe does before tokenization). One shuffle
+    * (the per-language rank); the per-language floor is a tiny broadcast. */
+  def qLangBalance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+    val floorN = broadcast(
+      docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("k")))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs.withColumn("rnk", row_number().over(w))
+      .crossJoin(floorN)
+      .filter(col("rnk") <= col("k"))
+      .select(col("doc_id"), col("lang"), col("rnk"))
+      .orderBy("lang", "rnk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_redact" -> (qRedact _),
+    "q_quality_gate" -> (qQualityGate _),
+    "q_lang_balance" -> (qLangBalance _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_redact" ->
+      """WITH c AS (SELECT doc_id, text,
+        | regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |   '[0-9]{6,}', '<NUM>', 'g'),
+        |   'https?://[^ ]+', '<URL>', 'g') AS clean_text
+        | FROM documents)
+        |SELECT doc_id, md5(clean_text) AS clean_md5,
+        | CAST(length(clean_text) AS INT) AS clean_len,
+        | length(clean_text) <> length(text) AS was_redacted
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_quality_gate" ->
+      s"""WITH counted AS (
+         |  SELECT doc_id, CAST(len($duckToks) AS INT) AS n_tokens FROM documents),
+         |bounds AS (SELECT quantile_cont(n_tokens, 0.1) AS p10,
+         |                  quantile_cont(n_tokens, 0.9) AS p90 FROM counted)
+         |SELECT doc_id, n_tokens FROM counted, bounds
+         |WHERE n_tokens >= p10 AND n_tokens <= p90 ORDER BY doc_id""".stripMargin,
+    "q_lang_balance" ->
+      """WITH docs AS (SELECT doc_id, lang,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS h
+        |  FROM documents),
+        |k AS (SELECT min(n) AS k FROM (SELECT count(*) AS n FROM docs GROUP BY lang)),
+        |ranked AS (SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS INT) AS rnk
+        |  FROM docs)
+        |SELECT doc_id, lang, rnk FROM ranked, k
+        |WHERE rnk <= k ORDER BY lang, rnk""".stripMargin,
+  )
+}
