@@ -110,6 +110,28 @@ class StreamingSpec extends SparkSpec {
       s"custom sessionizer diverged: extra=${got -- want} missing=${want -- got}")
   }
 
+  test("the reference's flagship as a stream: incremental word count == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lines = Seq("The quick brown fox", "jumps over the lazy dog",
+      "THE  quick   fox!", "dog dog 123 dog")
+    val mem = MemoryStream[String]
+    val counted = graft.core.TextPipeline.words(mem.toDF().toDF("text"), "text")
+      .groupBy("word").count()
+    val q = counted.writeStream.format("memory")
+      .queryName("t_wc").outputMode(OutputMode.Complete()).start()
+    mem.addData(lines.take(2)); q.processAllAvailable()
+    mem.addData(lines.drop(2)); q.processAllAvailable()
+    val got = spark.table("t_wc").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = graft.core.TextPipeline.words(lines.toDF("text"), "text")
+      .groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(got == want)
+    assert(got("dog") == 4 && got("the") == 3, "reference tokenizer semantics hold")
+  }
+
   test("streaming dropDuplicates with watermark equals batch distinct") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
