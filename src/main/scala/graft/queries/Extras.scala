@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.core.TextPipeline
 import graft.io.Tables
 
@@ -148,7 +149,34 @@ object Extras {
       .orderBy("o_orderkey")
   }
 
+  /** Statistical aggregates (variance/stddev/correlation) from EXACT
+    * decimal moments: built-in stddev/corr merge running states in
+    * task-completion order (order-dependent floats — nondeterministic
+    * across runs and engines); sums of DECIMAL are exact and commutative,
+    * and the closed-form moments derived from them are bit-reproducible.
+    * The rounding keeps the final single float op cross-engine safe. */
+  def qStats(s: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity").cast(DecimalType(20, 4))
+    val p = col("l_extendedprice").cast(DecimalType(24, 4))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(q).as("sq"), sum(q * q).as("sqq"),
+        sum(p).as("sp"), sum(p * p).as("spp"),
+        sum(q * p).as("sqp"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("sq").cast("double") / col("n"), 6).as("mean_qty"),
+        round((col("sqq").cast("double") - col("sq").cast("double") * col("sq").cast("double") / col("n"))
+          / (col("n") - 1), 6).as("var_qty"),
+        round((col("sqp").cast("double") - col("sq").cast("double") * col("sp").cast("double") / col("n")) /
+          (sqrt(col("sqq").cast("double") - col("sq").cast("double") * col("sq").cast("double") / col("n")) *
+           sqrt(col("spp").cast("double") - col("sp").cast("double") * col("sp").cast("double") / col("n"))), 6)
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats" -> (qStats _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_date_fns" -> (qDateFns _),
     "q_array_fns" -> (qArrayFns _),
@@ -161,6 +189,22 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(20,4))) AS sq,
+        |    sum(CAST(l_quantity AS DECIMAL(20,4)) * CAST(l_quantity AS DECIMAL(20,4))) AS sqq,
+        |    sum(CAST(l_extendedprice AS DECIMAL(24,4))) AS sp,
+        |    sum(CAST(l_extendedprice AS DECIMAL(24,4)) * CAST(l_extendedprice AS DECIMAL(24,4))) AS spp,
+        |    sum(CAST(l_quantity AS DECIMAL(20,4)) * CAST(l_extendedprice AS DECIMAL(24,4))) AS sqp
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | round(CAST(sq AS DOUBLE) / n, 6) AS mean_qty,
+        | round((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1), 6) AS var_qty,
+        | round((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / n) /
+        |   (sqrt(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) *
+        |    sqrt(CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n)), 6) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q_window_range" ->
       """SELECT o_orderkey, o_custkey, n_last_30d FROM (
         |  SELECT o_orderkey, o_custkey,
