@@ -175,7 +175,33 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
+  /** KMV (k-minimum-values) distinct sketch, k=16: estimate = (k-1)·2³²
+    * / kth-smallest-hash, exact count when fewer than k values. Unlike
+    * HLL the sketch state is a deterministic function of the data (the k
+    * smallest md5-derived hashes), so the ESTIMATE ITSELF is
+    * oracle-verifiable — both engines compute identical sketches. At
+    * scale: per-group state is k longs, mergeable by keep-smallest-k. */
+  def qKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 16
+    val hashes = TextPipeline.words(Tables.documents(s, dir), "text", keep = Seq("lang"))
+      .select(col("lang"),
+        conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long").as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"))
+    hashes.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_k"), max(col("h")).as("kth"))
+      .select(col("lang"),
+        round(when(col("n_k") < K, col("n_k").cast("double"))
+          .otherwise(lit((K - 1).toDouble) * 4294967296.0 / col("kth")), 4)
+          .as("kmv_estimate"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_distinct" -> (qKmvDistinct _),
     "q_stats" -> (qStats _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_date_fns" -> (qDateFns _),
@@ -188,7 +214,23 @@ object Extras {
     "q_wordcount_salted" -> (qWordcountSalted _),
   )
 
+  private val duckToksE =
+    "list_filter(list_transform(string_split(text, ' '), " +
+      "t -> lower(regexp_replace(t, '[^a-zA-Z]', '', 'g'))), x -> x <> '')"
+
   val oracle: Map[String, String] = Map(
+    "q_kmv_distinct" ->
+      s"""WITH hashes AS (
+         |  SELECT DISTINCT lang,
+         |    CAST(('0x' || substring(md5(word),1,8)) AS BIGINT) AS h
+         |  FROM (SELECT lang, unnest($duckToksE) AS word FROM documents)
+         |  WHERE word <> ''),
+         |ranked AS (SELECT lang, h,
+         |  row_number() OVER (PARTITION BY lang ORDER BY h) AS rnk FROM hashes)
+         |SELECT lang,
+         |  round(CASE WHEN count(*) < 16 THEN CAST(count(*) AS DOUBLE)
+         |             ELSE 15.0 * 4294967296.0 / max(h) END, 4) AS kmv_estimate
+         |FROM ranked WHERE rnk <= 16 GROUP BY lang ORDER BY lang""".stripMargin,
     "q_stats" ->
       """WITH m AS (
         |  SELECT l_returnflag, count(*) AS n,
