@@ -60,6 +60,35 @@ class FileStreamSpec extends SparkSpec {
     assert(missing.isEmpty, s"gaps in emitted windows: ${missing.take(3)}")
   }
 
+  test("foreachBatch upsert sink: duplicate redelivery converges to distinct keys") {
+    import org.apache.spark.sql.{DataFrame, SaveMode}
+    val tableDir = Files.createTempDirectory("graft_fb_tbl").toString
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "payload").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // idempotent merge: existing ∪ batch, keep one row per id
+        val existing = try spark.read.parquet(tableDir)
+          catch { case _: Throwable => spark.emptyDataFrame.select(lit(0L).as("id"), lit("").as("payload")).limit(0) }
+        val merged = existing.unionByName(batch).dropDuplicates("id")
+          .persist() // materialize BEFORE overwriting the path we read from
+        merged.count()
+        merged.write.mode(SaveMode.Overwrite).parquet(tableDir)
+        merged.unpersist()
+        ()
+      }.start()
+    mem.addData(Seq((1L, "a"), (2L, "b"))); q.processAllAvailable()
+    mem.addData(Seq((2L, "b"), (3L, "c"))); q.processAllAvailable() // redelivery of id=2
+    mem.addData(Seq((1L, "a"), (3L, "c"), (4L, "d"))); q.processAllAvailable()
+    q.stop()
+    val table = spark.read.parquet(tableDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(table == Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"),
+      "at-least-once redelivery must converge to one row per key")
+  }
+
   test("checkpoint recovery: restart resumes exactly-once (no double-counted windows)") {
     val srcDir = Files.createTempDirectory("graft_ck_src").toString
     val outDir = Files.createTempDirectory("graft_ck_out").toString
