@@ -200,7 +200,34 @@ object Extras {
       .orderBy("lang")
   }
 
+  /** Argmin/argmax aggregates: each customer's cheapest and priciest
+    * order keys (ties broken deterministically by taking the extreme
+    * (price, orderkey) PAIR, since bare min_by/arg_min tie-breaks are
+    * engine-undefined). */
+  def qMinMaxBy(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        min(struct(col("o_totalprice"), col("o_orderkey"))).as("lo"),
+        max(struct(col("o_totalprice"), col("o_orderkey"))).as("hi"),
+        count(lit(1)).as("n"))
+      .select(col("o_custkey"),
+        col("lo.o_orderkey").as("cheapest_order"),
+        col("lo.o_totalprice").as("cheapest_price"),
+        col("hi.o_orderkey").as("priciest_order"),
+        col("hi.o_totalprice").as("priciest_price"), col("n"))
+      .orderBy("o_custkey")
+
+  /** UNION ALL (bag semantics — q_union covers the distinct form). */
+  def qUnionAll(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
+      .unionAll(Tables.supplier(s, dir).select(col("s_nationkey").as("nk")))
+      .groupBy("nk").agg(count(lit(1)).as("n"))
+      .orderBy("nk")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_min_max_by" -> (qMinMaxBy _),
+    "q_union_all" -> (qUnionAll _),
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_stats" -> (qStats _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -219,6 +246,26 @@ object Extras {
       "t -> lower(regexp_replace(t, '[^a-zA-Z]', '', 'g'))), x -> x <> '')"
 
   val oracle: Map[String, String] = Map(
+    "q_min_max_by" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_lo,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_hi
+        |  FROM orders)
+        |SELECT o_custkey,
+        | max(CASE WHEN rn_lo = 1 THEN o_orderkey END) AS cheapest_order,
+        | max(CASE WHEN rn_lo = 1 THEN o_totalprice END) AS cheapest_price,
+        | max(CASE WHEN rn_hi = 1 THEN o_orderkey END) AS priciest_order,
+        | max(CASE WHEN rn_hi = 1 THEN o_totalprice END) AS priciest_price,
+        | count(*) AS n
+        |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_union_all" ->
+      """SELECT nk, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nk ORDER BY nk""".stripMargin,
     "q_kmv_distinct" ->
       s"""WITH hashes AS (
          |  SELECT DISTINCT lang,
