@@ -9,6 +9,12 @@ import org.apache.spark.sql.SparkSession
   * and projects under a count, which would under-report), with zero sink
   * I/O cost. One warm-up pass of the flagship query absorbs first-job
   * session setup so per-query numbers measure the plans, not the JVM.
+  *
+  * Methodology: 3 timed iterations per query, MEDIAN reported (JIT and
+  * scheduler noise would otherwise land directly in round-over-round
+  * regression tracking); all raw iteration times ship in `"runs"` so the
+  * variance is inspectable. A query that throws reports -1 and lands in
+  * `"errors"` — a broken query must never look like a fast one.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,6 +26,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config(graft.io.Tables.EventsNanosConf._1, graft.io.Tables.EventsNanosConf._2)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -28,15 +35,30 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // warm-up: session/codegen/scan setup paid once, not by the first query
     try run(SparkEntry.queries("wordcount")) catch { case _: Throwable => () }
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val runs = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { run(fn); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
+      }
+      val times = runs.collect { case Right(t) => t }.sorted
+      val median = if (times.isEmpty) -1.0 else times(times.size / 2)
+      val err = runs.collectFirst { case Left(m) => m }
+      (name, median, times, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, m, _, _) => jstr(k) + ":" + m }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val raw = results.map { case (k, _, ts, _) =>
+      jstr(k) + ":" + ts.mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(m)) => jstr(k) + ":" + jstr(m) }
+      .mkString("{", ",", "}")
+    val total = results.map { case (_, m, _, _) => math.max(m, 0.0) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"runs":$raw,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

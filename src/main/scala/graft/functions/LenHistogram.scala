@@ -9,8 +9,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * `functions.udaf`).
   *
   * Aggregates token-length arrays into an 8-bucket histogram
-  * (bucket = min(len, 8) - 1; zero-length tokens can't occur after
-  * normalization). All-integer math: partial buffers merge by elementwise
+  * (bucket = clamp(len, 1, 8) - 1 — non-positive lengths land in bucket 0
+  * instead of throwing, so the public extension point is safe on inputs
+  * that skipped upstream empty-token filtering). All-integer math:
+  * partial buffers merge by elementwise
   * add, which commutes — the result is identical under any partitioning
   * and task order, so a DuckDB oracle can hash-compare it exactly.
   *
@@ -31,7 +33,7 @@ object LenHistogram extends Aggregator[Seq[Int], Hist, Seq[Long]] {
     if (lens == null) buf
     else {
       val c = buf.counts.toArray
-      lens.foreach(l => c(math.min(l, NumBuckets) - 1) += 1L)
+      lens.foreach(l => c(math.min(math.max(l, 1), NumBuckets) - 1) += 1L)
       Hist(c.toVector)
     }
   }

@@ -23,14 +23,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy flag) and convert
-    * to a microsecond TimestampType with integer `div` — (ns / 1000 via
+  /** Session config `events` requires: its ts column is TIMESTAMP(NANOS)
+    * parquet, which Spark's reader rejects ([PARQUET_TYPE_ILLEGAL]) unless
+    * this legacy flag maps it to raw nano longs. Hosts set it ONCE at
+    * session build (Verify/Bench/SparkSpec all do) — a loader must not
+    * mutate a shared session's conf on read. */
+  val EventsNanosConf: (String, String) = ("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** events.ts arrives as raw nanos (see [[EventsNanosConf]]); convert to
+    * a microsecond TimestampType with integer `div` — (ns / 1000 via
     * double would lose precision above 2^53). Day/window-level semantics are
     * unaffected by the micro truncation.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption(EventsNanosConf._1).contains(EventsNanosConf._2),
+      s"events requires the session conf ${EventsNanosConf._1}=true (set at session build)")
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -1,9 +1,10 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression: fused cosine similarity over two
   * ARRAY<DOUBLE> columns, with whole-stage codegen.
@@ -24,10 +25,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  // inputs: ARRAY<DOUBLE>, ARRAY<DOUBLE> (AbstractDataType is
-  // private[sql]; inputs are engine-internal and always typed correctly)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+
+  // The function is SQL-registered (GraftExtensions), so misuse must fail
+  // at ANALYSIS, not with an executor-side ClassCastException.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -21,13 +21,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
+  /** Wrap a builder with an arity gate so `SELECT cosine_sim(a)` fails at
+    * analysis with a clear message, not IndexOutOfBounds inside the
+    * builder. (Input TYPES are validated by each expression's
+    * checkInputDataTypes.) */
+  private def arity(name: String, n: Int)(b: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression =
+    children => {
+      if (children.length != n) throw new IllegalArgumentException(
+        s"$name requires exactly $n argument(s), got ${children.length}")
+      b(children)
+    }
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"), CosineSimilarity.info,
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+      arity("cosine_sim", 2)(c => CosineSimilarity(c(0), c(1)))),
     (FunctionIdentifier("sorted_intersect_count"), SortedIntersectCount.info,
-      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))),
+      arity("sorted_intersect_count", 2)(c => SortedIntersectCount(c(0), c(1)))),
     (FunctionIdentifier("simhash32"), SimHash32.info,
-      (children: Seq[Expression]) => SimHash32(children(0))),
+      arity("simhash32", 1)(c => SimHash32(c(0)))),
   )
 
   /** Install the same functions on an already-built session (for hosts

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -24,9 +25,15 @@ case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long], p: Lo
 
   require(a.length == b.length, "a/b constant vectors must align")
 
-  // input: ARRAY<BIGINT> (AbstractDataType is private[sql]; engine-internal)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<BIGINT>, got ${other.simpleString}")
+    }
 
   private val k = a.length
 

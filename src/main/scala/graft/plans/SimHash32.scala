@@ -1,9 +1,10 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native Catalyst expression: 32-bit SimHash fingerprint from an
   * ARRAY<BIGINT> of per-token hashes.
@@ -19,9 +20,16 @@ import org.apache.spark.sql.types.{DataType, LongType}
   */
 case class SimHash32(child: Expression) extends UnaryExpression {
 
-  // input: ARRAY<BIGINT> (AbstractDataType is private[sql]; engine-internal)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash32"
+
+  // SQL-registered (GraftExtensions): misuse fails at analysis time.
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<BIGINT>, got ${other.simpleString}")
+    }
 
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]

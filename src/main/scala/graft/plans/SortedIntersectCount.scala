@@ -1,9 +1,10 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: |A ∩ B| for two SORTED, DISTINCT
@@ -22,10 +23,19 @@ import org.apache.spark.unsafe.types.UTF8String
 case class SortedIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  // inputs: ARRAY<STRING> sorted+distinct (AbstractDataType is
-  // private[sql]; inputs are engine-internal and always typed correctly)
+  // inputs: ARRAY<STRING>, each sorted ascending + duplicate-free
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_count"
+
+  // SQL-registered (GraftExtensions): misuse fails at analysis time.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<STRING>, ARRAY<STRING>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -274,7 +274,7 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""WITH fp AS (SELECT doc_id,
-         |  md5(list_aggr($duckToks, 'string_agg', ' ')) AS fingerprint
+         |  md5(coalesce(list_aggr($duckToks, 'string_agg', ' '), '')) AS fingerprint
          |  FROM documents)
          |SELECT doc_id, fingerprint,
          |  min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,

@@ -60,6 +60,9 @@ object Multimodal {
     * extraction shape: rows multiply, bytes don't). */
   def qFrameSample(s: SparkSession, dir: String): DataFrame =
     media(s, dir)
+      // guard: empty content would make sequence(0, -1) DESCEND and emit
+      // bogus frames; the oracle's `i <= (len-1)//64` excludes them too
+      .filter(length(col("text")) >= 1)
       .select(col("doc_id"), col("media_type"),
         posexplode(transform(
           sequence(lit(0), floor((length(col("text")) - 1) / 64).cast("int")),
@@ -160,7 +163,9 @@ object Multimodal {
         |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
         |  CAST(i AS INT) AS frame_idx,
         |  md5(substring(text, CAST(i * 64 + 1 AS INT), 16)) AS frame_md5
-        |FROM documents, (SELECT unnest(range(0, 100)) AS i)
+        |FROM documents,
+        |  (SELECT unnest(range(0, (SELECT max(length(text)) // 64 + 1
+        |                           FROM documents))) AS i)
         |WHERE i <= (length(text) - 1) // 64
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_media_resize" ->

@@ -60,6 +60,29 @@ class ExpressionsSpec extends SparkSpec {
     assert(v.getInt(1) == 2)
   }
 
+  test("SQL misuse fails at analysis: wrong types and wrong arity") {
+    GraftExtensions.install(spark)
+    // wrong input types -> analysis-time type-check failure, not an
+    // executor ClassCastException
+    val t = intercept[Exception](spark.sql("SELECT cosine_sim('a', 'b')").collect())
+    assert(t.getMessage.contains("ARRAY<DOUBLE>") || t.getMessage.contains("DATATYPE_MISMATCH"),
+      s"expected a type-check message, got: ${t.getMessage}")
+    val t2 = intercept[Exception](spark.sql("SELECT simhash32(array('x'))").collect())
+    assert(t2.getMessage.contains("ARRAY<BIGINT>") || t2.getMessage.contains("DATATYPE_MISMATCH"))
+    // wrong arity -> clear builder-side message, not IndexOutOfBounds
+    val a = intercept[Exception](
+      spark.sql("SELECT sorted_intersect_count(array('a'))").collect())
+    assert(a.getMessage.contains("exactly 2"), s"got: ${a.getMessage}")
+  }
+
+  test("len_histogram UDAF clamps non-positive lengths instead of throwing") {
+    import graft.functions.LenHistogram
+    val h = LenHistogram.reduce(LenHistogram.zero, Seq(0, -3, 1, 8, 99))
+    assert(h.counts(0) == 3)                      // 0, -3, 1 all clamp to bucket 0
+    assert(h.counts(LenHistogram.NumBuckets - 1) == 2) // 8 and 99 cap at the top
+    assert(h.counts.sum == 5)
+  }
+
   test("interpreted (non-codegen) path agrees with codegen path") {
     // eval() is exercised directly through the expression, codegen through
     // a wholestage query; both must produce the same doubles
