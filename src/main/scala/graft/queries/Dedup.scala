@@ -192,41 +192,114 @@ object Dedup {
         graft.functions.VectorFunctions.simhash32(col("hs")).as("simhash"))
       .orderBy("doc_id")
 
+  /** Jaccard similarity threshold shared by the exact verifiers. */
+  private val JaccardT = 0.2
+
+  /** Shingled docs (doc_id, lang, s): the shared head of both exact
+    * verifiers. Early filter on the TOKEN count (equivalent to
+    * size(s) > 0 since ≥3 tokens ⟺ ≥1 trigram): a post-shingle filter
+    * would be pushed down with the shingle expression substituted in —
+    * paying it twice. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), toks.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("lang"), shinglesOf(col("w")).as("s"))
+
+  /** Postings (lang, shingle, doc_id, n) hash-partitioned on the join
+    * key. The explicit `repartition` is load-bearing twice over:
+    *  - the self-join's two sides canonicalize to the SAME exchange, so
+    *    tokenize→shingle→explode runs ONCE and is shuffle-reused
+    *    (without it, round 1 re-evaluated the pipeline per branch —
+    *    5 evaluations, 21 s at sf0.1; with it, 2.6 s);
+    *  - downstream joins/aggs on (lang, shingle) are then co-partitioned
+    *    and add no further exchange.
+    * Carrying n (the doc's shingle-set size) in the postings replaces
+    * round 1's two joins back to a per-doc size table — each of which
+    * re-derived the whole shingle pipeline. */
+  private def postings(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir)
+      .select(col("lang"), col("doc_id"), size(col("s")).as("n"),
+        explode(col("s")).as("shingle"))
+      .repartition(col("lang"), col("shingle"))
+
   /** Exact n-gram (3-shingle) Jaccard near-dup pairs, within-language.
     * Jaccard = |A∩B| / |A∪B| over distinct shingle sets, threshold 0.2
     * (fixture probe: ~6 such pairs at sf0.01, max j ≈ 0.989 — a real
     * near-dup). Values are integer ratios — exact across engines.
     *
-    * Plan: INVERTED INDEX, not all-pairs — explode to (lang, shingle,
-    * doc) postings, self-join the postings list, count common shingles
-    * per (a,b) = |A∩B|, then |A∪B| = |A|+|B|-|A∩B| from the per-doc size
-    * table. Only narrow integer rows ever shuffle (never the shingle
-    * arrays: a naive pair join materialized ~3.5 KB of arrays per
-    * candidate — 40× slower measured at sf0.1), document pairs sharing
-    * no shingle never exist anywhere, and a hot shingle is AQE
-    * skew-splittable. This IS the 100 TB plan (with prefix filtering as
-    * the known next refinement). */
+    * Plan: INVERTED-INDEX COUNT — self-join the postings, count common
+    * shingles per (a,b) = |A∩B|, |A∪B| = a_n + b_n − |A∩B|. Only narrow
+    * integer rows ever shuffle (never shingle arrays); pairs sharing no
+    * shingle never exist anywhere; a hot shingle is AQE skew-splittable.
+    * Work is Σ_shingle df² — optimal while document frequencies are
+    * bounded (true of content-bearing shingles). When a corpus has
+    * stop-shingles with huge df, switch to [[qNgramJaccardPrefix]] —
+    * same exact answer, work bounded by the prefix-filtered candidate
+    * set instead of Σ df². */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // early filter on the TOKEN count (equivalent to size(s) > 0 since
-    // ≥3 tokens ⟺ ≥1 trigram): a post-shingle filter would be pushed
-    // down with the shingle expression substituted in — paying it twice
-    val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), toks.as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), col("lang"), shinglesOf(col("w")).as("s"))
-    val sizes = sh.select(col("doc_id"), size(col("s")).as("n"))
-    val post = sh.select(col("lang"), col("doc_id"), explode(col("s")).as("shingle"))
-    val a = post.select(col("lang"), col("shingle"), col("doc_id").as("a_id"))
-    val b = post.select(col("lang"), col("shingle"), col("doc_id").as("b_id"))
+    val post = postings(s, dir)
+    val a = post.select(col("lang"), col("shingle"), col("doc_id").as("a_id"), col("n").as("a_n"))
+    val b = post.select(col("lang"), col("shingle"), col("doc_id").as("b_id"), col("n").as("b_n"))
     a.join(b, Seq("lang", "shingle"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("a_n")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("b_n")), "b_id")
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.2)
+      .filter(col("jaccard") >= JaccardT)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The same exact verifier with PREFIX FILTERING — the standard
+    * set-similarity-join pruning (AllPairs/PPJoin family) for corpora
+    * where hot shingles make Σ df² explode:
+    *
+    *  1. rank each doc's shingles by (document frequency, shingle) — a
+    *     global total order putting the RAREST first;
+    *  2. index only each doc's first n − ⌈t·n⌉ + 1 shingles: if
+    *     j(A,B) ≥ t then |A∩B| ≥ ⌈t·n⌉ on both sides, so the globally
+    *     smallest element of A∩B provably sits inside BOTH prefixes —
+    *     no qualifying pair is lost;
+    *  3. candidates additionally pass the length filter
+    *     min(n_a,n_b) ≥ ⌈t·max(n_a,n_b)⌉ (j ≤ min/max);
+    *  4. candidates are verified EXACTLY by a merge scan over the two
+    *     sorted shingle sets (native SortedIntersectCount kernel) —
+    *     arrays move only for surviving candidates.
+    *
+    * Same answer as [[qNgramJaccard]] (same oracle SQL; equality also
+    * pinned in DedupSimilaritySpec). On the fixture (df ≤ 14 — no hot
+    * shingles) the count plan is faster; on a real web corpus the
+    * frequent-shingle mass sits beyond every prefix and this plan wins.
+    * Hot shingles also stop hurting candidate generation: a shingle
+    * shared by millions of docs has huge df, lands at the END of the
+    * order, and drops out of every prefix. */
+  def qNgramJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val post = postings(s, dir)
+    // df per (lang, shingle): co-partitioned with `post` — no exchange
+    val freq = post.groupBy(col("lang"), col("shingle")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val pref = post.join(freq, Seq("lang", "shingle"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - ceil(col("n") * JaccardT) + 1)
+    val ca = pref.select(col("lang"), col("shingle"), col("doc_id").as("a_id"), col("n").as("a_n"))
+    val cb = pref.select(col("lang"), col("shingle"), col("doc_id").as("b_id"), col("n").as("b_n"))
+    val cand = ca.join(cb, Seq("lang", "shingle"))
+      .filter(col("a_id") < col("b_id") &&
+        least(col("a_n"), col("b_n")) >= ceil(greatest(col("a_n"), col("b_n")) * JaccardT))
+      .select(col("a_id"), col("b_id"), col("a_n"), col("b_n")).distinct()
+    // sorted ONCE per doc, amortized over all its candidate pairs
+    val ss = shingled(s, dir).select(col("doc_id"), array_sort(col("s")).as("ss"))
+    cand
+      .join(ss.select(col("doc_id").as("a_id"), col("ss").as("a_ss")), "a_id")
+      .join(ss.select(col("doc_id").as("b_id"), col("ss").as("b_ss")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        graft.functions.VectorFunctions.sortedIntersectCount(col("a_ss"), col("b_ss"))
+          .cast("long").as("inter"), col("a_n"), col("b_n"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardT)
       .orderBy("a_id", "b_id")
   }
 
@@ -259,6 +332,7 @@ object Dedup {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_ngram_jaccard_prefix" -> (qNgramJaccardPrefix _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
   )
 
@@ -307,17 +381,11 @@ object Dedup {
          |    CASE WHEN 2 * len(list_filter(hs, h -> (h // (1::BIGINT << j)) % 2 = 1)) - len(hs) > 0
          |         THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
          |FROM hs ORDER BY doc_id""".stripMargin,
-    "q_ngram_jaccard" ->
-      s"""WITH toks AS (SELECT doc_id, lang, $duckToks AS w FROM documents),
-         |sh AS (SELECT doc_id, lang, $duckSh AS s FROM toks),
-         |nz AS (SELECT * FROM sh WHERE len(s) > 0)
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-         |FROM nz a JOIN nz b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
-         |ORDER BY a_id, b_id""".stripMargin,
+    // The prefix-filtered plan computes the SAME exact answer, so it
+    // verifies against the same all-pairs oracle — the pruning changes
+    // the plan, never the result.
+    "q_ngram_jaccard_prefix" -> ngramJaccardOracle,
+    "q_ngram_jaccard" -> ngramJaccardOracle,
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
@@ -331,4 +399,16 @@ object Dedup {
         |     * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
   )
+
+  private lazy val ngramJaccardOracle: String =
+    s"""WITH toks AS (SELECT doc_id, lang, $duckToks AS w FROM documents),
+       |sh AS (SELECT doc_id, lang, $duckSh AS s FROM toks),
+       |nz AS (SELECT * FROM sh WHERE len(s) > 0)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+       |FROM nz a JOIN nz b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+       |ORDER BY a_id, b_id""".stripMargin
 }

@@ -13,6 +13,12 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Final EXECUTED (post-AQE) physical plan of a DataFrame as text —
+    * for plan-shape assertions (exchange reuse, skew splits) in specs. */
+  def executedPlanString(df: org.apache.spark.sql.DataFrame): String =
+    df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+      .queryExecution.executedPlan.toString
+
   /** Register a function by name on an ALREADY-RUNNING session (the
     * `spark.sql.extensions` config only applies at session build time). */
   def registerFunction(

@@ -31,6 +31,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(agg.getAs[Long]("nd") > 100, "first minhash slot should be well spread")
   }
 
+  test("prefix-filtered Jaccard verifier returns exactly the inverted-index count's pairs") {
+    // sf0.01 so near-dup pairs actually exist (sf0.001 may have none)
+    val d = "/root/testdata/sf0.01"
+    val count = Dedup.qNgramJaccard(spark, d).collect().map(_.toString).toSeq
+    val prefix = Dedup.qNgramJaccardPrefix(spark, d).collect().map(_.toString).toSeq
+    assert(count.nonEmpty, "fixture should contain near-dup pairs")
+    assert(count == prefix, "prefix filtering must change the plan, never the answer")
+  }
+
+  test("ngram-jaccard postings self-join reuses one exchange (pipeline runs once)") {
+    val df = Dedup.qNgramJaccard(spark, "/root/testdata/sf0.01")
+    df.collect() // AQE finalizes the plan only on execution of THIS QueryExecution
+    val executed = org.apache.spark.sql.graftbridge.Bridge.executedPlanString(df)
+    assert(executed.contains("ReusedExchange") || executed.contains("ReusedQueryStage"),
+      s"expected the self-join sides to share one shuffle, plan:\n$executed")
+    // the scan feeding the shared exchange must appear exactly once
+    assert("documents\\.parquet".r.findAllIn(executed).size <= 1,
+      "tokenize/shingle pipeline should be evaluated by a single scan branch")
+  }
+
   test("LSH candidates contain the high-jaccard near-dup pairs (recall at j>=0.8)") {
     val exact = Dedup.qNgramJaccard(spark, sf)
       .filter(col("jaccard") >= 0.8)
