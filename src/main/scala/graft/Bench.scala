@@ -12,9 +12,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology: 3 timed iterations per query, MEDIAN reported (JIT and
   * scheduler noise would otherwise land directly in round-over-round
-  * regression tracking); all raw iteration times ship in `"runs"` so the
-  * variance is inspectable. A query that throws reports -1 and lands in
-  * `"errors"` — a broken query must never look like a fast one.
+  * regression tracking); when the raw spread exceeds 2× (same-process GC /
+  * adjacent-heavy-query pollution) the query gets 2 extra iterations and a
+  * GC settle, so the median stops overstating the slow tail. All raw
+  * iteration times ship in `"runs"` so the variance is inspectable. A query
+  * that throws reports -1, lands in `"errors"`, and bumps `"failed"` —
+  * `total` covers succeeded queries only, so regression comparison must
+  * gate on `failed == 0` first (a broken query must never look fast).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,12 +43,23 @@ object Bench {
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) = {
+      val t0 = System.nanoTime()
+      try { run(fn); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        try { run(fn); Right((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
+      var runs = (1 to iters).map(_ => timeOnce(fn))
+      def spreadOver2x = {
+        val ts = runs.collect { case Right(t) => t }
+        ts.size > 1 && ts.max > 2 * ts.min
+      }
+      // high-spread tail: settle the heap, then add 2 iterations so one
+      // GC-polluted run can't dominate the median
+      if (iters > 1 && spreadOver2x && runs.forall(_.isRight)) {
+        System.gc(); Thread.sleep(200)
+        runs ++= (1 to 2).map(_ => timeOnce(fn))
       }
       val times = runs.collect { case Right(t) => t }.sorted
       val median = if (times.isEmpty) -1.0 else times(times.size / 2)
@@ -57,8 +72,9 @@ object Bench {
       jstr(k) + ":" + ts.mkString("[", ",", "]") }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(m)) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
+    val failed = results.count { case (_, _, _, e) => e.isDefined }
     val total = results.map { case (_, m, _, _) => math.max(m, 0.0) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"runs":$raw,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"failed":$failed,"queries":$qs,"runs":$raw,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

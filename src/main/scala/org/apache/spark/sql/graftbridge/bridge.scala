@@ -19,6 +19,17 @@ object Bridge {
     df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
       .queryExecution.executedPlan.toString
 
+  /** Final-plan-ONLY section of the executed plan. Under AQE,
+    * `AdaptiveSparkPlan.toString` prints BOTH a "Final Plan" and the
+    * pre-adaptive "Initial Plan"; node-counting assertions (scans,
+    * exchanges, skew markers) must only look at the former or they
+    * double-count. */
+  def finalPlanString(df: org.apache.spark.sql.DataFrame): String = {
+    val s = executedPlanString(df)
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
   /** Register a function by name on an ALREADY-RUNNING session (the
     * `spark.sql.extensions` config only applies at session build time). */
   def registerFunction(

@@ -43,7 +43,9 @@ class DedupSimilaritySpec extends SparkSpec {
   test("ngram-jaccard postings self-join reuses one exchange (pipeline runs once)") {
     val df = Dedup.qNgramJaccard(spark, "/root/testdata/sf0.01")
     df.collect() // AQE finalizes the plan only on execution of THIS QueryExecution
-    val executed = org.apache.spark.sql.graftbridge.Bridge.executedPlanString(df)
+    // Final-plan section ONLY: AdaptiveSparkPlan.toString also prints the
+    // pre-adaptive "Initial Plan", whose scan nodes would double-count here.
+    val executed = org.apache.spark.sql.graftbridge.Bridge.finalPlanString(df)
     assert(executed.contains("ReusedExchange") || executed.contains("ReusedQueryStage"),
       s"expected the self-join sides to share one shuffle, plan:\n$executed")
     // the scan feeding the shared exchange must appear exactly once

