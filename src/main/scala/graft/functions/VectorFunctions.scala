@@ -33,4 +33,13 @@ object VectorFunctions {
   def minhashSignature(hs: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ExpressionUtils.column(graft.plans.MinHashSignature(
       ExpressionUtils.expression(hs), a, b, p))
+
+  /** Table function (Generator): one `(shingle, n_shingles)` row per
+    * distinct width-word shingle of a token array — the fused form of
+    * `explode(array_distinct(<windows>))` + a carried distinct count.
+    * Use in `select`: the analyzer plans it as a `Generate`. */
+  def shinglePosting(tokens: Column, width: Int): Column =
+    ExpressionUtils.column(graft.plans.ShinglePosting(
+      ExpressionUtils.expression(tokens),
+      org.apache.spark.sql.catalyst.expressions.Literal(width)))
 }

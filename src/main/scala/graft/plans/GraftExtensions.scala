@@ -11,7 +11,10 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   *  - `cosine_sim(ARRAY<DOUBLE>, ARRAY<DOUBLE>) -> DOUBLE` (fused
   *    codegen kernel, see CosineSimilarity);
   *  - `sorted_intersect_count(ARRAY<STRING>, ARRAY<STRING>) -> INT`
-  *    (merge-scan kernel, see SortedIntersectCount).
+  *    (merge-scan kernel, see SortedIntersectCount);
+  *  - `simhash32(ARRAY<BIGINT>) -> BIGINT` (one-pass SimHash);
+  *  - `shingle_posting(ARRAY<STRING>, INT)` — table function (Generator),
+  *    one `(shingle, n_shingles)` row per distinct shingle.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -40,6 +43,8 @@ object GraftExtensions {
       arity("sorted_intersect_count", 2)(c => SortedIntersectCount(c(0), c(1)))),
     (FunctionIdentifier("simhash32"), SimHash32.info,
       arity("simhash32", 1)(c => SimHash32(c(0)))),
+    (FunctionIdentifier("shingle_posting"), ShinglePosting.info,
+      arity("shingle_posting", 2)(c => ShinglePosting(c(0), c(1)))),
   )
 
   /** Install the same functions on an already-built session (for hosts

@@ -218,9 +218,15 @@ object Dedup {
     * round 1's two joins back to a per-doc size table — each of which
     * re-derived the whole shingle pipeline. */
   private def postings(s: SparkSession, dir: String): DataFrame =
-    shingled(s, dir)
-      .select(col("lang"), col("doc_id"), size(col("s")).as("n"),
-        explode(col("s")).as("shingle"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), toks.as("w"))
+      .filter(size(col("w")) >= 3)
+      // native Generator (graft.plans.ShinglePosting): emits the distinct
+      // trigrams AND the carried set size in one pass off the token array —
+      // the composed form materialized window + distinct arrays first
+      .select(col("lang"), col("doc_id"),
+        graft.functions.VectorFunctions.shinglePosting(col("w"), 3))
+      .select(col("lang"), col("doc_id"), col("n_shingles").as("n"), col("shingle"))
       .repartition(col("lang"), col("shingle"))
 
   /** Exact n-gram (3-shingle) Jaccard near-dup pairs, within-language.

@@ -260,6 +260,28 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Correlated (per-row) scalar subquery, TPC-H Q17 shape: lineitems
+    * below 20% of THEIR part's average quantity. Written as genuine
+    * correlated-subquery SQL so Catalyst's decorrelation path
+    * (RewriteCorrelatedScalarSubquery) is exercised: the optimizer must
+    * rewrite the per-row subquery into one per-partkey aggregate joined
+    * back — at 100 TB that is one extra shuffled aggregate over lineitem,
+    * NOT a subplan per row (ExtrasSpec pins no Subquery node survives in
+    * the physical plan). Money sums stay decimal until the final cast so
+    * both engines agree bit-exactly. */
+  def qCorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("cs_lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("cs_part")
+    s.sql("""
+      SELECT p_brand, count(*) AS n_small,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      FROM cs_lineitem l JOIN cs_part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity < 0.2 * (
+        SELECT avg(l2.l_quantity) FROM cs_lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+      GROUP BY p_brand ORDER BY p_brand""")
+  }
+
   /** LIKE-pattern filter + agg (string predicate pushdown). */
   def qLikeFilter(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir)
@@ -309,6 +331,7 @@ object Relational {
     "q_case_buckets" -> (qCaseBuckets _),
     "q_json_extract" -> (qJsonExtract _),
     "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_correlated_subquery" -> (qCorrelatedSubquery _),
     "q_like_filter" -> (qLikeFilter _),
     "q_having" -> (qHaving _),
     "q_events_daily" -> (qEventsDaily _),
@@ -444,6 +467,14 @@ object Relational {
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
         |ORDER BY c_custkey""".stripMargin,
+    "q_correlated_subquery" ->
+      """SELECT p_brand, count(*) AS n_small,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_quantity < 0.2 * (
+        |  SELECT avg(l2.l_quantity) FROM lineitem l2
+        |  WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_like_filter" ->
       """SELECT p_brand, count(*) AS n,
         | CAST(sum(CAST(p_retailprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price

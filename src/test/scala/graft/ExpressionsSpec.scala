@@ -80,6 +80,48 @@ class ExpressionsSpec extends SparkSpec {
     assert(msgs.contains("exactly 2") || msgs.contains("WRONG_NUM_ARGS"), s"got: $msgs")
   }
 
+  test("shingle_posting generator equals explode(array_distinct(windows)) + size") {
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b a b a b a b",              // duplicate shingles -> distinct matters
+      "one two",                      // < 3 tokens -> zero rows
+      "x y z",                        // exactly one shingle
+      "repeat repeat repeat repeat"   // all windows identical
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t.split(" ").toSeq) }
+      .toDF("doc_id", "w")
+    // composed reference form (the plan shape Dedup used before the UDTF)
+    val tri = zip_with(
+      zip_with(col("w"), slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+        (x, y) => concat(x, lit(" "), y)),
+      slice(col("w"), lit(3), greatest(size(col("w")) - 2, lit(0))),
+      (xy, z) => concat(xy, lit(" "), z))
+    val composed = docs
+      .select(col("doc_id"), array_distinct(filter(tri, t => t.isNotNull)).as("s"))
+      .select(col("doc_id"), size(col("s")).as("n_shingles"), explode(col("s")).as("shingle"))
+      .select("doc_id", "shingle", "n_shingles")
+      .collect().map(_.toString).sorted.toSeq
+    val viaGen = docs
+      .select(col("doc_id"), VectorFunctions.shinglePosting(col("w"), 3))
+      .select("doc_id", "shingle", "n_shingles")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaGen == composed)
+    // SQL-name path: registered as a table function via GraftExtensions
+    GraftExtensions.install(spark)
+    docs.createOrReplaceTempView("sp_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, shingle, n_shingles FROM sp_docs " +
+      "LATERAL VIEW shingle_posting(w, 3) AS shingle, n_shingles")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaSql == composed)
+    // misuse fails at analysis: wrong input type, non-constant width
+    GraftExtensions.install(spark)
+    val bad = intercept[Exception](
+      spark.sql("SELECT shingle_posting(array(1,2,3), 3)").collect())
+    assert(bad.getMessage.contains("ARRAY<STRING>") ||
+      bad.getMessage.contains("DATATYPE_MISMATCH"), s"got: ${bad.getMessage}")
+  }
+
   test("len_histogram UDAF clamps non-positive lengths instead of throwing") {
     import graft.functions.LenHistogram
     val h = LenHistogram.reduce(LenHistogram.zero, Seq(0, -3, 1, 8, 99))

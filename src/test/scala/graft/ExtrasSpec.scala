@@ -19,6 +19,17 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("correlated scalar subquery is decorrelated (aggregate+join, no per-row subplan)") {
+    val df = graft.queries.Relational.qCorrelatedSubquery(spark, sf)
+    df.collect()
+    val plan = org.apache.spark.sql.graftbridge.Bridge.finalPlanString(df)
+    // decorrelation = the subquery became a joined aggregate; a surviving
+    // Subquery/ScalarSubquery node would mean a per-row subplan at scale
+    assert(!plan.contains("Subquery"),
+      s"correlated subquery was not decorrelated:\n$plan")
+    assert(plan.contains("Join"), "expected the decorrelated aggregate to be joined back")
+  }
+
   test("hash sample is a true subset at a plausible rate") {
     val sampled = Extras.qSampleHash(spark, sf).count()
     val total = graft.io.Tables.orders(spark, sf).count()
