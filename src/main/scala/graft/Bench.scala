@@ -12,13 +12,18 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology: 3 timed iterations per query, MEDIAN reported (JIT and
   * scheduler noise would otherwise land directly in round-over-round
-  * regression tracking); when the raw spread exceeds 2× (same-process GC /
-  * adjacent-heavy-query pollution) the query gets 2 extra iterations and a
-  * GC settle, so the median stops overstating the slow tail. All raw
-  * iteration times ship in `"runs"` so the variance is inspectable. A query
-  * that throws reports -1, lands in `"errors"`, and bumps `"failed"` —
-  * `total` covers succeeded queries only, so regression comparison must
-  * gate on `failed == 0` first (a broken query must never look fast).
+  * regression tracking); while the raw spread exceeds 2× (same-process GC /
+  * adjacent-heavy-query pollution) the query gets a GC settle plus 2 extra
+  * iterations, repeated up to a 9-iteration cap, so one polluted run can't
+  * dominate the median. Per-query `"min"` ships beside the median — a
+  * stable min with a high median is bench noise, not a plan regression.
+  * All raw iteration times ship in `"runs"` so the variance is
+  * inspectable. A query whose PRIMARY iterations throw reports -1, lands
+  * in `"errors"`, and bumps `"failed"` — `total` covers succeeded queries
+  * only, so regression comparison must gate on `failed == 0` first (a
+  * broken query must never look fast). A failure during a spread-triggered
+  * EXTRA iteration does not bump `failed` (the primary runs were clean);
+  * it is reported separately in `"retry_errors"`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -49,32 +54,44 @@ object Bench {
       catch { case e: Throwable =>
         Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
     }
+    val maxIters = 9
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var runs = (1 to iters).map(_ => timeOnce(fn))
-      def spreadOver2x = {
-        val ts = runs.collect { case Right(t) => t }
-        ts.size > 1 && ts.max > 2 * ts.min
-      }
-      // high-spread tail: settle the heap, then add 2 iterations so one
+      val primary = (1 to iters).map(_ => timeOnce(fn))
+      var extras = Vector.empty[Either[String, Double]]
+      def ts = (primary ++ extras).collect { case Right(t) => t }
+      def spreadOver2x = { val t = ts; t.size > 1 && t.max > 2 * t.min }
+      // high-spread tail: settle the heap, then add 2 iterations; repeat
+      // until the spread is ≤2× or the iteration cap is hit, so one
       // GC-polluted run can't dominate the median
-      if (iters > 1 && spreadOver2x && runs.forall(_.isRight)) {
+      while (iters > 1 && spreadOver2x && primary.forall(_.isRight) &&
+             primary.size + extras.size < maxIters) {
         System.gc(); Thread.sleep(200)
-        runs ++= (1 to 2).map(_ => timeOnce(fn))
+        val room = maxIters - primary.size - extras.size
+        extras ++= (1 to math.min(2, room)).map(_ => timeOnce(fn))
       }
-      val times = runs.collect { case Right(t) => t }.sorted
-      val median = if (times.isEmpty) -1.0 else times(times.size / 2)
-      val err = runs.collectFirst { case Left(m) => m }
-      (name, median, times, err)
+      val times = ts.sorted
+      val median =
+        if (times.isEmpty) -1.0
+        else if (times.size % 2 == 1) times(times.size / 2)
+        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2
+      val minT = if (times.isEmpty) -1.0 else times.head
+      val err = primary.collectFirst { case Left(m) => m }
+      val retryErr = extras.collectFirst { case Left(m) => m }
+      (name, median, minT, times, err, retryErr)
     }
-    val qs = results.map { case (k, m, _, _) => jstr(k) + ":" + m }
+    val qs = results.map { case (k, m, _, _, _, _) => jstr(k) + ":" + m }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, _, ts, _) =>
+    val mins = results.map { case (k, _, mn, _, _, _) => jstr(k) + ":" + mn }
+      .mkString("{", ",", "}")
+    val raw = results.map { case (k, _, _, ts, _, _) =>
       jstr(k) + ":" + ts.mkString("[", ",", "]") }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(m)) => jstr(k) + ":" + jstr(m) }
-      .mkString("{", ",", "}")
-    val failed = results.count { case (_, _, _, e) => e.isDefined }
-    val total = results.map { case (_, m, _, _) => math.max(m, 0.0) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"failed":$failed,"queries":$qs,"runs":$raw,"errors":$errs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, _, _, Some(m), _) =>
+      jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
+    val retryErrs = results.collect { case (k, _, _, _, None, Some(m)) =>
+      jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
+    val failed = results.count { case (_, _, _, _, e, _) => e.isDefined }
+    val total = results.map { case (_, m, _, _, _, _) => math.max(m, 0.0) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"failed":$failed,"queries":$qs,"min":$mins,"runs":$raw,"errors":$errs,"retry_errors":$retryErrs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

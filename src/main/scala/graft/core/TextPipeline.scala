@@ -38,7 +38,30 @@ object TextPipeline {
       .where(col("word") =!= "")
   }
 
+  /** Normalized non-empty token ARRAY of a text column — the array-form
+    * twin of [[words]]; the per-document projection Dedup / TextAnalysis /
+    * Corpus share. */
+  def normalizedTokens(text: Column): Column =
+    filter(transform(tokens(text), t => normalize(t)), x => x =!= "")
+
   /** DuckDB spelling of the same per-token normalization, for oracle SQL. */
   val duckNormalize: String => String =
     t => s"lower(regexp_replace($t, '[^a-zA-Z]', '', 'g'))"
+
+  /** DuckDB spelling of [[normalizedTokens]] over the `text` column (the
+    * oracle-side tokenizer, defined ONCE so the §2.3 tokenizer contract
+    * can't drift between query files). */
+  val duckToks: String =
+    "list_filter(list_transform(string_split(text, ' '), " +
+      "t -> lower(regexp_replace(t, '[^a-zA-Z]', '', 'g'))), x -> x <> '')"
+
+  /** Portable 32-bit hash of a string column — first 8 hex chars of md5,
+    * bit-identical in Spark and DuckDB ([[duckH32]]); the base hash under
+    * MinHash, sampling, and fingerprinting. */
+  def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** DuckDB spelling of [[h32]]. */
+  def duckH32(e: String): String =
+    s"CAST(('0x' || substring(md5($e),1,8)) AS BIGINT)"
 }

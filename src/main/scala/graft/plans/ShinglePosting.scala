@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Generator}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType, StructType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType, LongType, ShortType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst `Generator` (UDTF): `shingle_posting(tokens, width)`
@@ -45,20 +45,27 @@ case class ShinglePosting(tokens: Expression, width: Expression)
     .add("shingle", StringType, nullable = false)
     .add("n_shingles", IntegerType, nullable = false)
 
-  // SQL-registered (GraftExtensions): misuse fails at analysis time.
+  // SQL-registered (GraftExtensions): misuse fails at analysis time. Any
+  // integral width literal is accepted (so `CAST(3 AS BIGINT)` analyzes);
+  // the token array stays strictly ARRAY<STRING> — a silent element cast
+  // would hide a caller bug, not fix one.
   override def checkInputDataTypes(): TypeCheckResult =
     (tokens.dataType, width.dataType) match {
-      case (ArrayType(StringType, _), IntegerType) =>
+      case (ArrayType(StringType, _), ByteType | ShortType | IntegerType | LongType) =>
         if (!width.foldable) TypeCheckResult.TypeCheckFailure(
           s"$prettyName width must be a constant")
-        else if (width.eval() == null || width.eval().asInstanceOf[Int] < 1)
-          TypeCheckResult.TypeCheckFailure(s"$prettyName width must be >= 1")
-        else TypeCheckResult.TypeCheckSuccess
+        else {
+          val v = width.eval()
+          if (v == null || v.asInstanceOf[Number].longValue < 1L ||
+              v.asInstanceOf[Number].longValue > Int.MaxValue.toLong)
+            TypeCheckResult.TypeCheckFailure(s"$prettyName width must be >= 1")
+          else TypeCheckResult.TypeCheckSuccess
+        }
       case (t, w) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (ARRAY<STRING>, INT), got (${t.simpleString}, ${w.simpleString})")
     }
 
-  private lazy val w: Int = width.eval().asInstanceOf[Int]
+  private lazy val w: Int = width.eval().asInstanceOf[Number].intValue
   private val space = UTF8String.fromString(" ")
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {

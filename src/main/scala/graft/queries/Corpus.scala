@@ -17,13 +17,8 @@ import graft.io.Tables
   */
 object Corpus {
 
-  private val toks: Column = {
-    val raw = TextPipeline.tokens(col("text"))
-    filter(transform(raw, t => TextPipeline.normalize(t)), x => x =!= "")
-  }
-  private val duckToks =
-    "list_filter(list_transform(string_split(text, ' '), " +
-      "t -> lower(regexp_replace(t, '[^a-zA-Z]', '', 'g'))), x -> x <> '')"
+  private val toks: Column = TextPipeline.normalizedTokens(col("text"))
+  private val duckToks = TextPipeline.duckToks
 
   /** Redaction: scrub email-shaped, long-digit, and url-shaped spans
     * (the standard PII pre-filters). Pure regexp projection — one narrow
@@ -66,8 +61,7 @@ object Corpus {
   def qLangBalance(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long").as("h"))
+      TextPipeline.h32(col("doc_id").cast("string")).as("h"))
     val floorN = broadcast(
       docs.groupBy("lang").agg(count(lit(1)).as("n"))
         .agg(min(col("n")).as("k")))
@@ -105,8 +99,8 @@ object Corpus {
          |SELECT doc_id, n_tokens FROM counted, bounds
          |WHERE n_tokens >= p10 AND n_tokens <= p90 ORDER BY doc_id""".stripMargin,
     "q_lang_balance" ->
-      """WITH docs AS (SELECT doc_id, lang,
-        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS h
+      s"""WITH docs AS (SELECT doc_id, lang,
+        |  ${TextPipeline.duckH32("CAST(doc_id AS VARCHAR)")} AS h
         |  FROM documents),
         |k AS (SELECT min(n) AS k FROM (SELECT count(*) AS n FROM docs GROUP BY lang)),
         |ranked AS (SELECT doc_id, lang,

@@ -50,24 +50,16 @@ object Dedup {
   private val hashB: IndexedSeq[Long] =
     (1 to NumHashes).map(i => (40503L * i * 2654435761L) % P)
 
-  /** 32-bit base hash of a string column: first 8 hex chars of md5. */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
-
-  private def duckH32(e: String): String =
-    s"CAST(('0x' || substring(md5($e),1,8)) AS BIGINT)"
+  /** 32-bit base hash (TextPipeline.h32) and its oracle spelling. */
+  private def h32(c: Column): Column = TextPipeline.h32(c)
+  private def duckH32(e: String): String = TextPipeline.duckH32(e)
 
   // ---- shared token/shingle projections ------------------------------------
 
   /** Normalized token array (reference tokenizer semantics, TextPipeline). */
-  private val toks: Column = {
-    val raw = TextPipeline.tokens(col("text"))
-    filter(transform(raw, t => TextPipeline.normalize(t)), x => x =!= "")
-  }
+  private val toks: Column = TextPipeline.normalizedTokens(col("text"))
 
-  private val duckToks =
-    "list_filter(list_transform(string_split(text, ' '), " +
-      "t -> lower(regexp_replace(t, '[^a-zA-Z]', '', 'g'))), x -> x <> '')"
+  private val duckToks = TextPipeline.duckToks
 
   /** Distinct 3-word shingles of the token array (empty if < 3 tokens).
     *

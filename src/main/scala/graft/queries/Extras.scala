@@ -30,8 +30,7 @@ object Extras {
     * every engine, unlike TABLESAMPLE). */
   def qSampleHash(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
-      .filter(pmod(conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
-        .cast("long"), lit(20)) === 0)
+      .filter(pmod(TextPipeline.h32(col("o_orderkey").cast("string")), lit(20)) === 0)
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy("o_orderkey")
 
@@ -185,8 +184,7 @@ object Extras {
     import org.apache.spark.sql.expressions.Window
     val K = 16
     val hashes = TextPipeline.words(Tables.documents(s, dir), "text", keep = Seq("lang"))
-      .select(col("lang"),
-        conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long").as("h"))
+      .select(col("lang"), TextPipeline.h32(col("word")).as("h"))
       .distinct()
     val w = Window.partitionBy(col("lang")).orderBy(col("h"))
     hashes.withColumn("rnk", row_number().over(w))
@@ -241,9 +239,7 @@ object Extras {
     "q_wordcount_salted" -> (qWordcountSalted _),
   )
 
-  private val duckToksE =
-    "list_filter(list_transform(string_split(text, ' '), " +
-      "t -> lower(regexp_replace(t, '[^a-zA-Z]', '', 'g'))), x -> x <> '')"
+  private val duckToksE = TextPipeline.duckToks
 
   val oracle: Map[String, String] = Map(
     "q_min_max_by" ->
@@ -269,7 +265,7 @@ object Extras {
     "q_kmv_distinct" ->
       s"""WITH hashes AS (
          |  SELECT DISTINCT lang,
-         |    CAST(('0x' || substring(md5(word),1,8)) AS BIGINT) AS h
+         |    ${TextPipeline.duckH32("word")} AS h
          |  FROM (SELECT lang, unnest($duckToksE) AS word FROM documents)
          |  WHERE word <> ''),
          |ranked AS (SELECT lang, h,
@@ -330,8 +326,8 @@ object Extras {
         | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_p
         |FROM orders GROUP BY priority ORDER BY priority""".stripMargin,
     "q_sample_hash" ->
-      """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),1,8)) AS BIGINT) % 20 = 0
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE ${TextPipeline.duckH32("CAST(o_orderkey AS VARCHAR)")} % 20 = 0
         |ORDER BY o_orderkey""".stripMargin,
     "q_range_join" ->
       """SELECT p.event_id,

@@ -14,7 +14,8 @@ import graft.io.Tables
   *
   * Scale notes (100 TB design stance, validated via explain on sf fixtures):
   *  - fact-fact joins (lineitem⋈orders) stay shuffle hash/SMJ on their keys —
-  *    never broadcast; AQE re-plans skew at runtime;
+  *    never broadcast; AQE re-plans skew at runtime (OptimizeSkewedJoin
+  *    splitting a deliberately hot key is pinned in SkewJoinSpec);
   *  - constant-cardinality dims (region=5, nation=25 rows at EVERY scale
   *    factor) are explicitly `broadcast()` — a shuffle there is pure waste;
   *  - money aggregates cast to exact DECIMAL before SUM so results are

@@ -24,14 +24,9 @@ import graft.io.Tables
 object TextAnalysis {
 
   /** Normalized token array of `text`, reference semantics (TextPipeline). */
-  private val toks: Column = {
-    val raw = split(col("text"), " ", -1)
-    filter(transform(raw, t => TextPipeline.normalize(t)), x => x =!= "")
-  }
+  private val toks: Column = TextPipeline.normalizedTokens(col("text"))
 
-  private val duckToks =
-    "list_filter(list_transform(string_split(text, ' '), " +
-      "t -> lower(regexp_replace(t, '[^a-zA-Z]', '', 'g'))), x -> x <> '')"
+  private val duckToks = TextPipeline.duckToks
 
   /** English stopwords present in the fixture vocabulary. */
   private val stop = Seq("the", "a", "of", "and", "to", "in", "is")

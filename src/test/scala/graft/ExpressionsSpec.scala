@@ -111,9 +111,15 @@ class ExpressionsSpec extends SparkSpec {
     docs.createOrReplaceTempView("sp_docs")
     val viaSql = spark.sql(
       "SELECT doc_id, shingle, n_shingles FROM sp_docs " +
-      "LATERAL VIEW shingle_posting(w, 3) AS shingle, n_shingles")
+      "LATERAL VIEW shingle_posting(w, 3) sp AS shingle, n_shingles")
       .collect().map(_.toString).sorted.toSeq
     assert(viaSql == composed)
+    // integral width literals implicitly cast to INT (ImplicitCastInputTypes)
+    val viaCast = spark.sql(
+      "SELECT doc_id, shingle, n_shingles FROM sp_docs " +
+      "LATERAL VIEW shingle_posting(w, CAST(3 AS BIGINT)) sp AS shingle, n_shingles")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaCast == composed)
     // misuse fails at analysis: wrong input type, non-constant width
     GraftExtensions.install(spark)
     val bad = intercept[Exception](
