@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.TextPipeline
 import graft.io.Tables
 
 /** M4b — approximate-nearest-neighbor similarity search over `embeddings`
@@ -32,6 +33,10 @@ object Similarity {
   private val LshBits = 8
   private val TopK = 10
   private val NProbe = 2
+  /** k-means coarse quantizer: cell count, fixed Lloyd iterations, and the
+    * integer quantization denominator for exact (order-free) centroid sums. */
+  private val KCells = 8
+  private val QScale = 1000000.0
 
   /** Deterministic ±1.0 hyperplane matrix (LshBits × Dim), from a tiny
     * splitmix-style integer mix — literal-inlined into the oracle SQL too. */
@@ -107,35 +112,90 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** IVF-style ANN: coarse cells = labels, centroid = per-dimension mean
-    * (summed as an ORDERED fold over vec_id so the double sum is
-    * deterministic and engine-portable), nprobe=2 cells per query, exact
-    * re-rank within probed cells. At scale the centroid table is tiny and
-    * broadcast; the corpus shuffles once on its cell id. */
+  /** IVF ANN with a LEARNED k-means coarse quantizer (KCells cells, 2
+    * Lloyd iterations), deterministic by construction so it stays
+    * oracle-expressible:
+    *  - seeds = the KCells vectors with the smallest portable
+    *    h32(vec_id) — `orderBy.limit` (TakeOrdered, scalable), no global
+    *    window over the corpus;
+    *  - assignment = argmin squared-L2 over the broadcast centroid array
+    *    via `array_min(transform(...))` — ONE narrow codegen pass per
+    *    iteration, no shuffle, no per-vector window; ties break to the
+    *    lowest cell id (lexicographic struct(d2, cell) min);
+    *  - update = per-(cell, dim) mean from EXACT integer sums: components
+    *    quantize to round(x·1e6) BIGINT, so the sum is commutative and
+    *    partition-order-free (the `q_stats` decimal trick, Extras.scala) —
+    *    no collect_list of cell members, aggregate state is one long. The
+    *    ~1e-6 quantization on CENTROIDS is irrelevant to cluster shape;
+    *    final ranking uses full-precision cosine on the raw vectors;
+    *  - a cell that empties mid-iteration drops out in both engines
+    *    (GROUP BY semantics) — assignments just stop picking it.
+    * Probing: nprobe=2 nearest cells by centroid cosine, exact re-rank
+    * within probed cells. At 100 TB the centroid table stays KCells rows
+    * (broadcast), each Lloyd pass is scan + narrow (cell,pos,long) partial
+    * agg, and the index join shuffles on the cell id only. The query stays
+    * a pure declarative plan (the c2 subtree feeds both probes and index —
+    * identical shuffles are AQE-reusable); a production pipeline would
+    * persist the KCells-row centroid table between the training and
+    * indexing phases rather than recompute it. */
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = vecs(s, dir)
-    // per-(label, dim) mean via ordered fold; regroup into centroid arrays
-    val comps = e.select(col("label"), col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg((aggregate(sort_array(collect_list(struct(col("vec_id"), col("x")))),
-        lit(0.0), (acc, s) => acc + s.getField("x")) / count(lit(1))).as("c"))
-    val centroids = comps.groupBy(col("label"))
-      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
-        s => s.getField("c")).as("cv"))
+    val e = vecs(s, dir).select(col("vec_id"), col("v"))
+
+    // deterministic hash-picked seeds, cell ids 0..KCells-1 in hash order
+    // (the trailing window sorts only the KCells surviving rows)
+    val seedPool = e
+      .select(col("vec_id"), col("v"),
+        TextPipeline.h32(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(KCells)
+    val seeds = seedPool
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1).cast("long"))
+      .select(col("cell"), col("v").as("cv"))
+
+    /** Nearest-cell assignment: broadcast ALL centroids as one array row,
+      * argmin via lexicographic struct min — no shuffle, no window. */
+    def assign(centroids: DataFrame): DataFrame = {
+      val cs = centroids
+        .agg(sort_array(collect_list(struct(col("cell"), col("cv")))).as("cs"))
+      e.crossJoin(broadcast(cs))
+        .select(col("vec_id"), col("v"),
+          array_min(transform(col("cs"), c =>
+            struct(
+              aggregate(zip_with(col("v"), c.getField("cv"), (x, y) => (x - y) * (x - y)),
+                lit(0.0), (a, x) => a + x).as("d2"),
+              c.getField("cell").as("cell"))))
+            .getField("cell").as("cell"))
+    }
+
+    /** Lloyd update: per-(cell, dim) mean from exact quantized-int sums. */
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(round(col("x") * QScale).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"),
+          (col("sq").cast("double") / (col("n").cast("double") * QScale)).as("c"))
+        .groupBy(col("cell"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+          t => t.getField("c")).as("cv"))
+
+    val c2 = update(assign(update(assign(seeds))))
+    val index = assign(c2) // (vec_id, v, cell): the inverted file
+
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
     val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("ccos").desc, col("label").asc)
-    val probes = q.crossJoin(broadcast(centroids))
-      .select(col("q_id"), col("q_v"), col("label"),
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(c2))
+      .select(col("q_id"), col("q_v"), col("cell"),
         cosine(col("q_v"), col("cv")).as("ccos"))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= NProbe)
-      .select(col("q_id"), col("q_v"), col("label"))
+      .select(col("q_id"), col("q_v"), col("cell"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
-    broadcast(probes).join(e, "label").filter(col("vec_id") =!= col("q_id"))
+    broadcast(probes).join(index, "cell").filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         cosine(col("v"), col("q_v")).as("cos_raw"))
       .withColumn("rank", row_number().over(wRank))
@@ -168,6 +228,29 @@ object Similarity {
   private val duckVecs =
     "e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
 
+  /** One k-means assignment CTE body: argmin squared-L2 over `cents`,
+    * ties to the lowest cell — the SQL twin of `assign` above (identical
+    * doubles: both engines left-fold (x-y)·(x-y) sequentially). */
+  private def duckAssign(cents: String): String =
+    s"""SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_sum(list_transform(e.v, (x,i) -> (x - c.cv[i])*(x - c.cv[i]))) ASC,
+       |        c.cell ASC) AS r
+       |    FROM e, $cents c) WHERE r = 1""".stripMargin
+
+  /** One Lloyd update CTE body: per-(cell, dim) mean from exact quantized
+    * BIGINT sums — the SQL twin of `update` above. */
+  private def duckUpdate(src: String): String =
+    s"""SELECT cell, list(c ORDER BY pos) AS cv FROM (
+       |    SELECT cell, pos,
+       |      CAST(sum(CAST(round(x * ${QScale}) AS BIGINT)) AS DOUBLE)
+       |        / (CAST(count(*) AS DOUBLE) * ${QScale}) AS c
+       |    FROM (SELECT cell, pos, v[pos] AS x
+       |          FROM $src, (SELECT unnest(range(1, ${Dim + 1})) AS pos))
+       |    GROUP BY cell, pos)
+       |  GROUP BY cell""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_ann_bruteforce" ->
       s"""WITH $duckVecs,
@@ -194,25 +277,30 @@ object Similarity {
          |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH $duckVecs,
-         |comps AS (
-         |  SELECT label, pos, list_sum(list(x ORDER BY vec_id)) / count(*) AS c
-         |  FROM (SELECT label, vec_id, pos, v[pos] AS x
-         |        FROM e, (SELECT unnest(range(1, ${Dim + 1})) AS pos))
-         |  GROUP BY label, pos),
-         |centroids AS (SELECT label, list(c ORDER BY pos) AS cv FROM comps GROUP BY label),
+         |seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell,
+         |    v AS cv
+         |  FROM (SELECT vec_id, v,
+         |          ${TextPipeline.duckH32("CAST(vec_id AS VARCHAR)")} AS h FROM e)
+         |  ORDER BY h, vec_id LIMIT $KCells),
+         |a0 AS (${duckAssign("seeds")}),
+         |c1 AS (${duckUpdate("a0")}),
+         |a1 AS (${duckAssign("c1")}),
+         |c2 AS (${duckUpdate("a1")}),
+         |idx AS (${duckAssign("c2")}),
          |q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
          |probes AS (
-         |  SELECT q_id, q_v, label FROM (
-         |    SELECT q.q_id, q.q_v, c.label,
+         |  SELECT q_id, q_v, cell FROM (
+         |    SELECT q.q_id, q.q_v, c.cell,
          |      row_number() OVER (PARTITION BY q.q_id ORDER BY
          |        list_sum(list_transform(c.cv, (x,i) -> x * q.q_v[i])) /
          |          (sqrt(list_sum(list_transform(c.cv, x -> x*x)))
          |           * sqrt(list_sum(list_transform(q.q_v, x -> x*x)))) DESC,
-         |        c.label ASC) AS pr
-         |    FROM q, centroids c) WHERE pr <= $NProbe),
+         |        c.cell ASC) AS pr
+         |    FROM q, c2 c) WHERE pr <= $NProbe),
          |scored AS (
          |  SELECT q.q_id, a.vec_id AS neighbor_id, $duckCos AS cos_raw
-         |  FROM e a JOIN probes q ON a.label = q.label AND a.vec_id <> q.q_id),
+         |  FROM idx a JOIN probes q ON a.cell = q.cell AND a.vec_id <> q.q_id),
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY cos_raw DESC, neighbor_id ASC) AS rank FROM scored)
          |SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id,
