@@ -30,10 +30,23 @@ object StreamWindows {
     Windows.sessions(Tables.events(s, dir))
       .orderBy("user_id", "session_start_us")
 
+  /** Batch face of the stream-stream interval join (purchase ⋈ click per
+    * user within ±30 min — the operator StreamingSpec runs under
+    * MemoryStream watermarks). Event-id columns make the sort total even
+    * when one user clicks twice in the same microsecond. */
+  def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Windows.intervalJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"))
+      .orderBy("user_id", "p_us", "c_us", "p_event", "c_event")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (qTumbling _),
     "q_stream_sliding" -> (qSliding _),
     "q_stream_sessions" -> (qSessions _),
+    "q_stream_join" -> (qStreamJoin _),
   )
 
   private val HourUs = 3600000000L
@@ -78,5 +91,14 @@ object StreamWindows {
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM islands GROUP BY user_id, session_id
          |ORDER BY user_id, session_start_us""".stripMargin,
+    "q_stream_join" ->
+      """SELECT p.user_id, epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us,
+        |  p.event_id AS p_event, c.event_id AS c_event
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |  AND c.ts <= p.ts + INTERVAL 30 MINUTE
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
   )
 }

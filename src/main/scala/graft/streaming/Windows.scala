@@ -54,6 +54,28 @@ object Windows {
         unix_micros(col("session_window.end")).as("session_end_us"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join, ONE definition for batch and streaming:
+    * purchase ⋈ click per user, click within ±30 minutes of the purchase.
+    * The range condition stays on the raw event-time columns (what lets
+    * streaming derive the state-eviction bound from the watermarks); both
+    * event ids ride along so downstream ordering is total. In streaming
+    * both inputs need `withWatermark` before calling (each side's state
+    * is then bounded to watermark + 30 min). */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    purchases
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"))
+      .join(
+        clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_event")),
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("p_us"),
+        unix_micros(col("c_ts")).as("c_us"),
+        col("p_event"), col("c_event"))
+
   // ---- true streaming entry points ----------------------------------------
 
   /** Streaming tumbling aggregation with a 2-hour watermark (bounds state:
