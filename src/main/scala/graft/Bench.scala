@@ -24,6 +24,11 @@ import org.apache.spark.sql.SparkSession
   * broken query must never look fast). A failure during a spread-triggered
   * EXTRA iteration does not bump `failed` (the primary runs were clean);
   * it is reported separately in `"retry_errors"`.
+  *
+  * A second one-iteration pass runs the suite against the multi-file +
+  * lang-partitioned fixture mirror (graft.io.PartitionedFixture) and ships
+  * as `"partitioned"` — evidence that split planning and partition pruning
+  * hold under bench conditions, not just in specs.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,17 +45,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark) // SQL names for the native kernels
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+            dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
     // warm-up: session/codegen/scan setup paid once, not by the first query
-    try run(SparkEntry.queries("wordcount")) catch { case _: Throwable => () }
+    try run(SparkEntry.queries("wordcount"), sfDir) catch { case _: Throwable => () }
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) = {
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                 dir: String = sfDir) = {
       val t0 = System.nanoTime()
-      try { run(fn); Right((System.nanoTime() - t0) / 1e9) }
+      try { run(fn, dir); Right((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
         Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
     }
@@ -91,7 +98,30 @@ object Bench {
       jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     val failed = results.count { case (_, _, _, _, e, _) => e.isDefined }
     val total = results.map { case (_, m, _, _, _, _) => math.max(m, 0.0) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"failed":$failed,"queries":$qs,"min":$mins,"runs":$raw,"errors":$errs,"retry_errors":$retryErrs,"sf":"$sfDir"}""")
+    // Variant pass: the whole suite once against the multi-file /
+    // lang-partitioned mirror of the same sf dir (split planning +
+    // partition pruning under bench conditions). One timed iteration per
+    // query — this tracks layout sensitivity, not medians; its failures
+    // are reported inside "partitioned" and do NOT bump the primary
+    // "failed" gate. Disable with SPARK_GRAFT_BENCH_PARTITIONED=0.
+    val partitioned =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTITIONED", "1") == "0") ""
+      else try {
+        val pdir = graft.io.PartitionedFixture.prepare(spark, sfDir)
+        try run(SparkEntry.queries("wordcount"), pdir) catch { case _: Throwable => () }
+        val pres = SparkEntry.queries.toSeq.sortBy(_._1)
+          .map { case (name, fn) => (name, timeOnce(fn, pdir)) }
+        val pqs = pres.map { case (k, r) =>
+          jstr(k) + ":" + r.fold(_ => -1.0, identity) }.mkString("{", ",", "}")
+        val pErrs = pres.collect { case (k, Left(m)) => jstr(k) + ":" + jstr(m) }
+          .mkString("{", ",", "}")
+        val pFailed = pres.count(_._2.isLeft)
+        val pTotal = pres.collect { case (_, Right(t)) => t }.sum
+        s""","partitioned":{"dir":${jstr(pdir)},"total":$pTotal,"failed":$pFailed,"queries":$pqs,"errors":$pErrs}"""
+      } catch { case e: Throwable =>
+        s""","partitioned":{"prep_error":${jstr(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}"""
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"failed":$failed,"queries":$qs,"min":$mins,"runs":$raw,"errors":$errs,"retry_errors":$retryErrs$partitioned,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
