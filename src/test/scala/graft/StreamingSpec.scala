@@ -204,6 +204,43 @@ class StreamingSpec extends SparkSpec {
     assert(want.size == 3, "fixture expects exactly 3 interval matches")
   }
 
+  test("shared intervalJoin definition: streaming equals batch (q_stream_join face)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = Seq(
+      (1001L, 1L, ts("2024-01-01 01:00:00")),
+      (1002L, 1L, ts("2024-01-01 05:00:00")),
+      (1003L, 2L, ts("2024-01-01 02:30:00")))
+    val clicks = Seq(
+      (2001L, 1L, ts("2024-01-01 00:40:00")),   // 20 min before p1 -> match
+      (2002L, 1L, ts("2024-01-01 01:25:00")),   // 25 min after p1 -> match (±30)
+      (2003L, 1L, ts("2024-01-01 02:00:00")),   // 1 h after p1 -> no match
+      (2004L, 2L, ts("2024-01-01 02:10:00")))   // 20 min before p3 -> match
+    def df(rows: Seq[(Long, Long, Timestamp)]) =
+      rows.toDF("event_id", "user_id", "ts")
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val q = Windows.intervalJoin(
+        pMem.toDF().toDF("event_id", "user_id", "ts").withWatermark("ts", "1 hour"),
+        cMem.toDF().toDF("event_id", "user_id", "ts").withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("t_ijoin")
+      .outputMode(OutputMode.Append()).start()
+    pMem.addData(purchases); cMem.addData(clicks)
+    q.processAllAvailable()
+    // push both watermarks past every pair so all matches mature
+    pMem.addData(Seq((9999L, 99L, ts("2024-02-01 00:00:00"))))
+    cMem.addData(Seq((9998L, 99L, ts("2024-02-01 00:00:01"))))
+    q.processAllAvailable()
+    val got = spark.table("t_ijoin").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+      .filter(_._1 != 99L).toSet
+    val want = Windows.intervalJoin(df(purchases), df(clicks)).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    q.stop()
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+    assert(want.size == 3, "fixture expects exactly 3 interval matches")
+  }
+
   test("mapGroupsWithState running profiles reflect all events after last batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
