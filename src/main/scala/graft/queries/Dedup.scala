@@ -170,6 +170,54 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Label-propagation rounds for [[components]]: with the label-of-label
+    * hop the converged reach DOUBLES per round (after k rounds every node
+    * holds the min within distance 2^(k-1)), so 5 rounds are exact for
+    * any component of diameter ≤ 16 — far past near-dup cluster shapes
+    * (pairs/triples/short chains). DedupSimilaritySpec proves exactness
+    * against a brute-force closure on the fixture AND a 14-node chain. */
+  private val DoubleRounds = 5
+
+  /** Connected components over an undirected edge list `(src, dst)`:
+    * min-label propagation with pointer doubling — each round takes the
+    * min over (self, neighbors' labels, label-of-label), materialized
+    * between rounds (`localCheckpoint`) exactly as an iterative graph
+    * algorithm must at scale: the shuffled state is only (id, lbl) long
+    * pairs, each round is 2 narrow joins + one partial-agg min, and the
+    * lineage break keeps the plan linear in rounds instead of 3^rounds.
+    * Deterministic: min is order-free. */
+  private[graft] def components(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.select(col("src"), col("dst"))
+      .union(edgesIn.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (_ <- 1 to DoubleRounds) {
+      val viaEdge = edges.as("e").join(labels.as("l"), col("e.dst") === col("l.id"))
+        .select(col("e.src").as("id"), col("l.lbl").as("lbl"))
+      val viaHop = labels.as("x").join(labels.as("y"), col("x.lbl") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.lbl").as("lbl"))
+      labels = labels.union(viaEdge).union(viaHop)
+        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Transitive dedup clusters: connected components over the MinHash/LSH
+    * near-dup pair graph — the step that turns pairwise candidates into
+    * keep-one-per-cluster dedup (canonical = the cluster's min doc_id).
+    * Only documents appearing in ≥1 near-dup pair carry a row; isolated
+    * documents are trivially their own cluster. */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupMinhash(s, dir)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    components(pairs)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("id") === col("lbl")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash fingerprint (32-bit): per token-occurrence hash, per-bit
     * +1/-1 vote weighted by term frequency, sign → bit. Pure per-row array
     * math — no shuffle, codegen-friendly, and bit-identical to the oracle
@@ -328,6 +376,7 @@ object Dedup {
     "q_dedup_exact" -> (qDedupExact _),
     "q_minhash_signature" -> (qMinhashSignature _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ngram_jaccard_prefix" -> (qNgramJaccardPrefix _),
@@ -337,6 +386,22 @@ object Dedup {
   // ---- oracle SQL ----------------------------------------------------------
 
   private val duckSh = duckShingles("w")
+
+  /** Shared CTE chain ending in `cand(a_id, b_id, est_jaccard)` — the
+    * MinHash/LSH candidate pairs; used by both the pair query and the
+    * cluster closure so the edge definition cannot drift. */
+  private lazy val minhashCandCte =
+    s"""$sigCte,
+       |bands AS (
+       |  SELECT doc_id, sig, band_id,
+       |    md5(array_to_string(list_transform(sig[band_id*$RowsPerBand+1 : band_id*$RowsPerBand+$RowsPerBand], x -> CAST(x AS VARCHAR)), ',')) AS band_key
+       |  FROM sigs, (SELECT unnest(range(0, $Bands)) AS band_id)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / $NumHashes AS est_jaccard
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+
   private def sigCte =
     s"""toks AS (SELECT doc_id, $duckToks AS w FROM documents),
        |shing AS (SELECT doc_id, $duckSh AS sh FROM toks),
@@ -359,18 +424,24 @@ object Dedup {
          |${(0 until NumHashes).map(i => f" sig[${i + 1}] AS m$i%02d").mkString(",\n")}
          |FROM sigs ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
-      s"""WITH $sigCte,
-         |bands AS (
-         |  SELECT doc_id, sig, band_id,
-         |    md5(array_to_string(list_transform(sig[band_id*$RowsPerBand+1 : band_id*$RowsPerBand+$RowsPerBand], x -> CAST(x AS VARCHAR)), ',')) AS band_key
-         |  FROM sigs, (SELECT unnest(range(0, $Bands)) AS band_id)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-         |    CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / $NumHashes AS est_jaccard
-         |  FROM bands a JOIN bands b
-         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+      s"""WITH $minhashCandCte
          |SELECT a_id, b_id, est_jaccard FROM cand
          |WHERE est_jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+    // True transitive closure via recursive CTE — the contract the
+    // fixed-round doubling propagation must (and does) reach.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCandCte,
+         |pairs AS (SELECT a_id, b_id FROM cand WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.t AS id, r.lbl FROM reach r JOIN edges e ON e.s = r.id)
+         |SELECT id AS doc_id, min(lbl) AS cluster_id,
+         |  (id = min(lbl)) AS is_canonical
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH hs AS (SELECT doc_id,
          |  list_transform($duckToks, t -> ${duckH32("t")}) AS hs FROM documents)

@@ -94,6 +94,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivf.size == 10, "IVF probes 2 cells — every query has candidates")
   }
 
+  test("components: pointer-doubling propagation is exact on a 14-node chain") {
+    import spark.implicits._
+    // diameter 13 — far past what 5 PLAIN propagation rounds reach (5),
+    // inside the doubling contract (reach 2^(rounds-1) = 16)
+    val chain = (0L until 13L).map(i => (i, i + 1)) :+ (100L, 101L)
+    val labels = Dedup.components(chain.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 13L).foreach(i => assert(labels(i) == 0L, s"node $i got ${labels(i)}"))
+    assert(labels(100L) == 100L && labels(101L) == 100L)
+  }
+
+  test("dedup clusters equal a brute-force closure of the near-dup pairs") {
+    val d = "/root/testdata/sf0.01" // sf0.001 may have no near-dup pairs
+    val pairs = Dedup.qDedupMinhash(spark, d)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(pairs.nonEmpty)
+    // union-find over the collected pairs (tiny) = ground-truth closure
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    val got = Dedup.qDedupClusters(spark, d)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == want, s"diff=${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+  }
+
   test("learned k-means IVF holds recall@10 vs exact brute force") {
     def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().groupBy(_.getAs[Long]("q_id"))
