@@ -73,10 +73,54 @@ object Corpus {
       .orderBy("lang", "rnk")
   }
 
+  /** Deterministic stratified train/val/test split: assignment is a pure
+    * function of the content hash (80/10/10 on h32(doc_id) mod 100), so
+    * the split is identical on every run, every engine, and every subset
+    * of the corpus — the property that keeps eval sets stable as a 100 TB
+    * corpus is re-crawled. Narrow projection, zero shuffles. */
+  def qTrainSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        pmod(TextPipeline.h32(col("doc_id").cast("string")), lit(100)).as("b"))
+      .select(col("doc_id"), col("lang"),
+        when(col("b") < 80, "train").when(col("b") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  /** Tokens per shard for [[qTokenShards]]. */
+  private val ShardBudget = 4096L
+
+  /** Token-budget shard packing: per language, documents in doc_id order
+    * are packed greedily into shards of ~ShardBudget tokens (shard id =
+    * exclusive-prefix token count / budget) — the sequence-packing step
+    * that turns a scored corpus into fixed-size pretraining shards.
+    *
+    * Expressed as a per-language running sum (ROWS UNBOUNDED PRECEDING).
+    * Scale note: a per-stratum ordered prefix sum is sequential BY
+    * DEFINITION; the declarative window puts each language in one task,
+    * which holds while strata are numerous-and-medium. For one giant
+    * stratum the same math runs as the classic two-pass prefix sum
+    * (per-range-partition subtotals, broadcast, add offset) — identical
+    * output, so the oracle contract here stays valid for that plan too. */
+  def qTokenShards(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counted
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / ShardBudget).as("shard_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_redact" -> (qRedact _),
     "q_quality_gate" -> (qQualityGate _),
     "q_lang_balance" -> (qLangBalance _),
+    "q_train_split" -> (qTrainSplit _),
+    "q_token_shards" -> (qTokenShards _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -108,5 +152,22 @@ object Corpus {
         |  FROM docs)
         |SELECT doc_id, lang, rnk FROM ranked, k
         |WHERE rnk <= k ORDER BY lang, rnk""".stripMargin,
+    "q_train_split" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang,
+         |        ${TextPipeline.duckH32("CAST(doc_id AS VARCHAR)")} % 100 AS b
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "q_token_shards" ->
+      s"""WITH counted AS (
+         |  SELECT doc_id, lang, CAST(len($duckToks) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, lang, n_tokens,
+         |  (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+         |    // 4096 AS shard_id
+         |FROM counted ORDER BY doc_id""".stripMargin,
   )
 }
