@@ -223,7 +223,43 @@ object Extras {
       .groupBy("nk").agg(count(lit(1)).as("n"))
       .orderBy("nk")
 
+  /** Columns profiled by [[qProfile]]: (name, isNumeric). */
+  private val ProfileCols = Seq(
+    ("o_custkey", true), ("o_orderkey", true), ("o_orderpriority", false),
+    ("o_orderstatus", false), ("o_totalprice", true))
+
+  /** Data profiling (ANALYZE-style): per-column row/null/distinct counts
+    * and numeric min/max over `orders`, in ONE scan — all 5×4 aggregates
+    * partial-aggregate together, then the single result row unpivots to
+    * a row per column with `stack`. At 100 TB this is one pass + a 1-row
+    * shuffle; the per-column-scan alternative (5 passes) is exactly what
+    * this shape avoids. Distinct counts are exact; min/max stay typed
+    * DOUBLE — value range for numeric columns, LENGTH range for string
+    * columns — so no NULLs and no engine-specific number formatting
+    * enter the compare. */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val aggs = count(lit(1)).as("n") +: ProfileCols.flatMap { case (c, num) =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        (if (num) min(col(c)).cast("double")
+         else min(length(col(c))).cast("double")).as(s"mn_$c"),
+        (if (num) max(col(c)).cast("double")
+         else max(length(col(c))).cast("double")).as(s"mx_$c"))
+    }
+    val stackArgs = ProfileCols.map { case (c, _) =>
+      s"'$c', nn_$c, nd_$c, mn_$c, mx_$c" }.mkString(", ")
+    o.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n",
+        s"stack(${ProfileCols.size}, $stackArgs) AS (column, n_null, n_distinct, min_d, max_d)")
+      .select(col("column"), col("n"), col("n_null"), col("n_distinct"),
+        col("min_d"), col("max_d"))
+      .orderBy("column")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile" -> (qProfile _),
     "q_min_max_by" -> (qMinMaxBy _),
     "q_union_all" -> (qUnionAll _),
     "q_kmv_distinct" -> (qKmvDistinct _),
@@ -242,6 +278,21 @@ object Extras {
   private val duckToksE = TextPipeline.duckToks
 
   val oracle: Map[String, String] = Map(
+    "q_profile" -> {
+      val aggSel = ProfileCols.map { case (c, num) =>
+        val mn = if (num) s"CAST(min($c) AS DOUBLE)"
+                 else s"CAST(min(length($c)) AS DOUBLE)"
+        val mx = if (num) s"CAST(max($c) AS DOUBLE)"
+                 else s"CAST(max(length($c)) AS DOUBLE)"
+        s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$c, " +
+          s"count(DISTINCT $c) AS nd_$c, $mn AS mn_$c, $mx AS mx_$c"
+      }.mkString(",\n  ")
+      val branches = ProfileCols.map { case (c, _) =>
+        s"""SELECT '$c' AS "column", n, nn_$c AS n_null, nd_$c AS n_distinct,
+           |  mn_$c AS min_d, mx_$c AS max_d FROM a""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH a AS (SELECT count(*) AS n,\n  $aggSel\nFROM orders)\n$branches\nORDER BY \"column\""
+    },
     "q_min_max_by" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
