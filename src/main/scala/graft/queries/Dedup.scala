@@ -192,7 +192,16 @@ object Dedup {
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-    for (_ <- 1 to DoubleRounds) {
+      .localCheckpoint(true)
+    // labels only DECREASE under min-propagation, so an unchanged label
+    // sum is a fixpoint proof — one cheap aggregate on the tiny
+    // checkpointed state buys early exit (near-dup graphs converge in
+    // 2-3 rounds; DoubleRounds stays the worst-case exactness bound)
+    def lblSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).first.getLong(0)
+    var prevSum = lblSum(labels)
+    var converged = labels.isEmpty
+    for (_ <- 1 to DoubleRounds if !converged) {
       val viaEdge = edges.as("e").join(labels.as("l"), col("e.dst") === col("l.id"))
         .select(col("e.src").as("id"), col("l.lbl").as("lbl"))
       val viaHop = labels.as("x").join(labels.as("y"), col("x.lbl") === col("y.id"))
@@ -200,6 +209,9 @@ object Dedup {
       labels = labels.union(viaEdge).union(viaHop)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(true)
+      val s = lblSum(labels)
+      converged = s == prevSum
+      prevSum = s
     }
     labels
   }
