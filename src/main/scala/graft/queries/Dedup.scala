@@ -201,12 +201,18 @@ object Dedup {
       df.agg(coalesce(sum(col("lbl")), lit(0L))).first.getLong(0)
     var prevSum = lblSum(labels)
     var converged = labels.isEmpty
-    for (_ <- 1 to DoubleRounds if !converged) {
+    for (round <- 1 to DoubleRounds if !converged) {
       val viaEdge = edges.as("e").join(labels.as("l"), col("e.dst") === col("l.id"))
         .select(col("e.src").as("id"), col("l.lbl").as("lbl"))
-      val viaHop = labels.as("x").join(labels.as("y"), col("x.lbl") === col("y.id"))
-        .select(col("x.id").as("id"), col("y.lbl").as("lbl"))
-      labels = labels.union(viaEdge).union(viaHop)
+      // round 1's label-of-label hop is the identity (L(x) = x) — skip it
+      val cand =
+        if (round == 1) labels.union(viaEdge)
+        else {
+          val viaHop = labels.as("x").join(labels.as("y"), col("x.lbl") === col("y.id"))
+            .select(col("x.id").as("id"), col("y.lbl").as("lbl"))
+          labels.union(viaEdge).union(viaHop)
+        }
+      labels = cand
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(true)
       val s = lblSum(labels)
