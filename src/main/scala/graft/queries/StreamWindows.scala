@@ -42,11 +42,27 @@ object StreamWindows {
       .orderBy("user_id", "p_us", "c_us", "p_event", "c_event")
   }
 
+  /** Left-outer face: clickless purchases survive with null-padded click
+    * columns. Nulls are sentinel-coalesced to -1 (BIGINT) because the
+    * driver's hash compare round-trips integers through float NaN for
+    * NULL — a compare artifact, not an engine semantic. */
+  def qStreamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Windows.intervalJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"), "left_outer")
+      .select(col("user_id"), col("p_us"),
+        coalesce(col("c_us"), lit(-1L)).as("c_us"),
+        col("p_event"), coalesce(col("c_event"), lit(-1L)).as("c_event"))
+      .orderBy("user_id", "p_us", "c_us", "p_event", "c_event")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (qTumbling _),
     "q_stream_sliding" -> (qSliding _),
     "q_stream_sessions" -> (qSessions _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_stream_join_outer" -> (qStreamJoinOuter _),
   )
 
   private val HourUs = 3600000000L
@@ -99,6 +115,16 @@ object StreamWindows {
         |  AND c.ts >= p.ts - INTERVAL 30 MINUTE
         |  AND c.ts <= p.ts + INTERVAL 30 MINUTE
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    "q_stream_join_outer" ->
+      """SELECT p.user_id, epoch_us(p.ts) AS p_us,
+        |  coalesce(epoch_us(c.ts), -1) AS c_us,
+        |  p.event_id AS p_event, coalesce(c.event_id, -1) AS c_event
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |  AND c.ts <= p.ts + INTERVAL 30 MINUTE
         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
   )
 }

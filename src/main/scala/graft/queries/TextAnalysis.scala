@@ -147,7 +147,46 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Count-min sketch shape: d hash rows × w counters, universal-hash
+    * constants literal-inlined into BOTH engines (the Dedup MinHash
+    * pattern). */
+  private val CmP = 1000000007L
+  private val CmD = 4
+  private val CmW = 64
+  private val cmA: IndexedSeq[Long] = (1 to CmD).map(i => (2654435761L * i) % CmP)
+  private val cmB: IndexedSeq[Long] = (1 to CmD).map(i => (40503L * i * 2654435761L) % CmP)
+
+  /** Count-min heavy hitters: a d×w frequency sketch over the word stream
+    * plus the exact top-10 words with their sketch estimates — the
+    * overestimate-only (est ≥ true) frequency structure a 100 TB pipeline
+    * uses to DETECT hot keys (the inputs to salting/skew handling) with
+    * O(d·w) mergeable state instead of a full per-key aggregate. Both the
+    * counters (integer sums — commutative, partition-order-free) and the
+    * estimates (min over d counters) are deterministic, so the sketch
+    * itself is oracle-verified, like KMV and unlike HLL. */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val aArr = array(cmA.map(lit): _*)
+    val bArr = array(cmB.map(lit): _*)
+    val counts = TextPipeline.words(Tables.documents(s, dir), "text")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val slots = counts
+      .withColumn("h", pmod(TextPipeline.h32(col("word")), lit(CmP)))
+      .select(col("word"), col("n"), col("h"),
+        explode(sequence(lit(0), lit(CmD - 1))).as("i"))
+      .withColumn("bucket",
+        pmod(pmod(element_at(aArr, col("i") + 1) * col("h")
+          + element_at(bArr, col("i") + 1), lit(CmP)), lit(CmW)))
+    val counters = slots.groupBy("i", "bucket").agg(sum(col("n")).as("c"))
+    val top = counts.orderBy(col("n").desc, col("word").asc).limit(10)
+    slots.join(broadcast(top.select("word")), "word")
+      .join(broadcast(counters), Seq("i", "bucket"))
+      .groupBy("word", "n").agg(min(col("c")).as("cm_est"))
+      .select(col("word"), col("n"), col("cm_est"))
+      .orderBy(col("n").desc, col("word").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_len_histogram" -> (qLenHistogram _),
     "q_token_stats" -> (qTokenStats _),
     "q_quality_score" -> (qQualityScore _),
@@ -159,6 +198,28 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_heavy_hitters" -> {
+      val aL = cmA.mkString("[", ",", "]")
+      val bL = cmB.mkString("[", ",", "]")
+      s"""WITH words AS (SELECT unnest($duckToks) AS word FROM documents),
+         |counts AS (SELECT word, count(*) AS n FROM words GROUP BY word),
+         |slots AS (
+         |  SELECT word, n, i,
+         |    ((($aL[i+1] * h + $bL[i+1]) % $CmP) % $CmW) AS bucket
+         |  FROM (SELECT word, n, ${TextPipeline.duckH32("word")} % $CmP AS h
+         |        FROM counts),
+         |       (SELECT unnest(range(0, $CmD)) AS i)),
+         |counters AS (
+         |  SELECT i, bucket, CAST(sum(n) AS BIGINT) AS c
+         |  FROM slots GROUP BY i, bucket),
+         |top AS (SELECT word FROM counts ORDER BY n DESC, word LIMIT 10)
+         |SELECT s.word, s.n, min(c.c) AS cm_est
+         |FROM slots s
+         |JOIN top t ON s.word = t.word
+         |JOIN counters c ON s.i = c.i AND s.bucket = c.bucket
+         |GROUP BY s.word, s.n
+         |ORDER BY 2 DESC, 1""".stripMargin
+    },
     "q_len_histogram" ->
       s"""SELECT lang,
          |${(0 until 8).map(i =>

@@ -60,8 +60,11 @@ object Windows {
     * streaming derive the state-eviction bound from the watermarks); both
     * event ids ride along so downstream ordering is total. In streaming
     * both inputs need `withWatermark` before calling (each side's state
-    * is then bounded to watermark + 30 min). */
-  def intervalJoin(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    * is then bounded to watermark + 30 min). `joinType` "left_outer"
+    * keeps clickless purchases — in streaming the null-padded row emits
+    * once the watermark proves no match can still arrive. */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame,
+                   joinType: String = "inner"): DataFrame =
     purchases
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("p_event"))
@@ -70,7 +73,8 @@ object Windows {
           col("event_id").as("c_event")),
         col("p_user") === col("c_user") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
-          col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
+          col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"),
+        joinType)
       .select(col("p_user").as("user_id"),
         unix_micros(col("p_ts")).as("p_us"),
         unix_micros(col("c_ts")).as("c_us"),

@@ -30,6 +30,20 @@ class ExtrasSpec extends SparkSpec {
     assert(plan.contains("Join"), "expected the decorrelated aggregate to be joined back")
   }
 
+  test("count-min sketch never underestimates and is tight on heavy hitters") {
+    val rows = graft.queries.TextAnalysis.qHeavyHitters(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (n, est) = (r.getAs[Long]("n"), r.getAs[Long]("cm_est"))
+      assert(est >= n, s"count-min must overestimate: word=${r.getString(0)} n=$n est=$est")
+    }
+    // heavy hitters dominate their buckets: the top word's estimate should
+    // be close (collision mass is bounded by corpus_size/w per row)
+    val top = rows.head
+    assert(top.getAs[Long]("cm_est") <= top.getAs[Long]("n") * 3,
+      "top heavy hitter estimate should not be swamped by collisions")
+  }
+
   test("hash sample is a true subset at a plausible rate") {
     val sampled = Extras.qSampleHash(spark, sf).count()
     val total = graft.io.Tables.orders(spark, sf).count()

@@ -241,6 +241,40 @@ class StreamingSpec extends SparkSpec {
     assert(want.size == 3, "fixture expects exactly 3 interval matches")
   }
 
+  test("left-outer intervalJoin: clickless purchase emits null-padded row after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = Seq(
+      (1001L, 1L, ts("2024-01-01 01:00:00")),  // has a click -> matched row
+      (1005L, 3L, ts("2024-01-01 09:00:00")))  // user 3 never clicks -> null-padded
+    val clicks = Seq((2001L, 1L, ts("2024-01-01 00:40:00")))
+    def df(rows: Seq[(Long, Long, Timestamp)]) =
+      rows.toDF("event_id", "user_id", "ts")
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val q = Windows.intervalJoin(
+        pMem.toDF().toDF("event_id", "user_id", "ts").withWatermark("ts", "1 hour"),
+        cMem.toDF().toDF("event_id", "user_id", "ts").withWatermark("ts", "1 hour"),
+        "left_outer")
+      .writeStream.format("memory").queryName("t_ojoin")
+      .outputMode(OutputMode.Append()).start()
+    pMem.addData(purchases); cMem.addData(clicks)
+    q.processAllAvailable()
+    // the null-padded row may only emit once the watermark PROVES no
+    // click can still arrive for the 09:00 purchase
+    pMem.addData(Seq((9999L, 99L, ts("2024-02-01 00:00:00"))))
+    cMem.addData(Seq((9998L, 99L, ts("2024-02-01 00:00:01"))))
+    q.processAllAvailable()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4))
+    val got = spark.table("t_ojoin").collect().map(key).filter(_._1 != 99L).toSet
+    val want = Windows.intervalJoin(df(purchases), df(clicks), "left_outer")
+      .collect().map(key).toSet
+    q.stop()
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+    assert(want.contains((3L, 1005L, -1L)), "clickless purchase must survive null-padded")
+  }
+
   test("mapGroupsWithState running profiles reflect all events after last batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
