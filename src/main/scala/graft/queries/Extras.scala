@@ -69,6 +69,49 @@ object Extras {
         count(lit(1)).as("n"))
       .orderBy("status")
 
+  /** Histogram-quantile buckets. */
+  private val QsBuckets = 128
+
+  /** Approximate quantiles from a fixed equi-width histogram — the
+    * MERGEABLE quantile structure for 100 TB (O(buckets) state, partial-
+    * aggregatable, no global sort), next to `q_median_price`'s exact
+    * percentile (which needs the full per-group sort). Unlike GK/KLL
+    * sketches the histogram state is a deterministic function of the
+    * data — merge order can't change a bucket count — so the ESTIMATE
+    * itself is oracle-verified, like KMV/count-min and unlike HLL.
+    * Estimate: linear interpolation inside the first bucket whose
+    * cumulative count reaches q·n; spec-checked against the exact
+    * percentile within a bucket width. */
+  def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir).select(col("o_totalprice").as("x"))
+    val bounds = broadcast(o.agg(
+      min(col("x")).as("lo"), max(col("x")).as("hi"), count(lit(1)).as("n")))
+    val hist = o.crossJoin(bounds)
+      .select(when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col("x") - col("lo")) / (col("hi") - col("lo"))
+            * QsBuckets), lit(QsBuckets - 1L))).as("bucket"),
+        col("lo"), col("hi"), col("n"))
+      .groupBy("bucket", "lo", "hi", "n").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      .withColumn("cum_before", col("cum") - col("c"))
+    def estimate(q: Double): org.apache.spark.sql.Column = {
+      val target = lit(q) * col("n")
+      // first bucket reaching the target wins the min: its in-bucket
+      // fraction is in (0,1]; later qualifying buckets clamp to their
+      // bucket START (fraction floored at 0), which is strictly larger
+      min(when(col("cum") >= target,
+        col("lo") + (col("hi") - col("lo")) / QsBuckets
+          * (col("bucket") + greatest(lit(0.0),
+              (target - col("cum_before")) / col("c")))))
+    }
+    cum.agg(round(estimate(0.5), 4).as("p50_est"),
+        round(estimate(0.9), 4).as("p90_est"),
+        first(col("n")).as("n"))
+  }
+
   /** Two-phase (salted) aggregation: partial sums on (word, salt) then a
     * final merge on word — the standard hot-key skew mitigation, shown to
     * be result-identical to the direct aggregation (same oracle as
@@ -260,6 +303,7 @@ object Extras {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> (qProfile _),
+    "q_quantile_sketch" -> (qQuantileSketch _),
     "q_min_max_by" -> (qMinMaxBy _),
     "q_union_all" -> (qUnionAll _),
     "q_kmv_distinct" -> (qKmvDistinct _),
@@ -292,6 +336,30 @@ object Extras {
            |  mn_$c AS min_d, mx_$c AS max_d FROM a""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"WITH a AS (SELECT count(*) AS n,\n  $aggSel\nFROM orders)\n$branches\nORDER BY \"column\""
+    },
+    "q_quantile_sketch" -> {
+      def est(q: String) =
+        s"""round(min(CASE WHEN CAST(cum AS DOUBLE) >= $q * n THEN
+           |  lo + (hi - lo) / $QsBuckets
+           |    * (bucket + greatest(0.0,
+           |        ($q * n - CAST(cum_before AS DOUBLE)) / c)) END), 4)""".stripMargin
+      s"""WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+         |  count(*) AS n FROM orders),
+         |h AS (
+         |  SELECT CASE WHEN hi = lo THEN 0
+         |    ELSE least(CAST(floor((o_totalprice - lo) / (hi - lo) * $QsBuckets)
+         |      AS BIGINT), ${QsBuckets - 1}) END AS bucket, lo, hi, n,
+         |    count(*) AS c
+         |  FROM orders, b GROUP BY 1, 2, 3, 4),
+         |cum AS (
+         |  SELECT bucket, lo, hi, n, c,
+         |    CAST(sum(c) OVER (ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    CAST(sum(c) OVER (ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT) AS cum_before
+         |  FROM h)
+         |SELECT ${est("0.5")} AS p50_est, ${est("0.9")} AS p90_est,
+         |  min(n) AS n FROM cum""".stripMargin
     },
     "q_min_max_by" ->
       """WITH r AS (

@@ -30,6 +30,19 @@ class ExtrasSpec extends SparkSpec {
     assert(plan.contains("Join"), "expected the decorrelated aggregate to be joined back")
   }
 
+  test("histogram quantile estimates land within two bucket widths of exact") {
+    import org.apache.spark.sql.functions._
+    val est = graft.queries.Extras.qQuantileSketch(spark, sf).collect()(0)
+    val ex = graft.io.Tables.orders(spark, sf).agg(
+      expr("percentile(o_totalprice, 0.5)"), expr("percentile(o_totalprice, 0.9)"),
+      min(col("o_totalprice")), max(col("o_totalprice"))).collect()(0)
+    val width = (ex.getDouble(3) - ex.getDouble(2)) / 128
+    assert(math.abs(est.getDouble(0) - ex.getDouble(0)) <= 2 * width,
+      s"p50 est ${est.getDouble(0)} vs exact ${ex.getDouble(0)} (width $width)")
+    assert(math.abs(est.getDouble(1) - ex.getDouble(1)) <= 2 * width,
+      s"p90 est ${est.getDouble(1)} vs exact ${ex.getDouble(1)} (width $width)")
+  }
+
   test("count-min sketch never underestimates and is tight on heavy hitters") {
     val rows = graft.queries.TextAnalysis.qHeavyHitters(spark, sf).collect()
     assert(rows.length == 10)
