@@ -236,6 +236,25 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Levenshtein verification of the LSH candidate pairs: character-level
+    * edit distance over an 80-char prefix — the third verification family
+    * next to set-based Jaccard and bitwise SimHash. O(80²) per pair and
+    * computed ONLY on the candidate pairs the banding emitted (never
+    * all-pairs), so at 100 TB the cost scales with true duplicate
+    * density, not corpus size; only the capped prefixes join, never full
+    * documents. */
+  def qEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupMinhash(s, dir).select("a_id", "b_id")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("t"))
+    pairs
+      .join(docs.select(col("doc_id").as("a_id"), col("t").as("a_t")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("t").as("b_t")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_t"), col("b_t")).as("edit_dist"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** SimHash fingerprint (32-bit): per token-occurrence hash, per-bit
     * +1/-1 vote weighted by term frequency, sign → bit. Pure per-row array
     * math — no shuffle, codegen-friendly, and bit-identical to the oracle
@@ -395,6 +414,7 @@ object Dedup {
     "q_minhash_signature" -> (qMinhashSignature _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_edit_distance" -> (qEditDistance _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ngram_jaccard_prefix" -> (qNgramJaccardPrefix _),
@@ -445,6 +465,15 @@ object Dedup {
       s"""WITH $minhashCandCte
          |SELECT a_id, b_id, est_jaccard FROM cand
          |WHERE est_jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+    "q_edit_distance" ->
+      s"""WITH $minhashCandCte,
+         |pairs AS (SELECT a_id, b_id FROM cand WHERE est_jaccard >= 0.5),
+         |t AS (SELECT doc_id, substring(text, 1, 80) AS t FROM documents)
+         |SELECT p.a_id, p.b_id,
+         |  CAST(levenshtein(a.t, b.t) AS INT) AS edit_dist
+         |FROM pairs p JOIN t a ON p.a_id = a.doc_id
+         |             JOIN t b ON p.b_id = b.doc_id
+         |ORDER BY 1, 2""".stripMargin,
     // True transitive closure via recursive CTE — the contract the
     // fixed-round doubling propagation must (and does) reach.
     "q_dedup_clusters" ->

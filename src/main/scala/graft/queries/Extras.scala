@@ -112,6 +112,47 @@ object Extras {
         first(col("n")).as("n"))
   }
 
+  /** Window navigation-function sampler: lag/lead/ntile/cume_dist per
+    * customer over a TOTAL order (orderdate then unique orderkey — ties
+    * would make every navigation function nondeterministic). Boundary
+    * nulls coalesce to -1.0 sentinels (the compare harness round-trips
+    * NULL doubles through NaN). One shuffle on the partition key. */
+  def qWindowNav(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        coalesce(lag(col("o_totalprice"), 1).over(w), lit(-1.0)).as("prev_price"),
+        coalesce(lead(col("o_totalprice"), 1).over(w), lit(-1.0)).as("next_price"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Time-series resampling with gap fill (dimension densification): the
+    * hourly event count per type over a COMPLETE hourly grid — missing
+    * hours appear as explicit zeros, the shape every downstream
+    * time-series consumer (charting, anomaly detection, forecasting)
+    * needs. The grid is generated from a broadcast 1-row span × the tiny
+    * type dimension, so the only corpus-sized work is the group-by;
+    * the left join against the grid is broadcast-sized. */
+  def qResample(s: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600000000L
+    val counts = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr(s"unix_micros(ts) div $HourUs").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val span = counts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = counts.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    grid.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), (col("h") * HourUs).as("win_start_us"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "win_start_us")
+  }
+
   /** Two-phase (salted) aggregation: partial sums on (word, salt) then a
     * final merge on word — the standard hot-key skew mitigation, shown to
     * be result-identical to the direct aggregation (same oracle as
@@ -304,6 +345,8 @@ object Extras {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> (qProfile _),
     "q_quantile_sketch" -> (qQuantileSketch _),
+    "q_window_nav" -> (qWindowNav _),
+    "q_resample" -> (qResample _),
     "q_min_max_by" -> (qMinMaxBy _),
     "q_union_all" -> (qUnionAll _),
     "q_kmv_distinct" -> (qKmvDistinct _),
@@ -361,6 +404,27 @@ object Extras {
          |SELECT ${est("0.5")} AS p50_est, ${est("0.9")} AS p90_est,
          |  min(n) AS n FROM cum""".stripMargin
     },
+    "q_resample" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+        |types AS (SELECT DISTINCT event_type FROM c),
+        |grid AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS h
+        |         FROM types, span)
+        |SELECT g.event_type, g.h * 3600000000 AS win_start_us,
+        |  coalesce(c.n, 0) AS n
+        |FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
+        |ORDER BY 1, 2""".stripMargin,
+    "q_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |  coalesce(lag(o_totalprice, 1) OVER w, -1.0) AS prev_price,
+        |  coalesce(lead(o_totalprice, 1) OVER w, -1.0) AS next_price,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_min_max_by" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
