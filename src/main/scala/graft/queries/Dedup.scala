@@ -170,17 +170,23 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Label-propagation rounds for [[components]]: with the label-of-label
-    * hop the converged reach DOUBLES per round (after k rounds every node
-    * holds the min within distance 2^(k-1)), so 5 rounds are exact for
-    * any component of diameter ≤ 16 — far past near-dup cluster shapes
-    * (pairs/triples/short chains). DedupSimilaritySpec proves exactness
-    * against a brute-force closure on the fixture AND a 14-node chain. */
-  private val DoubleRounds = 5
+  /** Round cap for [[components]]. Worst case is one round per unit of
+    * component diameter: the label-of-label hop doubles reach along
+    * monotone label chains but is idle at a node whose label is itself
+    * (a local id minimum), so the cap — not the hop — is the exactness
+    * bound. The fixpoint early-exit makes the cap a safety net, not the
+    * cost: near-dup pair graphs (pairs/triples/short chains) settle in
+    * ≤5 rounds, and DedupSimilaritySpec proves exactness against
+    * brute-force closures on the fixture, a 14-node chain, AND random
+    * graphs. A corpus whose duplicate graph could have adversarial
+    * diameters (> MaxRounds) would swap in star-contraction CC
+    * (O(log) rounds, Kiveris-style) inside this same
+    * checkpoint-per-round harness. */
+  private val MaxRounds = 25
 
   /** Connected components over an undirected edge list `(src, dst)`:
-    * min-label propagation with pointer doubling — each round takes the
-    * min over (self, neighbors' labels, label-of-label), materialized
+    * min-label propagation (min over self, neighbors' labels, and
+    * label-of-label) iterated to the proven fixpoint, materialized
     * between rounds (`localCheckpoint`) exactly as an iterative graph
     * algorithm must at scale: the shuffled state is only (id, lbl) long
     * pairs, each round is 2 narrow joins + one partial-agg min, and the
@@ -196,12 +202,12 @@ object Dedup {
     // labels only DECREASE under min-propagation, so an unchanged label
     // sum is a fixpoint proof — one cheap aggregate on the tiny
     // checkpointed state buys early exit (near-dup graphs converge in
-    // 2-3 rounds; DoubleRounds stays the worst-case exactness bound)
+    // 2-3 rounds; MaxRounds stays the worst-case exactness bound)
     def lblSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("lbl")), lit(0L))).first.getLong(0)
     var prevSum = lblSum(labels)
     var converged = labels.isEmpty
-    for (round <- 1 to DoubleRounds if !converged) {
+    for (round <- 1 to MaxRounds if !converged) {
       val viaEdge = edges.as("e").join(labels.as("l"), col("e.dst") === col("l.id"))
         .select(col("e.src").as("id"), col("l.lbl").as("lbl"))
       // round 1's label-of-label hop is the identity (L(x) = x) — skip it

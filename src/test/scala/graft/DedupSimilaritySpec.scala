@@ -94,15 +94,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivf.size == 10, "IVF probes 2 cells — every query has candidates")
   }
 
-  test("components: pointer-doubling propagation is exact on a 14-node chain") {
+  test("components: propagation is exact on a 14-node chain") {
     import spark.implicits._
-    // diameter 13 — far past what 5 PLAIN propagation rounds reach (5),
-    // inside the doubling contract (reach 2^(rounds-1) = 16)
+    // diameter 13 — needs many rounds; the fixpoint loop must keep going
+    // until converged (the label-of-label hop shortens but cannot be
+    // assumed to double reach: it is idle at local id minima)
     val chain = (0L until 13L).map(i => (i, i + 1)) :+ (100L, 101L)
     val labels = Dedup.components(chain.toDF("src", "dst"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (0L to 13L).foreach(i => assert(labels(i) == 0L, s"node $i got ${labels(i)}"))
     assert(labels(100L) == 100L && labels(101L) == 100L)
+  }
+
+  test("components equals union-find closure on random graphs") {
+    import spark.implicits._
+    val r = new scala.util.Random(13)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val edges = Seq.fill(25)((r.nextInt(n).toLong, r.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val root = find(p); parent(x) = root; root }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      val got = Dedup.components(edges.toDF("src", "dst"))
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      assert(got == want, s"edges=$edges")
+    }
   }
 
   test("dedup clusters equal a brute-force closure of the near-dup pairs") {

@@ -98,4 +98,26 @@ class PropertiesSpec extends AnyFunSuite {
       assert(simhashEval(hs) == simhashEval(hs.reverse))
     }
   }
+
+  private def shingleEval(tokens: Seq[String], w: Int): Seq[(String, Int)] =
+    graft.plans.ShinglePosting(
+        Literal.create(tokens, ArrayType(StringType)), Literal(w))
+      .eval(null).iterator.toSeq
+      .map(r => (r.getUTF8String(0).toString, r.getInt(1)))
+
+  private val toksGen: Gen[List[String]] =
+    Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "ee", "")))
+
+  test("shingle_posting generator: matches an independent recomputation on random inputs") {
+    forAll(toksGen, Gen.choose(1, 4)) { (toks, w) =>
+      // reference semantics: distinct w-windows, first-occurrence order,
+      // distinct count on every row
+      val want = toks.sliding(w).filter(_.size == w)
+        .map(_.mkString(" ")).toSeq.distinct
+      val got = shingleEval(toks, w)
+      assert(got.map(_._1) == want, s"toks=$toks w=$w")
+      assert(got.forall(_._2 == want.size))
+    }
+  }
 }
