@@ -51,6 +51,18 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("orc sink/source round-trip preserves schema and exact values") {
+    val out = tmp("graft_orc")
+    val src = Tables.orders(spark, sf)
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    val sumA = src.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).collect()(0).getDecimal(0)
+    val sumB = back.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).collect()(0).getDecimal(0)
+    assert(sumA == sumB)
+  }
+
   test("parquet sink preserves types exactly (timestamps, doubles, arrays)") {
     val out = tmp("graft_parquet")
     val src = Tables.embeddings(spark, sf)
