@@ -170,62 +170,85 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Round cap for [[components]]. Worst case is one round per unit of
-    * component diameter: the label-of-label hop doubles reach along
-    * monotone label chains but is idle at a node whose label is itself
-    * (a local id minimum), so the cap — not the hop — is the exactness
-    * bound. The fixpoint early-exit makes the cap a safety net, not the
-    * cost: near-dup pair graphs (pairs/triples/short chains) settle in
-    * ≤5 rounds, and DedupSimilaritySpec proves exactness against
-    * brute-force closures on the fixture, a 14-node chain, AND random
-    * graphs. A corpus whose duplicate graph could have adversarial
-    * diameters (> MaxRounds) would swap in star-contraction CC
-    * (O(log) rounds, Kiveris-style) inside this same
-    * checkpoint-per-round harness. */
+  /** Iteration cap for [[components]] — a safety net only: alternating
+    * star contraction converges in O(log² n) rounds on ANY graph shape
+    * (near-dup pair graphs settle in 2-3), and each iteration ends with
+    * an EXACT fixpoint check, so the cap can't silently truncate a live
+    * contraction within any realistic component size. */
   private val MaxRounds = 25
 
-  /** Connected components over an undirected edge list `(src, dst)`:
-    * min-label propagation (min over self, neighbors' labels, and
-    * label-of-label) iterated to the proven fixpoint, materialized
-    * between rounds (`localCheckpoint`) exactly as an iterative graph
-    * algorithm must at scale: the shuffled state is only (id, lbl) long
-    * pairs, each round is 2 narrow joins + one partial-agg min, and the
-    * lineage break keeps the plan linear in rounds instead of 3^rounds.
-    * Deterministic: min is order-free. */
+  /** Connected components over an undirected edge list `(src, dst)` by
+    * alternating star contraction (the Kiveris et al. MapReduce CC
+    * algorithm — large-star then small-star per iteration, until the
+    * edge set is a fixpoint of both):
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m(u) = min(N(u) ∪ {u});
+    *  - small-star(u): every neighbor v ≤ u, and u itself, attach to m(u).
+    * At the fixpoint the edges form stars centered at each component's
+    * minimum id; labels read straight off the star edges (centers label
+    * themselves). Unlike min-label PROPAGATION (whose worst case is one
+    * round per unit of diameter — its label-of-label shortcut is idle at
+    * local id minima, a bug a randomized union-find test caught), star
+    * contraction halves long chains every iteration regardless of where
+    * the minima sit. Scale shape per phase: one groupBy-min over the
+    * symmetric edge list + one join — only (long, long) pairs shuffle —
+    * with a `localCheckpoint` lineage break per phase; the fixpoint test
+    * is an exact anti-join on the canonical edge set. Deterministic:
+    * min is order-free, the edge set is kept canonical (lo, hi) and
+    * distinct. */
   private[graft] def components(edgesIn: DataFrame): DataFrame = {
-    val edges = edgesIn.select(col("src"), col("dst"))
-      .union(edgesIn.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
-    // labels only DECREASE under min-propagation, so an unchanged label
-    // sum is a fixpoint proof — one cheap aggregate on the tiny
-    // checkpointed state buys early exit (near-dup graphs converge in
-    // 2-3 rounds; MaxRounds stays the worst-case exactness bound)
-    def lblSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("lbl")), lit(0L))).first.getLong(0)
-    var prevSum = lblSum(labels)
-    var converged = labels.isEmpty
-    for (round <- 1 to MaxRounds if !converged) {
-      val viaEdge = edges.as("e").join(labels.as("l"), col("e.dst") === col("l.id"))
-        .select(col("e.src").as("id"), col("l.lbl").as("lbl"))
-      // round 1's label-of-label hop is the identity (L(x) = x) — skip it
-      val cand =
-        if (round == 1) labels.union(viaEdge)
-        else {
-          val viaHop = labels.as("x").join(labels.as("y"), col("x.lbl") === col("y.id"))
-            .select(col("x.id").as("id"), col("y.lbl").as("lbl"))
-          labels.union(viaEdge).union(viaHop)
-        }
-      labels = cand
-        .groupBy("id").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      val s = lblSum(labels)
-      converged = s == prevSum
-      prevSum = s
+    def canonical(df: DataFrame): DataFrame =
+      df.select(least(col("v"), col("m")).as("lo"),
+          greatest(col("v"), col("m")).as("hi"))
+        .filter(col("lo") =!= col("hi")).distinct()
+    var canon = edgesIn
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct().localCheckpoint(true)
+    val canon0 = canon // checkpointed: node set derived from it at the end
+
+    def phase(large: Boolean): Unit = {
+      val sym = canon.select(col("lo").as("u"), col("hi").as("v"))
+        .union(canon.select(col("hi").as("u"), col("lo").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val withM = sym.join(m, "u")
+      val emitted =
+        if (large) withM.filter(col("v") > col("u")).select(col("v"), col("m"))
+        else withM.filter(col("v") <= col("u")).select(col("v"), col("m"))
+          .union(m.select(col("u").as("v"), col("m")))
+      canon = canonical(emitted).localCheckpoint(true)
     }
-    labels
+
+    // (count, Σlo, Σhi) signature: one aggregate on the tiny checkpointed
+    // state. A changed signature proves NOT converged without any join;
+    // only a matching signature pays for the EXACT set-equality anti-join.
+    def signature(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(col("lo")), lit(0L)), coalesce(sum(col("hi")), lit(0L))).first
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var converged = canon.isEmpty
+    var prevSig = signature(canon)
+    var iters = 0
+    while (!converged && iters < MaxRounds) {
+      val before = canon
+      phase(large = true)
+      phase(large = false)
+      iters += 1
+      val sig = signature(canon)
+      converged = sig == prevSig && before.except(canon).isEmpty
+      prevSig = sig
+    }
+    // stars: each child edge is (center=lo, child=hi); centers (and any
+    // node never appearing as a child) label themselves
+    val nodes = canon0.select(col("lo").as("id"))
+      .union(canon0.select(col("hi").as("id"))).distinct()
+    val childLabels = canon.select(col("hi").as("id"), col("lo").as("lbl"))
+    val centerLabels = nodes
+      .join(childLabels.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("lbl"))
+    childLabels.union(centerLabels)
   }
 
   /** Transitive dedup clusters: connected components over the MinHash/LSH
