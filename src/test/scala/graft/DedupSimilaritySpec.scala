@@ -94,11 +94,11 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivf.size == 10, "IVF probes 2 cells — every query has candidates")
   }
 
-  test("components: propagation is exact on a 14-node chain") {
+  test("components: star contraction is exact on a 14-node chain") {
     import spark.implicits._
-    // diameter 13 — needs many rounds; the fixpoint loop must keep going
-    // until converged (the label-of-label hop shortens but cannot be
-    // assumed to double reach: it is idle at local id minima)
+    // diameter 13 — the shape that breaks fixed-round label propagation
+    // (one round per hop); star contraction must halve it each iteration
+    // and the fixpoint loop must run until truly converged
     val chain = (0L until 13L).map(i => (i, i + 1)) :+ (100L, 101L)
     val labels = Dedup.components(chain.toDF("src", "dst"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
