@@ -138,50 +138,55 @@ object Similarity {
     * identical shuffles are AQE-reusable); a production pipeline would
     * persist the KCells-row centroid table between the training and
     * indexing phases rather than recompute it. */
-  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+  /** Deterministic hash-picked seeds, cell ids 0..KCells-1 in hash order
+    * (the trailing window sorts only the KCells surviving rows). */
+  private def kmeansSeeds(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = vecs(s, dir).select(col("vec_id"), col("v"))
-
-    // deterministic hash-picked seeds, cell ids 0..KCells-1 in hash order
-    // (the trailing window sorts only the KCells surviving rows)
-    val seedPool = e
-      .select(col("vec_id"), col("v"),
+    e.select(col("vec_id"), col("v"),
         TextPipeline.h32(col("vec_id").cast("string")).as("h"))
       .orderBy(col("h"), col("vec_id")).limit(KCells)
-    val seeds = seedPool
       .withColumn("cell",
         (row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1).cast("long"))
       .select(col("cell"), col("v").as("cv"))
+  }
 
-    /** Nearest-cell assignment: broadcast ALL centroids as one array row,
-      * argmin via lexicographic struct min — no shuffle, no window. */
-    def assign(centroids: DataFrame): DataFrame = {
-      val cs = centroids
-        .agg(sort_array(collect_list(struct(col("cell"), col("cv")))).as("cs"))
-      e.crossJoin(broadcast(cs))
-        .select(col("vec_id"), col("v"),
-          array_min(transform(col("cs"), c =>
-            struct(
-              aggregate(zip_with(col("v"), c.getField("cv"), (x, y) => (x - y) * (x - y)),
-                lit(0.0), (a, x) => a + x).as("d2"),
-              c.getField("cell").as("cell"))))
-            .getField("cell").as("cell"))
-    }
+  /** Nearest-cell assignment: broadcast ALL centroids as one array row,
+    * argmin via lexicographic struct min — no shuffle, no window. */
+  private def kmeansAssign(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val cs = centroids
+      .agg(sort_array(collect_list(struct(col("cell"), col("cv")))).as("cs"))
+    e.crossJoin(broadcast(cs))
+      .select(col("vec_id"), col("v"),
+        array_min(transform(col("cs"), c =>
+          struct(
+            aggregate(zip_with(col("v"), c.getField("cv"), (x, y) => (x - y) * (x - y)),
+              lit(0.0), (a, x) => a + x).as("d2"),
+            c.getField("cell").as("cell"))))
+          .getField("cell").as("cell"))
+  }
 
-    /** Lloyd update: per-(cell, dim) mean from exact quantized-int sums. */
-    def update(assigned: DataFrame): DataFrame =
-      assigned.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(round(col("x") * QScale).cast("long")).as("sq"),
-          count(lit(1)).as("n"))
-        .select(col("cell"), col("pos"),
-          (col("sq").cast("double") / (col("n").cast("double") * QScale)).as("c"))
-        .groupBy(col("cell"))
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
-          t => t.getField("c")).as("cv"))
+  /** Lloyd update: per-(cell, dim) mean from exact quantized-int sums. */
+  private def kmeansUpdate(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(round(col("x") * QScale).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), col("pos"),
+        (col("sq").cast("double") / (col("n").cast("double") * QScale)).as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+        t => t.getField("c")).as("cv"))
 
-    val c2 = update(assign(update(assign(seeds))))
-    val index = assign(c2) // (vec_id, v, cell): the inverted file
+  /** Two Lloyd iterations from the hash seeds: the learned coarse
+    * quantizer shared by [[qAnnIvf]] and [[qDedupSemantic]]. */
+  private def kmeansCentroids(e: DataFrame): DataFrame =
+    kmeansUpdate(kmeansAssign(e, kmeansUpdate(kmeansAssign(e, kmeansSeeds(e)))))
+
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs(s, dir).select(col("vec_id"), col("v"))
+    val c2 = kmeansCentroids(e)
+    val index = kmeansAssign(e, c2) // (vec_id, v, cell): the inverted file
 
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
@@ -205,10 +210,39 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Embedding near-dup pairs blocked by the LEARNED k-means cells — the
+    * scale upgrade over `q_dedup_embedding`'s label blocking (Dedup.scala):
+    * the blocking key is computed from vector geometry, so it exists even
+    * when no curated label column does (the real situation on a crawled
+    * corpus). Same exact-verification contract: candidates = same-cell
+    * pairs, verifier = full-precision fused cosine ≥ 0.4, rounded to 6 dp.
+    *
+    * Scale stance (100 TB): centroid training is two scan+narrow-agg
+    * passes (centroid table stays KCells rows, broadcast); the pair join
+    * shuffles each vector ONCE on its cell id and is cell-local after
+    * that — work Σ_cell |cell|², the embedding-space analogue of the
+    * LSH-band join. Pairs straddling cell boundaries are out of contract
+    * (blocked dedup); nprobe-style multi-assignment is the recall knob a
+    * production run would add, at nprobe× the shuffle volume. */
+  def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir).select(col("vec_id"), col("v"))
+    val idx = kmeansAssign(e, kmeansCentroids(e))
+    val a = idx.select(col("cell"), col("vec_id").as("a_id"), col("v").as("a_v"))
+    val b = idx.select(col("cell"), col("vec_id").as("b_id"), col("v").as("b_v"))
+    a.join(b, "cell").filter(col("a_id") < col("b_id"))
+      .select(col("cell"), col("a_id"), col("b_id"),
+        cosine(col("a_v"), col("b_v")).as("cos_raw"))
+      .filter(col("cos_raw") >= 0.4)
+      .select(col("cell"), col("a_id"), col("b_id"),
+        round(col("cos_raw"), 6).as("cosine"))
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_dedup_semantic" -> (qDedupSemantic _),
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -217,6 +251,12 @@ object Similarity {
     """list_sum(list_transform(a.v, (x,i) -> x * q.q_v[i])) /
       |    (sqrt(list_sum(list_transform(a.v, x -> x*x)))
       |     * sqrt(list_sum(list_transform(q.q_v, x -> x*x))))""".stripMargin
+
+  /** Pairwise twin of duckCos for self-joins aliased a/b. */
+  private val duckPairCos =
+    """list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) /
+      |    (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+      |     * sqrt(list_sum(list_transform(b.v, x -> x*x))))""".stripMargin
 
   private def duckPlane(k: Int): String =
     planes(k).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
@@ -306,5 +346,23 @@ object Similarity {
          |SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id,
          |  round(cos_raw, 6) AS cosine
          |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "q_dedup_semantic" ->
+      s"""WITH $duckVecs,
+         |seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell,
+         |    v AS cv
+         |  FROM (SELECT vec_id, v,
+         |          ${TextPipeline.duckH32("CAST(vec_id AS VARCHAR)")} AS h FROM e)
+         |  ORDER BY h, vec_id LIMIT $KCells),
+         |a0 AS (${duckAssign("seeds")}),
+         |c1 AS (${duckUpdate("a0")}),
+         |a1 AS (${duckAssign("c1")}),
+         |c2 AS (${duckUpdate("a1")}),
+         |idx AS (${duckAssign("c2")}),
+         |pairs AS (
+         |  SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id, $duckPairCos AS cos_raw
+         |  FROM idx a JOIN idx b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT cell, a_id, b_id, round(cos_raw, 6) AS cosine
+         |FROM pairs WHERE cos_raw >= 0.4 ORDER BY a_id, b_id""".stripMargin,
   )
 }
