@@ -100,6 +100,40 @@ object TextAnalysis {
           "en").otherwise("unk").as("predicted"))
       .orderBy("doc_id")
 
+  /** Document-level word co-occurrence association: for non-stopword pairs
+    * appearing together in ≥ 5 documents, lift = P(a,b)/(P(a)·P(b)) =
+    * c_ab·N / (c_a·c_b) — the rational argument of PMI (PMI = ln lift),
+    * kept log-free for cross-engine exactness (see scaladoc above). Top 50
+    * pairs by lift, ties broken lexicographically.
+    *
+    * Scale stance: the pair generator self-joins distinct (doc_id, word)
+    * rows on doc_id — doc-local after ONE shuffle of narrow string pairs,
+    * work Σ_doc u² bounded by the per-doc distinct-token cap (and a hot
+    * doc is AQE skew-splittable); the support filter runs BEFORE the
+    * per-word count joins so only surviving pairs shuffle again. c_ab·N
+    * stays in exact long arithmetic (counts ≪ 2^31 here); a corpus where
+    * N² overflows long would flip the one multiply to double. */
+  def qCooccurLift(s: SparkSession, dir: String): DataFrame = {
+    val dw = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(toks)).as("w"))
+      .filter(!col("w").isin(stop: _*))
+    val cw = dw.groupBy("w").agg(count(lit(1)).as("c"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val a = dw.select(col("doc_id"), col("w").as("wa"))
+    val b = dw.select(col("doc_id"), col("w").as("wb"))
+    a.join(b, "doc_id").filter(col("wa") < col("wb"))
+      .groupBy("wa", "wb").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+      .join(cw.select(col("w").as("wa"), col("c").as("c_a")), "wa")
+      .join(cw.select(col("w").as("wb"), col("c").as("c_b")), "wb")
+      .crossJoin(broadcast(n))
+      .select(col("wa"), col("wb"), col("c_ab"), col("c_a"), col("c_b"),
+        round((col("c_ab") * col("n_docs")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("wa"), col("wb"))
+      .limit(50)
+  }
+
   /** TF-IDF-style top-5 salient terms per document (rational rarity weight,
     * see scaladoc above). Two aggregations + one join + one window. */
   def qTfidfTop(s: SparkSession, dir: String): DataFrame = {
@@ -194,6 +228,7 @@ object TextAnalysis {
     "q_bigrams_top" -> (qBigramsTop _),
     "q_lang_id" -> (qLangId _),
     "q_tfidf_top" -> (qTfidfTop _),
+    "q_cooccur_lift" -> (qCooccurLift _),
     "q_fingerprint" -> (qFingerprint _),
   )
 
@@ -278,6 +313,22 @@ object TextAnalysis {
          |                                tf.word ASC) AS rnk
          |  FROM tf JOIN df USING (word), n)
          |WHERE rnk <= 5 ORDER BY doc_id, rnk, word""".stripMargin,
+    "q_cooccur_lift" ->
+      s"""WITH dw AS (
+         |  SELECT DISTINCT doc_id, word FROM (
+         |    SELECT doc_id, unnest($duckToks) AS word FROM documents)
+         |  WHERE word NOT IN $duckStop),
+         |cw AS (SELECT word, count(*) AS c FROM dw GROUP BY word),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |pairs AS (
+         |  SELECT a.word AS wa, b.word AS wb, count(*) AS c_ab
+         |  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
+         |  GROUP BY a.word, b.word HAVING count(*) >= 5)
+         |SELECT wa, wb, c_ab, ca.c AS c_a, cb.c AS c_b,
+         |  round(CAST(c_ab * n.n_docs AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE), 6) AS lift
+         |FROM pairs JOIN cw ca ON pairs.wa = ca.word
+         |           JOIN cw cb ON pairs.wb = cb.word, n
+         |ORDER BY lift DESC, wa, wb LIMIT 50""".stripMargin,
     "q_fingerprint" ->
       s"""SELECT doc_id, md5(list_aggr($duckToks, 'string_agg', ' ')) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
