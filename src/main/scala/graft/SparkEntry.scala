@@ -23,6 +23,7 @@ object SparkEntry {
     (q.AsOf.queries, q.AsOf.oracle),
     (q.Extras.queries, q.Extras.oracle),
     (q.Corpus.queries, q.Corpus.oracle),
+    (q.Graph.queries, q.Graph.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** M8 — iterative graph analytics: PageRank over the supplier↔customer
+  * co-transaction graph (edges from lineitem⨝orders, materialized in BOTH
+  * directions so the bipartite graph has no dangling nodes and the classic
+  * power iteration needs no dangling-mass redistribution term).
+  *
+  * The reference has nothing graph-shaped (SURVEY.md §2.2); this tier is
+  * pure extension surface, the batch-iterative complement of the
+  * connected-components star contraction in Dedup (`q_dedup_clusters`).
+  *
+  * Cross-engine exactness: per-target contribution sums are FLOAT SUMS —
+  * order-dependent in IEEE — so each edge contribution quantizes to
+  * round(rank/deg · 1e12) BIGINT first; the long sum is commutative and
+  * partition-order-free (the q_stats / k-means centroid trick), and the
+  * damping update is then a fixed sequence of exact double ops. Both
+  * engines run the identical 3-iteration unrolled program.
+  *
+  * Scale stance (100 TB): edges shuffle ONCE per iteration on dst (narrow
+  * (dst, long) rows — never adjacency lists); degree and rank tables are
+  * node-cardinality and join on the node key; the rank⨝edges join is a
+  * plain shuffled hash join AQE can skew-split on a hub node. Iterations
+  * unroll declaratively — in production each iteration's rank table would
+  * checkpoint/persist to cut lineage, like the star-contraction phases.
+  */
+object Graph {
+
+  private val Damping = 0.85
+  private val Iters = 3
+  /** Contribution quantization denominator (exact commutative sums). */
+  private val QP = 1e12
+
+  /** Directed edge list, both orientations of each distinct
+    * (supplier, customer) trading pair; node ids prefixed to keep the two
+    * key spaces disjoint. */
+  private def edges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("s:"), col("l_suppkey")).as("s_node"),
+        concat(lit("c:"), col("o_custkey")).as("c_node"))
+      .distinct()
+    pairs.select(col("s_node").as("src"), col("c_node").as("dst"))
+      .union(pairs.select(col("c_node").as("src"), col("s_node").as("dst")))
+  }
+
+  /** PageRank, 3 unrolled power iterations, damping 0.85, uniform init
+    * 1/N over the nodes incident to ≥1 edge. Output: top 20 nodes by
+    * N-normalized rank (average = 1), ties broken by node id. */
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = deg.agg(count(lit(1)).as("n_nodes"))
+    val r0 = deg.crossJoin(broadcast(n))
+      .select(col("src").as("node"), col("deg"), col("n_nodes"),
+        (lit(1.0) / col("n_nodes").cast("double")).as("rank"))
+
+    def step(r: DataFrame): DataFrame =
+      r.join(e, r("node") === e("src"))
+        .select(col("dst"),
+          round(col("rank") / col("deg").cast("double") * QP).cast("long").as("q"))
+        .groupBy(col("dst")).agg(sum(col("q")).as("sq"))
+        .join(deg, col("dst") === deg("src"))
+        .crossJoin(broadcast(n))
+        .select(col("dst").as("node"), col("deg"), col("n_nodes"),
+          ((lit(1.0) - Damping) / col("n_nodes").cast("double") +
+            lit(Damping) * (col("sq").cast("double") / QP)).as("rank"))
+
+    val r3 = (1 to Iters).foldLeft(r0)((r, _) => step(r))
+    r3.select(col("node"),
+        round(col("rank") * col("n_nodes").cast("double"), 6).as("nrank"))
+      .orderBy(col("nrank").desc, col("node"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (qPagerank _),
+  )
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  /** One power-iteration CTE body over ranks `r` — the SQL twin of `step`. */
+  private def duckStep(r: String): String =
+    s"""SELECT d.src AS node, d.deg, c.sq, n.n_nodes,
+       |    (1.0 - $Damping) / CAST(n.n_nodes AS DOUBLE)
+       |      + $Damping * (CAST(c.sq AS DOUBLE) / $QP) AS rank
+       |  FROM (
+       |    SELECT e.dst, sum(CAST(round(r.rank / CAST(r.deg AS DOUBLE) * $QP) AS BIGINT)) AS sq
+       |    FROM $r r JOIN edges e ON r.node = e.src GROUP BY e.dst) c
+       |  JOIN deg d ON c.dst = d.src, n""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_pagerank" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT 's:' || l_suppkey AS s_node, 'c:' || o_custkey AS c_node
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (
+         |  SELECT s_node AS src, c_node AS dst FROM pairs
+         |  UNION ALL SELECT c_node, s_node FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |n AS (SELECT count(*) AS n_nodes FROM deg),
+         |r0 AS (SELECT src AS node, deg, n.n_nodes,
+         |         1.0 / CAST(n.n_nodes AS DOUBLE) AS rank FROM deg, n),
+         |r1 AS (${duckStep("r0")}),
+         |r2 AS (${duckStep("r1")}),
+         |r3 AS (${duckStep("r2")})
+         |SELECT node, round(rank * CAST(n_nodes AS DOUBLE), 6) AS nrank
+         |FROM r3 ORDER BY nrank DESC, node LIMIT 20""".stripMargin,
+  )
+}
