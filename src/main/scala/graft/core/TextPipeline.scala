@@ -55,6 +55,37 @@ object TextPipeline {
     "list_filter(list_transform(string_split(text, ' '), " +
       "t -> lower(regexp_replace(t, '[^a-zA-Z]', '', 'g'))), x -> x <> '')"
 
+  /** Non-distinct word-trigram array over a token array `w` (the 3-shingle
+    * stream before dedup — repetition scoring needs the multiplicity).
+    * zip_with formulation, NOT element_at-over-sequence: inlining the
+    * token pipeline into an element_at body re-derives the array PER
+    * ELEMENT — O(tokens²) interpreted regex work (measured 70× at sf0.1).
+    * zip_with references `w` O(1) times. zip_with pads the shorter side
+    * with null and concat(null) propagates, so trailing pads drop in the
+    * filter. */
+  def trigrams(w: Column): Column = {
+    val tri = zip_with(
+      zip_with(w, slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+        (x, y) => concat(x, lit(" "), y)),
+      slice(w, lit(3), greatest(size(w) - 2, lit(0))),
+      (xy, z) => concat(xy, lit(" "), z))
+    filter(tri, t => t.isNotNull)
+  }
+
+  /** Distinct 3-shingle SET of a token array — the dedup-side projection
+    * (MinHash, Jaccard, fingerprint families). */
+  def shinglesOf(w: Column): Column = array_distinct(trigrams(w))
+
+  /** DuckDB spelling of [[trigrams]] over a token-list expression `w`. */
+  def duckTrigrams(w: String): String =
+    s"""CASE WHEN len($w) >= 3
+       | THEN list_transform(range(1, len($w) - 1),
+       |        i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])
+       | ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+
+  /** DuckDB spelling of [[shinglesOf]]. */
+  def duckShingles(w: String): String = s"list_distinct(${duckTrigrams(w)})"
+
   /** Portable 32-bit hash of a string column — first 8 hex chars of md5,
     * bit-identical in Spark and DuckDB ([[duckH32]]); the base hash under
     * MinHash, sampling, and fingerprinting. */

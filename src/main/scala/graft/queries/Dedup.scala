@@ -61,32 +61,13 @@ object Dedup {
 
   private val duckToks = TextPipeline.duckToks
 
-  /** Distinct 3-word shingles of the token array (empty if < 3 tokens).
-    *
-    * Built with zip_with over shifted slices, NOT
-    * `transform(sequence, i -> element_at(w, i)...)`: optimizer rules
-    * (InferFiltersFromGenerate + predicate pushdown + CollapseProject)
-    * can substitute the whole producing expression for `w`, and an
-    * element_at formulation then re-derives the token array PER ELEMENT —
-    * O(tokens²) interpreted regex work (measured 70× slowdown at sf0.1).
-    * zip_with references w O(1) times, so worst-case inlining costs a
-    * constant factor. zip_with pads the shorter side with null and
-    * concat(null) propagates, so the trailing pads drop in the filter. */
-  private def shinglesOf(w: Column): Column = {
-    val tri = zip_with(
-      zip_with(w, slice(w, lit(2), greatest(size(w) - 1, lit(0))),
-        (x, y) => concat(x, lit(" "), y)),
-      slice(w, lit(3), greatest(size(w) - 2, lit(0))),
-      (xy, z) => concat(xy, lit(" "), z))
-    array_distinct(filter(tri, t => t.isNotNull))
-  }
+  /** Distinct 3-word shingles of the token array (empty if < 3 tokens);
+    * zip_with-over-slices formulation and the inlining rationale live in
+    * TextPipeline (shared with the repetition scorer). */
+  private def shinglesOf(w: Column): Column = TextPipeline.shinglesOf(w)
 
   /** DuckDB spelling of the same shingle set over a token-list column `w`. */
-  private def duckShingles(w: String): String =
-    s"""list_distinct(CASE WHEN len($w) >= 3
-       | THEN list_transform(range(1, len($w) - 1),
-       |        i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])
-       | ELSE CAST([] AS VARCHAR[]) END)""".stripMargin
+  private def duckShingles(w: String): String = TextPipeline.duckShingles(w)
 
   /** MinHash signature array (NumHashes entries) over a PRE-HASHED shingle
     * array (`hashShingles`): each slot is an affine mix + min over the

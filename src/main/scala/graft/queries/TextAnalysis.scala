@@ -100,6 +100,51 @@ object TextAnalysis {
           "en").otherwise("unk").as("predicted"))
       .orderBy("doc_id")
 
+  /** Intra-document repetition score (Gopher-style quality signal): the
+    * fraction of a document's word trigrams that are duplicates,
+    * rep_ratio = 1 − distinct/total. Boilerplate and loop-generated text
+    * score high; clean prose near 0. Pure array math off one scan — no
+    * explode, no shuffle; the value is an integer ratio, exact in both
+    * engines. */
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextPipeline.trigrams(toks).as("tri"))
+      .select(col("doc_id"),
+        size(col("tri")).as("n_trigrams"),
+        size(array_distinct(col("tri"))).as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_trigrams") > 0,
+          round(lit(1.0) - col("n_distinct").cast("double")
+            / col("n_trigrams").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+
+  /** Out-of-vocabulary rate per document against a corpus-derived top-16
+    * vocabulary (count-desc, ties lexicographic — a total order, so the
+    * cut is deterministic in both engines). The tokenizer-coverage
+    * metric of a training pipeline: how much text a fixed vocab drops.
+    *
+    * Scale stance: the vocabulary is a TakeOrdered of the word counts
+    * (K rows) and is explicitly broadcast — the corpus-side token stream
+    * never shuffles for the membership test, and the per-doc aggregate
+    * partial-aggregates map-side. At a real 100 TB corpus K grows to
+    * ~10⁵ (BPE-vocab scale) and stays broadcastable. */
+  def qOovRate(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("w"))
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(16)
+      .select(col("w"), lit(1).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1).otherwise(0)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
   /** Document-level word co-occurrence association: for non-stopword pairs
     * appearing together in ≥ 5 documents, lift = P(a,b)/(P(a)·P(b)) =
     * c_ab·N / (c_a·c_b) — the rational argument of PMI (PMI = ln lift),
@@ -229,6 +274,8 @@ object TextAnalysis {
     "q_lang_id" -> (qLangId _),
     "q_tfidf_top" -> (qTfidfTop _),
     "q_cooccur_lift" -> (qCooccurLift _),
+    "q_repetition" -> (qRepetition _),
+    "q_oov_rate" -> (qOovRate _),
     "q_fingerprint" -> (qFingerprint _),
   )
 
@@ -313,6 +360,30 @@ object TextAnalysis {
          |                                tf.word ASC) AS rnk
          |  FROM tf JOIN df USING (word), n)
          |WHERE rnk <= 5 ORDER BY doc_id, rnk, word""".stripMargin,
+    "q_oov_rate" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest($duckToks) AS w FROM documents),
+         |vocab AS (
+         |  SELECT w FROM (
+         |    SELECT w, count(*) AS c FROM words GROUP BY w
+         |    ORDER BY c DESC, w LIMIT 16))
+         |SELECT words.doc_id,
+         |  count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  round(CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS oov_rate
+         |FROM words LEFT JOIN vocab ON words.w = vocab.w
+         |GROUP BY words.doc_id ORDER BY words.doc_id""".stripMargin,
+    "q_repetition" ->
+      s"""SELECT doc_id,
+         |  CAST(len(tri) AS INT) AS n_trigrams,
+         |  CAST(len(list_distinct(tri)) AS INT) AS n_distinct,
+         |  CASE WHEN len(tri) > 0
+         |       THEN round(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri), 6)
+         |       ELSE 0.0 END AS rep_ratio
+         |FROM (SELECT doc_id, ${TextPipeline.duckTrigrams(s"($duckToks)")} AS tri
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     "q_cooccur_lift" ->
       s"""WITH dw AS (
          |  SELECT DISTINCT doc_id, word FROM (
