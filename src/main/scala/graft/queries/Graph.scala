@@ -51,7 +51,13 @@ object Graph {
     * 1/N over the nodes incident to ≥1 edge. Output: top 20 nodes by
     * N-normalized rank (average = 1), ties broken by node id. */
   def qPagerank(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir)
+    // materialize the edge list ONCE, hash-partitioned on the join key —
+    // without this every unrolled iteration re-derives the whole
+    // lineitem⨝orders⨝distinct pipeline (the dominant cost: 6.3 s → this
+    // is the star-contraction localCheckpoint discipline, Dedup.scala).
+    // At cluster scale this is the persisted/checkpointed edge table every
+    // Pregel-style system keeps between supersteps.
+    val e = edges(s, dir).repartition(col("src")).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val n = deg.agg(count(lit(1)).as("n_nodes"))
     val r0 = deg.crossJoin(broadcast(n))

@@ -178,9 +178,15 @@ object Similarity {
         t => t.getField("c")).as("cv"))
 
   /** Two Lloyd iterations from the hash seeds: the learned coarse
-    * quantizer shared by [[qAnnIvf]] and [[qDedupSemantic]]. */
+    * quantizer shared by [[qAnnIvf]] and [[qDedupSemantic]]. The KCells-row
+    * centroid table is localCheckpoint-materialized so the downstream
+    * plans (which reference it from several branches — probes + index,
+    * both self-join sides) don't re-run the whole Lloyd chain per branch;
+    * a production pipeline persists exactly this table between the
+    * training and indexing phases. */
   private def kmeansCentroids(e: DataFrame): DataFrame =
     kmeansUpdate(kmeansAssign(e, kmeansUpdate(kmeansAssign(e, kmeansSeeds(e)))))
+      .localCheckpoint()
 
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
