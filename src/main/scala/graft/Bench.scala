@@ -62,7 +62,13 @@ object Bench {
         Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
     }
     val maxIters = 9
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter for local iteration (unset for
+    // the driver's full run)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val primary = (1 to iters).map(_ => timeOnce(fn))
       var extras = Vector.empty[Either[String, Double]]
       def ts = (primary ++ extras).collect { case Right(t) => t }
