@@ -203,6 +203,83 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk", "word")
   }
 
+  /** Document-pair similarity by SALIENT-TERM blocking: each document is
+    * projected to its top-5 TF-IDF terms (the q_tfidf_top ranking — same
+    * rational rarity weight, so the per-doc order is already proven
+    * cross-engine exact); pairs sharing ≥ 4 salient terms are scored with
+    * the exact integer Jaccard of the two salient sets. The sparse-vector
+    * twin of q_ngram_jaccard: where shingles catch near-verbatim
+    * duplication, salient-term overlap catches topical similarity.
+    *
+    * Plan: PREFIX-FILTERED, like q_ngram_jaccard_prefix — indexing all 5
+    * postings per doc is Σ_term df² and melts down when salient terms
+    * concentrate (this fixture's 31-word vocabulary is the extreme case:
+    * 21 s at sf0.1 for the naive plan). Instead:
+    *  1. order each doc's terms by GLOBAL rarity (df, word);
+    *  2. index only the k−3 rarest (k = set size, threshold t = 4:
+    *     prefix size k−t+1): any pair sharing ≥ 4 terms must collide in
+    *     both prefixes — no qualifying pair is lost;
+    *  3. verify candidates EXACTLY with the SortedIntersectCount merge
+    *     kernel over the two sorted 5-term arrays (the per-doc term table
+    *     is doc-count-sized and broadcastable).
+    * Everything compared is an integer or a (df, word) rank — no float
+    * ordering anywhere in candidate generation. */
+  def qDocSimilarity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfq = words.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word").asc)
+    val top5 = tf.join(dfq, "word").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          ((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("word"), col("df"))
+      // ≤5 rows/doc, referenced by FIVE downstream branches (sets, prefix,
+      // both candidate sides, both verify sides) — materialize once instead
+      // of re-running explode+aggs+window per branch
+      .localCheckpoint()
+    // per-doc sorted salient set + its size (k ≥ 4 can reach the threshold)
+    val sets = top5.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("word"))).as("terms"),
+        count(lit(1)).as("k"))
+      .filter(col("k") >= 4)
+    // prefix = the k−3 globally rarest terms of each doc
+    val wPref = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("word").asc)
+    val pref = top5.join(sets.select("doc_id", "k"), "doc_id")
+      .withColumn("rn", row_number().over(wPref))
+      .filter(col("rn") <= col("k") - 3)
+      .select(col("word"), col("doc_id"))
+      // canonicalize both self-join sides to ONE reused exchange
+      .repartition(col("word"))
+    val cand = pref.select(col("word"), col("doc_id").as("a_id"))
+      .join(pref.select(col("word"), col("doc_id").as("b_id")), "word")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(broadcast(sets.select(col("doc_id").as("a_id"),
+        col("terms").as("a_terms"), col("k").as("ka"))), "a_id")
+      .join(broadcast(sets.select(col("doc_id").as("b_id"),
+        col("terms").as("b_terms"), col("k").as("kb"))), "b_id")
+      .select(col("a_id"), col("b_id"),
+        graft.functions.VectorFunctions.sortedIntersectCount(
+          col("a_terms"), col("b_terms")).cast("long").as("shared"),
+        col("ka"), col("kb"))
+      .filter(col("shared") >= 4)
+      .select(col("a_id"), col("b_id"), col("shared"),
+        round(col("shared").cast("double")
+          / (col("ka") + col("kb") - col("shared")).cast("double"), 6)
+          .as("salient_jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Canonical-form document fingerprint: md5 of the normalized token
     * stream — the exact-dedup key for q_dedup_exact. */
   def qFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -276,6 +353,7 @@ object TextAnalysis {
     "q_cooccur_lift" -> (qCooccurLift _),
     "q_repetition" -> (qRepetition _),
     "q_oov_rate" -> (qOovRate _),
+    "q_doc_similarity" -> (qDocSimilarity _),
     "q_fingerprint" -> (qFingerprint _),
   )
 
@@ -360,6 +438,42 @@ object TextAnalysis {
          |                                tf.word ASC) AS rnk
          |  FROM tf JOIN df USING (word), n)
          |WHERE rnk <= 5 ORDER BY doc_id, rnk, word""".stripMargin,
+    "q_doc_similarity" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest($duckToks) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+         |df AS (SELECT word, count(*) AS df
+         |       FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY word),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |top5 AS (
+         |  SELECT doc_id, word FROM (
+         |    SELECT tf.doc_id, tf.word,
+         |      row_number() OVER (PARTITION BY tf.doc_id
+         |        ORDER BY CAST(tf.tf AS DOUBLE) * ((n.n + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) DESC,
+         |                 tf.word ASC) AS rnk
+         |    FROM tf JOIN df USING (word), n) WHERE rnk <= 5),
+         |sets AS (
+         |  SELECT doc_id, list_sort(list(word)) AS terms, count(*) AS k
+         |  FROM top5 GROUP BY doc_id HAVING count(*) >= 4),
+         |pref AS (
+         |  SELECT doc_id, word FROM (
+         |    SELECT t.doc_id, t.word, s.k,
+         |      row_number() OVER (PARTITION BY t.doc_id
+         |        ORDER BY df.df ASC, t.word ASC) AS rn
+         |    FROM top5 t JOIN df USING (word) JOIN sets s USING (doc_id))
+         |  WHERE rn <= k - 3),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM pref a JOIN pref b ON a.word = b.word AND a.doc_id < b.doc_id),
+         |ver AS (
+         |  SELECT c.a_id, c.b_id,
+         |    CAST(len(list_intersect(sa.terms, sb.terms)) AS BIGINT) AS shared,
+         |    sa.k AS ka, sb.k AS kb
+         |  FROM cand c JOIN sets sa ON c.a_id = sa.doc_id
+         |              JOIN sets sb ON c.b_id = sb.doc_id)
+         |SELECT a_id, b_id, shared,
+         |  round(CAST(shared AS DOUBLE) / (ka + kb - shared), 6) AS salient_jaccard
+         |FROM ver WHERE shared >= 4 ORDER BY a_id, b_id""".stripMargin,
     "q_oov_rate" ->
       s"""WITH words AS (
          |  SELECT doc_id, unnest($duckToks) AS w FROM documents),
