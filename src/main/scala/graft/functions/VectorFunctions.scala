@@ -23,6 +23,14 @@ object VectorFunctions {
     ExpressionUtils.column(SortedIntersectCount(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Nearest-centroid assignment: argmin squared-L2 of an ARRAY<DOUBLE>
+    * vector over an ARRAY<STRUCT<cell BIGINT, cv ARRAY<DOUBLE>>> centroid
+    * table, ties to the lowest cell (one nested loop, codegen; replaces
+    * the interpreted array_min/transform/zip_with/aggregate chain). */
+  def argMinCell(v: Column, cells: Column): Column =
+    ExpressionUtils.column(graft.plans.ArgMinCell(
+      ExpressionUtils.expression(v), ExpressionUtils.expression(cells)))
+
   /** 32-bit SimHash fingerprint of an ARRAY<BIGINT> of token hashes
     * (single pass, codegen; replaces 32 interpreted per-bit scans). */
   def simhash32(hs: Column): Column =

@@ -13,6 +13,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   *  - `sorted_intersect_count(ARRAY<STRING>, ARRAY<STRING>) -> INT`
   *    (merge-scan kernel, see SortedIntersectCount);
   *  - `simhash32(ARRAY<BIGINT>) -> BIGINT` (one-pass SimHash);
+  *  - `argmin_cell(ARRAY<DOUBLE>, ARRAY<STRUCT<cell,cv>>) -> BIGINT`
+  *    (nearest-centroid assignment, see ArgMinCell);
   *  - `shingle_posting(ARRAY<STRING>, INT)` — table function (Generator),
   *    one `(shingle, n_shingles)` row per distinct shingle.
   */
@@ -43,6 +45,8 @@ object GraftExtensions {
       arity("sorted_intersect_count", 2)(c => SortedIntersectCount(c(0), c(1)))),
     (FunctionIdentifier("simhash32"), SimHash32.info,
       arity("simhash32", 1)(c => SimHash32(c(0)))),
+    (FunctionIdentifier("argmin_cell"), ArgMinCell.info,
+      arity("argmin_cell", 2)(c => ArgMinCell(c(0), c(1)))),
     (FunctionIdentifier("shingle_posting"), ShinglePosting.info,
       arity("shingle_posting", 2)(c => ShinglePosting(c(0), c(1)))),
   )

@@ -151,18 +151,16 @@ object Similarity {
   }
 
   /** Nearest-cell assignment: broadcast ALL centroids as one array row,
-    * argmin via lexicographic struct min — no shuffle, no window. */
+    * argmin via the fused `argmin_cell` kernel (graft.plans.ArgMinCell) —
+    * no shuffle, no window, one allocation-free codegen loop per row
+    * (same (d2, cell) lexicographic winner and left-to-right (x−y)² fold
+    * as the composed array_min/transform form it replaced). */
   private def kmeansAssign(e: DataFrame, centroids: DataFrame): DataFrame = {
     val cs = centroids
       .agg(sort_array(collect_list(struct(col("cell"), col("cv")))).as("cs"))
     e.crossJoin(broadcast(cs))
       .select(col("vec_id"), col("v"),
-        array_min(transform(col("cs"), c =>
-          struct(
-            aggregate(zip_with(col("v"), c.getField("cv"), (x, y) => (x - y) * (x - y)),
-              lit(0.0), (a, x) => a + x).as("d2"),
-            c.getField("cell").as("cell"))))
-          .getField("cell").as("cell"))
+        graft.functions.VectorFunctions.argMinCell(col("v"), col("cs")).as("cell"))
   }
 
   /** Lloyd update: per-(cell, dim) mean from exact quantized-int sums. */

@@ -43,6 +43,38 @@ class ExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("argmin_cell is identical to the composed array_min/struct form, incl. SQL name") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    // 40 vectors against a 6-cell centroid table, with two deliberately
+    // DUPLICATED centroids (cells 4 and 5) so the lowest-cell tie-break
+    // is actually exercised
+    val cells = (0 until 4).map(c => (c.toLong, randVec(901 + c, 16))) ++
+      Seq((4L, randVec(990, 16)), (5L, randVec(990, 16)))
+    val vecs = (1 to 40).map(i => randVec(i, 16)).toDF("v")
+    val cs = cells.toDF("cell", "cv")
+      .agg(sort_array(collect_list(struct(col("cell"), col("cv")))).as("cs"))
+    val composed = array_min(transform(col("cs"), c =>
+      struct(
+        aggregate(zip_with(col("v"), c.getField("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("d2"),
+        c.getField("cell").as("cell")))).getField("cell")
+    val rows2 = vecs.crossJoin(cs)
+      .select(col("v"), col("cs"),
+        VectorFunctions.argMinCell(col("v"), col("cs")).as("kernel"),
+        composed.as("composed"),
+        expr("argmin_cell(v, cs)").as("sqlname")).collect()
+    rows2.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3),
+        s"kernel ${r.getLong(2)} != composed ${r.getLong(3)}")
+      assert(r.getLong(2) == r.getLong(4), "SQL name disagrees with Column façade")
+    }
+    // a tied vector must pick the LOWER of the duplicated cells (4, not 5)
+    val tied = Seq(randVec(990, 16)).toDF("v").crossJoin(cs)
+      .select(VectorFunctions.argMinCell(col("v"), col("cs"))).collect()(0).getLong(0)
+    assert(tied == 4L, s"tie must break to the lowest cell, got $tied")
+  }
+
   test("kernels are null-safe (null input -> null output)") {
     import spark.implicits._
     val df = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]])).toDF("a", "b")
