@@ -311,6 +311,70 @@ object Relational {
         max(col("value")).as("max_value"))
       .orderBy("day", "event_type")
 
+  /** Ordered conversion funnel over the event stream: per user,
+    * stage 1 = any `view`, stage 2 = a `click` STRICTLY AFTER the first
+    * view, stage 3 = a `purchase` strictly after that click — the classic
+    * product-analytics sequence query, expressed as three narrow
+    * min-aggregations chained by time-qualified joins (no window over the
+    * whole stream, no per-user collect). Each stage table is
+    * user-cardinality; the event scan is filtered to one type per stage,
+    * so the plan is three filtered-scan → join → partial-agg pipelines.
+    * Output: (stage, users) cumulative counts. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    t1.agg(count(lit(1)).as("users")).select(lit(1).as("stage"), col("users"))
+      .unionAll(t2.agg(count(lit(1)).as("users")).select(lit(2).as("stage"), col("users")))
+      .unionAll(t3.agg(count(lit(1)).as("users")).select(lit(3).as("stage"), col("users")))
+      .orderBy("stage")
+  }
+
+  /** Weekly cohort retention: users grouped by their FIRST active day,
+    * counted once per (cohort, floor(days-since-first/7)) week offset.
+    * Two user-cardinality aggregates + one distinct — the whole matrix
+    * derives from one scan of (user, day) pairs; at 100 TB the distinct
+    * and the first-day aggregate shuffle only narrow (user, date) rows. */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val first = ud.groupBy("user_id").agg(min(col("d")).as("d0"))
+    ud.join(first, "user_id")
+      .select(col("user_id"), col("d0"),
+        floor(datediff(col("d"), col("d0")) / 7).as("wk"))
+      .distinct()
+      .groupBy(col("d0"), col("wk")).agg(count(lit(1)).as("active_users"))
+      .select(date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"),
+        col("wk"), col("active_users"))
+      .orderBy("cohort_day", "wk")
+  }
+
+  /** Weekly churn: users active in week k (anchored at the corpus's first
+    * event day, so the bucketing is data-derived, not a calendar
+    * convention that could differ between engines) with NO activity in
+    * week k+1 — the LEFT ANTI join face of the retention matrix. The
+    * final week has no successor and is reported fully churned
+    * (documented contract). Narrow (user, week) rows only; the anchor is
+    * a broadcast scalar subquery, no driver action. */
+  def qChurn(s: SparkSession, dir: String): DataFrame = {
+    val anchor = Tables.events(s, dir).agg(min(to_date(col("ts"))).as("d_min"))
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"), floor(datediff(col("d"), col("d_min")) / 7).as("wk"))
+      .distinct()
+    val next = uw.select(col("user_id"), (col("wk") - 1).as("wk"))
+    uw.join(next, Seq("user_id", "wk"), "left_anti")
+      .groupBy(col("wk")).agg(count(lit(1)).as("churned"))
+      .orderBy("wk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q_filter_project" -> (qFilterProject _),
@@ -336,6 +400,9 @@ object Relational {
     "q_like_filter" -> (qLikeFilter _),
     "q_having" -> (qHaving _),
     "q_events_daily" -> (qEventsDaily _),
+    "q_funnel" -> (qFunnel _),
+    "q_retention" -> (qRetention _),
+    "q_churn" -> (qChurn _),
   )
 
   private val disc = "(1 - CAST(l_discount AS DECIMAL(4,2)))"
@@ -493,5 +560,42 @@ object Relational {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         | min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+    "q_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT 1 AS stage, count(*) AS users FROM t1
+        |UNION ALL SELECT 2, count(*) FROM t2
+        |UNION ALL SELECT 3, count(*) FROM t3
+        |ORDER BY stage""".stripMargin,
+    "q_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        |  FROM events),
+        |first AS (SELECT user_id, min(d) AS d0 FROM ud GROUP BY user_id),
+        |wk AS (
+        |  SELECT DISTINCT ud.user_id, first.d0,
+        |    CAST(floor((ud.d - first.d0) / 7.0) AS BIGINT) AS wk
+        |  FROM ud JOIN first ON ud.user_id = first.user_id)
+        |SELECT strftime(d0, '%Y-%m-%d') AS cohort_day, wk, count(*) AS active_users
+        |FROM wk GROUP BY d0, wk ORDER BY cohort_day, wk""".stripMargin,
+    "q_churn" ->
+      """WITH anchor AS (
+        |  SELECT min(CAST(date_trunc('day', ts) AS DATE)) AS d_min FROM events),
+        |uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor((CAST(date_trunc('day', ts) AS DATE) - anchor.d_min) / 7.0) AS BIGINT) AS wk
+        |  FROM events, anchor)
+        |SELECT a.wk, count(*) AS churned
+        |FROM uw a ANTI JOIN uw b ON a.user_id = b.user_id AND b.wk = a.wk + 1
+        |GROUP BY a.wk ORDER BY a.wk""".stripMargin,
   )
 }
