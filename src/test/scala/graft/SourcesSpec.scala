@@ -63,6 +63,45 @@ class SourcesSpec extends SparkSpec {
     assert(sumA == sumB)
   }
 
+  test("malformed ingestion: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("graft_badjson")
+    Files.writeString(java.nio.file.Paths.get(dir, "part-0.json"),
+      """{"id": 1, "name": "ok-one"}
+        |{"id": 2, "name": "ok-two"}
+        |{"id": oops not json
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("_corrupt_record", StringType)))
+    // PERMISSIVE (the 100 TB ingestion default): bad line lands in the
+    // corrupt-record column, good rows parse — one crawler artifact must
+    // not kill a million-file scan
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache()
+    try {
+      assert(permissive.count() == 3)
+      assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 1)
+      assert(permissive.filter(col("id").isNotNull).count() == 2)
+      // DROPMALFORMED: quarantine-by-omission
+      val dropped = spark.read
+        .schema(StructType(schema.fields.filterNot(_.name == "_corrupt_record")))
+        .option("mode", "DROPMALFORMED").json(dir)
+      assert(dropped.count() == 2)
+      // FAILFAST: strict pipelines surface the corruption as an error
+      val t = intercept[Exception] {
+        spark.read
+          .schema(StructType(schema.fields.filterNot(_.name == "_corrupt_record")))
+          .option("mode", "FAILFAST").json(dir).collect()
+      }
+      val msgs = Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(e => String.valueOf(e.getMessage)).mkString(" | ")
+      assert(msgs.contains("FAILFAST") || msgs.contains("MALFORMED"), s"got: $msgs")
+    } finally permissive.unpersist()
+  }
+
   test("parquet sink preserves types exactly (timestamps, doubles, arrays)") {
     val out = tmp("graft_parquet")
     val src = Tables.embeddings(spark, sf)
