@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The library's session entry point: one place for the recommended
+  * configuration instead of four drifting copies (Verify / Bench / Smoke /
+  * the test harness all build the same session).
+  *
+  * What a "graft session" means:
+  *  - AQE on (runtime coalesce / skew-split — the 100 TB posture);
+  *  - `spark.sql.shuffle.partitions` sized to the local thread count
+  *    (NOT the 200 default, which at local scale just multiplies task
+  *    overhead — a cluster deployment sizes this to executor-cores ×
+  *    target-partitions-per-core instead);
+  *  - UTC session timezone (oracle parity and reproducibility);
+  *  - nanos-timestamp parquet read enabled (the events table contract,
+  *    see Tables.events);
+  *  - the native kernels SQL-registered (GraftExtensions), so
+  *    `spark.sql("... cosine_sim(...)")` works out of the box.
+  */
+object GraftSession {
+
+  /** Build (or reuse) the recommended local session. */
+  def local(threads: Int, appName: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$threads]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config(graft.io.Tables.EventsNanosConf._1, graft.io.Tables.EventsNanosConf._2)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.install(s)
+    s
+  }
+}
