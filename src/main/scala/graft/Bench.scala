@@ -2,7 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR, one JSON line out.
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Output contract: the LAST stdout line is one compact JSON summary
+  * (<1.5 KB — the invoking harness keeps only a 2000-char stdout tail, so
+  * the summary must fit inside it together with sbt's trailing status
+  * line): total/failed/iters, the slowest ~18 query medians under
+  * `"queries"`, and `"detail"` pointing at BENCH_DETAIL.json, which holds
+  * the complete per-query medians, mins, raw runs, errors, and the
+  * partitioned-variant pass (also echoed to stdout one line earlier for
+  * full-log consumers).
   *
   * Each query executes through the `noop` sink — unlike `count()`, this
   * runs the COMPLETE physical plan (Catalyst legally elides final sorts
@@ -100,8 +109,10 @@ object Bench {
     // query — this tracks layout sensitivity, not medians; its failures
     // are reported inside "partitioned" and do NOT bump the primary
     // "failed" gate. Disable with SPARK_GRAFT_BENCH_PARTITIONED=0.
-    val partitioned =
-      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTITIONED", "1") == "0") ""
+    // (fragment, total, failed) for the partitioned-variant pass
+    val (partitioned, pSummary) =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTITIONED", "1") == "0")
+        ("", "")
       else try {
         val pdir = graft.io.PartitionedFixture.prepare(spark, sfDir)
         try run(SparkEntry.queries("wordcount"), pdir) catch { case _: Throwable => () }
@@ -113,11 +124,35 @@ object Bench {
           .mkString("{", ",", "}")
         val pFailed = pres.count(_._2.isLeft)
         val pTotal = pres.collect { case (_, Right(t)) => t }.sum
-        s""","partitioned":{"dir":${jstr(pdir)},"total":$pTotal,"failed":$pFailed,"queries":$pqs,"errors":$pErrs}"""
+        (s""","partitioned":{"dir":${jstr(pdir)},"total":$pTotal,"failed":$pFailed,"queries":$pqs,"errors":$pErrs}""",
+         f""","p_total":$pTotal%.2f,"p_failed":$pFailed""")
       } catch { case e: Throwable =>
-        s""","partitioned":{"prep_error":${jstr(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}"""
+        (s""","partitioned":{"prep_error":${jstr(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}""",
+         ""","p_failed":-1""")
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"failed":$failed,"queries":$qs,"min":$mins,"runs":$raw,"errors":$errs,"retry_errors":$retryErrs$partitioned,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"failed":$failed,"queries":$qs,"min":$mins,"runs":$raw,"errors":$errs,"retry_errors":$retryErrs$partitioned,"sf":"$sfDir"}"""
+    // Full per-query detail is large (tens of KB): persist it to a file and
+    // echo it early. The harness that invokes Bench keeps only a short tail
+    // of stdout, so the LAST line printed is a compact summary (<1.5 KB):
+    // suite total, failure gate, and the slowest-query medians. Everything
+    // else lives in the detail file.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "/root/repo/BENCH_DETAIL.json")
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(full) finally w.close()
+    } catch { case _: Throwable => () }
+    println(full)
+    val ok = results.filter { case (_, _, _, _, e, _) => e.isEmpty }
+    val headline = (ok.sortBy { case (_, m, _, _, _, _) => -m }.take(18)
+      .map(_._1).toSet + "wordcount")
+    val cqs = results
+      .filter { case (name, _, _, _, e, _) => headline(name) || e.isDefined }
+      .map { case (k, m, _, _, _, _) => jstr(k) + ":" + f"$m%.3f" }
+      .mkString("{", ",", "}")
+    val errNames = results.collect { case (k, _, _, _, Some(_), _) => jstr(k) }
+      .mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","iters":$iters,"failed":$failed,"n_queries":${results.size},"detail":${jstr(detailPath)},"queries":$cqs,"error_queries":$errNames$pSummary,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,23 +25,62 @@ object PartitionedFixture {
   val AllTables: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def prepare(spark: SparkSession, sfDir: String, files: Int = 16): String = {
-    val out = s"/tmp/graft_partitioned_${new java.io.File(sfDir).getName}"
-    val marker = new java.io.File(s"$out/_PREPARED")
-    if (!marker.exists) {
+  /** Fingerprint of the source fixture: per-file (name, size, mtime) over
+    * every parquet under sfDir. A regenerated fixture changes the
+    * fingerprint, which changes the marker name, so a stale mirror is
+    * rebuilt instead of silently reused. */
+  private def fingerprint(sfDir: String): String = {
+    val fs = Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val sig = fs.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    java.security.MessageDigest.getInstance("MD5").digest(sig.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+  }
+
+  def prepare(spark: SparkSession, sfDir: String, files: Int = 16): String =
+    synchronized {
+      val out = s"/tmp/graft_partitioned_${new java.io.File(sfDir).getName}"
+      val fp = fingerprint(sfDir)
+      val marker = new java.io.File(s"$out/_PREPARED_$fp")
+      if (marker.exists) return out
+      // build into a private temp dir, then atomically rename into place —
+      // a concurrent preparer (Bench + a spec JVM) either wins the rename
+      // or observes the winner's complete mirror, never an interleaving
+      val tmp = s"${out}.tmp.${java.lang.ProcessHandle.current.pid}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       val plain = AllTables.filterNot(t => t == "events" || t == "documents")
       plain.foreach { t =>
         Tables.load(spark, sfDir, t).repartition(files)
-          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+          .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
       }
       Tables.events(spark, sfDir)
         .withColumn("ts", expr("unix_micros(ts) * 1000"))
         .repartition(files)
-        .write.mode("overwrite").parquet(s"$out/events.parquet")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
       Tables.documents(spark, sfDir).repartition(files)
-        .write.mode("overwrite").partitionBy("lang").parquet(s"$out/documents.parquet")
-      marker.createNewFile()
+        .write.mode("overwrite").partitionBy("lang").parquet(s"$tmp/documents.parquet")
+      new java.io.File(s"$tmp/_PREPARED_$fp").createNewFile()
+      val outF = new java.io.File(out)
+      try {
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+          java.nio.file.Paths.get(out),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        // covers FileAlreadyExists / DirectoryNotEmpty and the raw
+        // FileSystemException("Directory not empty") the JDK throws when
+        // the target dir already exists
+        case _: java.nio.file.FileSystemException =>
+          if (new java.io.File(s"$out/_PREPARED_$fp").exists) {
+            // concurrent winner with the same fingerprint — use theirs
+            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+          } else {
+            // stale mirror (old fingerprint): replace it
+            org.apache.commons.io.FileUtils.deleteQuietly(outF)
+            java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+              java.nio.file.Paths.get(out),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+      }
+      out
     }
-    out
-  }
 }

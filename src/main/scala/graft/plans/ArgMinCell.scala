@@ -57,22 +57,31 @@ case class ArgMinCell(left: Expression, right: Expression)
     var bestCell = 0L; var bestD2 = 0.0; var first = true
     var j = 0
     while (j < m) {
-      val row = cells.getStruct(j, 2)
-      val cell = row.getLong(0)
-      val cv = row.getArray(1)
-      val n = math.min(v.numElements(), cv.numElements())
-      var d2 = 0.0; var i = 0
-      while (i < n) {
-        val d = v.getDouble(i) - cv.getDouble(i)
-        d2 += d * d
-        i += 1
-      }
-      if (first || d2 < bestD2 || (d2 == bestD2 && cell < bestCell)) {
-        bestD2 = d2; bestCell = cell; first = false
+      // parquet-read arrays carry containsNull=true even when no element
+      // is null; a null centroid struct or cv contributes no candidate,
+      // a null double element contributes no distance term
+      if (!cells.isNullAt(j)) {
+        val row = cells.getStruct(j, 2)
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val cell = row.getLong(0)
+          val cv = row.getArray(1)
+          val n = math.min(v.numElements(), cv.numElements())
+          var d2 = 0.0; var i = 0
+          while (i < n) {
+            if (!v.isNullAt(i) && !cv.isNullAt(i)) {
+              val d = v.getDouble(i) - cv.getDouble(i)
+              d2 += d * d
+            }
+            i += 1
+          }
+          if (first || d2 < bestD2 || (d2 == bestD2 && cell < bestCell)) {
+            bestD2 = d2; bestCell = cell; first = false
+          }
+        }
       }
       j += 1
     }
-    bestCell
+    if (first) null else bestCell
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -81,29 +90,31 @@ case class ArgMinCell(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val row = ctx.freshName("row"); val cv = ctx.freshName("cv")
       val cell = ctx.freshName("cell"); val d2 = ctx.freshName("d2")
+      val d = ctx.freshName("d")
       val bestCell = ctx.freshName("bestCell")
       val bestD2 = ctx.freshName("bestD2")
       val first = ctx.freshName("first")
       s"""
          |int $m = $cells.numElements();
-         |if ($m == 0) { ${ev.isNull} = true; } else {
-         |  long $bestCell = 0L; double $bestD2 = 0.0; boolean $first = true;
-         |  for (int $j = 0; $j < $m; $j++) {
-         |    org.apache.spark.sql.catalyst.InternalRow $row = $cells.getStruct($j, 2);
-         |    long $cell = $row.getLong(0);
-         |    org.apache.spark.sql.catalyst.util.ArrayData $cv = $row.getArray(1);
-         |    int $n = java.lang.Math.min($v.numElements(), $cv.numElements());
-         |    double $d2 = 0.0;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      double d = $v.getDouble($i) - $cv.getDouble($i);
-         |      $d2 += d * d;
-         |    }
-         |    if ($first || $d2 < $bestD2 || ($d2 == $bestD2 && $cell < $bestCell)) {
-         |      $bestD2 = $d2; $bestCell = $cell; $first = false;
-         |    }
+         |long $bestCell = 0L; double $bestD2 = 0.0; boolean $first = true;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  if ($cells.isNullAt($j)) continue;
+         |  org.apache.spark.sql.catalyst.InternalRow $row = $cells.getStruct($j, 2);
+         |  if ($row.isNullAt(0) || $row.isNullAt(1)) continue;
+         |  long $cell = $row.getLong(0);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $row.getArray(1);
+         |  int $n = java.lang.Math.min($v.numElements(), $cv.numElements());
+         |  double $d2 = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($v.isNullAt($i) || $cv.isNullAt($i)) continue;
+         |    double $d = $v.getDouble($i) - $cv.getDouble($i);
+         |    $d2 += $d * $d;
          |  }
-         |  ${ev.value} = $bestCell;
+         |  if ($first || $d2 < $bestD2 || ($d2 == $bestD2 && $cell < $bestCell)) {
+         |    $bestD2 = $d2; $bestCell = $cell; $first = false;
+         |  }
          |}
+         |if ($first) { ${ev.isNull} = true; } else { ${ev.value} = $bestCell; }
        """.stripMargin
     })
 

@@ -165,9 +165,9 @@ object Corpus {
          |  SELECT doc_id, lang, CAST(len($duckToks) AS BIGINT) AS n_tokens
          |  FROM documents)
          |SELECT doc_id, lang, n_tokens,
-         |  (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
-         |    // 4096 AS shard_id
+         |  (CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |   - n_tokens) // 4096 AS shard_id
          |FROM counted ORDER BY doc_id""".stripMargin,
   )
 }
