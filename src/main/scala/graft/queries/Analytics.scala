@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.TextPipeline
+import graft.io.Tables
+
+/** M9 — search-ranking, runtime-filter, and segmentation analytics (pure
+  * extension surface; the reference has nothing beyond word count,
+  * SURVEY.md §2.2).
+  *
+  * Cross-engine float discipline (the q_stats / q_pagerank rules):
+  * every order-dependent float reduction quantizes to BIGINT first
+  * (commutative, partition-order-free), every scalar float expression is
+  * spelled with the identical operation tree in both engines, and every
+  * ranking compares integers or rounded floats with an integer
+  * tie-break.
+  */
+object Analytics {
+
+  /** BM25(k1=1.2, b=0.75) document ranking for a fixed 3-term query (the
+    * corpus's three highest-df terms — deterministic, ties by word).
+    * Uses the RATIONAL idf (N−df+0.5)/(df+0.5) — no transcendental log,
+    * whose libm rounding differs across engines (the q_tfidf_top rarity
+    * trick). Per-term scores quantize to 1e-9 BIGINT before the per-doc
+    * sum, so the 3-term reduction is exact integer math.
+    *
+    * Scale stance: tf/df/dl are the standard one-shuffle word aggregates;
+    * N, avgdl, and the 3 query terms ride as broadcast scalar/dimension
+    * subqueries; the final ranking is a TakeOrderedAndProject over
+    * doc-cardinality rows. Nothing quadratic, nothing driver-side. */
+  def qBm25Top(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextPipeline.normalizedTokens(col("text")).as("w"))
+    val dl = docs.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val words = docs.select(col("doc_id"), explode(col("w")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfq = words.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val qterms = dfq.orderBy(col("df").desc, col("word").asc).limit(3)
+      .select(col("word"), col("df"))
+    val scored = tf.join(broadcast(qterms), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df").cast("double") + 0.5)
+          / (col("df").cast("double") + 0.5))
+      .withColumn("tfpart",
+        (col("tf").cast("double") * 2.2)
+          / (col("tf").cast("double")
+            + 1.2 * (lit(0.25) + 0.75 * col("dl").cast("double") / col("avgdl"))))
+      .select(col("doc_id"),
+        round(col("idf") * col("tfpart") * 1e9).cast("long").as("q"))
+    scored.groupBy("doc_id").agg(sum(col("q")).as("sq"))
+      .orderBy(col("sq").desc, col("doc_id").asc)
+      .limit(10)
+      .select(col("doc_id"),
+        round(col("sq").cast("double") / 1e9, 6).as("bm25"))
+  }
+
+  // Bloom-filter geometry: M bits in M/64 longs, K salted h32 hashes.
+  private val BloomM = 65536
+  private val BloomK = 3
+  private val HighValue = 400000.0
+
+  private def bloomHashes(key: org.apache.spark.sql.Column) =
+    array((0 until BloomK).map(i =>
+      pmod(TextPipeline.h32(concat(lit(s"b$i:"), key.cast("string"))),
+        lit(BloomM))): _*)
+
+  /** Semi join driven by a BLOOM RUNTIME FILTER — the 100 TB pattern for
+    * probing a huge fact table against a selective build side without
+    * shuffling the fact table first: revenue of lineitems belonging to
+    * high-value orders (o_totalprice > 400000, ~15% of orders).
+    *
+    *  1. build: each qualifying o_orderkey sets K=3 salted h32 bits in an
+    *     M=65536-bit filter, materialized as ≤1024 (idx, bits) longs via
+    *     a bit_or aggregate — mergeable, partition-order-free, tiny;
+    *  2. probe: DISTINCT l_orderkey values check all K bits against the
+    *     broadcast filter — survivors ≈ true matches + ~0.3% false
+    *     positives, so the exact semi join that follows runs on ~15% of
+    *     the key space instead of 100%;
+    *  3. exact: surviving keys semi-join the build keys (no false
+    *     negatives possible — a Bloom filter never drops a member), then
+    *     lineitem semi-joins the verified keys.
+    *
+    * The oracle is the PLAIN semi join — bloom pruning is a pure
+    * optimization, proven result-identical here (oracle hash) and in
+    * AnalyticsSpec (bloom plan == direct semi join, with real pruning). */
+  def qBloomSemi(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > HighValue)
+      .select(col("o_orderkey"))
+    val bloom = keys
+      .select(explode(bloomHashes(col("o_orderkey"))).as("h"))
+      .select((col("h") / 64).cast("long").as("idx"),
+        expr("shiftleft(1L, cast(h % 64 as int))").as("bitv"))
+      .groupBy("idx").agg(bit_or(col("bitv")).as("bits"))
+    val probeKeys = Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
+    val candidates = probeKeys
+      .select(col("l_orderkey"), explode(bloomHashes(col("l_orderkey"))).as("h"))
+      .select(col("l_orderkey"), (col("h") / 64).cast("long").as("idx"),
+        expr("shiftleft(1L, cast(h % 64 as int))").as("mask"))
+      .join(broadcast(bloom), Seq("idx"), "left")
+      .withColumn("hit",
+        coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0)
+      .groupBy("l_orderkey").agg(expr("bool_and(hit)").as("all_hit"))
+      .filter(col("all_hit"))
+      .select(col("l_orderkey"))
+    val verified = candidates
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    Tables.lineitem(s, dir)
+      .join(verified, Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** RFM customer segmentation: recency (last order date), frequency
+    * (order count), monetary (exact cent total), each scored into
+    * quintiles by ntile(5) over a TOTAL order (metric, then custkey — no
+    * float ties), plus a rounded percent_rank on monetary. One shuffle
+    * builds the per-customer aggregate; the three windows share one
+    * unpartitioned sort over customer-cardinality rows (at scale the
+    * scoring would grid-partition on a coarse metric bucket first). */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      // o_orderdate is TIMESTAMP_NTZ — cast to timestamp (session TZ
+      // pinned UTC = wall-clock identity) before unix_micros
+      .agg(max(unix_micros(col("o_orderdate").cast("timestamp"))).as("r_us"),
+        count(lit(1)).as("f"),
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("m_cents"))
+    val wR = Window.orderBy(col("r_us").asc, col("o_custkey").asc)
+    val wF = Window.orderBy(col("f").asc, col("o_custkey").asc)
+    val wM = Window.orderBy(col("m_cents").asc, col("o_custkey").asc)
+    base.select(col("o_custkey"), col("r_us"), col("f"), col("m_cents"),
+        ntile(5).over(wR).as("r_score"),
+        ntile(5).over(wF).as("f_score"),
+        ntile(5).over(wM).as("m_score"),
+        round(percent_rank().over(wM), 6).as("m_pctile"))
+      .withColumn("rfm_cell",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy("o_custkey")
+  }
+
+  /** Proportional stratified sampling: an EXACT ceil(20%) of each
+    * language stratum, selected by content hash rank (reproducible on
+    * any engine and any run — the q_sample_hash property, per-stratum).
+    * The quota is pure integer math ((n+4) div 5) — no float ceil, whose
+    * 0.2·n representation error flips boundary strata. Complements
+    * q_lang_balance (equal allocation) with proportional allocation. */
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextPipeline.h32(col("doc_id").cast("string")).as("h"))
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val wCnt = Window.partitionBy(col("lang"))
+    d.select(col("doc_id"), col("lang"),
+        row_number().over(wRank).as("rn"),
+        count(lit(1)).over(wCnt).as("n_lang"))
+      .filter(col("rn") <= expr("(n_lang + 4) div 5"))
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25_top" -> (qBm25Top _),
+    "q_bloom_semi" -> (qBloomSemi _),
+    "q_rfm" -> (qRfm _),
+    "q_stratified_sample" -> (qStratifiedSample _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_bm25_top" -> {
+      val duckToks = TextPipeline.duckToks
+      s"""WITH docs AS (
+         |  SELECT doc_id, $duckToks AS w FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs),
+         |words AS (SELECT doc_id, unnest(w) AS word FROM docs),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+         |dfq AS (SELECT word, count(*) AS df
+         |        FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY word),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |            CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE)
+         |              / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+         |qterms AS (SELECT word, df FROM dfq ORDER BY df DESC, word LIMIT 3),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    CAST(round(
+         |      ((CAST(n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+         |         / (CAST(q.df AS DOUBLE) + 0.5))
+         |      * ((CAST(tf.tf AS DOUBLE) * 2.2)
+         |         / (CAST(tf.tf AS DOUBLE)
+         |            + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)))
+         |      * 1e9) AS BIGINT) AS q
+         |  FROM tf JOIN qterms q USING (word) JOIN dl USING (doc_id), stats)
+         |SELECT doc_id, round(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / 1e9, 6) AS bm25
+         |FROM scored GROUP BY doc_id
+         |ORDER BY CAST(sum(q) AS BIGINT) DESC, doc_id LIMIT 10""".stripMargin
+    },
+    // the bloom filter is a pure optimization: the oracle is the exact
+    // semi join it provably implements (no false negatives; false
+    // positives removed by the exact verify step)
+    "q_bloom_semi" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         |FROM lineitem
+         |WHERE l_orderkey IN
+         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > $HighValue)
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |    max(epoch_us(o_orderdate)) AS r_us,
+        |    count(*) AS f,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS m_cents
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, r_us, f, m_cents,
+        |  CAST(ntile(5) OVER (ORDER BY r_us, o_custkey) AS INT) AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY f, o_custkey) AS INT) AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY m_cents, o_custkey) AS INT) AS m_score,
+        |  round(percent_rank() OVER (ORDER BY m_cents, o_custkey), 6)
+        |    AS m_pctile,
+        |  CAST(ntile(5) OVER (ORDER BY r_us, o_custkey) * 100
+        |    + ntile(5) OVER (ORDER BY f, o_custkey) * 10
+        |    + ntile(5) OVER (ORDER BY m_cents, o_custkey) AS INT) AS rfm_cell
+        |FROM base ORDER BY o_custkey""".stripMargin,
+    "q_stratified_sample" -> {
+      val h = TextPipeline.duckH32("CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (SELECT doc_id, lang, $h AS h FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+         |      AS INT) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n_lang
+         |  FROM d)
+         |SELECT doc_id, lang, rn FROM ranked
+         |WHERE rn <= (n_lang + 4) // 5 ORDER BY doc_id""".stripMargin
+    },
+  )
+}

@@ -58,7 +58,11 @@ object Graph {
     // At cluster scale this is the persisted/checkpointed edge table every
     // Pregel-style system keeps between supersteps.
     val e = edges(s, dir).repartition(col("src")).localCheckpoint()
+    // deg is referenced by every unrolled iteration (plus n and r0) —
+    // without materialization each reference re-shuffles the whole edge
+    // list for the same node-cardinality aggregate
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val n = deg.agg(count(lit(1)).as("n_nodes"))
     val r0 = deg.crossJoin(broadcast(n))
       .select(col("src").as("node"), col("deg"), col("n_nodes"),

@@ -211,19 +211,27 @@ object TextAnalysis {
     * twin of q_ngram_jaccard: where shingles catch near-verbatim
     * duplication, salient-term overlap catches topical similarity.
     *
-    * Plan: PREFIX-FILTERED, like q_ngram_jaccard_prefix — indexing all 5
-    * postings per doc is Σ_term df² and melts down when salient terms
-    * concentrate (this fixture's 31-word vocabulary is the extreme case:
-    * 21 s at sf0.1 for the naive plan). Instead:
-    *  1. order each doc's terms by GLOBAL rarity (df, word);
-    *  2. index only the k−3 rarest (k = set size, threshold t = 4:
-    *     prefix size k−t+1): any pair sharing ≥ 4 terms must collide in
-    *     both prefixes — no qualifying pair is lost;
-    *  3. verify candidates EXACTLY with the SortedIntersectCount merge
-    *     kernel over the two sorted 5-term arrays (the per-doc term table
-    *     is doc-count-sized and broadcastable).
-    * Everything compared is an integer or a (df, word) rank — no float
-    * ordering anywhere in candidate generation. */
+    * Plan: 4-SUBSET SIGNATURE blocking — a pigeonhole equi-join that is
+    * EXACT, not just a filter. Per-word postings (the q_ngram_jaccard
+    * shape) are Σ_term df² and melt down when salient terms concentrate
+    * (this fixture's 31-word vocabulary is the extreme case: 21 s at
+    * sf0.1 for the naive plan, ~5 s prefix-filtered). Instead observe
+    * that k ≤ 5 and the threshold is 4, so two docs share ≥ 4 terms IFF
+    * they agree on some sorted 4-element subset of their salient sets:
+    *  1. each doc emits its C(k,4) sorted 4-subsets (≤ 5 per doc) as
+    *     join signatures;
+    *  2. candidate pairs = hash equi-join on the signature — every
+    *     collision already satisfies the threshold (sound AND complete:
+    *     any 4 shared terms ARE a common 4-subset), so candidate count
+    *     equals answer count, not Σ df²;
+    *  3. the exact `shared` count still comes from the
+    *     SortedIntersectCount merge kernel over the two sorted term
+    *     arrays (shared can be 5 > threshold), via two broadcast joins
+    *     against the doc-count-sized term table.
+    * Everything joined is a string signature of sorted words — no float
+    * ordering anywhere in candidate generation. At 100 TB the signature
+    * join shuffles O(5·docs) narrow rows and AQE splits any hot
+    * signature; there is no posting-list quadratic term at all. */
   def qDocSimilarity(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = Tables.documents(s, dir)
@@ -240,27 +248,26 @@ object TextAnalysis {
           ((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
-      .select(col("doc_id"), col("word"), col("df"))
-      // ≤5 rows/doc, referenced by FIVE downstream branches (sets, prefix,
-      // both candidate sides, both verify sides) — materialize once instead
-      // of re-running explode+aggs+window per branch
-      .localCheckpoint()
-    // per-doc sorted salient set + its size (k ≥ 4 can reach the threshold)
+      .select(col("doc_id"), col("word"))
+    // per-doc sorted salient set + its size (k ≥ 4 can reach the
+    // threshold; k ≤ 5 by construction). Referenced by THREE downstream
+    // branches (signatures + both verify sides) — materialize once
+    // instead of re-running explode+aggs+window per branch.
     val sets = top5.groupBy("doc_id")
       .agg(sort_array(collect_list(col("word"))).as("terms"),
         count(lit(1)).as("k"))
       .filter(col("k") >= 4)
-    // prefix = the k−3 globally rarest terms of each doc
-    val wPref = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df").asc, col("word").asc)
-    val pref = top5.join(sets.select("doc_id", "k"), "doc_id")
-      .withColumn("rn", row_number().over(wPref))
-      .filter(col("rn") <= col("k") - 3)
-      .select(col("word"), col("doc_id"))
-      // canonicalize both self-join sides to ONE reused exchange
-      .repartition(col("word"))
-    val cand = pref.select(col("word"), col("doc_id").as("a_id"))
-      .join(pref.select(col("word"), col("doc_id").as("b_id")), "word")
+      .localCheckpoint()
+    // C(k,4) sorted 4-subsets per doc: k=4 → the set itself; k=5 → the 5
+    // leave-one-out subsets. Tokens are [a-z]+ so the u0001 separator can never appear in a word and the signature is collision-free.
+    val subs = sets.select(col("doc_id"),
+        explode(when(col("k") === 5,
+            transform(sequence(lit(0), lit(4)),
+              i => filter(col("terms"), (_, j) => j =!= i)))
+          .otherwise(array(col("terms")))).as("sub"))
+      .select(col("doc_id"), concat_ws("\u0001", col("sub")).as("sig"))
+    val cand = subs.select(col("sig"), col("doc_id").as("a_id"))
+      .join(subs.select(col("sig"), col("doc_id").as("b_id")), "sig")
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     cand

@@ -80,6 +80,23 @@ object Windows {
         unix_micros(col("c_ts")).as("c_us"),
         col("p_event"), col("c_event"))
 
+  /** Stream-static enrichment join + aggregation, ONE definition for batch
+    * and streaming: events joined to the (static, broadcast) customer
+    * dimension on user_id, spend rolled up per market segment × event
+    * type. In streaming this is the stream-static join Structured
+    * Streaming re-evaluates per micro-batch — the dimension is read fresh
+    * each batch, needs no watermark, and holds no state; only the
+    * aggregation keeps (segment × type)-cardinality state. The decimal
+    * quantization makes the float sum partition-order-free, so streaming
+    * and batch agree bit-for-bit. */
+  def enrich(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+        broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dVal(col("value"))).cast("double").as("sum_value"))
+
   // ---- true streaming entry points ----------------------------------------
 
   /** Streaming tumbling aggregation with a 2-hour watermark (bounds state:
