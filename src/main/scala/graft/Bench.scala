@@ -41,6 +41,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // f-interpolators format through the default locale; a comma-decimal
+    // locale would make the JSON summary unparseable
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus.toInt, "graft-bench")
@@ -138,10 +141,14 @@ object Bench {
     // else lives in the detail file.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/root/repo/BENCH_DETAIL.json")
-    try {
-      val w = new java.io.PrintWriter(detailPath, "UTF-8")
-      try w.println(full) finally w.close()
-    } catch { case _: Throwable => () }
+    // advertise the path only if the write succeeded — a stale previous
+    // round's file must not masquerade as this run's detail
+    val detailJson =
+      try {
+        val w = new java.io.PrintWriter(detailPath, "UTF-8")
+        try w.println(full) finally w.close()
+        jstr(detailPath)
+      } catch { case _: Throwable => "null" }
     println(full)
     val ok = results.filter { case (_, _, _, _, e, _) => e.isEmpty }
     val headline = (ok.sortBy { case (_, m, _, _, _, _) => -m }.take(18)
@@ -152,7 +159,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errNames = results.collect { case (k, _, _, _, Some(_), _) => jstr(k) }
       .mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","iters":$iters,"failed":$failed,"n_queries":${results.size},"detail":${jstr(detailPath)},"queries":$cqs,"error_queries":$errNames$pSummary,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","iters":$iters,"failed":$failed,"n_queries":${results.size},"detail":$detailJson,"queries":$cqs,"error_queries":$errNames$pSummary,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

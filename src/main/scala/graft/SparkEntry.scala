@@ -24,6 +24,7 @@ object SparkEntry {
     (q.Extras.queries, q.Extras.oracle),
     (q.Corpus.queries, q.Corpus.oracle),
     (q.Graph.queries, q.Graph.oracle),
+    (q.Analytics.queries, q.Analytics.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

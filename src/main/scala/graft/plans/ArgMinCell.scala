@@ -34,6 +34,10 @@ case class ArgMinCell(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = LongType
+  // can evaluate to null on NON-null input (empty / all-malformed cell
+  // array) — must not inherit children's nullability, or codegen's
+  // non-nullable branch would set an undeclared isNull local
+  override def nullable: Boolean = true
   override def prettyName: String = "argmin_cell"
 
   // SQL-registered (GraftExtensions): misuse fails at ANALYSIS time.

@@ -51,7 +51,7 @@ object Analytics {
       .withColumn("tfpart",
         (col("tf").cast("double") * 2.2)
           / (col("tf").cast("double")
-            + 1.2 * (lit(0.25) + 0.75 * col("dl").cast("double") / col("avgdl"))))
+            + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
       .select(col("doc_id"),
         round(col("idf") * col("tfpart") * 1e9).cast("long").as("q"))
     scored.groupBy("doc_id").agg(sum(col("q")).as("sq"))
@@ -90,17 +90,22 @@ object Analytics {
     * The oracle is the PLAIN semi join — bloom pruning is a pure
     * optimization, proven result-identical here (oracle hash) and in
     * AnalyticsSpec (bloom plan == direct semi join, with real pruning). */
-  def qBloomSemi(s: SparkSession, dir: String): DataFrame = {
-    val keys = Tables.orders(s, dir)
+  /** Build side: qualifying order keys (selective — ~15% of orders). */
+  private[graft] def highValueKeys(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
       .filter(col("o_totalprice") > HighValue)
       .select(col("o_orderkey"))
-    val bloom = keys
+
+  /** Stages 1–2: distinct probe keys surviving the broadcast Bloom filter
+    * (true matches + false positives; never drops a member). Exposed so
+    * AnalyticsSpec can assert both containment and REAL pruning. */
+  private[graft] def bloomCandidates(s: SparkSession, dir: String): DataFrame = {
+    val bloom = highValueKeys(s, dir)
       .select(explode(bloomHashes(col("o_orderkey"))).as("h"))
       .select((col("h") / 64).cast("long").as("idx"),
         expr("shiftleft(1L, cast(h % 64 as int))").as("bitv"))
       .groupBy("idx").agg(bit_or(col("bitv")).as("bits"))
-    val probeKeys = Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
-    val candidates = probeKeys
+    Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
       .select(col("l_orderkey"), explode(bloomHashes(col("l_orderkey"))).as("h"))
       .select(col("l_orderkey"), (col("h") / 64).cast("long").as("idx"),
         expr("shiftleft(1L, cast(h % 64 as int))").as("mask"))
@@ -110,8 +115,12 @@ object Analytics {
       .groupBy("l_orderkey").agg(expr("bool_and(hit)").as("all_hit"))
       .filter(col("all_hit"))
       .select(col("l_orderkey"))
-    val verified = candidates
-      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+  }
+
+  def qBloomSemi(s: SparkSession, dir: String): DataFrame = {
+    val verified = bloomCandidates(s, dir)
+      .join(highValueKeys(s, dir),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
     Tables.lineitem(s, dir)
       .join(verified, Seq("l_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))

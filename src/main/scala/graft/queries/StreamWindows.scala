@@ -57,12 +57,20 @@ object StreamWindows {
       .orderBy("user_id", "p_us", "c_us", "p_event", "c_event")
   }
 
+  /** Batch face of the stream-static enrichment join (events ⋈ broadcast
+    * customer dimension, spend per segment × type — the per-micro-batch
+    * re-evaluated join StreamingSpec runs under MemoryStream). */
+  def qStreamEnrich(s: SparkSession, dir: String): DataFrame =
+    Windows.enrich(Tables.events(s, dir), Tables.customer(s, dir))
+      .orderBy("c_mktsegment", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (qTumbling _),
     "q_stream_sliding" -> (qSliding _),
     "q_stream_sessions" -> (qSessions _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_join_outer" -> (qStreamJoinOuter _),
+    "q_stream_enrich" -> (qStreamEnrich _),
   )
 
   private val HourUs = 3600000000L
@@ -126,5 +134,10 @@ object StreamWindows {
         |  AND c.ts >= p.ts - INTERVAL 30 MINUTE
         |  AND c.ts <= p.ts + INTERVAL 30 MINUTE
         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    "q_stream_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

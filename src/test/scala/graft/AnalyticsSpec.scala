@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.io.Tables
-import graft.queries.Relational
+import graft.queries.{Analytics, Relational}
 
 /** Engine-side invariants for the product-analytics trio (funnel,
   * retention, churn) that the DuckDB oracle verifies only pointwise:
@@ -58,5 +59,74 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(churn.getOrElse(lastWeek, 0L) == byWeek(lastWeek).size.toLong,
       "final week must be fully churned by contract")
+  }
+
+  test("bloom runtime-filter plan equals the direct semi join, with real pruning") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val direct = li
+      .join(Analytics.highValueKeys(spark, sf),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_qty"))
+    val got = Analytics.qBloomSemi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = direct.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, "bloom-pruned plan diverged from the direct semi join")
+    assert(got.nonEmpty)
+    // the filter's two load-bearing properties, asserted separately:
+    val candidates = Analytics.bloomCandidates(spark, sf)
+      .as[Long].collect().toSet
+    val trueKeys = li.select(col("l_orderkey")).distinct()
+      .join(Analytics.highValueKeys(spark, sf),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .as[Long].collect().toSet
+    assert(trueKeys.subsetOf(candidates),
+      "a Bloom filter must never drop a member (false negative)")
+    val probeTotal = li.select(col("l_orderkey")).distinct().count()
+    assert(candidates.size < probeTotal,
+      s"bloom pruned nothing: ${candidates.size} of $probeTotal keys survive")
+  }
+
+  test("bm25 ranking is a descending top-10 with positive scores") {
+    val rows = Analytics.qBm25Top(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 10)
+    assert(rows.sliding(2).forall { case Array((_, a), (_, b)) => a >= b },
+      "bm25 scores must be non-increasing")
+    assert(rows.forall(_._2 > 0.0), "3 highest-df query terms ⇒ positive scores")
+  }
+
+  test("rfm scores are quintiles and rfm_cell is their digit encoding") {
+    val rows = Analytics.qRfm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getInt(4), r.getInt(5), r.getInt(6))
+      assert((1 to 5).contains(rs) && (1 to 5).contains(fs)
+        && (1 to 5).contains(ms), s"score out of quintile range: $r")
+      assert(r.getInt(8) == rs * 100 + fs * 10 + ms, s"rfm_cell mismatch: $r")
+      val pct = r.getDouble(7)
+      assert(pct >= 0.0 && pct <= 1.0)
+    }
+    // ntile(5) balance: bucket sizes differ by at most 1
+    val sizes = rows.groupBy(_.getInt(6)).view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"ntile buckets unbalanced: $sizes")
+  }
+
+  test("stratified sample takes exactly ceil(20%) of every language stratum") {
+    val perLang = Tables.documents(spark, sf).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sample = Analytics.qStratifiedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val got = sample.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    perLang.foreach { case (lang, n) =>
+      val quota = (n + 4) / 5
+      assert(got.getOrElse(lang, 0L) == quota,
+        s"$lang: sampled ${got.getOrElse(lang, 0L)}, want $quota of $n")
+    }
+    assert(got.keySet == perLang.keySet)
   }
 }

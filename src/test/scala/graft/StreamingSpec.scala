@@ -58,6 +58,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-static enrichment join (complete mode) equals the batch plan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static dimension: user 4 deliberately absent (inner join drops it)
+    val customers = Seq((1L, "AUTOMOBILE"), (2L, "BUILDING"), (3L, "AUTOMOBILE"))
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val streamed = Windows.enrich(
+      mem.toDF().toDF("user_id", "ts", "event_type", "value"), customers)
+    val q = streamed.writeStream.format("memory")
+      .queryName("t_enrich").outputMode(OutputMode.Complete()).start()
+    mem.addData(eventsData.take(4))
+    q.processAllAvailable()
+    mem.addData(eventsData.drop(4))
+    q.processAllAvailable()
+    val got = spark.table("t_enrich").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = Windows.enrich(eventsDf(eventsData), customers).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    q.stop()
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming session windows (append + watermark) equal the batch plan") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
