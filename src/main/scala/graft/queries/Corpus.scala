@@ -115,12 +115,54 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: which TRAIN-split documents share any
+    * word-trigram with the held-out TEST split (the n-gram-overlap
+    * contamination check every pretraining pipeline runs before
+    * training). Splits are the [[qTrainSplit]] content-hash buckets, so
+    * the check is reproducible on any engine and corpus subset.
+    *
+    * Both engines join on the portable h32 of the shingle, never the
+    * string — identical values on both sides, so hash collisions (if
+    * any) are shared and parity is exact; `array_distinct` AFTER
+    * hashing makes per-doc multiplicity collision-identical too.
+    *
+    * Scale stance: shingle hashes shuffle as bare longs; the test side
+    * (a benchmark suite — tiny vs the corpus) collapses to distinct
+    * hashes and BROADCASTS, so the probe is a map-side semi join over
+    * the train corpus: no train-side shuffle at all. Output is
+    * contaminated-doc cardinality. If the test side ever outgrew
+    * broadcast, the same plan degrades to a shuffle join on the long
+    * key. */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val f = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        pmod(TextPipeline.h32(col("doc_id").cast("string")), lit(100)).as("b"),
+        toks.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("b"),
+        array_distinct(transform(TextPipeline.shinglesOf(col("w")),
+          t => TextPipeline.h32(t))).as("hs"))
+    val testSh = f.filter(col("b") >= 90)
+      .select(explode(col("hs")).as("h")).distinct()
+    f.filter(col("b") < 80)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
+        explode(col("hs")).as("h"))
+      .join(broadcast(testSh), "h")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        round(col("n_overlap").cast("double")
+          / col("n_shingles").cast("double"), 6).as("contamination"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_redact" -> (qRedact _),
     "q_quality_gate" -> (qQualityGate _),
     "q_lang_balance" -> (qLangBalance _),
     "q_train_split" -> (qTrainSplit _),
     "q_token_shards" -> (qTokenShards _),
+    "q_decontaminate" -> (qDecontaminate _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -169,5 +211,21 @@ object Corpus {
          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |   - n_tokens) // 4096 AS shard_id
          |FROM counted ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" -> {
+      val h32id = TextPipeline.duckH32("CAST(doc_id AS VARCHAR)")
+      val sh = TextPipeline.duckShingles("w")
+      s"""WITH d AS (SELECT doc_id, $h32id % 100 AS b, $duckToks AS w
+         |           FROM documents),
+         |f AS (SELECT doc_id, b,
+         |        list_distinct(list_transform($sh, t -> ${TextPipeline.duckH32("t")})) AS hs
+         |      FROM d WHERE len(w) >= 3),
+         |test AS (SELECT DISTINCT unnest(hs) AS h FROM f WHERE b >= 90),
+         |train AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles,
+         |            unnest(hs) AS h FROM f WHERE b < 80)
+         |SELECT t.doc_id, t.n_shingles, count(*) AS n_overlap,
+         |  round(count(*) / CAST(t.n_shingles AS DOUBLE), 6) AS contamination
+         |FROM train t JOIN test USING (h)
+         |GROUP BY 1, 2 ORDER BY t.doc_id""".stripMargin
+    },
   )
 }

@@ -270,6 +270,11 @@ object Dedup {
     * math — no shuffle, codegen-friendly, and bit-identical to the oracle
     * because the base hash is md5-derived. */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashes(s, dir).orderBy("doc_id")
+
+  /** (doc_id, simhash): the shared head of the fingerprint dump and the
+    * hamming-ball pair join. */
+  private def simhashes(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), toks.as("w"))
       .select(col("doc_id"), transform(col("w"), t => h32(t)).as("hs"))
@@ -277,7 +282,66 @@ object Dedup {
       // as the oracle's per-bit spelling, 32× fewer array walks
       .select(col("doc_id"),
         graft.functions.VectorFunctions.simhash32(col("hs")).as("simhash"))
-      .orderBy("doc_id")
+
+  // Hamming-ball geometry: 32 bits in SimhashBands=4 bands of 8; any pair
+  // with hamming ≤ HammingT=3 leaves at least one band untouched
+  // (pigeonhole: 3 flipped bits can dirty at most 3 of 4 bands), so the
+  // equal-band bucket join misses NOTHING at the threshold.
+  private val SimhashBands = 4
+  private val HammingT = 3
+
+  /** SimHash near-dup PAIRS within hamming distance ≤ [[HammingT]], via
+    * the multi-index (pigeonhole) band join — the fingerprint-side twin
+    * of the MinHash/LSH pair query.
+    *
+    * Scale stance: candidates come from equal-(band, band_key) buckets —
+    * Σ bucket² work, never N² — and only (doc_id, simhash) longs shuffle;
+    * the explicit `repartition` canonicalizes both self-join sides to ONE
+    * reused exchange (the [[postings]] pattern). Verification is a bare
+    * `bit_count(xor)` per candidate. The ORACLE is the all-pairs exact
+    * hamming join, so the band plan's completeness is re-proven against
+    * brute force on every verify run, not assumed from the pigeonhole
+    * argument. */
+  def qSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val withBand = simhashes(s, dir)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until SimhashBands).map(b =>
+          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .repartition(col("band"), col("band_key"))
+    val a = withBand.select(col("band"), col("band_key"),
+      col("doc_id").as("a_id"), col("simhash").as("a_sim"))
+    val b = withBand.select(col("band"), col("band_key"),
+      col("doc_id").as("b_id"), col("simhash").as("b_sim"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sim"), col("b_sim"))
+      .distinct()
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= HammingT)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Latest-version-wins dedup over the event changelog (the CDC upsert
+    * view: one surviving row per user_id, ordered by (ts, event_id)).
+    * Spelled as a max_by over a lexicographic struct — ONE shuffle with
+    * partial aggregation on the map side, no per-key window sort; the
+    * (us, event_id) key is unique, so the winner is total-order
+    * deterministic. */
+  def qDedupLatest(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("us"), col("event_type"), col("value")),
+        struct(col("us"), col("event_id"))).as("r"))
+      .select(col("user_id"), col("r.event_id").as("event_id"),
+        col("r.us").as("us"), col("r.event_type").as("event_type"),
+        col("r.value").as("value"))
+      .orderBy("user_id")
 
   /** Jaccard similarity threshold shared by the exact verifiers. */
   private val JaccardT = 0.2
@@ -426,6 +490,8 @@ object Dedup {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_edit_distance" -> (qEditDistance _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_simhash_pairs" -> (qSimhashPairs _),
+    "q_dedup_latest" -> (qDedupLatest _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ngram_jaccard_prefix" -> (qNgramJaccardPrefix _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -449,6 +515,17 @@ object Dedup {
        |    CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / $NumHashes AS est_jaccard
        |  FROM bands a JOIN bands b
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Shared CTE ending in `simhashed(doc_id, simhash)` — the oracle twin
+    * of [[simhashes]]. */
+  private lazy val simhashCte =
+    s"""hs AS (SELECT doc_id,
+       |  list_transform($duckToks, t -> ${duckH32("t")}) AS hs FROM documents),
+       |simhashed AS (SELECT doc_id,
+       |  list_sum(list_transform(range(0, 32), j ->
+       |    CASE WHEN 2 * len(list_filter(hs, h -> (h // (1::BIGINT << j)) % 2 = 1)) - len(hs) > 0
+       |         THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
+       |  FROM hs)""".stripMargin
 
   private def sigCte =
     s"""toks AS (SELECT doc_id, $duckToks AS w FROM documents),
@@ -500,13 +577,23 @@ object Dedup {
          |  (id = min(lbl)) AS is_canonical
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" ->
-      s"""WITH hs AS (SELECT doc_id,
-         |  list_transform($duckToks, t -> ${duckH32("t")}) AS hs FROM documents)
-         |SELECT doc_id,
-         |  list_sum(list_transform(range(0, 32), j ->
-         |    CASE WHEN 2 * len(list_filter(hs, h -> (h // (1::BIGINT << j)) % 2 = 1)) - len(hs) > 0
-         |         THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
-         |FROM hs ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM simhashed ORDER BY doc_id""".stripMargin,
+    // Oracle = ALL-PAIRS exact hamming join: the band plan's pigeonhole
+    // completeness is re-proven against brute force, not assumed.
+    "q_simhash_pairs" ->
+      s"""WITH $simhashCte
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM simhashed a JOIN simhashed b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingT
+         |ORDER BY 1, 2""".stripMargin,
+    "q_dedup_latest" ->
+      """SELECT user_id, event_id, us, event_type, value FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // The prefix-filtered plan computes the SAME exact answer, so it
     // verifies against the same all-pairs oracle — the pruning changes
     // the plan, never the result.

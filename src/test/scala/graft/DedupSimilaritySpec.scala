@@ -166,6 +166,61 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mean >= 0.4, f"learned-IVF mean recall@10 $mean%.2f below 0.4 floor")
   }
 
+  test("simhash band join equals all-pairs hamming and genuinely prunes") {
+    import spark.implicits._
+    // brute force over the same simhashes, computed independently here
+    val sims = Dedup.qDedupSimhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("simhash")))
+    val want = (for {
+      (a, sa) <- sims; (b, sb) <- sims if a < b
+      hd = java.lang.Long.bitCount(sa ^ sb) if hd <= 3
+    } yield (a, b, hd)).toSet
+    val got = Dedup.qSimhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want, "band join must match brute-force hamming pairs")
+    assert(got.nonEmpty, "fixture near-dups should land within hamming 3")
+    // pruning: candidate pairs (≥1 equal 8-bit band) are a small fraction
+    // of all N² pairs — the property that makes the plan scale
+    val n = sims.length.toLong
+    val candidates = (for {
+      (a, sa) <- sims; (b, sb) <- sims if a < b
+      if (0 until 4).exists(k => ((sa >> (8 * k)) & 255L) == ((sb >> (8 * k)) & 255L))
+    } yield 1).size.toLong
+    // random 32-bit keys would give ~4/256 ≈ 1.6% survivors; real simhash
+    // bits are correlated (shared vocabulary skews every bit the same
+    // way), so this fixture keeps ~21%. Pin the order-of-magnitude
+    // property (most pairs never reach verification), not the iid bound.
+    val total = n * (n - 1) / 2
+    assert(candidates * 10 < total * 3,
+      s"banding should prune >70%: $candidates of $total survive")
+  }
+
+  test("latest-wins dedup keeps exactly the max-(ts, event_id) row per user") {
+    import graft.io.Tables
+    val rows = Dedup.qDedupLatest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (u, es) => u -> es.maxBy(e => (e._3, e._2))._2 }
+    assert(rows == want)
+  }
+
+  test("decontamination reports only train docs with bounded overlap") {
+    val split = graft.queries.Corpus.qTrainSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val got = graft.queries.Corpus.qDecontaminate(spark, sf).collect()
+    assert(got.nonEmpty, "fixture should contain at least one contaminated doc")
+    got.foreach { r =>
+      val (id, nSh, nOv) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(split(id) == "train", s"non-train doc $id reported")
+      assert(nOv >= 1 && nOv <= nSh, s"overlap out of bounds: $r")
+      val c = r.getDouble(3)
+      assert(c > 0.0 && c <= 1.0)
+    }
+  }
+
   test("ANN results are top-k ranked with dense ranks starting at 1") {
     val rows = Similarity.qAnnBruteforce(spark, sf)
       .groupBy("q_id").agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
