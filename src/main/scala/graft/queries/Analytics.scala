@@ -35,9 +35,12 @@ object Analytics {
       .select(col("doc_id"), TextPipeline.normalizedTokens(col("text")).as("w"))
     val dl = docs.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
     val words = docs.select(col("doc_id"), explode(col("w")).as("word"))
+    // materialize tf once for its three consumers (scores, df, and via
+    // df the query terms — see TextAnalysis.qTfidfTop): one tokenize
+    // pass; df = rows of tf per word, no distinct
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfq = words.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val dfq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
     val qterms = dfq.orderBy(col("df").desc, col("word").asc).limit(3)

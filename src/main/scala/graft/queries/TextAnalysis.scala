@@ -185,9 +185,16 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), explode(toks).as("word"))
+    // tf feeds two consumers (the df aggregate and the join probe) whose
+    // pruned subtrees diverge, so exchange reuse can't kick in — without
+    // materialization the corpus would tokenize + explode once PER
+    // consumer. Checkpoint the narrow (doc_id, word, tf) table instead
+    // (the `sets` pattern below): one tokenize pass, and df becomes a
+    // cheap re-aggregation of it (no distinct pass — df = rows per word).
+    // At cluster scale this is a persist of ~1% of the corpus bytes.
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df_ = words.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
     // corpus size as a broadcast scalar subquery — NO driver-side action
     // inside an operator (a .count() here would serialize the job DAG)
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
@@ -236,9 +243,11 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), explode(toks).as("word"))
+    // materialize tf once for its two consumers (see qTfidfTop) — one
+    // tokenize pass; df = rows of tf per word, no distinct
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfq = words.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val dfq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("word").asc)
