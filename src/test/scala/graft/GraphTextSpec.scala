@@ -62,4 +62,30 @@ class GraphTextSpec extends SparkSpec {
     val lifts = rows.map(_.getDouble(5))
     assert(lifts.sameElements(lifts.sorted(Ordering[Double].reverse)), "descending lift")
   }
+
+  test("degree-oriented triangle count equals local brute force") {
+    import graft.io.Tables
+    // independent recompute: adjacency sets over the co-order part graph
+    val op = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = op.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = (edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val part = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    edges.foreach { case (a, b) =>
+      val common = adj(a).intersect(adj(b)) // each triangle hit via 3 edges
+      common.foreach { c => part(c) += 1 }
+    }
+    // per-edge common-neighbor attribution counts each triangle once per
+    // edge at its opposite vertex — i.e. exactly once per vertex
+    val want = part.toSeq.sortBy { case (p, n) => (-n, p) }.take(20).toList
+    val got = Graph.qTriangles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == want, s"got=${got.take(5)} want=${want.take(5)}")
+    assert(got.nonEmpty && got.head._2 > 0)
+  }
 }
