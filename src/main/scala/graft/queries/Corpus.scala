@@ -142,6 +142,11 @@ object Corpus {
       .select(col("doc_id"), col("b"),
         array_distinct(transform(TextPipeline.shinglesOf(col("w")),
           t => TextPipeline.h32(t))).as("hs"))
+      // train and test branches partition the SAME scan by split bucket —
+      // materialize the hashed-shingle table once so tokenize + shingle +
+      // hash runs one pass, not one per branch (a real pipeline persists
+      // this table anyway; it is the dedup/contamination index)
+      .localCheckpoint()
     val testSh = f.filter(col("b") >= 90)
       .select(explode(col("hs")).as("h")).distinct()
     f.filter(col("b") < 80)
