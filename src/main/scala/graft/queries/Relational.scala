@@ -53,6 +53,42 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** TPC-H Q18 shape — large-volume orders: the group-then-filter-then-
+    * join-back pattern. The HAVING aggregate runs FIRST (one shuffle over
+    * lineitem, partial-agg'd map-side) and survives as a key list that is
+    * tiny at any scale (>200 total qty is rare), so the detail joins are
+    * broadcast probes; TakeOrdered caps the output without a global sort. */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dQty(col("l_quantity"))).as("sqty"))
+      .filter(col("sqty") > 200)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        dMoney(col("o_totalprice")).cast("double").as("total_price"),
+        col("sqty").cast("double").as("sum_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q13 shape — customer order-count distribution: LEFT OUTER join
+    * preserving order-less customers, then aggregate TWICE (per customer,
+    * then per count). Both aggregations partial-agg before their shuffle;
+    * the second one's input is customer-cardinality, the output
+    * distinct-count-cardinality — each stage strictly shrinks. */
+  def q13CustomerDistribution(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
   /** Projection + selective filter; both must reach the scan (PushedFilters). */
   def qFilterProject(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -380,6 +416,8 @@ object Relational {
     "q_filter_project" -> (qFilterProject _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
+    "q13_customer_distribution" -> (q13CustomerDistribution _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
     "q_outer_join" -> (qOuterJoin _),
@@ -448,6 +486,23 @@ object Relational {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
          |  AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS total_price,
+        |  CAST(sqty AS DOUBLE) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sqty
+        |      FROM lineitem GROUP BY l_orderkey HAVING sqty > 200) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_price DESC, o_orderkey ASC LIMIT 100""".stripMargin,
     "q_semi_join" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem
