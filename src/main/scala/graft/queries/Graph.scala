@@ -108,11 +108,20 @@ object Graph {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    val e = li.join(li.withColumnRenamed("p", "q"), "o")
+    val edges = li.join(li.withColumnRenamed("p", "q"), "o")
       .filter(col("p") < col("q"))
       .select(col("p").as("a"), col("q").as("b"))
       .distinct()
-      .localCheckpoint()
+    triangleCounts(edges)
+      .orderBy(col("n_triangles").desc, col("part").asc)
+      .limit(20)
+  }
+
+  /** Core of [[qTriangles]] over any canonical (a < b, distinct) edge
+    * list: per-node triangle participation counts. Exposed for the
+    * randomized brute-force property test in PropertiesSpec. */
+  private[graft] def triangleCounts(edgesIn: DataFrame): DataFrame = {
+    val e = edgesIn.localCheckpoint()
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val dirE = e
@@ -142,8 +151,6 @@ object Graph {
         && greatest(col("v"), col("w")) === col("b"), "left_semi")
     closed.select(explode(array(col("u"), col("v"), col("w"))).as("part"))
       .groupBy("part").agg(count(lit(1)).as("n_triangles"))
-      .orderBy(col("n_triangles").desc, col("part").asc)
-      .limit(20)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

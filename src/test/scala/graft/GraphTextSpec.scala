@@ -63,6 +63,29 @@ class GraphTextSpec extends SparkSpec {
     assert(lifts.sameElements(lifts.sorted(Ordering[Double].reverse)), "descending lift")
   }
 
+  test("oriented triangle counting is exact on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 10 + rnd.nextInt(30)
+      val p = 0.1 + rnd.nextDouble() * 0.4
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < p
+      } yield (a, b)).toSet
+      if (edges.nonEmpty) {
+        val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val want = edges.toSeq
+          .flatMap { case (a, b) => adj(a).intersect(adj(b)).toSeq }
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val df = edges.toSeq.toDF("a", "b")
+        val got = graft.queries.Graph.triangleCounts(df).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"trial $trial n=$n p=$p: got=$got want=$want")
+      }
+    }
+  }
+
   test("degree-oriented triangle count equals local brute force") {
     import graft.io.Tables
     // independent recompute: adjacency sets over the co-order part graph
