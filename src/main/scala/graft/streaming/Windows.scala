@@ -141,6 +141,32 @@ object Windows {
       }
   }
 
+  /** A keyed changelog record (the CDC ingest shape). */
+  case class ChangeEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                         event_type: String, value: Double)
+  /** The surviving latest version for a key. */
+  case class LatestEvent(user_id: Long, event_id: Long, us: Long,
+                         event_type: String, value: Double)
+
+  /** Latest-version-wins upsert view of a keyed changelog — the streaming
+    * twin of the batch `q_dedup_latest` max_by: state holds ONE record per
+    * key (the (us, event_id)-lexicographic max seen so far) and re-emits
+    * it whenever a batch touches the key. Late or out-of-order versions
+    * fold in correctly because the max is order-free. This is the
+    * materialized "current row per key" view every CDC ingest keeps. */
+  def latestWins(events: Dataset[ChangeEvent]): Dataset[LatestEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[LatestEvent, LatestEvent](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[ChangeEvent], state: GroupState[LatestEvent]) =>
+          val best = (state.getOption.iterator ++ batch.map(e =>
+            LatestEvent(uid, e.event_id, tsMicros(e.ts), e.event_type, e.value)))
+            .maxBy(l => (l.us, l.event_id))
+          state.update(best)
+          best
+      }
+  }
+
   /** Open-session accumulator carried in the state store (one per user). */
   case class SessionBuf(start_us: Long, last_us: Long, n: Long, sum: Double)
   /** A completed session, session_window-compatible (end = last + gap). */

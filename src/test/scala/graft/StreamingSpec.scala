@@ -84,6 +84,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("latest-wins upsert view converges to the batch max_by dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, 10L, ts("2024-01-01 00:10:00"), "click", 1.0),
+      (1L, 11L, ts("2024-01-01 02:00:00"), "view", 2.0),
+      (2L, 20L, ts("2024-01-01 01:00:00"), "view", 3.0),
+      // same-microsecond tie for user 2: higher event_id must win
+      (2L, 21L, ts("2024-01-01 01:00:00"), "click", 4.0),
+      // late, OLDER version for user 1 arriving in a later batch: ignored
+      (1L, 9L, ts("2024-01-01 00:00:00"), "purchase", 9.0))
+    val mem = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val streamed = Windows.latestWins(
+      mem.toDF().toDF("user_id", "event_id", "ts", "event_type", "value")
+        .as[Windows.ChangeEvent])
+    val q = streamed.writeStream.format("memory")
+      .queryName("t_latest").outputMode(OutputMode.Update()).start()
+    mem.addData(rows.take(3)); q.processAllAvailable()
+    mem.addData(rows.drop(3)); q.processAllAvailable()
+    // final state per key = the (us, event_id)-max row in the update log
+    val got = spark.table("t_latest").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.maxBy(x => (x._3, x._2))._2).toMap
+    q.stop()
+    val want = rows.groupBy(_._1).view.mapValues(
+      _.maxBy(e => (e._3.getTime, e._2))._2).toMap
+    assert(got == want, s"got=$got want=$want")
+    assert(got(1L) == 11L && got(2L) == 21L)
+  }
+
   test("streaming session windows (append + watermark) equal the batch plan") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
