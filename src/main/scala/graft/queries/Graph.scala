@@ -133,6 +133,9 @@ object Graph {
           struct(col("a").as("u"), col("b").as("v")))
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
+      // consumed by BOTH wedge-join sides; without materialization each
+      // side re-runs the degree joins (pruning blocks exchange reuse)
+      .localCheckpoint()
     // wedge generation stays a flat self-join on u: both sides prune to
     // the same (u, v) subtree so the exchange is built once and reused,
     // and the d²-sized pair stream flows through whole-stage codegen. (A
