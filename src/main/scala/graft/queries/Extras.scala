@@ -300,6 +300,22 @@ object Extras {
         col("hi.o_totalprice").as("priciest_price"), col("n"))
       .orderBy("o_custkey")
 
+  /** Ordered string aggregation (LISTAGG / string_agg): per nation, the
+    * alphabetical comma-joined supplier roster + its size. Spelled
+    * sort_array(collect_list(...)) → concat_ws so the concatenation order
+    * is TOTAL (bare collect_list order is partition-dependent; string_agg
+    * without ORDER BY is engine-undefined). Scale note: the aggregate
+    * state is the group's value list — fine for bounded rosters (the
+    * LISTAGG contract); unbounded groups want the array kept as an array
+    * with a size cap, not a string. */
+  def qStringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        concat_ws(",", sort_array(collect_list(col("s_name")))).as("roster"))
+      .orderBy("n_name")
+
   /** UNION ALL (bag semantics — q_union covers the distinct form). */
   def qUnionAll(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
@@ -349,6 +365,7 @@ object Extras {
     "q_resample" -> (qResample _),
     "q_min_max_by" -> (qMinMaxBy _),
     "q_union_all" -> (qUnionAll _),
+    "q_string_agg" -> (qStringAgg _),
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_stats" -> (qStats _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -445,6 +462,11 @@ object Extras {
         |  SELECT c_nationkey AS nk FROM customer
         |  UNION ALL SELECT s_nationkey FROM supplier)
         |GROUP BY nk ORDER BY nk""".stripMargin,
+    "q_string_agg" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS roster
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_kmv_distinct" ->
       s"""WITH hashes AS (
          |  SELECT DISTINCT lang,
