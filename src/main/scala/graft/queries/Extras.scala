@@ -316,6 +316,27 @@ object Extras {
         concat_ws(",", sort_array(collect_list(col("s_name")))).as("roster"))
       .orderBy("n_name")
 
+  /** LOCF — last observation carried forward via `last(..., ignoreNulls)`
+    * over a running ROWS frame: every event carries the value of the
+    * user's most recent PURCHASE at that point (the sparse-signal
+    * forward-fill every feature pipeline needs; grid-based gap-fill is
+    * q_resample's job). Nulls before the first observation sentinel to
+    * -1 (the driver's hash compare NaN-round-trips NULL doubles — a
+    * compare artifact, q_stream_join_outer precedent). One shuffle on
+    * user_id; the frame is computed in one ordered pass per partition. */
+  def qLocf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("pv", when(col("event_type") === "purchase", col("value")))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        coalesce(last(col("pv"), ignoreNulls = true).over(w), lit(-1.0))
+          .as("last_purchase_value"))
+      .orderBy("user_id", "us", "event_id")
+  }
+
   /** UNION ALL (bag semantics — q_union covers the distinct form). */
   def qUnionAll(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
@@ -366,6 +387,7 @@ object Extras {
     "q_min_max_by" -> (qMinMaxBy _),
     "q_union_all" -> (qUnionAll _),
     "q_string_agg" -> (qStringAgg _),
+    "q_locf" -> (qLocf _),
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_stats" -> (qStats _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -467,6 +489,14 @@ object Extras {
         |  string_agg(s_name, ',' ORDER BY s_name) AS roster
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_locf" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  coalesce(last_value(
+        |      CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0)
+        |    AS last_purchase_value
+        |FROM events ORDER BY user_id, us, event_id""".stripMargin,
     "q_kmv_distinct" ->
       s"""WITH hashes AS (
          |  SELECT DISTINCT lang,
