@@ -25,6 +25,7 @@ object SparkEntry {
     (q.Corpus.queries, q.Corpus.oracle),
     (q.Graph.queries, q.Graph.oracle),
     (q.Analytics.queries, q.Analytics.oracle),
+    (q.SqlSurface.queries, q.SqlSurface.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

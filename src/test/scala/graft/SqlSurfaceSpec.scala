@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+import graft.queries.SqlSurface
+
+/** Engine-side invariants for the SqlSurface tier — cross-checks the
+  * oracle can't express (built-in equivalence, recursion == window
+  * algebra, pivot/unpivot round-trip).
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("regression from exact moments matches built-in regr_*") {
+    val ours = SqlSurface.qRegression(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(5)))
+      .toMap
+    val ref = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(expr("regr_slope(l_extendedprice, l_quantity)").as("slope"),
+        expr("regr_intercept(l_extendedprice, l_quantity)").as("intercept"),
+        expr("corr(l_extendedprice, l_quantity)").as("corr_xy"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(ours.keySet == ref.keySet)
+    for ((flag, (s1, i1, c1)) <- ours; (s2, i2, c2) = ref(flag)) {
+      assert(math.abs(s1 - s2) < 1e-6, s"$flag slope $s1 vs builtin $s2")
+      assert(math.abs(i1 - i2) < 1e-3, s"$flag intercept $i1 vs builtin $i2")
+      // our outputs are rounded to 6dp, so the bound is rounding + fp noise
+      assert(math.abs(c1 - c2) < 1e-6, s"$flag corr $c1 vs builtin $c2")
+    }
+  }
+
+  test("recursive chain == window algebra (depth = row_number, spend = running sum)") {
+    val rec = SqlSurface.qRecursiveChain(spark, sf)
+      .select("o_orderkey", "depth", "cum_spend")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val win = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        row_number().over(w).cast("long").as("depth"),
+        round(sum(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("cum_spend"))
+    // recursion adds o_totalprice in strictly increasing rn order, which is
+    // exactly the running-sum frame order → identical doubles, so the
+    // equality below is exact, not approximate
+    assert(rec.count() == Tables.orders(spark, sf).count(),
+      "every order must appear in exactly one chain position")
+    assert(rec.join(win, Seq("o_orderkey", "depth", "cum_spend"), "left_anti")
+      .count() == 0, "recursive result must equal the window formulation")
+  }
+
+  test("window distribution trio is internally consistent per partition") {
+    val rows = SqlSurface.qWindowDist(spark, sf).collect()
+    val byPriority = rows.groupBy(_.getString(1))
+    for ((p, rs) <- byPriority) {
+      val n = rs.length
+      // cume_dist of the maximal row is exactly 1; pct_rank spans [0, 1]
+      assert(math.abs(rs.map(_.getDouble(4)).max - 1.0) < 1e-9, s"$p cume max")
+      assert(rs.map(_.getDouble(3)).min == 0.0, s"$p pct_rank min")
+      // ntile(4) buckets differ in size by at most 1 and cover all rows
+      val sizes = rs.groupBy(_.getInt(2)).view.mapValues(_.length).toMap
+      assert(sizes.keySet == (1 to math.min(4, n)).toSet, s"$p ntile buckets")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$p ntile balance")
+    }
+  }
+
+  test("unpivot then pivot round-trips part metrics") {
+    val back = SqlSurface.qUnpivot(spark, sf)
+      .groupBy("p_partkey")
+      .pivot("metric", Seq("retailprice", "size"))
+      .agg(first(col("value")))
+    val orig = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice").cast("double").as("retailprice"),
+        col("p_size").cast("double").as("size"))
+    assert(back.join(orig, Seq("p_partkey", "retailprice", "size"), "left_anti")
+      .count() == 0, "pivot(unpivot(x)) must equal x")
+    assert(back.count() == orig.count())
+  }
+
+  test("filtered aggregates agree with independently filtered scans") {
+    val out = SqlSurface.qAggFiltered(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val orders = Tables.orders(spark, sf)
+    for ((status, r) <- out) {
+      val sub = orders.filter(col("o_orderstatus") === status)
+      assert(r.getLong(1) == sub.count(), s"$status n_orders")
+      assert(r.getLong(2) ==
+        sub.filter(col("o_orderpriority") === "1-URGENT").count(),
+        s"$status n_urgent")
+      assert(r.getBoolean(5), s"$status all_pos must hold on fixture prices")
+    }
+  }
+}
