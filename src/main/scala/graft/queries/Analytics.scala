@@ -185,7 +185,48 @@ object Analytics {
       .orderBy("doc_id")
   }
 
+  /** Gap-based sessionization core, factored so AnalyticsSpec can drive
+    * crafted event streams through the exact production logic. A new
+    * session starts at the first event and whenever the gap to the
+    * previous event STRICTLY exceeds `gapUs` (an exactly-gap-long pause
+    * continues the session — the same boundary StreamWindows' session
+    * windows use). Both window functions share one (user, time) sort, so
+    * the plan is a single Window node over one shuffle. */
+  private[graft] def sessionize(ev: DataFrame, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    val prev = lag(col("t_us"), 1).over(w)
+    ev.withColumn("is_new",
+        when(prev.isNull || col("t_us") - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("t_us")).as("t_start_us"),
+        max(col("t_us")).as("t_end_us"),
+        count(when(col("event_type") === "purchase", lit(1))).as("n_purchases"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("t_start_us"), col("t_end_us"),
+        (col("t_end_us") - col("t_start_us")).as("dur_us"),
+        col("n_purchases"))
+  }
+
+  /** Batch sessionization of the event stream (30-minute inactivity gap)
+    * — the offline twin of q_stream_sessions: one shuffle on user_id,
+    * session assignment as pure window algebra (lag + running sum), then
+    * a per-session rollup. At 100 TB nothing here is user-cardinality-
+    * bound on the driver; sessions materialize distributed. */
+  def qSessionize(s: SparkSession, dir: String): DataFrame =
+    sessionize(
+      Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("t_us")),
+      1800000000L)
+      .orderBy("user_id", "session_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> (qSessionize _),
     "q_bm25_top" -> (qBm25Top _),
     "q_bloom_semi" -> (qBloomSemi _),
     "q_rfm" -> (qRfm _),
@@ -193,6 +234,23 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS t_us FROM events),
+        |f AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+        |        OR t_us - lag(t_us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |        AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |g AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |        ORDER BY t_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        AS session_id
+        |      FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(t_us) AS t_start_us, max(t_us) AS t_end_us,
+        |  max(t_us) - min(t_us) AS dur_us,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
     "q_bm25_top" -> {
       val duckToks = TextPipeline.duckToks
       s"""WITH docs AS (

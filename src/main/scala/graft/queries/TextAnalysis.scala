@@ -357,7 +357,59 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word").asc)
   }
 
+  /** Shannon unigram entropy per document — the repetition/diversity
+    * quality signal (low entropy ⇒ boilerplate or token spam; uniform
+    * vocabulary ⇒ log2(n)). H = log2(n) − (Σ c·log2(c))/n over term
+    * frequencies c.
+    *
+    * Determinism: the Σ c·log2(c) term quantizes each contribution to a
+    * 1e-6 BIGINT grid before summing (the q_pagerank trick) — integer
+    * sums are order-free, so the result is bit-identical under any
+    * partitioning. Cross-engine, c·log2(c)·1e6 rounds identically in
+    * Java and DuckDB for every c ≤ 59,069 (verified exhaustively;
+    * within-document term frequencies are ~2 orders of magnitude below
+    * that), so the transcendental stays out of the hash-compared value
+    * in exactly the way the file-header stance requires. */
+  private[graft] def tokenEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(toks).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        sum(round(col("c").cast("double") * log2(col("c").cast("double"))
+          * lit(1000000.0), 0).cast("long")).as("qsum"))
+      .select(col("doc_id"), col("n"), col("n_distinct"),
+        round(log2(col("n").cast("double"))
+          - (col("qsum").cast("double") / lit(1000000.0))
+            / col("n").cast("double"), 4).as("entropy"))
+
+  def qTokenEntropy(s: SparkSession, dir: String): DataFrame =
+    tokenEntropy(Tables.documents(s, dir)).orderBy("doc_id")
+
+  /** Positional phrase search ("fast table"): the inverted-POSITIONAL-
+    * index plan. Tokens posexplode once; only the two phrase terms'
+    * postings survive the filters, and adjacency is an equi-join on
+    * (doc_id, pos) with the second term shifted by −1 — no text ever
+    * shuffles, and at 100 TB each term's postings list is a narrow
+    * (doc, pos) stream that AQE can broadcast when the term is rare.
+    * Output: matching docs with occurrence counts. */
+  private[graft] def phraseHits(docs: DataFrame, first: String, second: String): DataFrame = {
+    val pos = docs.select(col("doc_id"), col("lang"),
+      posexplode(toks).as(Seq("pos", "word")))
+    val a = pos.filter(col("word") === first)
+      .select(col("doc_id"), col("lang"), col("pos"))
+    val b = pos.filter(col("word") === second)
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    a.join(b, Seq("doc_id", "pos"))
+      .groupBy("doc_id", "lang").agg(count(lit(1)).as("n_hits"))
+  }
+
+  def qPhraseSearch(s: SparkSession, dir: String): DataFrame =
+    phraseHits(Tables.documents(s, dir), "fast", "table").orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_entropy" -> (qTokenEntropy _),
+    "q_phrase_search" -> (qPhraseSearch _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_len_histogram" -> (qLenHistogram _),
     "q_token_stats" -> (qTokenStats _),
@@ -374,6 +426,27 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_token_entropy" ->
+      s"""WITH w AS (SELECT doc_id, unnest($duckToks) AS word FROM documents),
+         |c AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |        count(*) AS n_distinct,
+         |        CAST(sum(CAST(round(c * log2(c) * 1000000.0) AS BIGINT))
+         |          AS BIGINT) AS qsum
+         |      FROM c GROUP BY 1)
+         |SELECT doc_id, n, n_distinct,
+         |  round(log2(n) - (CAST(qsum AS DOUBLE) / 1000000.0) / n, 4)
+         |    AS entropy
+         |FROM a ORDER BY doc_id""".stripMargin,
+    "q_phrase_search" ->
+      s"""WITH d AS (SELECT doc_id, lang, $duckToks AS t FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |        CAST(len(list_filter(range(1, len(t)),
+         |          i -> t[i] = 'fast' AND t[i+1] = 'table')) AS BIGINT)
+         |          AS n_hits
+         |      FROM d)
+         |SELECT doc_id, lang, n_hits FROM h
+         |WHERE n_hits > 0 ORDER BY doc_id""".stripMargin,
     "q_heavy_hitters" -> {
       val aL = cmA.mkString("[", ",", "]")
       val bL = cmB.mkString("[", ",", "]")

@@ -129,4 +129,45 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(got.keySet == perLang.keySet)
   }
+
+  test("sessionize: exact-gap pause continues a session, gap+1us starts one") {
+    import spark.implicits._
+    val gap = 1800000000L // 30 min in us
+    val ev = Seq(
+      // user 1: second event exactly `gap` later (same session), third
+      // event gap+1us after that (new session), fourth right after (same)
+      ("u1", 1L, "view", 0L),
+      ("u1", 2L, "click", gap),
+      ("u1", 3L, "purchase", 2 * gap + 1),
+      ("u1", 4L, "view", 2 * gap + 2),
+      // user 2: one lone event → one 1-event session of zero duration
+      ("u2", 5L, "purchase", 42L)
+    ).toDF("user_id", "event_id", "event_type", "t_us")
+    val out = Analytics.sessionize(ev, gap).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(out.keySet == Set("u1" -> 1L, "u1" -> 2L, "u2" -> 1L))
+    assert(out("u1" -> 1L) == (2L, 0L, gap, gap, 0L),
+      "exact-gap event must stay in session 1")
+    assert(out("u1" -> 2L) == (2L, 2 * gap + 1, 2 * gap + 2, 1L, 1L),
+      "gap+1us must open session 2, containing the purchase")
+    assert(out("u2" -> 1L) == (1L, 42L, 42L, 0L, 1L))
+  }
+
+  test("sessionize event totals are conserved at sf0.001") {
+    val sessions = Analytics.qSessionize(spark, sf)
+    val nEvents = Tables.events(spark, sf).count()
+    val agg = sessions.agg(sum(col("n_events")), max(col("dur_us"))).collect()(0)
+    assert(agg.getLong(0) == nEvents, "every event lands in exactly one session")
+    assert(agg.getLong(1) >= 0)
+    // session ids are dense 1..k per user
+    val perUser = sessions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("k"), max(col("session_id")).as("mx"),
+        min(col("session_id")).as("mn")).collect()
+    perUser.foreach { r =>
+      assert(r.getLong(3) == 1L && r.getLong(2) == r.getLong(1),
+        s"session ids must be dense 1..k: $r")
+    }
+  }
 }

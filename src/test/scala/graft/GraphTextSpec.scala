@@ -111,4 +111,36 @@ class GraphTextSpec extends SparkSpec {
     assert(got == want, s"got=${got.take(5)} want=${want.take(5)}")
     assert(got.nonEmpty && got.head._2 > 0)
   }
+
+  test("token entropy: uniform doc = log2(n), constant doc = 0, 50/50 doc = 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "en"),       // 4 distinct → H = 2
+      (2L, "a a a a a", "en"),     // constant → H = 0
+      (3L, "a a b b", "en"),       // fair coin → H = 1
+      (4L, "x", "en")              // single token → H = 0
+    ).toDF("doc_id", "text", "lang")
+    val h = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(h(1L) == (4L, 4L, 2.0))
+    assert(h(2L) == (5L, 1L, 0.0))
+    assert(h(3L) == (4L, 2L, 1.0))
+    assert(h(4L) == (1L, 1L, 0.0))
+  }
+
+  test("phrase search counts adjacent positional matches, not substrings") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "fast table fast table", "en"),  // 2 adjacent hits
+      (2L, "fast fast table", "en"),        // 1 (first fast not adjacent)
+      (3L, "table fast", "en"),             // reversed → no hit
+      (4L, "fastx table fast tabley", "en"),// normalization keeps letters, so
+                                            // 'fastx'/'tabley' are NOT matches
+      (5L, "Fast, table!", "en")            // normalization lowers + strips → hit
+    ).toDF("doc_id", "text", "lang")
+    val hits = TextAnalysis.phraseHits(docs, "fast", "table").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hits == Map(1L -> 2L, 2L -> 1L, 5L -> 1L),
+      s"positional adjacency semantics violated: $hits")
+  }
 }
