@@ -379,7 +379,67 @@ object Extras {
       .orderBy("column")
   }
 
+  /** grouping()/grouping_id() over a ROLLUP: the subtotal-level indicator
+    * functions that disambiguate "NULL because subtotal row" from "NULL in
+    * the data" — the piece of the rollup surface q_rollup's coalesce
+    * labels don't exercise. gid is also recomputed portably as
+    * 2·g(status)+g(priority) in the oracle, which is exactly Spark's
+    * grouping_id bit layout (left column = high bit). */
+  def qGroupingId(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      // grouping()/grouping_id() are only resolvable inside the grouping-
+      // sets Aggregate itself, so they are computed here and projected after
+      .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("g_status"), col("g_priority"), col("gid"), col("n"))
+      .orderBy("gid", "status", "priority")
+
+  /** Linear interpolation of a masked time series: treat click events'
+    * values as missing and reconstruct them from the user's neighboring
+    * non-click readings — prev/next non-null via IGNORE NULLS window
+    * frames (one (user, time) sort serves all four), then a pure per-row
+    * lerp with exact edge fallbacks (leading gap → next, trailing gap →
+    * prev). No accumulation crosses rows, so doubles are bit-identical
+    * under any partitioning; the lerp expression tree is spelled
+    * identically in the oracle. Complements q_locf (step fill) with the
+    * two-sided fill. */
+  def qInterpolate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+    val masked = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"),
+        when(col("event_type") === "click", lit(null).cast("double"))
+          .otherwise(col("value")).as("v"),
+        when(col("event_type") === "click", lit(null).cast("long"))
+          .otherwise(unix_micros(col("ts"))).as("vt"))
+    val lerp = col("pv") + ((col("nv") - col("pv"))
+      * ((col("t_us") - col("pt")).cast("double")
+        / (col("nt") - col("pt")).cast("double")))
+    masked
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pt", last(col("vt"), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nt", first(col("vt"), ignoreNulls = true).over(wNext))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("t_us"),
+        round(when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(lerp), 6).as("interp_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_id" -> (qGroupingId _),
+    "q_interpolate" -> (qInterpolate _),
     "q_profile" -> (qProfile _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_window_nav" -> (qWindowNav _),
@@ -404,6 +464,40 @@ object Extras {
   private val duckToksE = TextPipeline.duckToks
 
   val oracle: Map[String, String] = Map(
+    "q_grouping_id" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |  CAST(2 * GROUPING(o_orderstatus)
+        |     + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
+    "q_interpolate" ->
+      """WITH m AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
+        |    CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v,
+        |    CASE WHEN event_type = 'click' THEN NULL
+        |         ELSE epoch_us(ts) END AS vt
+        |  FROM events),
+        |f AS (
+        |  SELECT *,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(vt IGNORE NULLS) OVER wp AS pt,
+        |    first_value(v IGNORE NULLS) OVER wn AS nv,
+        |    first_value(vt IGNORE NULLS) OVER wn AS nt
+        |  FROM m
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY t_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  wn AS (PARTITION BY user_id ORDER BY t_us, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, t_us,
+        |  round(CASE WHEN pv IS NULL THEN nv
+        |             WHEN nv IS NULL THEN pv
+        |             ELSE pv + (nv - pv) * (CAST(t_us - pt AS DOUBLE)
+        |               / CAST(nt - pt AS DOUBLE)) END, 6) AS interp_value
+        |FROM f WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
     "q_profile" -> {
       val aggSel = ProfileCols.map { case (c, num) =>
         val mn = if (num) s"CAST(min($c) AS DOUBLE)"

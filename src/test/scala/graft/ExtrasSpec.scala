@@ -76,4 +76,57 @@ class ExtrasSpec extends SparkSpec {
       .filter(col("lang") === "en").count()
     assert(back.count() == expected)
   }
+
+  test("grouping_id encodes rollup levels (2*g_status + g_priority)") {
+    val rows = Extras.qGroupingId(spark, sf).collect()
+    rows.foreach { r =>
+      val (gs, gp, gid) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(gid == 2 * gs + gp, s"gid bit layout broken: $r")
+      // rollup (not cube): status can't be subtotaled while priority is kept
+      assert(!(gs == 1 && gp == 0), s"non-rollup level appeared: $r")
+    }
+    val levels = rows.map(_.getLong(4)).toSet
+    assert(levels == Set(0L, 1L, 3L), s"rollup must emit detail/subtotal/grand: $levels")
+    // grand total row carries the full count exactly once
+    val grand = rows.filter(_.getLong(4) == 3L)
+    assert(grand.length == 1)
+    assert(grand.head.getLong(5) == graft.io.Tables.orders(spark, sf).count())
+  }
+
+  test("interpolation: interior lerp, leading/trailing fallbacks, all-gap null") {
+    // masked series per user: clicks are the gaps to reconstruct
+    import spark.implicits._
+    import graft.queries.Extras
+    val t0 = 1700000000000000L // any anchor; only deltas matter
+    def lerpOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    // Crafted through the production path by writing a tiny events table
+    val dir = java.nio.file.Files.createTempDirectory("graft_interp").toString
+    Seq(
+      // u1: known(10.0) .. click .. known(20.0): t exactly midway → 15.0
+      (1L, t0, "u1", "view", 10.0),
+      (2L, t0 + 1000000L, "u1", "click", 999.0), // masked; 999 must be ignored
+      (3L, t0 + 2000000L, "u1", "purchase", 20.0),
+      // u2: click BEFORE any known value → takes next (7.5)
+      (4L, t0, "u2", "click", 999.0),
+      (5L, t0 + 5L, "u2", "view", 7.5),
+      // u2: click AFTER the last known value → takes prev (7.5)
+      (6L, t0 + 9L, "u2", "click", 999.0),
+      // u3: only clicks → no anchor at all → null
+      (7L, t0, "u3", "click", 999.0)
+    ).toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      // events.parquet carries TIMESTAMP(NANOS) read as raw nanos; the
+      // loader divides by 1000, so write nanos here
+      .select(col("event_id"), (col("ts_us") * 1000).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = lerpOf(Extras.qInterpolate(spark, dir))
+    assert(out(2L).contains(15.0), s"midway lerp: ${out(2L)}")
+    assert(out(4L).contains(7.5), s"leading gap takes next: ${out(4L)}")
+    assert(out(6L).contains(7.5), s"trailing gap takes prev: ${out(6L)}")
+    assert(out(7L).isEmpty, "gap with no anchors must stay null")
+    assert(out.size == 4)
+  }
 }
