@@ -437,7 +437,42 @@ object Extras {
       .orderBy("event_id")
   }
 
+  /** 2-D skyline (Pareto frontier): parts minimizing (retailprice, size)
+    * — no other part is ≤ on both dimensions and < on one. The naive
+    * spelling is the O(n²) self-anti-join the ORACLE runs (NOT EXISTS —
+    * deliberately a DIFFERENT formulation, so agreement is a real
+    * cross-check); the engine plan is the O(n log n) sweep Catalyst
+    * cannot derive itself: collapse to per-price levels (min size per
+    * price), one price-ordered running-min window over the LEVELS (a
+    * price-cardinality relation, not the data), keep levels whose min
+    * size strictly undercuts every cheaper level, then a semi-join back
+    * tags the surviving rows. At 100 TB the window runs over ~|distinct
+    * prices| rows and everything else is hash joins — nothing quadratic
+    * anywhere. */
+  def qSkyline(s: SparkSession, dir: String): DataFrame =
+    skylineOf(Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_retailprice").as("price"),
+        col("p_size").cast("long").as("size")))
+      .orderBy("p_partkey")
+
+  /** Sweep core of [[qSkyline]] over any (p_partkey, price, size) set —
+    * exposed so PropertiesSpec can brute-force random point sets. */
+  private[graft] def skylineOf(p: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val levels = p.groupBy("price").agg(min(col("size")).as("msize"))
+    val w = Window.orderBy(col("price").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = levels
+      .withColumn("prevmin", min(col("msize")).over(w))
+      .filter(col("prevmin").isNull || col("msize") < col("prevmin"))
+      .select(col("price"), col("msize"))
+    p.join(frontier,
+      p("price") === frontier("price") && p("size") === frontier("msize"),
+      "left_semi")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> (qSkyline _),
     "q_grouping_id" -> (qGroupingId _),
     "q_interpolate" -> (qInterpolate _),
     "q_profile" -> (qProfile _),
@@ -464,6 +499,17 @@ object Extras {
   private val duckToksE = TextPipeline.duckToks
 
   val oracle: Map[String, String] = Map(
+    "q_skyline" ->
+      """SELECT p_partkey, p_retailprice AS price,
+        |  CAST(p_size AS BIGINT) AS size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size <= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice
+        |         OR q.p_size < p.p_size))
+        |ORDER BY p_partkey""".stripMargin,
     "q_grouping_id" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,

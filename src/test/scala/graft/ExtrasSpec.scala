@@ -93,6 +93,27 @@ class ExtrasSpec extends SparkSpec {
     assert(grand.head.getLong(5) == graft.io.Tables.orders(spark, sf).count())
   }
 
+  test("skyline sweep equals brute-force Pareto frontier on random point sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812)
+    for (trial <- 1 to 3) {
+      // small value ranges force price ties and duplicate points — the
+      // cases where the sweep's strict/non-strict split can go wrong
+      val pts = (1 to 400).map(i =>
+        (i.toLong, (rnd.nextInt(30) + 1).toDouble, (rnd.nextInt(30) + 1).toLong))
+      val brute = pts.filter { case (_, pp, ps) =>
+        !pts.exists { case (_, qp, qs) =>
+          qp <= pp && qs <= ps && (qp < pp || qs < ps)
+        }
+      }.map(_._1).toSet
+      val got = Extras.skylineOf(pts.toDF("p_partkey", "price", "size"))
+        .collect().map(_.getLong(0)).toSet
+      assert(got == brute,
+        s"trial $trial: sweep ${got.size} != brute ${brute.size}; " +
+          s"diff=${(got -- brute) ++ (brute -- got)}")
+    }
+  }
+
   test("interpolation: interior lerp, leading/trailing fallbacks, all-gap null") {
     // masked series per user: clicks are the gaps to reconstruct
     import spark.implicits._

@@ -81,4 +81,32 @@ class SkewJoinSpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("AQE coalesces over-partitioned shuffle reads (final plan)") {
+    // the other half of AQE's runtime re-planning story: a shuffle
+    // planned at a deliberately absurd partition count collapses to a
+    // handful of reads once runtime sizes are known — the config-free
+    // safety net that lets one global shuffle.partitions serve queries
+    // whose actual data volumes differ by orders of magnitude
+    val conf = spark.conf
+    // only confs this test SETS are saved; initialPartitionNum is left
+    // alone (its default is null, which save/restore can't round-trip)
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> scala.util.Try(conf.get(k)).toOption)
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      conf.set("spark.sql.shuffle.partitions", "200")
+      val agg = Tables.orders(spark, sf)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      assert(agg.collect().length == 5)
+      val plan = Bridge.finalPlanString(agg)
+      assert(plan.contains("AQEShuffleRead coalesced"),
+        s"expected the 200-partition shuffle coalesced at runtime:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }
