@@ -161,7 +161,34 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis): top-20
+    * documents per language by the key ln(u)/w, where u is a
+    * deterministic content hash mapped into (0, 1] and w = n_chars — so
+    * longer documents are proportionally likelier, and the SAME sample
+    * comes out on every engine and every run (the data-mixing twin of
+    * q_sample_hash's unweighted gate). One shuffle (the per-language
+    * rank); the key is per-row arithmetic, never accumulated, and
+    * adjacent order-statistic gaps are ~1/n — astronomically wider than
+    * any cross-engine 1-ulp `ln` wobble, so the selected set is stable.
+    * The ranking key deliberately stays OUT of the output columns: the
+    * contract is the sample membership + rank, not the float. */
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (TextPipeline.h32(col("doc_id").cast("string")) + lit(1).cast("long"))
+      .cast("double") / lit(4294967296.0)
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        (log(u) / col("n_chars").cast("double")).as("k"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("k").desc, col("doc_id").asc)
+    keyed.select(col("lang"), col("doc_id"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 20)
+      .orderBy("lang", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_sample" -> (qWeightedSample _),
     "q_redact" -> (qRedact _),
     "q_quality_gate" -> (qQualityGate _),
     "q_lang_balance" -> (qLangBalance _),
@@ -171,6 +198,21 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_weighted_sample" -> {
+      val h = TextPipeline.duckH32("CAST(doc_id AS VARCHAR)")
+      s"""WITH keyed AS (
+         |  SELECT doc_id, lang,
+         |    ln(CAST($h + 1 AS DOUBLE) / 4294967296.0)
+         |      / CAST(n_chars AS DOUBLE) AS k
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT lang, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY k DESC, doc_id ASC) AS INT) AS rn
+         |  FROM keyed)
+         |SELECT lang, doc_id, rn FROM ranked
+         |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+    },
     "q_redact" ->
       """WITH c AS (SELECT doc_id, text,
         | regexp_replace(regexp_replace(regexp_replace(text,

@@ -471,7 +471,78 @@ object Extras {
       "left_semi")
   }
 
+  /** Z-score outlier detection per order priority: flag orders more than
+    * 1.7 sample standard deviations from their group mean (the fixture's
+    * per-group price distribution is uniform, so |z| is bounded by
+    * √3 ≈ 1.73 and a textbook 3σ gate can never fire; the SAME plan with
+    * the threshold as a literal serves any cutoff). Moments
+    * accumulate as EXACT decimals (the q_stats pattern — order-free,
+    * mergeable), the tiny per-group stats broadcast back, and the z
+    * formula is a per-row expression spelled identically in the oracle,
+    * so the flagged SET is bit-stable: no accumulation noise can move a
+    * point across the 3σ boundary differently on the two engines. */
+  def qOutliers(s: SparkSession, dir: String): DataFrame = {
+    val x = col("o_totalprice").cast(DecimalType(18, 2))
+    val stats = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("s1"), sum(x * x).as("s2"))
+      .select(col("priority"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mu"),
+        sqrt((col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double")
+            / col("n").cast("double"))
+          / (col("n").cast("double") - lit(1.0))).as("sigma"))
+    Tables.orders(s, dir)
+      .join(broadcast(stats),
+        col("o_orderpriority") === col("priority"))
+      .withColumn("z", (col("o_totalprice") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > 1.7)
+      .select(col("o_orderkey"), col("priority"), col("o_totalprice"),
+        round(col("z"), 4).as("z"))
+      .orderBy("o_orderkey")
+  }
+
+  /** MERGE / upsert (the Delta-style `MERGE INTO`, in pure Spark): apply
+    * a deterministic changeset (updates %7, deletes %13 — delete wins on
+    * overlap — inserts as key+1000000 for %11) to the customer snapshot
+    * via ONE full-outer join + per-row case logic. The scale shape: both
+    * sides shuffle once on the merge key, no driver-side diffing; at
+    * 100 TB the changeset side is typically small enough that AQE turns
+    * the full-outer into a broadcast-able right-outer + union. */
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val changes = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("op",
+        when(col("c_custkey") % 13 === 0, "D")
+          .when(col("c_custkey") % 7 === 0, "U")
+          .when(col("c_custkey") % 11 === 0, "I"))
+      .filter(col("op").isNotNull)
+      .select(
+        when(col("op") === "I", col("c_custkey") + 1000000)
+          .otherwise(col("c_custkey")).as("k"),
+        col("op"),
+        when(col("op") === "U", round(col("c_acctbal") + 100.0, 2))
+          .when(col("op") === "I", lit(0.0)).as("new_bal"),
+        when(col("op") === "I",
+          concat(lit("Customer#new"), col("c_custkey"))).as("new_name"))
+    base.join(changes, base("c_custkey") === changes("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("c_custkey"), col("k")).as("custkey"),
+        coalesce(col("new_name"), col("c_name")).as("name"),
+        when(col("op") === "U", col("new_bal"))
+          .when(col("op") === "I", col("new_bal"))
+          .otherwise(col("c_acctbal")).as("acctbal"),
+        coalesce(col("op"), lit("K")).as("applied"))
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_outliers" -> (qOutliers _),
+    "q_merge_upsert" -> (qMergeUpsert _),
     "q_skyline" -> (qSkyline _),
     "q_grouping_id" -> (qGroupingId _),
     "q_interpolate" -> (qInterpolate _),
@@ -499,6 +570,45 @@ object Extras {
   private val duckToksE = TextPipeline.duckToks
 
   val oracle: Map[String, String] = Map(
+    "q_outliers" ->
+      """WITH st AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS ds1,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+        |           * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS ds2,
+        |    CAST(count(*) AS DOUBLE) AS dn
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT priority, ds1 / dn AS mu,
+        |        sqrt((ds2 - ds1 * ds1 / dn) / (dn - 1.0)) AS sigma
+        |      FROM st)
+        |SELECT o.o_orderkey, m.priority, o.o_totalprice,
+        |  round((o.o_totalprice - m.mu) / m.sigma, 4) AS z
+        |FROM orders o JOIN m ON o.o_orderpriority = m.priority
+        |WHERE abs((o.o_totalprice - m.mu) / m.sigma) > 1.7
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT CASE WHEN op = 'I' THEN c_custkey + 1000000
+        |              ELSE c_custkey END AS k, op,
+        |    CASE WHEN op = 'U' THEN round(c_acctbal + 100.0, 2)
+        |         WHEN op = 'I' THEN 0.0 END AS new_bal,
+        |    CASE WHEN op = 'I' THEN 'Customer#new' ||
+        |      CAST(c_custkey AS VARCHAR) END AS new_name
+        |  FROM (SELECT c_custkey, c_acctbal,
+        |          CASE WHEN c_custkey % 13 = 0 THEN 'D'
+        |               WHEN c_custkey % 7 = 0 THEN 'U'
+        |               WHEN c_custkey % 11 = 0 THEN 'I' END AS op
+        |        FROM customer)
+        |  WHERE op IS NOT NULL),
+        |b AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+        |SELECT coalesce(b.c_custkey, c.k) AS custkey,
+        |  coalesce(c.new_name, b.c_name) AS name,
+        |  CASE WHEN c.op IN ('U', 'I') THEN c.new_bal
+        |       ELSE b.c_acctbal END AS acctbal,
+        |  coalesce(c.op, 'K') AS applied
+        |FROM b FULL OUTER JOIN changes c ON b.c_custkey = c.k
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY custkey""".stripMargin,
     "q_skyline" ->
       """SELECT p_partkey, p_retailprice AS price,
         |  CAST(p_size AS BIGINT) AS size

@@ -93,6 +93,47 @@ class ExtrasSpec extends SparkSpec {
     assert(grand.head.getLong(5) == graft.io.Tables.orders(spark, sf).count())
   }
 
+  test("merge upsert conserves rows: base - deletes + inserts, ops tagged") {
+    val base = graft.io.Tables.customer(spark, sf)
+    val nBase = base.count()
+    val keyed = base.select(col("c_custkey")).collect().map(_.getLong(0))
+    val nDel = keyed.count(_ % 13 == 0)
+    val nUpd = keyed.count(k => k % 13 != 0 && k % 7 == 0)
+    val nIns = keyed.count(k => k % 13 != 0 && k % 7 != 0 && k % 11 == 0)
+    val out = Extras.qMergeUpsert(spark, sf).collect()
+    assert(out.length == nBase - nDel + nIns, "row conservation")
+    val ops = out.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    assert(ops.getOrElse("U", 0) == nUpd && ops.getOrElse("I", 0) == nIns)
+    assert(ops.getOrElse("K", 0) == nBase - nDel - nUpd)
+    // no deleted key survives; every inserted key is in the shifted range
+    val keys = out.map(_.getLong(0)).toSet
+    assert(keyed.filter(_ % 13 == 0).forall(k => !keys.contains(k)))
+    out.filter(_.getString(3) == "I").foreach(r =>
+      assert(r.getLong(0) > 1000000 && r.getDouble(2) == 0.0, s"bad insert: $r"))
+  }
+
+  test("weighted sample: exactly 20 per language, biased toward longer docs") {
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val out = graft.queries.Corpus.qWeightedSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val perLang = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toList).toMap
+    val available = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    perLang.foreach { case (lang, rns) =>
+      assert(rns == (1 to math.min(20, available(lang))).toList,
+        s"$lang ranks must be dense: $rns")
+    }
+    // weighting sanity: the sampled docs' mean length exceeds the corpus
+    // mean (chars-weighted sampling favors long docs); deterministic,
+    // since both the sample and the fixture are fixed
+    val sampled = out.map(_._2).toSet
+    val meanAll = docs.map(_._3).sum.toDouble / docs.length
+    val meanSampled = docs.filter(d => sampled(d._1)).map(_._3).sum.toDouble / sampled.size
+    assert(meanSampled > meanAll,
+      s"weighted sample mean $meanSampled should exceed corpus mean $meanAll")
+  }
+
   test("skyline sweep equals brute-force Pareto frontier on random point sets") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260812)
