@@ -149,8 +149,13 @@ object Relational {
 
   /** Left-anti join (NOT EXISTS): customers with no orders. */
   def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+    // the right side is FILTERED (no-urgent-order customers) so the anti
+    // join's result is non-empty at every fixture scale — an anti join
+    // whose output is perpetually zero rows would be weak oracle evidence
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy("c_custkey")
 
@@ -510,7 +515,8 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
     "q_outer_join" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
