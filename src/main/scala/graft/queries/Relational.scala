@@ -232,9 +232,15 @@ object Relational {
 
   /** EXCEPT: nations with customers but no suppliers. */
   def qExcept(s: SparkSession, dir: String): DataFrame =
-    Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
-      .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nk")))
-      .orderBy("nk")
+    // order dates with no 300k+ order: both sides non-trivial and the
+    // difference non-empty at every fixture scale (customer-minus-supplier
+    // nation keys, the previous spelling, was a perpetual 0 rows — a
+    // passing but vacuous oracle check)
+    Tables.orders(s, dir).select(col("o_orderdate").as("d"))
+      .except(Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_orderdate").as("d")))
+      .orderBy("d")
 
   /** Top-k without global sort: TakeOrderedAndProjectExec. */
   def qTopKOrders(s: SparkSession, dir: String): DataFrame =
@@ -558,8 +564,10 @@ object Relational {
       """SELECT c_nationkey AS nk FROM customer
         |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
     "q_except" ->
-      """SELECT c_nationkey AS nk FROM customer
-        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
+      """SELECT o_orderdate AS d FROM orders
+        |EXCEPT SELECT o_orderdate FROM orders
+        |  WHERE o_totalprice > 300000
+        |ORDER BY d""".stripMargin,
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
