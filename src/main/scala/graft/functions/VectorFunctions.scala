@@ -50,4 +50,12 @@ object VectorFunctions {
     ExpressionUtils.column(graft.plans.ShinglePosting(
       ExpressionUtils.expression(tokens),
       org.apache.spark.sql.catalyst.expressions.Literal(width)))
+
+  /** Quantized Shannon-entropy numerator Σ round(c·log2(c)·1e6) over an
+    * ARRAY<STRING>'s term frequencies (one hash-count pass, codegen;
+    * replaces both the corpus-shuffling explode/groupBy spelling and the
+    * interpreted aggregate-HOF run scan — see graft.plans.EntropyQsum). */
+  def entropyQsum(tokens: Column): Column =
+    ExpressionUtils.column(graft.plans.EntropyQsum(
+      ExpressionUtils.expression(tokens)))
 }

@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native Catalyst expression: the quantized Shannon-entropy numerator
+  * Σ round(c·log2(c)·10⁶) over the term frequencies c of an
+  * ARRAY<STRING> of tokens, as one hash-counting pass per row.
+  *
+  * Why a kernel: per-document entropy is a per-ROW statistic, but the
+  * natural relational spelling (explode → groupBy(doc, word) →
+  * groupBy(doc)) shuffles the whole exploded corpus twice, and the
+  * shuffle-free `aggregate`-HOF run-length spelling pays interpreted
+  * struct-per-element lambda overhead (measured 1.7× SLOWER than the
+  * double shuffle at sf0.1 local[32], where shuffles are cheap memcpys).
+  * This kernel is the plan that wins everywhere: zero shuffles AND a
+  * tight codegen loop (measured vs both above; see TextAnalysis).
+  *
+  * Determinism contract (same as the relational spelling it replaces):
+  * contributions are quantized to the 1e-6 BIGINT grid per distinct
+  * token and summed as longs — order-free, and cross-engine-identical
+  * for every count ≤ 59,069 (verified exhaustively; within-document term
+  * frequencies sit orders of magnitude below that). log2 is spelled
+  * StrictMath.log(c)/LOG2 exactly like Spark's own Log2, so the kernel
+  * equals the composed round(c·log2(c)·1e6) spelling bit-for-bit.
+  */
+case class EntropyQsum(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "entropy_qsum"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<STRING>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val counts = new java.util.HashMap[Any, Array[Long]]()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      val slot = counts.get(t)
+      if (slot == null) counts.put(t, Array(1L)) else slot(0) += 1L
+      i += 1
+    }
+    var q = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) q += EntropyQsum.quant(it.next()(0))
+    q
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val m = ctx.freshName("m"); val slot = ctx.freshName("slot")
+      val q = ctx.freshName("q"); val it = ctx.freshName("it")
+      val t = ctx.freshName("t")
+      val kernel = classOf[EntropyQsum].getName
+      s"""
+         |int $n = $a.numElements();
+         |java.util.HashMap<Object, long[]> $m = new java.util.HashMap<Object, long[]>();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  Object $t = $a.getUTF8String($i);
+         |  long[] $slot = $m.get($t);
+         |  if ($slot == null) { $m.put($t, new long[]{1L}); } else { $slot[0] += 1L; }
+         |}
+         |long $q = 0L;
+         |java.util.Iterator<long[]> $it = $m.values().iterator();
+         |while ($it.hasNext()) { $q += $kernel.quant($it.next()[0]); }
+         |${ev.value} = $q;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): EntropyQsum =
+    copy(child = newChild)
+}
+
+object EntropyQsum {
+  private val Log2 = StrictMath.log(2.0)
+
+  /** round(c·log2(c)·10⁶) on the BIGINT grid — public static so the
+    * generated code calls the SAME method as interpreted eval (no
+    * eval-vs-codegen drift possible). Math.round == Spark's HALF_UP
+    * Round for these positive, tie-free values (the verified grid has
+    * no representable .5 ties below c = 59,070). */
+  def quant(c: Long): Long =
+    if (c <= 1L) 0L
+    else Math.round(c.toDouble * (StrictMath.log(c.toDouble) / Log2) * 1e6)
+
+  val info: ExpressionInfo = new ExpressionInfo(classOf[EntropyQsum].getName, "entropy_qsum")
+}

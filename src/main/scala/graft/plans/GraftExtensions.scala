@@ -16,7 +16,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   *  - `argmin_cell(ARRAY<DOUBLE>, ARRAY<STRUCT<cell,cv>>) -> BIGINT`
   *    (nearest-centroid assignment, see ArgMinCell);
   *  - `shingle_posting(ARRAY<STRING>, INT)` — table function (Generator),
-  *    one `(shingle, n_shingles)` row per distinct shingle.
+  *    one `(shingle, n_shingles)` row per distinct shingle;
+  *  - `entropy_qsum(ARRAY<STRING>) -> BIGINT` (one-pass quantized
+  *    entropy numerator, see EntropyQsum).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -49,6 +51,8 @@ object GraftExtensions {
       arity("argmin_cell", 2)(c => ArgMinCell(c(0), c(1)))),
     (FunctionIdentifier("shingle_posting"), ShinglePosting.info,
       arity("shingle_posting", 2)(c => ShinglePosting(c(0), c(1)))),
+    (FunctionIdentifier("entropy_qsum"), EntropyQsum.info,
+      arity("entropy_qsum", 1)(c => EntropyQsum(c(0)))),
   )
 
   /** Install the same functions on an already-built session (for hosts

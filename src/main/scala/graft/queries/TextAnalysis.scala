@@ -371,13 +371,23 @@ object TextAnalysis {
     * that), so the transcendental stays out of the hash-compared value
     * in exactly the way the file-header stance requires. */
   private[graft] def tokenEntropy(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(toks).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum(col("c")).as("n"),
-        count(lit(1)).as("n_distinct"),
-        sum(round(col("c").cast("double") * log2(col("c").cast("double"))
-          * lit(1000000.0), 0).cast("long")).as("qsum"))
+    // Per-document statistic ⇒ per-ROW computation, as a native one-pass
+    // kernel (graft.plans.EntropyQsum). Three formulations measured at
+    // sf0.1 local[32]: explode → groupBy(doc, word) → groupBy(doc)
+    // shuffles the whole exploded corpus twice (0.69 s here — cheap
+    // memcpy locally, a corpus-wide exchange at 100 TB); the
+    // shuffle-free aggregate-HOF run scan pays interpreted
+    // struct-per-element lambdas (1.16 s); the kernel is zero-shuffle
+    // AND codegen (0.67 s, scan+tokenize-bound) — it matches the shuffle
+    // spelling's local time while deleting both exchanges, so it wins at
+    // both scales. Quantization contract unchanged (1e-6 BIGINT grid,
+    // order-free long sums, cross-engine-exact for c ≤ 59,069).
+    docs.select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        graft.functions.VectorFunctions.entropyQsum(col("w")).as("qsum"))
       .select(col("doc_id"), col("n"), col("n_distinct"),
         round(log2(col("n").cast("double"))
           - (col("qsum").cast("double") / lit(1000000.0))

@@ -184,4 +184,38 @@ class ExpressionsSpec extends SparkSpec {
       .select(VectorFunctions.cosineSim(col("a"), col("b"))).collect()(0).getDouble(0)
     assert(interpreted == viaQuery)
   }
+
+  test("entropy_qsum: kernel == composed round(c*log2(c)*1e6) == SQL name") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val r = new scala.util.Random(11)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff", "g")
+    // skewed multiplicities so counts range 1..~40, plus edge arrays
+    val data = ((1 to 60).map { _ =>
+      val n = r.nextInt(80) + 1
+      Seq.fill(n)(vocab(math.min(r.nextInt(7), r.nextInt(7))))
+    } ++ Seq(Seq("x"), Seq("y", "y", "y"))).toDF("w")
+    val composedRows = data
+      .select(col("w"), explode(col("w")).as("t"))
+      .groupBy("w", "t").agg(count(lit(1)).as("c"))
+      .groupBy("w")
+      .agg(sum(round(col("c").cast("double") * log2(col("c").cast("double"))
+        * lit(1000000.0), 0).cast("long")).as("q"))
+    val out = composedRows
+      .withColumn("kernel", VectorFunctions.entropyQsum(col("w")))
+      .collect()
+    out.foreach(r0 => assert(r0.getLong(1) == r0.getLong(2),
+      s"composed ${r0.getLong(1)} != kernel ${r0.getLong(2)} for ${r0.getSeq[String](0)}"))
+    // SQL-registered name, and empty-array / all-distinct identities
+    val sql = spark.sql(
+      "SELECT entropy_qsum(CAST(array() AS ARRAY<STRING>)), " +
+        "entropy_qsum(array('p','q','r'))").collect()(0)
+    assert(sql.getLong(0) == 0L, "empty array contributes no mass")
+    assert(sql.getLong(1) == 0L, "all-distinct tokens (c=1) contribute 0")
+    val viaSql = Seq(Seq("z", "z", "z", "w")).toDF("w")
+      .createOrReplaceTempView("eq_t")
+    val k = spark.sql("SELECT entropy_qsum(w) FROM eq_t").collect()(0).getLong(0)
+    // 3*log2(3)*1e6 rounded = 4754888 (the DuckDB-verified grid value)
+    assert(k == 4754888L, s"got $k")
+  }
 }
