@@ -225,8 +225,50 @@ object Analytics {
       1800000000L)
       .orderBy("user_id", "session_id")
 
+  /** CDC change stream → SCD Type-2 dimension: compress each user's event
+    * stream into change intervals. Row i survives iff its event_type
+    * differs from the previous event's (run-length change detection via
+    * lag); each survivor becomes a version row [valid_from, valid_to)
+    * with valid_to = the NEXT change's timestamp (lead); the open current
+    * version carries the classic 9999-12-31 high-date sentinel (NULL-free
+    * output keeps the interval column hash-comparable). This is the
+    * standard warehouse pattern for building a slowly-changing dimension
+    * from a change-data-capture feed.
+    *
+    * Physical shape: both windows and the filter share the user_id hash
+    * partitioning, so the whole query is ONE shuffle; the second Window
+    * re-sorts its (already partitioned, filtered) input locally without a
+    * second exchange. Per-user state never concentrates on the driver —
+    * at 100 TB this is a pure window pipeline over the CDC feed's
+    * partitioning. AnalyticsSpec pins the interval algebra: versions
+    * tile each user's timeline without gaps, every event falls inside
+    * the version interval carrying its type, and exactly one version
+    * per user is open. */
+  /** 9999-12-31T23:59:59Z in epoch micros — SCD-2 open-version sentinel. */
+  private val Scd2HighDateUs = 253402300799000000L
+
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    val changes = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val next = lead(col("t_us"), 1).over(w)
+    changes
+      .select(col("user_id"), col("event_type"),
+        col("t_us").as("valid_from_us"),
+        coalesce(next, lit(Scd2HighDateUs)).as("valid_to_us"),
+        next.isNull.as("is_current"),
+        row_number().over(w).as("version"))
+      .orderBy("user_id", "version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (qSessionize _),
+    "q_scd2" -> (qScd2 _),
     "q_bm25_top" -> (qBm25Top _),
     "q_bloom_semi" -> (qBloomSemi _),
     "q_rfm" -> (qRfm _),
@@ -234,6 +276,20 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS t_us FROM events),
+        |c AS (SELECT *, lag(event_type) OVER w AS prev_type
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |f AS (SELECT user_id, event_id, event_type, t_us FROM c
+        |      WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type,
+        |  t_us AS valid_from_us,
+        |  coalesce(lead(t_us) OVER w, 253402300799000000) AS valid_to_us,
+        |  lead(t_us) OVER w IS NULL AS is_current,
+        |  CAST(row_number() OVER w AS INT) AS version
+        |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    epoch_us(ts) AS t_us FROM events),

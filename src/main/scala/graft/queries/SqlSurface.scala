@@ -176,12 +176,60 @@ object SqlSurface {
       "SELECT o_orderkey, o_custkey, o_totalprice, rn FROM graft_rc_ord"))
   }
 
+  /** Shared SQL for [[qLateralTopn]]: ONE text runs on both Spark and
+    * DuckDB (only the table names differ), so the correlation semantics
+    * can't drift between engine and oracle. */
+  private def lateralSql(customerRel: String, ordersRel: String): String =
+    s"""SELECT seg.segment, t.o_orderkey, round(t.o_totalprice, 2) AS totalprice
+       |FROM (SELECT DISTINCT c_mktsegment AS segment FROM $customerRel) seg,
+       |LATERAL (
+       |  SELECT o.o_orderkey, o.o_totalprice
+       |  FROM $ordersRel o JOIN $customerRel c2 ON o.o_custkey = c2.c_custkey
+       |  WHERE c2.c_mktsegment = seg.segment
+       |  ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 3
+       |) t
+       |ORDER BY seg.segment, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT: top-3 orders per
+    * market segment, spelled as a per-group-row dependent subquery.
+    * Catalyst DECORRELATES it (DecorrelateInnerQuery): the per-segment
+    * rank+limit becomes one window (rank over segment) + filter on the
+    * joined relation — a set-based plan, NOT a per-outer-row re-execution,
+    * which is the only shape that survives 100 TB (5 segments × a full
+    * orders scan each would be fine here, but 10⁶ outer rows would not).
+    * SqlSurfaceSpec pins equality against the explicit window-rank
+    * formulation and that the optimized plan contains no lateral join. */
+  def qLateralTopn(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_lat_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_lat_orders")
+    s.sql(lateralSql("graft_lat_customer", "graft_lat_orders"))
+  }
+
+  /** Multiple COUNT(DISTINCT …) over different columns in one aggregate.
+    * Catalyst lowers this to ONE Expand (each input row replicated once
+    * per distinct column, tagged by grouping id) feeding a two-level
+    * aggregate — one scan and one shuffle instead of N self-joined
+    * single-distinct aggregates. That 3× row inflation is the honest
+    * 100 TB cost of EXACT multi-distinct; when a few percent error is
+    * acceptable the sketch path (`q_approx_distinct`, HLL partials,
+    * no Expand) is the cheaper shape. */
+  def qMultiDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus").as("status"))
+      .agg(countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        countDistinct(col("l_returnflag")).as("nd_flag"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("status")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_dist" -> (qWindowDist _),
     "q_regression" -> (qRegression _),
     "q_agg_filtered" -> (qAggFiltered _),
     "q_unpivot" -> (qUnpivot _),
     "q_recursive_chain" -> (qRecursiveChain _),
+    "q_lateral_topn" -> (qLateralTopn _),
+    "q_multi_distinct" -> (qMultiDistinct _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -243,5 +291,13 @@ object SqlSurface {
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_orderdate, o_orderkey) AS rn
         |  FROM orders""".stripMargin),
+    "q_lateral_topn" -> lateralSql("customer", "orders"),
+    "q_multi_distinct" ->
+      """SELECT l_linestatus AS status,
+        |  count(DISTINCT l_partkey) AS nd_part,
+        |  count(DISTINCT l_suppkey) AS nd_supp,
+        |  count(DISTINCT l_returnflag) AS nd_flag,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY status""".stripMargin,
   )
 }

@@ -90,6 +90,49 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("bigram").asc)
       .limit(20)
 
+  /** Per-document bigram language-model score: train a corpus bigram LM
+    * (MLE, P(w2|w1) = c12/c1 where c1 counts w1 as a bigram head), then
+    * score every document by its average negative log-likelihood —
+    * the classic LM-perplexity quality filter of a training-data
+    * pipeline (fluent text scores low, gibberish high).
+    *
+    * Determinism: each log2(count) is quantized to the 1e-6 BIGINT grid
+    * BEFORE summing (the same verified-for-all-counts grid as
+    * q_token_entropy, §8.5f) — per-doc sums are integer and order-free,
+    * so the hash-compared value is exact under any partitioning; the one
+    * division happens after the integer sum.
+    *
+    * Scale shape: the instance stream collapses to per-doc bigram TFs
+    * first (the only large shuffle, map-side combined); the model join
+    * is TF ⋈ c12 on bigram — skew on hot bigrams is exactly what
+    * q_heavy_hitters detects and AQE absorbs — and c1 is vocabulary-
+    * sized (unigram heads), broadcastable at any corpus size. */
+  def qBigramLm(s: SparkSession, dir: String): DataFrame =
+    bigramLm(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private[graft] def bigramLm(docs: DataFrame): DataFrame = {
+    val qlog = (c: Column) => round(log2(c.cast("double")) * 1e6).cast("long")
+    val bg = docs
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), explode(filter(
+        zip_with(col("w"), slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+          (x, y) => concat(x, lit(" "), y)),
+        t => t.isNotNull)).as("bigram"))
+    val tf = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+    val c12 = tf.groupBy("bigram").agg(sum(col("tf")).as("c12"))
+    val c1 = c12
+      .select(substring_index(col("bigram"), " ", 1).as("w1"), col("c12"))
+      .groupBy("w1").agg(sum(col("c12")).as("c1"))
+    tf.join(c12, "bigram")
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(broadcast(c1), "w1")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("nb"),
+        sum(col("tf") * (qlog(col("c1")) - qlog(col("c12")))).as("qnll"))
+      .select(col("doc_id"), col("nb").as("n_bigrams"),
+        round((col("qnll").cast("double") / 1e6) / col("nb"), 4).as("avg_nll"))
+  }
+
   /** Language ID, n-gram/stopword heuristic: deterministic rule so the
     * oracle can replicate it — predicted 'en' iff stopword ratio > 0.05. */
   def qLangId(s: SparkSession, dir: String): DataFrame =
@@ -426,6 +469,7 @@ object TextAnalysis {
     "q_quality_score" -> (qQualityScore _),
     "q_token_counts" -> (qTokenCounts _),
     "q_bigrams_top" -> (qBigramsTop _),
+    "q_bigram_lm" -> (qBigramLm _),
     "q_lang_id" -> (qLangId _),
     "q_tfidf_top" -> (qTfidfTop _),
     "q_cooccur_lift" -> (qCooccurLift _),
@@ -516,6 +560,28 @@ object TextAnalysis {
          |  SELECT unnest(list_transform(l[1:len(l)-1], (x, i) -> x || ' ' || l[i+1])) AS bigram
          |  FROM (SELECT $duckToks AS l FROM documents))
          |GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 20""".stripMargin,
+    "q_bigram_lm" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(l[1:len(l)-1], (x, i) -> x || ' ' || l[i+1]))
+         |      AS bigram
+         |  FROM (SELECT doc_id, $duckToks AS l FROM documents)),
+         |tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY 1, 2),
+         |c12 AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS c12
+         |        FROM tf GROUP BY 1),
+         |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1,
+         |         CAST(sum(c12) AS BIGINT) AS c1
+         |       FROM c12 GROUP BY 1),
+         |j AS (SELECT tf.doc_id, tf.tf,
+         |        CAST(round(log2(CAST(c1.c1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |          - CAST(round(log2(CAST(c12.c12 AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |          AS q
+         |      FROM tf JOIN c12 USING (bigram)
+         |      JOIN c1 ON split_part(tf.bigram, ' ', 1) = c1.w1)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |  round((CAST(CAST(sum(tf * q) AS BIGINT) AS DOUBLE) / 1000000.0)
+         |    / CAST(sum(tf) AS BIGINT), 4) AS avg_nll
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       s"""SELECT doc_id, lang,
          | CASE WHEN CAST(len(list_filter($duckToks, x -> x IN $duckStop)) AS DOUBLE)

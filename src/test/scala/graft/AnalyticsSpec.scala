@@ -155,6 +155,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("u2" -> 1L) == (1L, 42L, 42L, 0L, 1L))
   }
 
+  test("scd2: versions tile each user's timeline and cover every event") {
+    val highDate = 253402300799000000L
+    val versions = Analytics.qScd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getInt(5)))
+    val byUser = versions.groupBy(_._1)
+    byUser.foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_._6)
+      assert(sorted.map(_._6).toSeq == (1 to vs.length), s"u$u: dense versions")
+      assert(sorted.count(_._5) == 1 && sorted.last._5,
+        s"u$u: exactly the last version is current")
+      assert(sorted.last._4 == highDate, s"u$u: open version ends at high-date")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 == b._3, s"u$u: v${a._6}→v${b._6} must tile (no gap/overlap)")
+          assert(a._2 != b._2, s"u$u: consecutive versions must change type")
+        case _ =>
+      }
+    }
+    // every event falls inside the [from, to) interval carrying its type
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    events.foreach { case (u, t, typ) =>
+      val cover = byUser(u).filter(v => v._3 <= t && t < v._4)
+      assert(cover.length == 1, s"u$u t=$t: exactly one covering version")
+      assert(cover.head._2 == typ,
+        s"u$u t=$t: covering version type ${cover.head._2} != event type $typ")
+    }
+  }
+
   test("sessionize event totals are conserved at sf0.001") {
     val sessions = Analytics.qSessionize(spark, sf)
     val nEvents = Tables.events(spark, sf).count()

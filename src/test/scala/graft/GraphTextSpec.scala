@@ -143,4 +143,28 @@ class GraphTextSpec extends SparkSpec {
     assert(hits == Map(1L -> 2L, 2L -> 1L, 5L -> 1L),
       s"positional adjacency semantics violated: $hits")
   }
+
+  test("bigram LM: deterministic successors score 0, rare continuations by MLE") {
+    import spark.implicits._
+    // corpus LM: c12(a b)=4, c12(b a)=3, c12(a c)=1 → c1(a)=5, c1(b)=3
+    val docs = Seq(
+      (1L, "a b a b a b", "en"), // bigrams ab×3, ba×2
+      (2L, "a b a c", "en"),     // bigrams ab, ba, ac
+      (3L, "z", "en")            // <2 tokens → no bigrams → no output row
+    ).toDF("doc_id", "text", "lang")
+    def qlog(c: Long): Long = math.round(math.log(c.toDouble) / math.log(2.0) * 1e6)
+    def nll(pairs: (Long, Long)*): Double = {
+      val q = pairs.map { case (c1, c12) => qlog(c1) - qlog(c12) }.sum
+      BigDecimal((q.toDouble / 1e6) / pairs.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = TextAnalysis.bigramLm(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L), "doc without bigrams must be absent")
+    assert(got(1L) == (5L, nll((5, 4), (5, 4), (5, 4), (3, 3), (3, 3))),
+      s"doc1 ${got(1L)}")
+    assert(got(2L) == (3L, nll((5, 4), (3, 3), (5, 1))), s"doc2 ${got(2L)}")
+    // a head always followed by the same word contributes exactly 0
+    assert(nll((3, 3)) == 0.0)
+  }
 }

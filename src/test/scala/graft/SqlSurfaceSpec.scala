@@ -52,6 +52,42 @@ class SqlSurfaceSpec extends SparkSpec {
       .count() == 0, "recursive result must equal the window formulation")
   }
 
+  test("lateral top-n decorrelates and equals the window-rank formulation") {
+    val lat = SqlSurface.qLateralTopn(spark, sf)
+    // Catalyst must rewrite the per-segment dependent subquery into a
+    // set-based plan: no lateral join may survive optimization
+    val opt = lat.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("LateralJoin"), s"lateral join not decorrelated:\n$opt")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val win = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+        col("o_totalprice"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .select(col("segment"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+    assert(lat.count() == win.count())
+    assert(lat.join(win, Seq("segment", "o_orderkey", "totalprice"), "left_anti")
+      .count() == 0, "lateral result must equal the window-rank top-3")
+  }
+
+  test("multi-distinct aggregates via one Expand and equals per-column distincts") {
+    val got = SqlSurface.qMultiDistinct(spark, sf)
+    assert(got.queryExecution.executedPlan.toString.contains("Expand"),
+      "multi-distinct must lower to the Expand-based single-scan plan")
+    val li = Tables.lineitem(spark, sf)
+    got.collect().foreach { r =>
+      val st = r.getString(0)
+      val base = li.filter(col("l_linestatus") === st)
+      assert(r.getLong(1) == base.select("l_partkey").distinct().count(), s"$st nd_part")
+      assert(r.getLong(2) == base.select("l_suppkey").distinct().count(), s"$st nd_supp")
+      assert(r.getLong(3) == base.select("l_returnflag").distinct().count(), s"$st nd_flag")
+      assert(r.getLong(4) == base.count(), s"$st n_rows")
+    }
+  }
+
   test("window distribution trio is internally consistent per partition") {
     val rows = SqlSurface.qWindowDist(spark, sf).collect()
     val byPriority = rows.groupBy(_.getString(1))
