@@ -118,7 +118,11 @@ object TextAnalysis {
         zip_with(col("w"), slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
           (x, y) => concat(x, lit(" "), y)),
         t => t.isNotNull)).as("bigram"))
+    // materialize the TF relation once: tf feeds the model (c12 → c1)
+    // AND the scoring join — without this, each consumer re-derives the
+    // scan + explode + aggregate lineage (3 document scans, measured)
     val tf = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val c12 = tf.groupBy("bigram").agg(sum(col("tf")).as("c12"))
     val c1 = c12
       .select(substring_index(col("bigram"), " ", 1).as("w1"), col("c12"))
