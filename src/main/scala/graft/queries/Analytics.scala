@@ -266,9 +266,43 @@ object Analytics {
       .orderBy("user_id", "version")
   }
 
+  /** Lag-k autocorrelation of the daily event-count series (k = 1, 7 —
+    * day-over-day persistence and weekly seasonality), the standard
+    * first look at any operational time series. Two stages: (1) the
+    * big-data step, one shuffle collapsing the event stream to
+    * date-cardinality daily counts (map-side combined; at 100 TB this is
+    * the only pass over the data); (2) lag alignment as an equi-join of
+    * the tiny daily series against itself shifted by k — no window over
+    * a single global partition, so nothing here ever concentrates in one
+    * task. Pearson r comes from exact integer moments (daily counts are
+    * integers, sums of products stay BIGINT-exact); the one double
+    * division is spelled identically in the oracle. The daily series is
+    * materialized once and feeds both sides of every lag join. */
+  def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+    Seq(1, 7).map { k =>
+      val shifted = daily.select((col("day") + k).as("day"), col("x").as("y"))
+      daily.join(shifted, "day")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(lit(k).as("lag"), col("n").as("n_pairs"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+            .as("autocorr"))
+    }.reduce(_ unionAll _).orderBy("lag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (qSessionize _),
     "q_scd2" -> (qScd2 _),
+    "q_autocorr" -> (qAutocorr _),
     "q_bm25_top" -> (qBm25Top _),
     "q_bloom_semi" -> (qBloomSemi _),
     "q_rfm" -> (qRfm _),
@@ -276,6 +310,27 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_autocorr" -> {
+      def lagSel(k: Int) =
+        s"""SELECT $k AS lag, n AS n_pairs,
+           |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+           |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+           |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS autocorr
+           |FROM (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(b.x) AS BIGINT) AS sy,
+           |    CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+           |    CAST(sum(b.x * b.x) AS BIGINT) AS syy,
+           |    CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+           |  FROM daily a JOIN daily b ON a.day = b.day + $k)""".stripMargin
+      s"""WITH daily AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS x
+         |  FROM events GROUP BY 1)
+         |${lagSel(1)}
+         |UNION ALL
+         |${lagSel(7)}
+         |ORDER BY lag""".stripMargin
+    },
     "q_scd2" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    epoch_us(ts) AS t_us FROM events),

@@ -186,6 +186,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("autocorr equals a local Pearson recompute of the daily series") {
+    val got = Analytics.qAutocorr(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1, 7))
+    val daily = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- Seq(1, 7)) {
+      val pairs = daily.toSeq.flatMap { case (d, x) =>
+        daily.get(d - k).map(y => (BigInt(x), BigInt(y)))
+      }
+      val n = BigInt(pairs.length)
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val want = (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble))
+      val (nGot, r) = got(k)
+      assert(nGot == pairs.length.toLong, s"lag $k pair count")
+      assert(math.abs(r - want) < 1e-6, s"lag $k: $r vs local $want")
+      assert(r >= -1.0 && r <= 1.0)
+    }
+  }
+
   test("sessionize event totals are conserved at sf0.001") {
     val sessions = Analytics.qSessionize(spark, sf)
     val nEvents = Tables.events(spark, sf).count()
