@@ -69,6 +69,36 @@ object Extras {
         count(lit(1)).as("n"))
       .orderBy("status")
 
+  /** Winsorization (outlier clamping): per-priority [p05, p95] bounds
+    * from the exact interpolating percentile (quantile_cont parity is
+    * proven by q_median_price), broadcast back over the fact scan, every
+    * value clamped into the band. The winsorized mean accumulates as
+    * round-to-cents BIGINT — order-free and exact — with the single
+    * double division at the end, spelled identically in the oracle.
+    * This is the standard robust-statistics cleaning step before any
+    * mean-based reporting; at 100 TB it is one group-bounds pass (tiny
+    * result, broadcast) + one narrow clamped pass, no per-row sort. */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("priority"), col("o_totalprice").as("x"))
+    val bounds = o.groupBy("priority")
+      .agg(expr("percentile(x, 0.05)").as("lo"),
+        expr("percentile(x, 0.95)").as("hi"))
+    o.join(broadcast(bounds), "priority")
+      .select(col("priority"),
+        least(greatest(col("x"), col("lo")), col("hi")).as("wx"),
+        (col("x") < col("lo")).as("lo_clip"),
+        (col("x") > col("hi")).as("hi_clip"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lo_clip"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("hi_clip"), 1L).otherwise(0L)).as("n_hi"),
+        sum(round(col("wx") * 100).cast("long")).as("wsum_cents"))
+      .select(col("priority"), col("n"), col("n_lo"), col("n_hi"),
+        round(col("wsum_cents").cast("double") / 100.0 / col("n"), 4).as("wmean"))
+      .orderBy("priority")
+  }
+
   /** Histogram-quantile buckets. */
   private val QsBuckets = 128
 
@@ -564,6 +594,7 @@ object Extras {
     "q_sample_hash" -> (qSampleHash _),
     "q_range_join" -> (qRangeJoin _),
     "q_median_price" -> (qMedianPrice _),
+    "q_winsorize" -> (qWinsorize _),
     "q_wordcount_salted" -> (qWordcountSalted _),
   )
 
@@ -830,6 +861,24 @@ object Extras {
         | round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
         | count(*) AS n
         |FROM orders GROUP BY status ORDER BY status""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS priority,
+        |    quantile_cont(o_totalprice, 0.05) AS lo,
+        |    quantile_cont(o_totalprice, 0.95) AS hi
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT o.o_orderpriority AS priority,
+        |    least(greatest(o.o_totalprice, b.lo), b.hi) AS wx,
+        |    o.o_totalprice < b.lo AS lo_clip,
+        |    o.o_totalprice > b.hi AS hi_clip
+        |  FROM orders o JOIN b ON o.o_orderpriority = b.priority)
+        |SELECT priority, count(*) AS n,
+        |  CAST(count(*) FILTER (WHERE lo_clip) AS BIGINT) AS n_lo,
+        |  CAST(count(*) FILTER (WHERE hi_clip) AS BIGINT) AS n_hi,
+        |  round(CAST(CAST(sum(CAST(round(wx * 100) AS BIGINT)) AS BIGINT)
+        |      AS DOUBLE) / 100.0 / count(*), 4) AS wmean
+        |FROM j GROUP BY priority ORDER BY priority""".stripMargin,
     "q_wordcount_salted" -> WordCount.oracle("wordcount"),
   )
 }

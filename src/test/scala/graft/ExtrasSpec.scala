@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
+import graft.io.Tables
 import graft.queries.Extras
 
 /** Extras-tier contracts SQL can't express, plus storage-layout evidence
@@ -190,5 +191,37 @@ class ExtrasSpec extends SparkSpec {
     assert(out(6L).contains(7.5), s"trailing gap takes prev: ${out(6L)}")
     assert(out(7L).isEmpty, "gap with no anchors must stay null")
     assert(out.size == 4)
+  }
+
+  test("winsorize equals a local sorted-clamp recompute per priority") {
+    val got = Extras.qWinsorize(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def pct(sorted: Array[Double], p: Double): Double = {
+      // interpolating percentile, index = p*(n-1) — Spark/DuckDB semantics
+      val pos = p * (sorted.length - 1)
+      val lo = math.floor(pos).toInt; val frac = pos - lo
+      if (lo + 1 < sorted.length) sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
+      else sorted(lo)
+    }
+    val byP = rows.groupBy(_._1)
+    assert(got.keySet == byP.keySet)
+    byP.foreach { case (p, xs) =>
+      val v = xs.map(_._2).sorted
+      val (lo, hi) = (pct(v, 0.05), pct(v, 0.95))
+      val clamped = v.map(x => math.min(math.max(x, lo), hi))
+      val cents = clamped.map(x => math.round(x * 100)).sum
+      val wmean = BigDecimal(cents.toDouble / 100.0 / v.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (n, nLo, nHi, gm) = got(p)
+      assert(n == v.length, s"$p n")
+      assert(nLo == v.count(_ < lo).toLong, s"$p n_lo")
+      assert(nHi == v.count(_ > hi).toLong, s"$p n_hi")
+      assert(math.abs(gm - wmean) < 1e-9, s"$p wmean $gm vs $wmean")
+      assert(nLo > 0 || nHi > 0, s"$p: clipping must be non-vacuous")
+    }
   }
 }
