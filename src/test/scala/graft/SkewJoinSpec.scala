@@ -109,4 +109,33 @@ class SkewJoinSpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("answers are independent of join strategy (forced sort-merge == default)") {
+    // At 100 TB, "small" dimensions outgrow broadcast thresholds and the
+    // planner silently flips BroadcastHashJoin → SortMergeJoin. Answers
+    // must not depend on that flip. Disable auto-broadcast entirely
+    // (AQE's adaptive threshold falls back to the same conf) and re-run
+    // a join-heavy slice: hint-free plans really flip (pinned on the
+    // executed plan), explicitly-hinted dims still broadcast (hints are
+    // instructions, not estimates), and every answer is identical.
+    val conf = spark.conf
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = scala.util.Try(conf.get(key)).toOption
+    val names = Seq("q13_customer_distribution", "q5_local_supplier",
+      "q_semi_join", "q_outer_join", "q_lateral_topn", "q_winsorize")
+    val base = names.map(n =>
+      n -> SparkEntry.queries(n)(spark, sf).collect().toSeq).toMap
+    try {
+      conf.set(key, "-1")
+      val q13 = SparkEntry.queries("q13_customer_distribution")(spark, sf)
+      q13.collect()
+      val plan = Bridge.finalPlanString(q13)
+      assert(plan.contains("SortMergeJoin"),
+        s"hint-free join must flip to SMJ with broadcast disabled:\n$plan")
+      names.foreach { n =>
+        val got = SparkEntry.queries(n)(spark, sf).collect().toSeq
+        assert(got == base(n), s"$n: answers differ under forced sort-merge")
+      }
+    } finally saved.fold(conf.unset(key))(conf.set(key, _))
+  }
 }
