@@ -299,10 +299,40 @@ object Analytics {
     }.reduce(_ unionAll _).orderBy("lag")
   }
 
+  /** First-order Markov transition matrix of user behavior: for every
+    * adjacent event pair in a user's timeline, count (from_type →
+    * to_type) and row-normalize into transition probabilities — the
+    * behavioral-model summary behind next-action prediction and anomaly
+    * scoring. One user_id shuffle for the lead window (the only pass
+    * over the event stream), then the matrix is |event_types|² rows —
+    * constant-size at any corpus scale, so the row-total window over it
+    * is free. The probability is an integer-ratio (n / row_total) in
+    * double, spelled identically in the oracle. */
+  def qMarkovTransition(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    val counts = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("row_total").cast("double"), 6)
+          .as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (qSessionize _),
     "q_scd2" -> (qScd2 _),
     "q_autocorr" -> (qAutocorr _),
+    "q_markov_transition" -> (qMarkovTransition _),
     "q_bm25_top" -> (qBm25Top _),
     "q_bloom_semi" -> (qBloomSemi _),
     "q_rfm" -> (qRfm _),
@@ -310,6 +340,19 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_markov_transition" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS t_us FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY t_us, event_id) AS to_type
+        |      FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "q_autocorr" -> {
       def lagSel(k: Int) =
         s"""SELECT $k AS lag, n AS n_pairs,

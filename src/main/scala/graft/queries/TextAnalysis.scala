@@ -137,6 +137,37 @@ object TextAnalysis {
         round((col("qnll").cast("double") / 1e6) / col("nb"), 4).as("avg_nll"))
   }
 
+  /** Corpus novelty score: the fraction of a document's distinct word
+    * trigrams whose FIRST corpus occurrence (min doc_id) is this
+    * document — the diversity/redundancy measure a curation pipeline
+    * uses to prefer documents that add new content over documents that
+    * restate the corpus. Boilerplate scores near 0, fresh text near 1.
+    *
+    * Shape: distinct per-doc postings (narrow rows, text never
+    * shuffles), one groupBy assigning each trigram its min-owner, join
+    * back, per-doc ratio. The postings relation feeds both the owner
+    * aggregation and the scoring join, so it materializes once. min()
+    * is order-free, so ownership is deterministic under any
+    * partitioning — the same one-pass mergeable pattern as the corpus
+    * vocabulary in q_oov_rate. */
+  def qTrigramNovelty(s: SparkSession, dir: String): DataFrame =
+    trigramNovelty(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private[graft] def trigramNovelty(docs: DataFrame): DataFrame = {
+    val dt = docs
+      .select(col("doc_id"), explode(TextPipeline.trigrams(toks)).as("t"))
+      .distinct()
+      .localCheckpoint()
+    val owner = dt.groupBy("t").agg(min(col("doc_id")).as("first_doc"))
+    dt.join(owner, "t")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_tri"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_tri"), 6).as("novelty"))
+  }
+
   /** Language ID, n-gram/stopword heuristic: deterministic rule so the
     * oracle can replicate it — predicted 'en' iff stopword ratio > 0.05. */
   def qLangId(s: SparkSession, dir: String): DataFrame =
@@ -474,6 +505,7 @@ object TextAnalysis {
     "q_token_counts" -> (qTokenCounts _),
     "q_bigrams_top" -> (qBigramsTop _),
     "q_bigram_lm" -> (qBigramLm _),
+    "q_trigram_novelty" -> (qTrigramNovelty _),
     "q_lang_id" -> (qLangId _),
     "q_tfidf_top" -> (qTfidfTop _),
     "q_cooccur_lift" -> (qCooccurLift _),
@@ -657,6 +689,18 @@ object TextAnalysis {
          |    / count(*), 6) AS oov_rate
          |FROM words LEFT JOIN vocab ON words.w = vocab.w
          |GROUP BY words.doc_id ORDER BY words.doc_id""".stripMargin,
+    "q_trigram_novelty" ->
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, unnest(tri) AS t
+         |  FROM (SELECT doc_id, ${TextPipeline.duckTrigrams(s"($duckToks)")} AS tri
+         |        FROM documents)),
+         |owner AS (SELECT t, min(doc_id) AS first_doc FROM dt GROUP BY t)
+         |SELECT doc_id, count(*) AS n_tri,
+         |  CAST(count(*) FILTER (WHERE first_doc = doc_id) AS BIGINT) AS n_novel,
+         |  round(CAST(count(*) FILTER (WHERE first_doc = doc_id) AS DOUBLE)
+         |    / count(*), 6) AS novelty
+         |FROM dt JOIN owner USING (t)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       s"""SELECT doc_id,
          |  CAST(len(tri) AS INT) AS n_trigrams,

@@ -213,6 +213,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("markov transitions: rows normalize to 1, transitions conserve events") {
+    val rows = Analytics.qMarkovTransition(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // each from-row's probabilities sum to 1 (within rounding of 6dp × rows)
+    rows.groupBy(_._1).foreach { case (from, rs) =>
+      val psum = rs.map(_._4).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"$from: row sums to $psum")
+      rs.foreach { case (_, _, n, p) =>
+        val total = rs.map(_._3).sum
+        assert(math.abs(p - n.toDouble / total) < 1e-6)
+      }
+    }
+    // every user with k events contributes exactly k-1 transitions
+    val nTransitions = rows.map(_._3).sum
+    val perUser = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(_.getLong(1))
+    assert(nTransitions == perUser.map(_ - 1).sum,
+      "transition count must equal sum(events_per_user - 1)")
+  }
+
   test("sessionize event totals are conserved at sf0.001") {
     val sessions = Analytics.qSessionize(spark, sf)
     val nEvents = Tables.events(spark, sf).count()

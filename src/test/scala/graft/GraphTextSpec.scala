@@ -167,4 +167,20 @@ class GraphTextSpec extends SparkSpec {
     // a head always followed by the same word contributes exactly 0
     assert(nll((3, 3)) == 0.0)
   }
+
+  test("trigram novelty: first occurrence owns the trigram, restatement scores low") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "en"),   // trigrams {a b c, b c d} — both first here
+      (2L, "a b c x", "en"),   // {a b c} owned by doc 1, {b c x} novel → 0.5
+      (3L, "a b c d", "en"),   // exact restatement → 0.0
+      (4L, "z z", "en")        // <3 tokens → no trigrams → absent
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.trigramNovelty(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == (2L, 2L, 1.0), s"doc1 ${got(1L)}")
+    assert(got(2L) == (2L, 1L, 0.5), s"doc2 ${got(2L)}")
+    assert(got(3L) == (2L, 0L, 0.0), s"doc3 ${got(3L)}")
+  }
 }
