@@ -328,8 +328,46 @@ object Analytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** Revenue concentration: the share of each market segment's revenue
+    * captured by its top decile of customers — the inequality measure
+    * behind key-account analysis and long-tail pricing. Everything is
+    * integer until the final division: per-customer revenue accumulates
+    * as round-to-cents BIGINT (order-free), the decile cut is the
+    * ceiling-rank over a TOTAL order (revenue desc, custkey asc — no
+    * ties, so the cut is deterministic in both engines), and the share
+    * is one BIGINT/BIGINT division in double. Two shuffles at any
+    * scale: orders→customer revenue rollup, then the per-segment
+    * window; segments are few, but the window partitions by segment
+    * AND the per-customer relation is already collapsed, so no
+    * single-task hotspot grows with the order count. */
+  def qRevenueConcentration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+    val w = Window.partitionBy(col("segment"))
+      .orderBy(col("rev_cents").desc, col("c_custkey").asc)
+    rev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_seg",
+        count(lit(1)).over(Window.partitionBy(col("segment"))))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("rev_cents")).as("total_cents"),
+        sum(when(col("rn") <= expr("(n_seg + 9) div 10"), col("rev_cents"))
+          .otherwise(0L)).as("top_cents"))
+      .select(col("segment"), col("n_cust"),
+        expr("(n_cust + 9) div 10").as("top_k"),
+        col("total_cents"), col("top_cents"),
+        round(col("top_cents").cast("double") / col("total_cents").cast("double"), 6)
+          .as("top_decile_share"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (qSessionize _),
+    "q_revenue_concentration" -> (qRevenueConcentration _),
     "q_scd2" -> (qScd2 _),
     "q_autocorr" -> (qAutocorr _),
     "q_markov_transition" -> (qMarkovTransition _),
@@ -340,6 +378,29 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_revenue_concentration" ->
+      """WITH rev AS (
+        |  SELECT c.c_mktsegment AS segment, c.c_custkey,
+        |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY segment
+        |      ORDER BY rev_cents DESC, c_custkey ASC) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY segment) AS n_seg
+        |  FROM rev)
+        |SELECT segment, count(*) AS n_cust,
+        |  (count(*) + 9) // 10 AS top_k,
+        |  CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+        |  CAST(sum(CASE WHEN rn <= (n_seg + 9) // 10 THEN rev_cents
+        |    ELSE 0 END) AS BIGINT) AS top_cents,
+        |  round(CAST(CAST(sum(CASE WHEN rn <= (n_seg + 9) // 10
+        |      THEN rev_cents ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(rev_cents) AS BIGINT) AS DOUBLE), 6)
+        |      AS top_decile_share
+        |FROM ranked GROUP BY segment ORDER BY segment""".stripMargin,
     "q_markov_transition" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    epoch_us(ts) AS t_us FROM events),

@@ -233,6 +233,35 @@ class AnalyticsSpec extends SparkSpec {
       "transition count must equal sum(events_per_user - 1)")
   }
 
+  test("revenue concentration equals a local sorted top-decile recompute") {
+    val got = Analytics.qRevenueConcentration(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    val rows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("c_custkey"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val bySeg = rows.groupBy(_._1)
+    assert(got.keySet == bySeg.keySet)
+    bySeg.foreach { case (seg, rs) =>
+      val perCust = rs.groupBy(_._2).view
+        .mapValues(_.map(t => math.round(t._3 * 100)).sum).toMap
+      val sorted = perCust.toSeq.sortBy { case (ck, c) => (-c, ck) }
+      val k = (sorted.length + 9) / 10
+      val total = sorted.map(_._2).sum
+      val top = sorted.take(k).map(_._2).sum
+      val (n, topK, totC, topC, share) = got(seg)
+      assert(n == sorted.length.toLong, s"$seg n_cust")
+      assert(topK == k.toLong, s"$seg top_k")
+      assert(totC == total, s"$seg total_cents")
+      assert(topC == top, s"$seg top_cents")
+      assert(math.abs(share - top.toDouble / total) < 1e-6, s"$seg share")
+      assert(share > k.toDouble / sorted.length,
+        s"$seg: top decile must be over-proportional")
+    }
+  }
+
   test("sessionize event totals are conserved at sf0.001") {
     val sessions = Analytics.qSessionize(spark, sf)
     val nEvents = Tables.events(spark, sf).count()
