@@ -365,9 +365,51 @@ object Analytics {
       .orderBy("segment")
   }
 
+  /** A/B experiment readout: deterministic arm assignment (user_id
+    * parity — in production this is the hash-bucket split of
+    * q_train_split), per-user conversion (a high-value purchase, so both
+    * arms have genuine variance), and the two-proportion z-test on
+    * conversion rates. Everything up to the
+    * test statistic is exact integer counting in ONE pass over the
+    * per-user rollup (conditional aggregates, no arm self-join); the z
+    * arithmetic is a fixed double expression tree spelled identically
+    * in the oracle. At 100 TB the pattern is the same two shuffles:
+    * events→per-user, per-user→one row of counts. */
+  def qAbTest(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 90.0,
+        1L).otherwise(0L)).as("conv"))
+      .select((col("user_id") % 2).as("arm"), col("conv"))
+    val counts = perUser.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c1"))
+    val p0 = col("c0").cast("double") / col("n0").cast("double")
+    val p1 = col("c1").cast("double") / col("n1").cast("double")
+    val pp = (col("c0") + col("c1")).cast("double") /
+      (col("n0") + col("n1")).cast("double")
+    // degenerate inputs (empty corpus, all-or-none conversion) make the
+    // pooled variance 0 — CASE-guard every division so those cases yield
+    // NULL instead of an ANSI divide-by-zero (guards spelled identically
+    // in the oracle; non-degenerate data never takes the NULL branch)
+    val zOk = col("n0") > 0 && col("n1") > 0 &&
+      col("c0") + col("c1") > 0 && col("c0") + col("c1") < col("n0") + col("n1")
+    counts.select(col("n0"), col("c0"),
+      when(col("n0") > 0, round(p0, 6)).as("p0"),
+      col("n1"), col("c1"),
+      when(col("n1") > 0, round(p1, 6)).as("p1"),
+      when(col("n0") > 0 && col("n1") > 0, round(p1 - p0, 6)).as("lift"),
+      when(zOk, round((p1 - p0) / sqrt(pp * (lit(1.0) - pp)
+        * (lit(1.0) / col("n0").cast("double")
+          + lit(1.0) / col("n1").cast("double"))), 6)).as("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (qSessionize _),
     "q_revenue_concentration" -> (qRevenueConcentration _),
+    "q_ab_test" -> (qAbTest _),
     "q_scd2" -> (qScd2 _),
     "q_autocorr" -> (qAutocorr _),
     "q_markov_transition" -> (qMarkovTransition _),
@@ -378,6 +420,36 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id % 2 AS arm,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 90
+        |        THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |k AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        |  FROM pu)
+        |SELECT n0, c0,
+        |  CASE WHEN n0 > 0
+        |    THEN round(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) END AS p0,
+        |  n1, c1,
+        |  CASE WHEN n1 > 0
+        |    THEN round(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) END AS p1,
+        |  CASE WHEN n0 > 0 AND n1 > 0
+        |    THEN round(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) END AS lift,
+        |  CASE WHEN n0 > 0 AND n1 > 0 AND c0 + c1 > 0 AND c0 + c1 < n0 + n1
+        |    THEN round((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |    / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |      * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 6)
+        |    END AS z
+        |FROM k""".stripMargin,
     "q_revenue_concentration" ->
       """WITH rev AS (
         |  SELECT c.c_mktsegment AS segment, c.c_custkey,

@@ -262,6 +262,28 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ab test equals a local two-proportion z-test recompute") {
+    val r = Analytics.qAbTest(spark, sf).collect()(0)
+    val perUser = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 90.0,
+        1L).otherwise(0L)).as("conv"))
+      .collect().map(x => (x.getLong(0) % 2, x.getLong(1)))
+    val n0 = perUser.count(_._1 == 0).toLong
+    val c0 = perUser.filter(_._1 == 0).map(_._2).sum
+    val n1 = perUser.count(_._1 == 1).toLong
+    val c1 = perUser.filter(_._1 == 1).map(_._2).sum
+    assert((r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))
+      == ((n0, c0, n1, c1)))
+    val (p0, p1) = (c0.toDouble / n0, c1.toDouble / n1)
+    val pp = (c0 + c1).toDouble / (n0 + n1)
+    assert(math.abs(r.getDouble(2) - p0) < 1e-6 && math.abs(r.getDouble(5) - p1) < 1e-6)
+    if (c0 + c1 > 0 && c0 + c1 < n0 + n1) {
+      val z = (p1 - p0) / math.sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))
+      assert(math.abs(r.getDouble(7) - z) < 1e-6, s"z ${r.getDouble(7)} vs $z")
+    } else assert(r.isNullAt(7), "degenerate conversion must yield NULL z")
+  }
+
   test("sessionize event totals are conserved at sf0.001") {
     val sessions = Analytics.qSessionize(spark, sf)
     val nEvents = Tables.events(spark, sf).count()
