@@ -39,15 +39,22 @@ case class EntropyQsum(child: Expression) extends UnaryExpression {
         s"$prettyName requires ARRAY<STRING>, got ${other.simpleString}")
     }
 
+  /** Null ELEMENTS are skipped (contribute no count): UnsafeArrayData's
+    * getUTF8String does not null-check (a null slot reads as ""), so
+    * counting nulls would be physical-row-format-dependent. Both eval and
+    * the generated loop guard with isNullAt so the semantics are identical
+    * under GenericArrayData and UnsafeArrayData. */
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val n = toks.numElements()
     val counts = new java.util.HashMap[Any, Array[Long]]()
     var i = 0
     while (i < n) {
-      val t = toks.getUTF8String(i)
-      val slot = counts.get(t)
-      if (slot == null) counts.put(t, Array(1L)) else slot(0) += 1L
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        val slot = counts.get(t)
+        if (slot == null) counts.put(t, Array(1L)) else slot(0) += 1L
+      }
       i += 1
     }
     var q = 0L
@@ -56,6 +63,11 @@ case class EntropyQsum(child: Expression) extends UnaryExpression {
     q
   }
 
+  // Generated code uses RAW java.util types with explicit casts: Janino
+  // (Spark's codegen compiler) ignores generic type arguments, so a
+  // HashMap<Object, long[]> read comes back as Object and the assignment
+  // to long[] fails to compile — which would silently demote every use of
+  // this kernel to the interpreted fallback path.
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
@@ -65,15 +77,16 @@ case class EntropyQsum(child: Expression) extends UnaryExpression {
       val kernel = classOf[EntropyQsum].getName
       s"""
          |int $n = $a.numElements();
-         |java.util.HashMap<Object, long[]> $m = new java.util.HashMap<Object, long[]>();
+         |java.util.HashMap $m = new java.util.HashMap();
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
          |  Object $t = $a.getUTF8String($i);
-         |  long[] $slot = $m.get($t);
+         |  long[] $slot = (long[]) $m.get($t);
          |  if ($slot == null) { $m.put($t, new long[]{1L}); } else { $slot[0] += 1L; }
          |}
          |long $q = 0L;
-         |java.util.Iterator<long[]> $it = $m.values().iterator();
-         |while ($it.hasNext()) { $q += $kernel.quant($it.next()[0]); }
+         |java.util.Iterator $it = $m.values().iterator();
+         |while ($it.hasNext()) { $q += $kernel.quant(((long[]) $it.next())[0]); }
          |${ev.value} = $q;
        """.stripMargin
     })

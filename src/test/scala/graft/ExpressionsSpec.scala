@@ -218,4 +218,42 @@ class ExpressionsSpec extends SparkSpec {
     // 3*log2(3)*1e6 rounded = 4754888 (the DuckDB-verified grid value)
     assert(k == 4754888L, s"got $k")
   }
+
+  test("entropy_qsum generated code COMPILES (no interpreted fallback) and matches eval") {
+    // Janino ignores generic type arguments, so generics in the generated
+    // source previously made compilation fail and every query silently ran
+    // the interpreted fallback. Compile the projection directly — the
+    // non-fallback generator throws on any codegen compile error.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.plans.EntropyQsum
+
+    val expr = EntropyQsum(
+      BoundReference(0, ArrayType(StringType, containsNull = true), nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws if codegen is broken
+
+    def arr(toks: (String)*): GenericArrayData =
+      new GenericArrayData(toks.map(t => if (t == null) null else UTF8String.fromString(t)).toArray[Any])
+    val cases: Seq[GenericArrayData] = Seq(
+      arr("a", "a", "b"),
+      arr(null, ""),                  // null skipped, "" counted once -> 0
+      arr("", "", null, "x", ""),     // c("")=3 regardless of row format
+      arr(null, null),                // all-null -> 0
+      arr())
+    cases.foreach { a =>
+      val row = InternalRow(a)
+      val viaCodegen = proj(row).getLong(0)
+      val viaEval = expr.eval(row).asInstanceOf[Long]
+      assert(viaCodegen == viaEval, s"codegen $viaCodegen != eval $viaEval")
+    }
+    // null vs "" must be distinguishable and representation-independent:
+    // [null, ""] has one counted token (c=1 -> 0); ["","",null] has c=2.
+    assert(expr.eval(InternalRow(arr(null, ""))) == 0L)
+    assert(expr.eval(InternalRow(arr("", "", null))) == EntropyQsum.quant(2L))
+    assert(proj(InternalRow(arr("", "", null))).getLong(0) == EntropyQsum.quant(2L))
+  }
 }
