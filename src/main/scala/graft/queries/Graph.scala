@@ -145,12 +145,15 @@ object Graph {
     val wedges = dirE
       .join(dirE.select(col("u"), col("v").as("w")), "u")
       .filter(col("v") < col("w"))
-    // the closing-edge check probes |wedges| ≫ |edges| rows: hash-probing
-    // the (narrow, int-pair) edge list beats sorting the wedge stream —
-    // broadcast here (13 MB at sf0.1); at cluster scale the same join
-    // runs shuffled-hash and AQE re-plans it per stats
+    // the closing-edge check probes |wedges| ≫ |edges| rows against the
+    // narrow int-pair edge list. NO broadcast hint: the edge list is
+    // data-dependent (13 MB at sf0.1 → GBs at 100×), and a hard hint is an
+    // instruction Spark must obey even when the build side no longer fits
+    // an executor. localCheckpoint preserves the materialized size stats,
+    // so Catalyst/AQE broadcast it while it's small and fall back to a
+    // shuffled join when it isn't — the re-plan happens per run, per data.
     val closed = wedges
-      .join(broadcast(e), least(col("v"), col("w")) === col("a")
+      .join(e, least(col("v"), col("w")) === col("a")
         && greatest(col("v"), col("w")) === col("b"), "left_semi")
     closed.select(explode(array(col("u"), col("v"), col("w"))).as("part"))
       .groupBy("part").agg(count(lit(1)).as("n_triangles"))
