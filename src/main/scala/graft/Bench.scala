@@ -119,8 +119,26 @@ object Bench {
       else try {
         val pdir = graft.io.PartitionedFixture.prepare(spark, sfDir)
         try run(SparkEntry.queries("wordcount"), pdir) catch { case _: Throwable => () }
+        val medians = results.map { case (k, m, _, _, _, _) => k -> m }.toMap
         val pres = SparkEntry.queries.toSeq.sortBy(_._1)
-          .map { case (name, fn) => (name, timeOnce(fn, pdir)) }
+          .filter { case (name, _) => only.isEmpty || only(name) }
+          .map { case (name, fn) =>
+            val first = timeOnce(fn, pdir)
+            // single-iteration pass, so one heap polluted by the previous
+            // query lands straight in the number (round-6 evidence: the
+            // 4 queries alphabetically after a 14 s mirror query read
+            // 4-16x their primary median; all re-measured normal in
+            // isolation). If the reading exceeds 3x the query's primary
+            // median, settle the heap and re-time once, reporting the
+            // min -- a REAL layout regression reproduces on the retry.
+            val best = first match {
+              case Right(t) if medians.get(name).exists(m => m > 0 && t > 3 * m) =>
+                System.gc(); Thread.sleep(200)
+                timeOnce(fn, pdir).fold(_ => first, t2 => Right(math.min(t, t2)))
+              case other => other
+            }
+            (name, best)
+          }
         val pqs = pres.map { case (k, r) =>
           jstr(k) + ":" + r.fold(_ => -1.0, identity) }.mkString("{", ",", "}")
         val pErrs = pres.collect { case (k, Left(m)) => jstr(k) + ":" + jstr(m) }
