@@ -26,6 +26,7 @@ object SparkEntry {
     (q.Graph.queries, q.Graph.oracle),
     (q.Analytics.queries, q.Analytics.oracle),
     (q.SqlSurface.queries, q.SqlSurface.oracle),
+    (q.Ingest.queries, q.Ingest.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

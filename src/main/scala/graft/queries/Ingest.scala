@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** M14 — schema-first CSV/JSON ingestion with corrupt-record handling,
+  * the weekly reality of any corpus pipeline: upstream drops you a file,
+  * some rows are broken, and the job must quantify the damage instead of
+  * dying (or worse, silently dropping rows).
+  *
+  * The reference ingests only whitespace-delimited text
+  * (`maprdeuce.cpp:142-160`); structured formats are extension tier
+  * (SURVEY §2.2 sources). SourcesSpec pins the three ingestion modes
+  * (PERMISSIVE/DROPMALFORMED/FAILFAST) on synthetic files; these queries
+  * put the PERMISSIVE path — the 100 TB default, where a bad record
+  * lands in `columnNameOfCorruptRecord` instead of killing the job — on
+  * the oracle-checked `queries` surface.
+  *
+  * Both queries read small fixtures checked into the repo
+  * (`fixtures/ingest/`), NOT the sf tables: corrupt-record semantics need
+  * deliberately-broken input, and the driver fixtures are all well-formed
+  * parquet. The fixture contract the oracles rely on: every well-formed
+  * record has all fields present (so "required field IS NULL" identifies
+  * a malformed line in DuckDB, whose read_json ignore_errors=true yields
+  * all-NULL rows rather than dropping them), and malformed CSV cells are
+  * type-malformed only (DuckDB has no raw-record column, so the oracle
+  * re-detects them via try_cast).
+  *
+  * Scale stance: both plans are a single scan → partial agg → 3-row
+  * final agg; the corrupt-record column prunes away unless referenced.
+  * On a cluster the same code reads a glob of thousands of files — the
+  * PERMISSIVE/corrupt-column semantics are per-record, not per-file.
+  */
+object Ingest {
+
+  /** Repo-absolute fixture dir (the driver runs Verify/Bench on this
+    * machine; queries intentionally ignore the sfDir argument). */
+  private[graft] val FixtureDir = "/root/repo/fixtures/ingest"
+
+  /** CSV with an explicit schema: 24 rows, 3 of them with a
+    * type-malformed `amount` cell ("N/A"). PERMISSIVE parses the good
+    * cells of a bad row (category survives), nulls the bad cell, and
+    * captures the raw line in `_bad` — so the per-category report counts
+    * total rows, damaged rows, and the sum over parseable amounts. */
+  def qCsvIngest(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("ts", StringType),
+      StructField("amount", IntegerType),
+      StructField("category", StringType),
+      StructField("_bad", StringType)))
+    s.read.schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(s"$FixtureDir/transactions.csv")
+      .groupBy(col("category"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+        coalesce(sum(col("amount")), lit(0)).cast("long").as("amount_sum"))
+      .orderBy(col("category"))
+  }
+
+  /** Newline-delimited JSON with a nested struct column: 20 good lines,
+    * 2 syntactically-malformed ones. Good lines aggregate per event type
+    * (count, distinct nested user ids, total ms); the malformed-line
+    * count ships as a `_corrupt` summary row so the damage is part of
+    * the result, not a log line somebody greps later. */
+  def qJsonIngest(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("evt", StringType),
+      StructField("ms", IntegerType),
+      StructField("usr", StructType(Seq(
+        StructField("uid", IntegerType),
+        StructField("tier", StringType)))),
+      StructField("_bad", StringType)))
+    val raw = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(s"$FixtureDir/applog.jsonl")
+    val good = raw.filter(col("_bad").isNull)
+      .groupBy(col("evt"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("usr.uid")).as("n_users"),
+        sum(col("ms")).cast("long").as("total_ms"))
+    // malformed count = all lines minus well-formed lines (same arithmetic
+    // as the DuckDB oracle): Spark forbids a scan whose only referenced
+    // file column is the corrupt-record column
+    // (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the bad
+    // count cannot be an aggregate over `_bad` alone
+    val nAll = raw.agg(count(lit(1)).as("n_all"))
+    val nGood = good.agg(coalesce(sum(col("n")), lit(0L)).as("n_good"))
+    val bad = nAll.crossJoin(broadcast(nGood))
+      .select(lit("_corrupt").as("evt"), (col("n_all") - col("n_good")).as("n"),
+        lit(0L).as("n_users"), lit(0L).as("total_ms"))
+    good.unionByName(bad).orderBy(col("evt"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_csv_ingest" -> (qCsvIngest _),
+    "q_json_ingest" -> (qJsonIngest _),
+  )
+
+  // ---- oracle SQL ----------------------------------------------------------
+  //
+  // DuckDB has no corrupt-record column, so each oracle re-detects the
+  // malformed records from first principles: CSV via all_varchar +
+  // try_cast (a bad cell is exactly a cell that fails the cast), JSON via
+  // line arithmetic (read_text newline count minus successfully-parsed
+  // rows; ignore_errors=true materializes failed lines as all-NULL rows,
+  // filtered by the required-field contract evt IS NOT NULL).
+
+  val oracle: Map[String, String] = Map(
+    "q_csv_ingest" ->
+      s"""SELECT category,
+         |       count(*) AS n_rows,
+         |       CAST(sum(CASE WHEN try_cast(amount AS INTEGER) IS NULL
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+         |       CAST(coalesce(sum(try_cast(amount AS INTEGER)), 0) AS BIGINT) AS amount_sum
+         |FROM read_csv('$FixtureDir/transactions.csv', header=true, all_varchar=true)
+         |GROUP BY category ORDER BY category""".stripMargin,
+    "q_json_ingest" ->
+      s"""WITH parsed AS (
+         |  SELECT * FROM read_json('$FixtureDir/applog.jsonl',
+         |      format='newline_delimited', ignore_errors=true,
+         |      columns={evt: 'VARCHAR', ms: 'INTEGER',
+         |               usr: 'STRUCT(uid INTEGER, tier VARCHAR)'})),
+         |good AS (SELECT * FROM parsed WHERE evt IS NOT NULL),
+         |txt AS (SELECT content FROM read_text('$FixtureDir/applog.jsonl')),
+         |counts AS (
+         |  SELECT (length(content) - length(replace(content, chr(10), ''))) AS n_lines
+         |  FROM txt),
+         |agg AS (
+         |  SELECT evt, count(*) AS n,
+         |         CAST(count(DISTINCT usr.uid) AS BIGINT) AS n_users,
+         |         CAST(sum(ms) AS BIGINT) AS total_ms
+         |  FROM good GROUP BY evt),
+         |bad AS (
+         |  SELECT '_corrupt' AS evt,
+         |         (SELECT n_lines FROM counts) - (SELECT count(*) FROM good) AS n,
+         |         CAST(0 AS BIGINT) AS n_users, CAST(0 AS BIGINT) AS total_ms)
+         |SELECT * FROM agg UNION ALL SELECT * FROM bad ORDER BY evt""".stripMargin,
+  )
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Ingest
+
+/** Pins the corrupt-record semantics of the oracle-checked ingestion
+  * queries on their real fixtures (fixtures/ingest/): PERMISSIVE damage
+  * accounting, the FAILFAST error path, and DROPMALFORMED's quarantine-
+  * by-omission — so a fixture edit that silently changes the malformed-row
+  * contract the DuckDB oracles re-derive breaks here first. */
+class IngestSpec extends SparkSpec {
+
+  test("q_csv_ingest: every category reports exactly one damaged row") {
+    val rows = Ingest.qCsvIngest(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("alpha", "beta", "gamma"))
+    rows.foreach { r =>
+      assert(r.getLong(1) == 8, s"n_rows for ${r.getString(0)}")
+      assert(r.getLong(2) == 1, s"n_bad for ${r.getString(0)}")
+      assert(r.getLong(3) > 0, s"amount_sum for ${r.getString(0)}")
+    }
+  }
+
+  test("q_json_ingest: 2 malformed lines surface as the _corrupt row, 20 good lines aggregate") {
+    val rows = Ingest.qJsonIngest(spark, sf).collect()
+    val byEvt = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byEvt("_corrupt") == 2)
+    assert(byEvt.filterNot(_._1 == "_corrupt").values.sum == 20)
+    // nested-struct extraction: distinct uid count is bounded by the 7
+    // distinct users in the fixture
+    rows.filterNot(_.getString(0) == "_corrupt")
+      .foreach(r => assert(r.getLong(2) >= 1 && r.getLong(2) <= 7))
+  }
+
+  test("FAILFAST surfaces fixture corruption as an error; DROPMALFORMED drops exactly the bad rows") {
+    val err = intercept[Exception] {
+      spark.read
+        .schema("evt STRING, ms INT, usr STRUCT<uid: INT, tier: STRING>")
+        .option("mode", "FAILFAST")
+        .json(s"${Ingest.FixtureDir}/applog.jsonl")
+        .collect()
+    }
+    val msgs = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" ").toUpperCase
+    assert(msgs.contains("FAILFAST") || msgs.contains("MALFORMED"), s"got: $msgs")
+
+    val kept = spark.read
+      .schema("evt STRING, ms INT, usr STRUCT<uid: INT, tier: STRING>")
+      .option("mode", "DROPMALFORMED")
+      .json(s"${Ingest.FixtureDir}/applog.jsonl")
+      .count()
+    assert(kept == 20, s"DROPMALFORMED kept $kept of 22 lines")
+
+    // CSV malformation is only detected in columns the scan actually
+    // parses — count() prunes every column and keeps all 24 rows, so the
+    // projection must demand `amount` for DROPMALFORMED to see the damage
+    val csvKept = spark.read
+      .schema("id INT, ts STRING, amount INT, category STRING")
+      .option("header", "true").option("mode", "DROPMALFORMED")
+      .csv(s"${Ingest.FixtureDir}/transactions.csv")
+      .select(col("id"), col("amount")).collect().length
+    assert(csvKept == 21, s"DROPMALFORMED kept $csvKept of 24 csv rows")
+  }
+}
