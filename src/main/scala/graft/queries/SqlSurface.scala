@@ -163,17 +163,35 @@ object SqlSurface {
     * iteration ships each delta to a materialized static relation, never
     * the reverse. */
   def qRecursiveChain(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.cteRecursionLevelLimit", "500")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-    Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-        row_number().over(w).as("rn"))
-      .localCheckpoint()
-      .createOrReplaceTempView("graft_rc_ord")
-    s.sql(chainSql(
-      "SELECT o_orderkey, o_custkey, o_totalprice, rn FROM graft_rc_ord"))
+    // No session-state leaks: the recursion-limit conf is saved/restored
+    // and the staging temp view dropped once the returned Dataset holds
+    // the ANALYZED plan (view lookup and limit capture both happen inside
+    // s.sql(); SqlSurfaceSpec pins both — the query survives view drop +
+    // conf restore, and the limit genuinely binds at analysis time).
+    // Depth here is bounded by max orders-per-customer (~24 at sf0.1);
+    // 500 is a generous finite guard against a data bug, far under the
+    // point where the per-level plan-reevaluation cost would bite anyway.
+    val limitKey = "spark.sql.cteRecursionLevelLimit"
+    val prior = s.conf.getOption(limitKey)
+    s.conf.set(limitKey, "500")
+    try {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .localCheckpoint()
+        .createOrReplaceTempView("graft_rc_ord")
+      s.sql(chainSql(
+        "SELECT o_orderkey, o_custkey, o_totalprice, rn FROM graft_rc_ord"))
+    } finally {
+      s.catalog.dropTempView("graft_rc_ord")
+      prior match {
+        case Some(v) => s.conf.set(limitKey, v)
+        case None => s.conf.unset(limitKey)
+      }
+    }
   }
 
   /** Shared SQL for [[qLateralTopn]]: ONE text runs on both Spark and

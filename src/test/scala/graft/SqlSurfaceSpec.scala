@@ -52,6 +52,47 @@ class SqlSurfaceSpec extends SparkSpec {
       .count() == 0, "recursive result must equal the window formulation")
   }
 
+  test("qRecursiveChain leaves no session state behind and survives its own cleanup") {
+    val key = "spark.sql.cteRecursionLevelLimit"
+    val prior = spark.conf.getOption(key)
+    val df = SqlSurface.qRecursiveChain(spark, sf)
+    // the function saves/restores the recursion-limit conf and drops its
+    // staging view before returning — the analyzed plan must not need them
+    assert(spark.conf.getOption(key) == prior, "recursion-limit conf leaked")
+    assert(!spark.catalog.tableExists("graft_rc_ord"), "staging temp view leaked")
+    assert(df.limit(5).collect().nonEmpty,
+      "plan must execute after view drop + conf restore (analysis-time binding)")
+  }
+
+  test("recursion deeper than cteRecursionLevelLimit fails with the documented error") {
+    val key = "spark.sql.cteRecursionLevelLimit"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "5")
+    try {
+      import spark.implicits._
+      (1 to 20).toDF("n").createOrReplaceTempView("rc_limit_t")
+      val err = intercept[Exception] {
+        spark.sql(
+          """WITH RECURSIVE walk(n) AS (
+            |  SELECT 1
+            |  UNION ALL
+            |  SELECT w.n + 1 FROM walk w JOIN rc_limit_t t ON t.n = w.n + 1
+            |)
+            |SELECT max(n) AS maxn FROM walk""".stripMargin).collect()
+      }
+      val msgs = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
+        .map(String.valueOf(_: Throwable)).mkString(" ").toUpperCase
+      assert(msgs.contains("RECURSION") && msgs.contains("LIMIT"),
+        s"expected the recursion-limit error class, got: ${msgs.take(400)}")
+    } finally {
+      spark.catalog.dropTempView("rc_limit_t")
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("lateral top-n decorrelates and equals the window-rank formulation") {
     val lat = SqlSurface.qLateralTopn(spark, sf)
     // Catalyst must rewrite the per-segment dependent subquery into a
