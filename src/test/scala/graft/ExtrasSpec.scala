@@ -42,6 +42,17 @@ class ExtrasSpec extends SparkSpec {
       s"p50 est ${est.getDouble(0)} vs exact ${ex.getDouble(0)} (width $width)")
     assert(math.abs(est.getDouble(1) - ex.getDouble(1)) <= 2 * width,
       s"p90 est ${est.getDouble(1)} vs exact ${ex.getDouble(1)} (width $width)")
+    // cross-check against Spark's own mergeable quantile structure: the
+    // histogram estimate and approx_percentile (GK sketch, accuracy 1e4)
+    // are independent approximations of the same statistic — both must
+    // sit within the same bucket-width band of each other
+    val ap = graft.io.Tables.orders(spark, sf).agg(
+      expr("approx_percentile(o_totalprice, 0.5, 10000)"),
+      expr("approx_percentile(o_totalprice, 0.9, 10000)")).collect()(0)
+    assert(math.abs(est.getDouble(0) - ap.getDouble(0)) <= 2 * width,
+      s"p50 est ${est.getDouble(0)} vs approx_percentile ${ap.getDouble(0)} (width $width)")
+    assert(math.abs(est.getDouble(1) - ap.getDouble(1)) <= 2 * width,
+      s"p90 est ${est.getDouble(1)} vs approx_percentile ${ap.getDouble(1)} (width $width)")
   }
 
   test("count-min sketch never underestimates and is tight on heavy hitters") {
