@@ -16,8 +16,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * shuffle-free `aggregate`-HOF run-length spelling pays interpreted
   * struct-per-element lambda overhead (measured 1.7× SLOWER than the
   * double shuffle at sf0.1 local[32], where shuffles are cheap memcpys).
-  * This kernel is the plan that wins everywhere: zero shuffles AND a
-  * tight codegen loop (measured vs both above; see TextAnalysis).
+  * This kernel is the plan that wins everywhere: zero shuffles and one
+  * hash-count pass per row (measured vs both above; see TextAnalysis —
+  * the win is the plan shape; interpreted eval and the generated loop
+  * time the same, since both run this HashMap count).
   *
   * Determinism contract (same as the relational spelling it replaces):
   * contributions are quantized to the 1e-6 BIGINT grid per distinct

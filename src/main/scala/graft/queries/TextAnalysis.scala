@@ -456,9 +456,16 @@ object TextAnalysis {
     // memcpy locally, a corpus-wide exchange at 100 TB); the
     // shuffle-free aggregate-HOF run scan pays interpreted
     // struct-per-element lambdas (1.16 s); the kernel is zero-shuffle
-    // AND codegen (0.67 s, scan+tokenize-bound) — it matches the shuffle
-    // spelling's local time while deleting both exchanges, so it wins at
-    // both scales. Quantization contract unchanged (1e-6 BIGINT grid,
+    // with a per-row hash-count loop (0.67-0.84 s across sessions,
+    // scan+tokenize-bound) — it matches the shuffle spelling's local
+    // time while deleting both exchanges, so it wins at both scales.
+    // Round-7 note: the round-6 numbers were unknowingly measured on the
+    // kernel's interpreted fallback (its generated code didn't compile
+    // under Janino — fixed); re-measured with codegen verified active,
+    // the time is statistically unchanged, because interpreted eval and
+    // the generated loop run the same HashMap count — the kernel's win
+    // is the PLAN SHAPE (zero shuffles, one pass), not codegen
+    // micro-speed. Quantization contract unchanged (1e-6 BIGINT grid,
     // order-free long sums, cross-engine-exact for c ≤ 59,069).
     docs.select(col("doc_id"), toks.as("w"))
       .filter(size(col("w")) > 0)
