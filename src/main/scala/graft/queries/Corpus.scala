@@ -115,6 +115,42 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window chunk size / stride (tokens). */
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  /** Sliding-window document chunking: each document becomes overlapping
+    * ChunkSize-token windows at ChunkStride intervals — the step between
+    * a scored corpus and a context-length-bounded training set (HF
+    * `return_overflowing_tokens` semantics). Minimal-cover contract: a
+    * tail window fully contained in its predecessor (start+W ≥ n already
+    * reached by the previous chunk, i.e. start + (W−S) ≥ n) is dropped,
+    * so every chunk contributes at least one new token and every token is
+    * covered. Chunk identity ships as the portable h32 of the space-joined
+    * window, so downstream chunk-level dedup joins on a 8-byte key, never
+    * the text.
+    *
+    * Scale stance: pure per-row array HOFs (sequence → explode → slice)
+    * inside whole-stage codegen — zero shuffles before the final
+    * presentation sort; ~n/S output rows per document is the inherent
+    * output size, not an intermediate blow-up. */
+  def qChunkDocs(s: SparkSession, dir: String): DataFrame = {
+    val W = ChunkSize; val S = ChunkStride
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"),
+        explode(sequence(lit(0), size(col("w")) - 1, lit(S))).as("start"))
+      .filter(col("start") === 0 || col("start") + (W - S) < col("n"))
+      .select(col("doc_id"),
+        (col("start") / S).cast("long").as("chunk_id"),
+        slice(col("w"), col("start") + 1, lit(W)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("chunk_len"),
+        TextPipeline.h32(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Benchmark decontamination: which TRAIN-split documents share any
     * word-trigram with the held-out TEST split (the n-gram-overlap
     * contamination check every pretraining pipeline runs before
@@ -194,6 +230,7 @@ object Corpus {
     "q_lang_balance" -> (qLangBalance _),
     "q_train_split" -> (qTrainSplit _),
     "q_token_shards" -> (qTokenShards _),
+    "q_chunk_docs" -> (qChunkDocs _),
     "q_decontaminate" -> (qDecontaminate _),
   )
 
@@ -258,6 +295,22 @@ object Corpus {
          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |   - n_tokens) // 4096 AS shard_id
          |FROM counted ORDER BY doc_id""".stripMargin,
+    "q_chunk_docs" -> {
+      val hc = TextPipeline.duckH32("array_to_string(chunk, ' ')")
+      s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+         |nz AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+         |starts AS (
+         |  SELECT doc_id, w, n, unnest(range(0, n, $ChunkStride)) AS start FROM nz),
+         |kept AS (SELECT * FROM starts
+         |         WHERE start = 0 OR start + ${ChunkSize - ChunkStride} < n),
+         |chunks AS (
+         |  SELECT doc_id, CAST(start // $ChunkStride AS BIGINT) AS chunk_id,
+         |         w[start+1 : start+$ChunkSize] AS chunk
+         |  FROM kept)
+         |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS chunk_len,
+         |       $hc AS chunk_hash
+         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin
+    },
     "q_decontaminate" -> {
       val h32id = TextPipeline.duckH32("CAST(doc_id AS VARCHAR)")
       val sh = TextPipeline.duckShingles("w")

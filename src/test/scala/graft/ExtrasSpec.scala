@@ -146,6 +146,31 @@ class ExtrasSpec extends SparkSpec {
       s"weighted sample mean $meanSampled should exceed corpus mean $meanAll")
   }
 
+  test("chunking covers every token with stride-aligned overlapping windows") {
+    import org.apache.spark.sql.functions._
+    val chunks = graft.queries.Corpus.qChunkDocs(spark, sf)
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.core.TextPipeline.normalizedTokens(col("text"))).as("n"))
+      .filter(col("n") > 0)
+    // per-doc: chunk_ids are 0..k contiguous, coverage reaches n, and no
+    // chunk is contained in its predecessor (every chunk adds tokens)
+    val byDoc = chunks.groupBy("doc_id").agg(
+      count(lit(1)).as("k"),
+      max(col("chunk_id")).as("max_id"),
+      max(col("chunk_id") * 24 + col("chunk_len")).as("covered"),
+      min(col("chunk_len")).as("min_len"))
+    val joined = byDoc.join(docs, "doc_id")
+    assert(joined.filter(col("max_id") =!= col("k") - 1).count() == 0,
+      "chunk ids must be contiguous from 0")
+    assert(joined.filter(col("covered") =!= col("n")).count() == 0,
+      "last chunk must end exactly at the document's token count")
+    assert(joined.filter(col("k") > 1 && col("min_len") <= (32 - 24)).count() == 0,
+      "a multi-chunk doc may not have a chunk adding fewer than one new token")
+    // every document with tokens is chunked
+    assert(joined.count() == docs.count())
+  }
+
   test("skyline sweep equals brute-force Pareto frontier on random point sets") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260812)
