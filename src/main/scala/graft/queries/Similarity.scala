@@ -242,11 +242,47 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  /** Per-vector scalar (int8) quantization — the storage-compression rung
+    * under the ANN ladder: a 100 TB vector store keeps 1-byte codes (4×
+    * smaller than float32, 8× than double) and rescans full precision
+    * only for the final rerank. Min-max scheme per VECTOR: code_i =
+    * min(255, ⌊(x_i − vmin)/(vmax − vmin)·256⌋), degenerate all-equal
+    * vectors code to 0. Everything reported is integer (count/sum/min/
+    * max/h32 fingerprint of the code string), so the oracle compare is
+    * exact: both engines do the same IEEE double arithmetic on the same
+    * float32 inputs and `floor` admits no rounding-mode ambiguity —
+    * cross-engine-portable without the 1e-6 grid that transcendental
+    * outputs need.
+    *
+    * Scale stance: pure per-row array HOFs, zero shuffles before the
+    * presentation sort; no corpus statistics needed (per-vector scheme),
+    * so quantization composes with streaming ingest — each batch codes
+    * independently. */
+  def qEmbedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val base = vecs(s, dir).select(col("vec_id"),
+      array_min(col("v")).as("vmin"), array_max(col("v")).as("vmax"), col("v"))
+    base.select(col("vec_id"),
+        when(col("vmax") === col("vmin"),
+          transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"), x =>
+            least(lit(255L), floor((x - col("vmin"))
+              / (col("vmax") - col("vmin")) * 256)))).as("codes"))
+      .select(col("vec_id"),
+        size(col("codes")).cast("long").as("n_dims"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"),
+        TextPipeline.h32(concat_ws(",",
+          transform(col("codes"), c => c.cast("string")))).as("code_hash"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_dedup_semantic" -> (qDedupSemantic _),
+    "q_embed_quantize" -> (qEmbedQuantize _),
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -368,5 +404,21 @@ object Similarity {
          |  FROM idx a JOIN idx b ON a.cell = b.cell AND a.vec_id < b.vec_id)
          |SELECT cell, a_id, b_id, round(cos_raw, 6) AS cosine
          |FROM pairs WHERE cos_raw >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+    "q_embed_quantize" -> {
+      val hc = TextPipeline.duckH32("array_to_string(codes, ',')")
+      s"""WITH $duckVecs,
+         |b AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM e),
+         |c AS (SELECT vec_id,
+         |        CASE WHEN vmax = vmin THEN list_transform(v, x -> CAST(0 AS BIGINT))
+         |             ELSE list_transform(v, x -> least(CAST(255 AS BIGINT),
+         |               CAST(floor((x - vmin) / (vmax - vmin) * 256) AS BIGINT))) END AS codes
+         |      FROM b)
+         |SELECT vec_id, CAST(len(codes) AS BIGINT) AS n_dims,
+         |       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+         |       CAST(list_min(codes) AS BIGINT) AS code_min,
+         |       CAST(list_max(codes) AS BIGINT) AS code_max,
+         |       $hc AS code_hash
+         |FROM c ORDER BY vec_id""".stripMargin
+    },
   )
 }

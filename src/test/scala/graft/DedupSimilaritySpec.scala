@@ -150,6 +150,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == want, s"diff=${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
   }
 
+  test("int8 quantization reconstructs every coordinate within half a step") {
+    // recompute the codes locally per vector and bound the midpoint-dequant
+    // error by range/512 — the property that makes 1-byte codes usable for
+    // coarse ANN scoring before a full-precision rerank
+    val rows = graft.io.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+    val q = Similarity.qEmbedQuantize(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val (vmin, vmax) = (v.min, v.max)
+      val range = vmax - vmin
+      val codes =
+        if (range == 0) v.map(_ => 0L)
+        else v.map(x => math.min(255L, math.floor((x - vmin) / range * 256).toLong))
+      val (nDims, codeSum) = q(r.getLong(0))
+      assert(nDims == v.length && codeSum == codes.sum,
+        s"vec ${r.getLong(0)}: local recompute disagrees with the query")
+      if (range > 0) {
+        val maxErr = v.zip(codes).map { case (x, c) =>
+          math.abs(x - (vmin + (c + 0.5) * range / 256))
+        }.max
+        assert(maxErr <= range / 512 + 1e-12,
+          s"vec ${r.getLong(0)}: reconstruction error $maxErr > ${range / 512}")
+      }
+    }
+  }
+
   test("learned k-means IVF holds recall@10 vs exact brute force") {
     def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().groupBy(_.getAs[Long]("q_id"))
