@@ -117,6 +117,10 @@ object Graph {
       .limit(20)
   }
 
+  /** Closing-edge build side broadcasts only while the MEASURED edge
+    * count stays under this (8M long-pair rows ≈ 128 MB). */
+  private val BroadcastEdgeRows = 8000000L
+
   /** Core of [[qTriangles]] over any canonical (a < b, distinct) edge
     * list: per-node triangle participation counts. Exposed for the
     * randomized brute-force property test in PropertiesSpec. */
@@ -146,14 +150,25 @@ object Graph {
       .join(dirE.select(col("u"), col("v").as("w")), "u")
       .filter(col("v") < col("w"))
     // the closing-edge check probes |wedges| ≫ |edges| rows against the
-    // narrow int-pair edge list. NO broadcast hint: the edge list is
-    // data-dependent (13 MB at sf0.1 → GBs at 100×), and a hard hint is an
-    // instruction Spark must obey even when the build side no longer fits
-    // an executor. localCheckpoint preserves the materialized size stats,
-    // so Catalyst/AQE broadcast it while it's small and fall back to a
-    // shuffled join when it isn't — the re-plan happens per run, per data.
+    // narrow int-pair edge list. The build side is data-dependent
+    // (1.2M rows ≈ 19 MB at sf0.1 → 100M+ rows at 100×), so an
+    // UNCONDITIONAL broadcast hint is a scale-killer: a hint is an
+    // instruction Spark must obey even when the build side no longer
+    // fits an executor. But dropping the hint entirely costs real money
+    // at THIS scale: AQE's runtime SMJ→BHJ conversion still
+    // shuffle-WRITES the d²-sized wedge stream before it re-plans
+    // (measured: 8.2 s hinted vs 15–20 s converted under suite I/O
+    // pressure at sf0.1) — only a static broadcast avoids materializing
+    // wedges at all. So the hint is CONDITIONAL on a measured count:
+    // the edge list is already localCheckpoint-materialized, making
+    // count() a metadata-cheap cached-partition sweep, and the
+    // threshold (8M rows ≈ 128 MB of long pairs) keeps the broadcast
+    // far inside executor memory. Above it, the bare join stands and
+    // AQE picks shuffled-hash or broadcast from runtime stats — the
+    // per-run, per-data re-plan the 100 TB path needs.
+    val eSide = if (e.count() <= BroadcastEdgeRows) broadcast(e) else e
     val closed = wedges
-      .join(e, least(col("v"), col("w")) === col("a")
+      .join(eSide, least(col("v"), col("w")) === col("a")
         && greatest(col("v"), col("w")) === col("b"), "left_semi")
     closed.select(explode(array(col("u"), col("v"), col("w"))).as("part"))
       .groupBy("part").agg(count(lit(1)).as("n_triangles"))
