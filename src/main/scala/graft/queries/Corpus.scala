@@ -134,7 +134,9 @@ object Corpus {
     * inside whole-stage codegen — zero shuffles before the final
     * presentation sort; ~n/S output rows per document is the inherent
     * output size, not an intermediate blow-up. */
-  def qChunkDocs(s: SparkSession, dir: String): DataFrame = {
+  /** Shared chunk pipeline (unsorted): doc_id, chunk_id, chunk_len,
+    * chunk_hash — consumed by [[qChunkDocs]] and [[qChunkBoilerplate]]. */
+  private def chunked(s: SparkSession, dir: String): DataFrame = {
     val W = ChunkSize; val S = ChunkStride
     Tables.documents(s, dir)
       .select(col("doc_id"), toks.as("w"))
@@ -148,7 +150,39 @@ object Corpus {
       .select(col("doc_id"), col("chunk_id"),
         size(col("chunk")).cast("long").as("chunk_len"),
         TextPipeline.h32(concat_ws(" ", col("chunk"))).as("chunk_hash"))
-      .orderBy("doc_id", "chunk_id")
+  }
+
+  def qChunkDocs(s: SparkSession, dir: String): DataFrame =
+    chunked(s, dir).orderBy("doc_id", "chunk_id")
+
+  /** Cross-document repeated-chunk (boilerplate) scoring — the C4-style
+    * use of the chunk fingerprints: a chunk whose hash occurs in ≥2
+    * DISTINCT documents is corpus-repeated (navigation chrome, license
+    * headers, templated passages), and each document reports what
+    * fraction of its chunks are repeats — the signal a cleaning pass
+    * thresholds on before training.
+    *
+    * Scale stance: the repeated-hash set is one partial-agg shuffle of
+    * 8-byte hashes (never text); the membership join is hash-equi on the
+    * same key, then a per-doc partial agg — three narrow shuffles total,
+    * each on a compact key. At 100 TB the hash→doc-count aggregate is
+    * exactly the shape AQE skew-splits if one boilerplate chunk is
+    * corpus-universal. */
+  def qChunkBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val c = chunked(s, dir)
+    val repeated = c.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("chunk_hash"), lit(1).as("rep"))
+    c.join(repeated, Seq("chunk_hash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rep").isNotNull, 1L).otherwise(0L)).as("n_repeated"))
+      .filter(col("n_repeated") > 0)
+      .select(col("doc_id"), col("n_chunks"), col("n_repeated"),
+        round(col("n_repeated").cast("double") / col("n_chunks").cast("double"), 6)
+          .as("boilerplate_ratio"))
+      .orderBy("doc_id")
   }
 
   /** Benchmark decontamination: which TRAIN-split documents share any
@@ -231,6 +265,7 @@ object Corpus {
     "q_train_split" -> (qTrainSplit _),
     "q_token_shards" -> (qTokenShards _),
     "q_chunk_docs" -> (qChunkDocs _),
+    "q_chunk_boilerplate" -> (qChunkBoilerplate _),
     "q_decontaminate" -> (qDecontaminate _),
   )
 
@@ -310,6 +345,29 @@ object Corpus {
          |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS chunk_len,
          |       $hc AS chunk_hash
          |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin
+    },
+    "q_chunk_boilerplate" -> {
+      val hc = TextPipeline.duckH32("array_to_string(chunk, ' ')")
+      s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+         |nz AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+         |starts AS (
+         |  SELECT doc_id, w, n, unnest(range(0, n, $ChunkStride)) AS start FROM nz),
+         |kept AS (SELECT * FROM starts
+         |         WHERE start = 0 OR start + ${ChunkSize - ChunkStride} < n),
+         |c AS (SELECT doc_id, w[start+1 : start+$ChunkSize] AS chunk FROM kept),
+         |h AS (SELECT doc_id, $hc AS chunk_hash FROM c),
+         |rep AS (SELECT chunk_hash FROM h GROUP BY chunk_hash
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |scored AS (
+         |  SELECT h.doc_id, count(*) AS n_chunks,
+         |    CAST(sum(CASE WHEN r.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_repeated
+         |  FROM h LEFT JOIN rep r USING (chunk_hash)
+         |  GROUP BY h.doc_id)
+         |SELECT doc_id, n_chunks, n_repeated,
+         |  round(CAST(n_repeated AS DOUBLE) / CAST(n_chunks AS DOUBLE), 6)
+         |    AS boilerplate_ratio
+         |FROM scored WHERE n_repeated > 0 ORDER BY doc_id""".stripMargin
     },
     "q_decontaminate" -> {
       val h32id = TextPipeline.duckH32("CAST(doc_id AS VARCHAR)")

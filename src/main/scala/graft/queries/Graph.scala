@@ -123,8 +123,11 @@ object Graph {
 
   /** Core of [[qTriangles]] over any canonical (a < b, distinct) edge
     * list: per-node triangle participation counts. Exposed for the
-    * randomized brute-force property test in PropertiesSpec. */
-  private[graft] def triangleCounts(edgesIn: DataFrame): DataFrame = {
+    * randomized brute-force property test in PropertiesSpec;
+    * `broadcastRows` is injectable so GraphTextSpec can pin BOTH gate
+    * branches (hinted broadcast under it, bare join above it). */
+  private[graft] def triangleCounts(edgesIn: DataFrame,
+      broadcastRows: Long = BroadcastEdgeRows): DataFrame = {
     val e = edgesIn.localCheckpoint()
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -166,7 +169,7 @@ object Graph {
     // far inside executor memory. Above it, the bare join stands and
     // AQE picks shuffled-hash or broadcast from runtime stats — the
     // per-run, per-data re-plan the 100 TB path needs.
-    val eSide = if (e.count() <= BroadcastEdgeRows) broadcast(e) else e
+    val eSide = if (e.count() <= broadcastRows) broadcast(e) else e
     val closed = wedges
       .join(eSide, least(col("v"), col("w")) === col("a")
         && greatest(col("v"), col("w")) === col("b"), "left_semi")

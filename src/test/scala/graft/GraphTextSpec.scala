@@ -86,6 +86,30 @@ class GraphTextSpec extends SparkSpec {
     }
   }
 
+  test("closing-edge broadcast gate: hinted under the threshold, bare join above, same answer") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L if rnd.nextDouble() < 0.3
+    } yield (a, b)).toSeq.toDF("a", "b")
+    val under = graft.queries.Graph.triangleCounts(edges) // default gate, count << 8M
+    val over = graft.queries.Graph.triangleCounts(edges, broadcastRows = 0L)
+    // under the gate the STATIC plan carries the broadcast hint (no AQE
+    // dependence); above it no hint survives, so the closing-edge join is
+    // whatever the planner picks from stats — assert on the semi join only,
+    // because the 1-row degree joins may legitimately broadcast either way
+    def semiJoinLines(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("LeftSemi")).toSeq
+    assert(semiJoinLines(under).exists(_.contains("BroadcastHashJoin")),
+      s"under-gate semi join must be the hinted broadcast:\n${semiJoinLines(under)}")
+    assert(over.queryExecution.logical.toString.contains("UnresolvedHint") == false)
+    // answers are identical regardless of the branch taken
+    val a = under.orderBy("part").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = over.orderBy("part").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b, "gate branch must not change the result")
+  }
+
   test("degree-oriented triangle count equals local brute force") {
     import graft.io.Tables
     // independent recompute: adjacency sets over the co-order part graph
