@@ -116,8 +116,8 @@ object Corpus {
   }
 
   /** Sliding-window chunk size / stride (tokens). */
-  private val ChunkSize = 32
-  private val ChunkStride = 24
+  private[graft] val ChunkSize = 32
+  private[graft] val ChunkStride = 24
 
   /** Sliding-window document chunking: each document becomes overlapping
     * ChunkSize-token windows at ChunkStride intervals — the step between

@@ -34,9 +34,18 @@ import org.apache.spark.sql.types._
   */
 object Ingest {
 
-  /** Repo-absolute fixture dir (the driver runs Verify/Bench on this
-    * machine; queries intentionally ignore the sfDir argument). */
-  private[graft] val FixtureDir = "/root/repo/fixtures/ingest"
+  /** Fixture dir, resolved relative to the checkout: env override first,
+    * then `user.dir` (sbt and tools/run.sh both launch from the repo
+    * root), then the driver-machine absolute path as a last resort.
+    * Queries intentionally ignore the sfDir argument — corrupt-record
+    * semantics need the deliberately-damaged repo fixtures. */
+  private[graft] val FixtureDir: String =
+    sys.env.get("GRAFT_FIXTURE_DIR").getOrElse {
+      val cwdRel = new java.io.File(sys.props.getOrElse("user.dir", "."),
+        "fixtures/ingest")
+      if (cwdRel.isDirectory) cwdRel.getAbsolutePath
+      else "/root/repo/fixtures/ingest"
+    }
 
   /** CSV with an explicit schema: 24 rows, 3 of them with a
     * type-malformed `amount` cell ("N/A"). PERMISSIVE parses the good
@@ -99,8 +108,41 @@ object Ingest {
     good.unionByName(bad).orderBy(col("evt"))
   }
 
+  /** Glob ingestion — the actual 100 TB shape: one logical dataset
+    * arriving as many physical files (here the `multi/` csv glob: a file with 2
+    * damaged cells, a fully-clean file, and a file with 3), each parsed
+    * independently but aggregated as one relation. The per-FILE damage
+    * report (via `input_file_name()`) is what an ingestion run actually
+    * pages someone with: WHICH upstream shard is broken, not just that
+    * something is. PERMISSIVE/corrupt-record semantics are per-record,
+    * so the accounting composes across files with no extra machinery —
+    * the same single scan → partial agg plan as the one-file query,
+    * and on a cluster the glob plans one task per split regardless of
+    * file count. */
+  def qCsvIngestGlob(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("ts", StringType),
+      StructField("amount", IntegerType),
+      StructField("category", StringType),
+      StructField("_bad", StringType)))
+    s.read.schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(s"$FixtureDir/multi/*.csv")
+      .withColumn("src_file", element_at(split(input_file_name(), "/"), -1))
+      .groupBy(col("src_file"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+        coalesce(sum(col("amount")), lit(0)).cast("long").as("amount_sum"))
+      .orderBy(col("src_file"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_ingest" -> (qCsvIngest _),
+    "q_csv_ingest_glob" -> (qCsvIngestGlob _),
     "q_json_ingest" -> (qJsonIngest _),
   )
 
@@ -109,9 +151,12 @@ object Ingest {
   // DuckDB has no corrupt-record column, so each oracle re-detects the
   // malformed records from first principles: CSV via all_varchar +
   // try_cast (a bad cell is exactly a cell that fails the cast), JSON via
-  // line arithmetic (read_text newline count minus successfully-parsed
-  // rows; ignore_errors=true materializes failed lines as all-NULL rows,
-  // filtered by the required-field contract evt IS NOT NULL).
+  // line arithmetic (read_text non-empty-line count minus
+  // successfully-parsed rows; ignore_errors=true materializes failed
+  // lines as all-NULL rows, filtered by the required-field contract
+  // evt IS NOT NULL). Lines are counted by splitting on \n and dropping
+  // empty elements — robust to presence/absence of a trailing newline;
+  // IngestSpec pins the companion fixture contract (no blank lines).
 
   val oracle: Map[String, String] = Map(
     "q_csv_ingest" ->
@@ -122,6 +167,15 @@ object Ingest {
          |       CAST(coalesce(sum(try_cast(amount AS INTEGER)), 0) AS BIGINT) AS amount_sum
          |FROM read_csv('$FixtureDir/transactions.csv', header=true, all_varchar=true)
          |GROUP BY category ORDER BY category""".stripMargin,
+    "q_csv_ingest_glob" ->
+      s"""SELECT regexp_extract(filename, '[^/]+$$', 0) AS src_file,
+         |       count(*) AS n_rows,
+         |       CAST(sum(CASE WHEN try_cast(amount AS INTEGER) IS NULL
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+         |       CAST(coalesce(sum(try_cast(amount AS INTEGER)), 0) AS BIGINT) AS amount_sum
+         |FROM read_csv('$FixtureDir/multi/*.csv', header=true,
+         |              all_varchar=true, filename=true)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_json_ingest" ->
       s"""WITH parsed AS (
          |  SELECT * FROM read_json('$FixtureDir/applog.jsonl',
@@ -131,7 +185,8 @@ object Ingest {
          |good AS (SELECT * FROM parsed WHERE evt IS NOT NULL),
          |txt AS (SELECT content FROM read_text('$FixtureDir/applog.jsonl')),
          |counts AS (
-         |  SELECT (length(content) - length(replace(content, chr(10), ''))) AS n_lines
+         |  SELECT CAST(len(list_filter(string_split(content, chr(10)),
+         |                              x -> x <> '')) AS BIGINT) AS n_lines
          |  FROM txt),
          |agg AS (
          |  SELECT evt, count(*) AS n,

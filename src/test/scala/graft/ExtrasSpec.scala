@@ -154,18 +154,22 @@ class ExtrasSpec extends SparkSpec {
         size(graft.core.TextPipeline.normalizedTokens(col("text"))).as("n"))
       .filter(col("n") > 0)
     // per-doc: chunk_ids are 0..k contiguous, coverage reaches n, and no
-    // chunk is contained in its predecessor (every chunk adds tokens)
+    // chunk is contained in its predecessor (every chunk adds tokens);
+    // stride/size come from Corpus so the contract — not stale literals —
+    // is what a constant change retests
+    val W = graft.queries.Corpus.ChunkSize
+    val S = graft.queries.Corpus.ChunkStride
     val byDoc = chunks.groupBy("doc_id").agg(
       count(lit(1)).as("k"),
       max(col("chunk_id")).as("max_id"),
-      max(col("chunk_id") * 24 + col("chunk_len")).as("covered"),
+      max(col("chunk_id") * S + col("chunk_len")).as("covered"),
       min(col("chunk_len")).as("min_len"))
     val joined = byDoc.join(docs, "doc_id")
     assert(joined.filter(col("max_id") =!= col("k") - 1).count() == 0,
       "chunk ids must be contiguous from 0")
     assert(joined.filter(col("covered") =!= col("n")).count() == 0,
       "last chunk must end exactly at the document's token count")
-    assert(joined.filter(col("k") > 1 && col("min_len") <= (32 - 24)).count() == 0,
+    assert(joined.filter(col("k") > 1 && col("min_len") <= (W - S)).count() == 0,
       "a multi-chunk doc may not have a chunk adding fewer than one new token")
     // every document with tokens is chunked
     assert(joined.count() == docs.count())

@@ -31,6 +31,30 @@ class IngestSpec extends SparkSpec {
       .foreach(r => assert(r.getLong(2) >= 1 && r.getLong(2) <= 7))
   }
 
+  test("q_csv_ingest_glob: damage accounting aggregates per file across the glob") {
+    val rows = Ingest.qCsvIngestGlob(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set("events_a.csv", "events_b.csv", "events_c.csv"))
+    assert(rows("events_a.csv")._1 == 10 && rows("events_a.csv")._2 == 2)
+    // the clean file must report zero damage — per-record semantics must
+    // not leak damage across file boundaries
+    assert(rows("events_b.csv")._1 == 8 && rows("events_b.csv")._2 == 0)
+    assert(rows("events_c.csv")._1 == 12 && rows("events_c.csv")._2 == 3)
+    rows.values.foreach { case (_, _, sum) => assert(sum > 0) }
+  }
+
+  test("jsonl fixture contract: no blank lines, so the oracle's split-count equals Spark's record count") {
+    // the DuckDB oracle counts lines as non-empty \n-split elements —
+    // correct with or without a trailing newline ONLY if no interior
+    // line is blank; pin that here so a fixture edit can't silently
+    // desynchronize the two counts
+    val src = scala.io.Source.fromFile(s"${Ingest.FixtureDir}/applog.jsonl")
+    val lines = try src.getLines().toVector finally src.close()
+    assert(lines.nonEmpty && lines.forall(_.trim.nonEmpty),
+      "applog.jsonl must contain no blank or whitespace-only lines")
+    assert(lines.size == 22, s"fixture is ${lines.size} lines, oracle assumes 22")
+  }
+
   test("FAILFAST surfaces fixture corruption as an error; DROPMALFORMED drops exactly the bad rows") {
     val err = intercept[Exception] {
       spark.read

@@ -89,6 +89,15 @@ def main():
             print(f"[GATE] {name} file has failed={failed} "
                   f"(errors: {sorted(d.get('errors', {}))}) — totals are not comparable")
             bad = True
+        stamp = d.get("load")
+        if stamp:
+            ratio = stamp.get("cpu_wall_ratio", -1)
+            print(f"[load] {name}: loadavg {stamp.get('loadavg_start')} -> "
+                  f"{stamp.get('loadavg_end')}, cpu/wall {ratio}")
+            if isinstance(ratio, (int, float)) and 0 < ratio < 1.0:
+                print(f"[GATE] {name} cpu/wall ratio {ratio} < 1 — the bench "
+                      f"process did not own the machine; numbers are suspect")
+                bad = True
 
     oq, nq = old["queries"], new["queries"]
     om, nm = old.get("min", {}), new.get("min", {})
@@ -104,6 +113,18 @@ def main():
         print(f"removed ({len(only_old)}): {', '.join(only_old)}")
     if only_new:
         print(f"added ({len(only_new)}): {', '.join(only_new)}")
+
+    # a query that errored ONLY in the new file must not silently vanish
+    # from the comparison — for inputs without a "failed" key (truncated
+    # tails / scraped fallbacks) this is the only place it can surface
+    flipped = sorted(k for k in common if oq[k] > 0 and nq[k] <= 0)
+    if flipped:
+        print(f"[GATE] newly-erroring queries (median flipped to -1): "
+              f"{', '.join(flipped)}")
+        bad = True
+    recovered = sorted(k for k in common if oq[k] <= 0 and nq[k] > 0)
+    if recovered:
+        print(f"recovered (errored in old, ok in new): {', '.join(recovered)}")
 
     rows = []
     for k in common:
