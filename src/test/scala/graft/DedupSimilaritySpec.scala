@@ -40,6 +40,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(count == prefix, "prefix filtering must change the plan, never the answer")
   }
 
+  test("hot-shingle corpus: prefix plan drops boilerplate trigrams yet stays answer-exact") {
+    // the corpus class the prefix plan exists for: 5 trigrams with
+    // df = nDocs (boilerplate header) that the rarest-first ranking pushes
+    // beyond every prefix. Measured at 4000 docs via
+    // graft.tools.HotShingleBench: postings 14.0 s vs prefix 1.7 s — this
+    // pins the completeness half (identical answers) and the drop-out
+    // mechanism itself on a 400-doc corpus
+    val dir = graft.tools.HotShingleBench.write(spark, 400,
+      java.nio.file.Files.createTempDirectory("hotshingle").toString)
+    val viaCount = Dedup.qNgramJaccard(spark, dir).collect().map(_.toString).toSeq
+    val viaPrefix = Dedup.qNgramJaccardPrefix(spark, dir).collect().map(_.toString).toSeq
+    assert(viaCount.length == 40, s"expected the 40 clone pairs, got ${viaCount.length}")
+    assert(viaCount == viaPrefix, "prefix filtering must change the plan, never the answer")
+    // drop-out: no boilerplate trigram survives into any prefix, so the
+    // candidate join never touches a df=nDocs posting list
+    import org.apache.spark.sql.functions._
+    val post = graft.io.Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.core.TextPipeline.normalizedTokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(graft.core.TextPipeline.shinglesOf(col("w"))).as("s"))
+    val hot = post.groupBy(col("s")).count().filter(col("count") === 400)
+    assert(hot.count() == 5, "corpus must contain exactly the 5 boilerplate trigrams")
+    // recompute the rarest-first prefix (same math as qNgramJaccardPrefix:
+    // rank by (df, shingle), keep n − ⌈0.2n⌉ + 1) and assert no df=400
+    // trigram survives into ANY document's prefix
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val n = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val kept = post
+      .join(post.groupBy(col("s")).agg(count(lit(1)).as("df")), "s")
+      .join(n, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - ceil(col("n") * 0.2) + 1)
+    assert(kept.filter(col("df") === 400).count() == 0,
+      "a df=nDocs boilerplate trigram must never enter a prefix")
+  }
+
   test("ngram-jaccard postings self-join reuses one exchange (pipeline runs once)") {
     val df = Dedup.qNgramJaccard(spark, "/root/testdata/sf0.01")
     df.collect() // AQE finalizes the plan only on execution of THIS QueryExecution
