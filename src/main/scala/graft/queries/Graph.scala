@@ -118,8 +118,19 @@ object Graph {
   }
 
   /** Closing-edge build side broadcasts only while the MEASURED edge
-    * count stays under this (8M long-pair rows ≈ 128 MB). */
-  private val BroadcastEdgeRows = 8000000L
+    * count stays under this (64M long-pair rows ≈ 1 GB — comfortable in
+    * any 100 TB-posture executor, and an order of magnitude under
+    * Spark's 8 GB broadcast hard cap). The threshold was originally 8M
+    * rows (128 MB); the sf1 decade measurement moved it: the 12M-edge
+    * sf1 co-order graph reads 216 s through the bare-join branch (AQE
+    * shuffle-writes the d²-sized wedge stream before it can re-plan)
+    * vs 111 s with the static broadcast — and 111 s is ~13× the sf0.1
+    * time for 10× data (≈ linear), while 216 s is ~26× (the cliff is
+    * the wedge materialization, not the join itself). Beyond THIS gate
+    * the wedge shuffle is genuinely unavoidable — the build side no
+    * longer fits memory and shuffling the wedge stream IS the
+    * data-bound cost. */
+  private val BroadcastEdgeRows = 64000000L
 
   /** Core of [[qTriangles]] over any canonical (a < b, distinct) edge
     * list: per-node triangle participation counts. Exposed for the
@@ -165,7 +176,7 @@ object Graph {
     // wedges at all. So the hint is CONDITIONAL on a measured count:
     // the edge list is already localCheckpoint-materialized, making
     // count() a metadata-cheap cached-partition sweep, and the
-    // threshold (8M rows ≈ 128 MB of long pairs) keeps the broadcast
+    // threshold (64M rows ≈ 1 GB of long pairs) keeps the broadcast
     // far inside executor memory. Above it, the bare join stands and
     // AQE picks shuffled-hash or broadcast from runtime stats — the
     // per-run, per-data re-plan the 100 TB path needs.
