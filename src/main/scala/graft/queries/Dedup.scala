@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.TextPipeline
 import graft.io.Tables
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** M4a — deduplication tier over `documents`: the dedup ladder of a
   * web-scale training-data pipeline (exact → MinHash/LSH → SimHash →
@@ -215,11 +216,22 @@ object Dedup {
     while (!converged && iters < MaxRounds) {
       val before = canon
       phase(large = true)
+      val mid = canon
       phase(large = false)
       iters += 1
       val sig = signature(canon)
       converged = sig == prevSig && before.except(canon).isEmpty
       prevSig = sig
+      // free superseded checkpoint blocks: each eager localCheckpoint IS
+      // its persisted blocks, so without this the loop accumulates two
+      // block sets per round — an executor-memory leak on long
+      // convergences (surfaced by the sf1 decade runs: repeated
+      // q_dedup_clusters executions in one JVM degraded 4.4 s → 40.9 s).
+      // `mid` is dead once the small phase materialized; `before` once
+      // the convergence test consumed it. canon0 (the node set source)
+      // and the live canon stay persisted — bounded at ~3 block sets.
+      Bridge.freeLocalCheckpoint(mid)
+      if (before ne canon0) Bridge.freeLocalCheckpoint(before)
     }
     // stars: each child edge is (center=lo, child=hi); centers (and any
     // node never appearing as a child) label themselves

@@ -30,6 +30,18 @@ object Bridge {
     if (cut >= 0) s.substring(0, cut) else s
   }
 
+  /** Unpersist the checkpoint blocks backing a `localCheckpoint`-ed
+    * DataFrame. A local checkpoint IS its persisted blocks (lineage is
+    * truncated), so this must only be called on state that is provably
+    * never referenced again — iterative algorithms (star contraction,
+    * fixpoint loops) otherwise accumulate one block set per iteration,
+    * which on a long convergence is an executor-memory leak. */
+  def freeLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+      .queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+
   /** Register a function by name on an ALREADY-RUNNING session (the
     * `spark.sql.extensions` config only applies at session build time). */
   def registerFunction(

@@ -142,6 +142,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(labels(100L) == 100L && labels(101L) == 100L)
   }
 
+  test("components frees superseded checkpoint blocks (bounded persisted-RDD growth)") {
+    import spark.implicits._
+    // a 14-node chain needs ~4 contraction rounds = ~9 localCheckpoints;
+    // without per-round freeing they ALL stay persisted (the executor
+    // memory leak the sf1 decade surfaced). Live set after the run must
+    // be bounded by the algorithm's state, not its iteration count.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val chain = (0L until 13L).map(i => (i, i + 1))
+    Dedup.components(chain.toDF("src", "dst")).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    // lower bound proves getPersistentRDDs actually tracks the
+    // checkpoints (canon0 + the final canon stay live by design — a 0
+    // here would mean the assertion mechanism is vacuous)
+    assert(leaked >= 1 && leaked <= 3,
+      s"components left $leaked persisted RDDs behind; superseded " +
+        "checkpoints must be freed each round, the live state kept")
+  }
+
   test("components equals union-find closure on random graphs") {
     import spark.implicits._
     val r = new scala.util.Random(13)
