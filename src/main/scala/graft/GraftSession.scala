@@ -30,6 +30,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config(graft.io.Tables.EventsNanosConf._1, graft.io.Tables.EventsNanosConf._2)
+      // recursive-CTE volume guard: Spark's 1M-row default is data-size-
+      // dependent (the sf1 decade run failed RECURSION_ROW_LIMIT_EXCEEDED
+      // because a chain walk legitimately emits one row per order and sf1
+      // has 1.5M orders), and the limit is enforced at EXECUTION time
+      // (UnionLoopExec), so a per-query save/restore around analysis
+      // cannot carry it. Session-level guard goes to the int ceiling;
+      // runaway recursion stays bounded by the per-query LEVEL limit.
+      .config("spark.sql.cteRecursionRowLimit", Int.MaxValue.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

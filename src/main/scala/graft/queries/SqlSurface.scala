@@ -171,6 +171,11 @@ object SqlSurface {
     // Depth here is bounded by max orders-per-customer (~24 at sf0.1);
     // 500 is a generous finite guard against a data bug, far under the
     // point where the per-level plan-reevaluation cost would bite anyway.
+    // NOTE the companion ROW limit (spark.sql.cteRecursionRowLimit) is
+    // NOT handled here: it is enforced at execution time (UnionLoopExec),
+    // so a save/restore around analysis cannot carry it — GraftSession
+    // raises it session-wide instead (its 1M default is data-size-
+    // dependent: one row per order crosses it at sf1's 1.5M orders).
     val limitKey = "spark.sql.cteRecursionLevelLimit"
     val prior = s.conf.getOption(limitKey)
     s.conf.set(limitKey, "500")

@@ -115,17 +115,62 @@ object GenScale {
     def write(df: DataFrame, dir: String, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
 
+    // the explode-based replication is narrow, so without an explicit
+    // repartition a 1-partition base table writes ONE file with ONE row
+    // group — a single unsplittable mapper that serializes every scan
+    // (first sf1 suite run: q1's scan+partial-agg pipeline ran on one
+    // task for 110 s; 32-way layout reads it in ~2 s)
+    def writeSplit(df: DataFrame, dir: String, name: String): Unit =
+      write(df.repartition(32), dir, name)
+
     def table(name: String): DataFrame = spark.read.parquet(s"$base/$name.parquet")
 
     // fixed-cardinality dims: copy through (TPC-H keeps nation/region flat)
     Seq("region", "nation").foreach(t => write(table(t), out, t))
     // scaled tables: replicate with key shifts
-    write(replicate(table("supplier"), k, Seq("s_suppkey")), out, "supplier")
-    write(replicate(table("customer"), k, Seq("c_custkey")), out, "customer")
-    write(replicate(table("part"), k, Seq("p_partkey")), out, "part")
-    write(replicate(table("orders"), k, Seq("o_orderkey", "o_custkey")), out, "orders")
-    write(replicate(table("lineitem"), k,
+    writeSplit(replicate(table("supplier"), k, Seq("s_suppkey")), out, "supplier")
+    writeSplit(replicate(table("customer"), k, Seq("c_custkey")), out, "customer")
+    writeSplit(replicate(table("part"), k, Seq("p_partkey")), out, "part")
+    writeSplit(replicate(table("orders"), k, Seq("o_orderkey", "o_custkey")), out, "orders")
+    writeSplit(replicate(table("lineitem"), k,
       Seq("l_orderkey", "l_partkey", "l_suppkey")), out, "lineitem")
+
+    // events: under the session's nanosAsLong conf the ns timestamp reads
+    // as a raw long, so the replicated long column round-trips through
+    // Tables.events unchanged (same `ts div 1000` path). Same time range,
+    // 10× the traffic — how event volume actually grows.
+    writeSplit(replicate(table("events"), k, Seq("event_id", "user_id")),
+      out, "events")
+    // embeddings: replica i applies a deterministic PERMUTATION of the 64
+    // dims instead of copying vectors verbatim — norms and within-replica
+    // geometry are preserved exactly, while cross-replica cosine drops to
+    // ~random, so near-dup pair structure scales like a real corpus
+    // (verbatim copies would plant 10 exact duplicates of every vector:
+    // a 45×-per-group pair blowup by construction, not by data).
+    val dim = 64
+    val perms: IndexedSeq[IndexedSeq[Int]] = (0 until k).map { r =>
+      if (r == 0) IndexedSeq.range(0, dim)
+      else {
+        val a = Array.range(0, dim)
+        for (j <- dim - 1 to 1 by -1) {
+          val x = math.floorMod(h("perm", r.toString, j.toString), j + 1)
+          val t = a(j); a(j) = a(x); a(x) = t
+        }
+        a.toIndexedSeq
+      }
+    }
+    val permLit = array(perms.map(p => array(p.map(lit): _*)): _*)
+    val emb = replicate(table("embeddings"), k, Seq("vec_id"))
+    // recover the replica index from the shifted vec_id to pick the perm
+    val baseMaxVec = table("embeddings").agg(max(col("vec_id")))
+      .collect()(0).getLong(0) + 1L
+    val permuted = emb
+      .withColumn("_rep", (col("vec_id") / lit(baseMaxVec)).cast("int"))
+      .withColumn("_perm", element_at(permLit, col("_rep") + 1))
+      .withColumn("embedding", transform(col("_perm"),
+        i => element_at(col("embedding"), i + 1)))
+      .drop("_rep", "_perm")
+    writeSplit(permuted, out, "embeddings")
 
     val baseDocs = table("documents").count().toInt
     val vocab = baseVocab(spark, base)

@@ -54,11 +54,14 @@ class SqlSurfaceSpec extends SparkSpec {
 
   test("qRecursiveChain leaves no session state behind and survives its own cleanup") {
     val key = "spark.sql.cteRecursionLevelLimit"
+    val rowKey = "spark.sql.cteRecursionRowLimit"
     val prior = spark.conf.getOption(key)
+    val priorRows = spark.conf.getOption(rowKey)
     val df = SqlSurface.qRecursiveChain(spark, sf)
-    // the function saves/restores the recursion-limit conf and drops its
+    // the function saves/restores BOTH recursion-limit confs and drops its
     // staging view before returning — the analyzed plan must not need them
     assert(spark.conf.getOption(key) == prior, "recursion-limit conf leaked")
+    assert(spark.conf.getOption(rowKey) == priorRows, "recursion-row-limit conf leaked")
     assert(!spark.catalog.tableExists("graft_rc_ord"), "staging temp view leaked")
     assert(df.limit(5).collect().nonEmpty,
       "plan must execute after view drop + conf restore (analysis-time binding)")
