@@ -406,7 +406,71 @@ object Analytics {
           + lit(1.0) / col("n1").cast("double"))), 6)).as("z"))
   }
 
+  /** Trailing 7-day rolling distinct users (the 7-day-active metric) per
+    * observed day — the windowed-distinct shape that a naive
+    * `COUNT(DISTINCT) OVER (RANGE 6 PRECEDING)` can't express at scale
+    * (Spark refuses DISTINCT window aggregates; engines that accept it
+    * re-scan the window per row).
+    *
+    * Plan: one distinct pass to (user, day) pairs, then each pair emits
+    * its ≤7 report days via `sequence` + `explode` — a narrow
+    * (user_id, date) stream, 7× the distinct-pair count regardless of raw
+    * event volume — semi-joined against the broadcast observed-day
+    * dimension, then one count-distinct per report day. At 100 TB the
+    * raw events collapse to (user, day) in the first partial aggregate;
+    * nothing downstream ever re-touches the event stream, and no
+    * window function holds per-day user sets in executor memory. */
+  def qRollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val days = ud.select(col("d").as("day")).distinct()
+    val contrib = ud.select(col("user_id"),
+      explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
+    contrib.join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("active_7d"))
+      .orderBy("day")
+  }
+
+  /** Incremental aggregate maintenance: the per-user rollup is kept as a
+    * SNAPSHOT (events strictly before a data-anchored cutoff day,
+    * min-day + 21) merged with the DELTA batch (everything since) via one
+    * full-outer coalesce-sum join — the plan an incremental ETL runs every
+    * arrival, where only the delta is scanned and the snapshot is a stored
+    * aggregate. The ORACLE is the single-pass recompute over all events,
+    * so the verify run proves merge-of-partials == recompute exactly —
+    * the algebraic property that makes incremental maintenance sound
+    * (count and BIGINT-cents sum are commutative monoids; `value`
+    * quantizes to round-to-cents BIGINT first, the q_stats rule, so the
+    * merged sum is partition- and batch-order-free).
+    *
+    * Scale stance (100 TB): the delta aggregate shuffles one narrow
+    * (user_id, long, long) row per ACTIVE user in the batch; the merge
+    * join is snapshot-cardinality, not event-cardinality, and with both
+    * sides bucketed on user_id it is co-partitioned and exchange-free.
+    * Never re-scans history — that is the entire point. */
+  def qIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val anchor = ev.agg(date_add(min(col("d")), 21).as("cut"))
+    val tagged = ev.crossJoin(broadcast(anchor))
+    def rollup(side: DataFrame, n: String, c: String): DataFrame =
+      side.groupBy("user_id")
+        .agg(count(lit(1)).as(n), sum(col("cents")).as(c))
+    val snap = rollup(tagged.filter(col("d") < col("cut")), "sn", "sc")
+    val delta = rollup(tagged.filter(col("d") >= col("cut")), "dn", "dc")
+    snap.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("sn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_events"),
+        (coalesce(col("sc"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("value_cents"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_distinct" -> (qRollingDistinct _),
+    "q_incremental_agg" -> (qIncrementalAgg _),
     "q_sessionize" -> (qSessionize _),
     "q_revenue_concentration" -> (qRevenueConcentration _),
     "q_ab_test" -> (qAbTest _),
@@ -420,6 +484,23 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    // Range-join restatement of the explode-contribution plan: user u
+    // counts toward day d iff u was active on some day in [d-6, d].
+    "q_rolling_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        |  FROM events),
+        |days AS (SELECT DISTINCT d FROM ud)
+        |SELECT strftime(days.d, '%Y-%m-%d') AS day,
+        |  count(DISTINCT ud.user_id) AS active_7d
+        |FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+        |GROUP BY days.d ORDER BY 1""".stripMargin,
+    // Single-pass recompute over ALL events — the Spark side answers via
+    // snapshot-merge-delta, so agreement proves the maintenance algebra.
+    "q_incremental_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_ab_test" ->
       """WITH pu AS (
         |  SELECT user_id % 2 AS arm,

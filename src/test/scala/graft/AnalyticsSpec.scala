@@ -284,6 +284,45 @@ class AnalyticsSpec extends SparkSpec {
     } else assert(r.isNullAt(7), "degenerate conversion must yield NULL z")
   }
 
+  test("rolling 7-day distinct matches a local window recompute") {
+    val got = Analytics.qRollingDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = ud.map(_._2).distinct
+    val expected = days.map { d =>
+      d.toString -> ud.filter { case (_, ad) =>
+        !ad.isAfter(d) && !ad.isBefore(d.minusDays(6))
+      }.map(_._1).distinct.size.toLong
+    }.toMap
+    assert(got == expected, s"rolling distinct mismatch: $got vs $expected")
+    // non-vacuity: the window must actually widen some day's count
+    val daily = ud.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toMap
+    assert(days.exists(d => got(d.toString) > daily(d).toLong),
+      "7-day window never exceeded single-day distinct — fixture too sparse")
+  }
+
+  test("incremental agg merge equals the one-pass recompute") {
+    val merged = Analytics.qIncrementalAgg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("c"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(merged.sameElements(direct), "merge-of-partials != recompute")
+    // non-vacuity: the data-anchored cutoff must split the stream, or the
+    // merge join is never exercised on a populated delta side
+    val ev = Tables.events(spark, sf).select(to_date(col("ts")).as("d"))
+    val cut = ev.agg(date_add(min(col("d")), 21)).collect()(0).getDate(0)
+    val before = ev.filter(col("d") < lit(cut)).count()
+    val after = ev.filter(col("d") >= lit(cut)).count()
+    assert(before > 0 && after > 0,
+      s"cutoff $cut leaves an empty side: snap=$before delta=$after")
+  }
+
   test("sessionize event totals are conserved at sf0.001") {
     val sessions = Analytics.qSessionize(spark, sf)
     val nEvents = Tables.events(spark, sf).count()
