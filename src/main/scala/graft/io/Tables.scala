@@ -23,24 +23,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** Session config `events` requires: its ts column is TIMESTAMP(NANOS)
-    * parquet, which Spark's reader rejects ([PARQUET_TYPE_ILLEGAL]) unless
-    * this legacy flag maps it to raw nano longs. Hosts set it ONCE at
-    * session build (Verify/Bench/SparkSpec all do) — a loader must not
-    * mutate a shared session's conf on read. */
+  /** Legacy fixture support: older driver generations wrote events.ts as
+    * TIMESTAMP(NANOS) parquet, which Spark's reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]) unless this flag maps it to raw nano longs.
+    * Hosts still set it ONCE at session build (Verify/Bench/SparkSpec all
+    * do) so both fixture generations load — a loader must not mutate a
+    * shared session's conf on read. */
   val EventsNanosConf: (String, String) = ("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** events.ts arrives as raw nanos (see [[EventsNanosConf]]); convert to
-    * a microsecond TimestampType with integer `div` — (ns / 1000 via
-    * double would lose precision above 2^53). Day/window-level semantics are
-    * unaffected by the micro truncation.
+  /** events.ts normalized to a session-zone TimestampType regardless of the
+    * fixture generation it was written by:
+    *   - TIMESTAMP(NANOS) parquet (pre-r8 driver) reads as raw nano longs
+    *     under [[EventsNanosConf]] → integer `div 1000` to micros (ns/1000
+    *     via double would lose precision above 2^53);
+    *   - timestamp[us] isAdjustedToUTC=false parquet (r8+ driver) reads as
+    *     TIMESTAMP_NTZ → cast to TimestampType. Sessions pin
+    *     spark.sql.session.timeZone=UTC, so the cast's epoch micros equal
+    *     DuckDB's naive `epoch_us(ts)` — oracle parity is exact.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.getOption(EventsNanosConf._1).contains(EventsNanosConf._2),
-      s"events requires the session conf ${EventsNanosConf._1}=true (set at session build)")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType        => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _               => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

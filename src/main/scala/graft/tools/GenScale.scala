@@ -135,10 +135,10 @@ object GenScale {
     writeSplit(replicate(table("lineitem"), k,
       Seq("l_orderkey", "l_partkey", "l_suppkey")), out, "lineitem")
 
-    // events: under the session's nanosAsLong conf the ns timestamp reads
-    // as a raw long, so the replicated long column round-trips through
-    // Tables.events unchanged (same `ts div 1000` path). Same time range,
-    // 10× the traffic — how event volume actually grows.
+    // events: the raw read copies ts through type-agnostically (long nanos
+    // under nanosAsLong for pre-r8 fixtures, TIMESTAMP_NTZ micros for r8+;
+    // Tables.events normalizes either on load). Same time range, 10× the
+    // traffic — how event volume actually grows.
     writeSplit(replicate(table("events"), k, Seq("event_id", "user_id")),
       out, "events")
     // embeddings: replica i applies a deterministic PERMUTATION of the 64
