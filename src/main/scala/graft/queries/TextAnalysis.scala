@@ -382,6 +382,38 @@ object TextAnalysis {
         md5(concat_ws(" ", toks).cast("binary")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Winnowing window size (consecutive k-gram hashes per window). */
+  private val WinnowW = 4
+
+  /** Winnowed k-gram fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash every
+    * word trigram, slide a window of [[WinnowW]] consecutive hashes, keep
+    * each window's minimum, report the distinct selected hashes per doc.
+    * Guarantee: any two documents sharing a run of ≥ WinnowW + 2 consecutive
+    * words share at least one fingerprint, while only ~2/(W+1) of the k-gram
+    * hashes are retained — the sub-linear sketch MOSS-style near-dup
+    * detection joins on. Exact-duplicate documents get identical fingerprint
+    * SETS by construction (pinned against q_dedup_exact in the spec).
+    *
+    * Scale stance (100 TB): the whole selection is per-row array HOFs
+    * (trigrams → h32 → window minima → distinct) — zero shuffles before the
+    * presentation sort; a dedup pipeline would join on (fingerprint) next,
+    * which is the same bucketed-candidate shape as the LSH band join. Docs
+    * with fewer than W trigrams contribute their global minimum (one
+    * window), so every non-empty doc has ≥ 1 fingerprint.
+    */
+  def qFingerprintWinnow(s: SparkSession, dir: String): DataFrame = {
+    val g = transform(TextPipeline.trigrams(toks), t => TextPipeline.h32(t))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), g.as("hs"))
+      .filter(size(col("hs")) >= 1)
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), greatest(size(col("hs")) - lit(WinnowW - 1), lit(1))),
+          i => array_min(slice(col("hs"), i, lit(WinnowW))))).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
+      .orderBy("doc_id", "fingerprint")
+  }
+
   /** Token-length histogram per language via the custom typed Aggregator
     * (graft.functions.LenHistogram — the UDAF extension point). Exact
     * integer buckets → oracle hash-comparable despite custom code. */
@@ -520,6 +552,7 @@ object TextAnalysis {
     "q_oov_rate" -> (qOovRate _),
     "q_doc_similarity" -> (qDocSimilarity _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_fingerprint_winnow" -> (qFingerprintWinnow _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -737,5 +770,17 @@ object TextAnalysis {
     "q_fingerprint" ->
       s"""SELECT doc_id, md5(list_aggr($duckToks, 'string_agg', ' ')) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint_winnow" ->
+      s"""WITH d AS (SELECT doc_id, $duckToks AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |        list_transform(${TextPipeline.duckTrigrams("w")},
+         |          t -> ${TextPipeline.duckH32("t")}) AS hs
+         |      FROM d),
+         |win AS (SELECT doc_id, list_distinct(
+         |          list_transform(range(1, greatest(len(hs) - ${WinnowW - 1}, 1) + 1),
+         |            i -> list_min(list_slice(hs, i, i + ${WinnowW - 1})))) AS fps
+         |        FROM g WHERE len(hs) >= 1)
+         |SELECT doc_id, unnest(fps) AS fingerprint FROM win
+         |ORDER BY doc_id, fingerprint""".stripMargin,
   )
 }
