@@ -477,6 +477,45 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Winnow-fingerprint near-dup pairs — the MOSS-style sketch rung of
+    * the dedup family: candidates = doc pairs sharing ≥ 1 winnowed
+    * k-gram fingerprint (TextAnalysis.winnowFps — ~2/(W+1) of the
+    * trigram hashes per doc), verified EXACTLY like the other rungs
+    * (sorted-merge intersect kernel, jaccard ≥ [[JaccardT]]). The
+    * winnowing guarantee (SIGMOD 2003) makes candidate recall structural,
+    * not probabilistic: any pair sharing a run of ≥ W+2 consecutive
+    * words shares a fingerprint — clones, boilerplate, and quoted blocks
+    * can't slip through the sketch, unlike MinHash banding where recall
+    * is a probability curve.
+    *
+    * Scale stance (100 TB): same bucketed shape as the LSH/SimHash band
+    * joins — one shuffle of (lang, fingerprint, doc_id) postings (~29%
+    * of the shingle postings the full [[qNgramJaccard]] join moves),
+    * candidate work Σ_fp df² bounded by fingerprint selectivity, sorted
+    * shingle arrays move only for surviving candidates. A hot-fingerprint
+    * corpus degrades exactly like hot shingles — and the same
+    * prefix-filter fallback ([[qNgramJaccardPrefix]]) applies. */
+  def qDedupWinnow(s: SparkSession, dir: String): DataFrame = {
+    val fps = TextAnalysis.winnowFps(s, dir)
+    val fa = fps.select(col("lang"), col("fingerprint"), col("doc_id").as("a_id"))
+    val fb = fps.select(col("lang"), col("fingerprint"), col("doc_id").as("b_id"))
+    val cand = fa.join(fb, Seq("lang", "fingerprint"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val ss = shingled(s, dir).select(col("doc_id"),
+      size(col("s")).as("n"), array_sort(col("s")).as("ss"))
+    cand
+      .join(ss.select(col("doc_id").as("a_id"), col("n").as("a_n"), col("ss").as("a_ss")), "a_id")
+      .join(ss.select(col("doc_id").as("b_id"), col("n").as("b_n"), col("ss").as("b_ss")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        graft.functions.VectorFunctions.sortedIntersectCount(col("a_ss"), col("b_ss"))
+          .cast("long").as("inter"), col("a_n"), col("b_n"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardT)
+      .orderBy("a_id", "b_id")
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by `label` (the coarse
     * partition): cosine ≥ 0.4 (fixture max ≈ 0.475 within-label). Dot and
     * norms are sequential double folds — same order in both engines —
@@ -511,6 +550,7 @@ object Dedup {
     "q_dedup_latest" -> (qDedupLatest _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ngram_jaccard_prefix" -> (qNgramJaccardPrefix _),
+    "q_dedup_winnow" -> (qDedupWinnow _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
   )
 
@@ -616,6 +656,30 @@ object Dedup {
     // the plan, never the result.
     "q_ngram_jaccard_prefix" -> ngramJaccardOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
+    "q_dedup_winnow" -> {
+      val wm1 = TextAnalysis.WinnowW - 1
+      s"""WITH toks AS (SELECT doc_id, lang, $duckToks AS w FROM documents),
+         |g AS (SELECT doc_id, lang,
+         |        list_transform(${TextPipeline.duckTrigrams("w")},
+         |          t -> ${TextPipeline.duckH32("t")}) AS hs
+         |      FROM toks),
+         |f AS (SELECT doc_id, lang, unnest(list_distinct(
+         |        list_transform(range(1, greatest(len(hs) - $wm1, 1) + 1),
+         |          i -> list_min(list_slice(hs, i, i + $wm1))))) AS fp
+         |      FROM g WHERE len(hs) >= 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM f a JOIN f b ON a.lang = b.lang AND a.fp = b.fp
+         |           AND a.doc_id < b.doc_id),
+         |sh AS (SELECT doc_id, $duckSh AS s FROM toks WHERE len(w) >= 3)
+         |SELECT c.a_id, c.b_id,
+         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |FROM cand c JOIN sh a ON a.doc_id = c.a_id
+         |            JOIN sh b ON b.doc_id = c.b_id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.s, b.s))) >= $JaccardT
+         |ORDER BY a_id, b_id""".stripMargin
+    },
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)

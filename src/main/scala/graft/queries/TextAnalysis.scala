@@ -382,8 +382,9 @@ object TextAnalysis {
         md5(concat_ws(" ", toks).cast("binary")).as("fingerprint"))
       .orderBy("doc_id")
 
-  /** Winnowing window size (consecutive k-gram hashes per window). */
-  private val WinnowW = 4
+  /** Winnowing window size (consecutive k-gram hashes per window);
+    * private[queries]: Dedup's winnow-pair oracle inlines the same W. */
+  private[queries] val WinnowW = 4
 
   /** Winnowed k-gram fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
     * Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash every
@@ -402,16 +403,48 @@ object TextAnalysis {
     * with fewer than W trigrams contribute their global minimum (one
     * window), so every non-empty doc has ≥ 1 fingerprint.
     */
-  def qFingerprintWinnow(s: SparkSession, dir: String): DataFrame = {
-    val g = transform(TextPipeline.trigrams(toks), t => TextPipeline.h32(t))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), g.as("hs"))
-      .filter(size(col("hs")) >= 1)
-      .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(1), greatest(size(col("hs")) - lit(WinnowW - 1), lit(1))),
-          i => array_min(slice(col("hs"), i, lit(WinnowW))))).as("fps"))
-      .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
+  def qFingerprintWinnow(s: SparkSession, dir: String): DataFrame =
+    winnowFps(s, dir).select("doc_id", "fingerprint")
       .orderBy("doc_id", "fingerprint")
+
+  /** (doc_id, lang, fingerprint): the exploded winnowed-fingerprint
+    * relation behind [[qFingerprintWinnow]] and Dedup.qDedupWinnow — one
+    * definition so the selection rule can't drift between the report and
+    * the pair join that dedups on it.
+    *
+    * Formulation note: the window minima are computed RELATIONALLY
+    * (posexplode the hash array once, per-doc ROWS-frame `min` window,
+    * distinct) — NOT as the seemingly cheaper per-row HOF
+    * `transform(sequence(1, n−W+1), i -> array_min(slice(hs, i, W)))`.
+    * Higher-order-function lambdas run interpreted with no common-
+    * subexpression elimination, so that form re-derives the ENTIRE
+    * trigram→md5 pipeline per window index — O(n²) regex/digest work,
+    * measured 11.1 s vs 0.5 s at sf0.001 (the same trap
+    * TextPipeline.trigrams documents for element_at-over-sequence). The
+    * window shuffles narrow (doc_id, pos, hash) rows once — the same
+    * volume the dedup join shuffles anyway. */
+  private[queries] def winnowFps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = transform(TextPipeline.trigrams(toks), t => TextPipeline.h32(t))
+    // ONLY posexplode references the pipeline. A `size(g).as("n")` sibling
+    // column looks free but lands in the Project ABOVE the Generate — the
+    // optimizer then re-derives the whole tokenize→trigram→md5 chain per
+    // EXPLODED ROW (O(n²) again, measured 6.3 s); the k-gram count is
+    // recovered from max(pos) over the doc partition instead, which rides
+    // the window's existing sort for free.
+    val rows = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), posexplode(g).as(Seq("pos", "h")))
+    // min over hashes [pos, pos+W-1]; keep window STARTS (pos ≤ n−W), or
+    // pos 0 alone when the doc has fewer than W k-grams (its frame then
+    // covers the whole array — the short-doc single-window fallback)
+    val wMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    val wDoc = Window.partitionBy(col("doc_id"))
+    rows.withColumn("wmin", min(col("h")).over(wMin))
+      .withColumn("maxp", max(col("pos")).over(wDoc))
+      .filter(col("pos") <= greatest(col("maxp") - (WinnowW - 1), lit(0)))
+      .select(col("doc_id"), col("lang"), col("wmin").as("fingerprint"))
+      .distinct()
   }
 
   /** Token-length histogram per language via the custom typed Aggregator

@@ -198,6 +198,25 @@ class DedupSimilaritySpec extends SparkSpec {
     // so a direct qDedupExact cross-check would be vacuous here.)
   }
 
+  test("winnow pair candidates verify to a subset of the exact jaccard pairs; clones are caught") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    val exact = pairs(Dedup.qNgramJaccard(spark, sf))
+    val win = pairs(Dedup.qDedupWinnow(spark, sf))
+    assert(win.nonEmpty, "winnow found no pairs on a fixture with planted near-clones")
+    // identical jaccard for every reported pair (same exact verifier)
+    win.foreach { case (p, j) =>
+      assert(exact.get(p).contains(j), s"pair $p winnow=$j exact=${exact.get(p)}")
+    }
+    // the winnowing guarantee: a pair sharing a run of >= W+2 words shares
+    // a fingerprint. The fixture's planted clones (near: last 2 words
+    // replaced; exact: doc%512) share long prefixes, so every
+    // high-jaccard exact pair must be recalled by the sketch
+    val high = exact.filter(_._2 >= 0.8).keySet
+    val missed = high -- win.keySet
+    assert(missed.isEmpty, s"winnow missed high-jaccard clone pairs: $missed")
+  }
+
   test("components: star contraction is exact on a 14-node chain") {
     import spark.implicits._
     // diameter 13 — the shape that breaks fixed-round label propagation
