@@ -284,6 +284,13 @@ object Similarity {
   private val PqSubDim = Dim / PqM
   private val PqK = 256
   private val PqShortlist = 50
+  /** Codebooks train on the deterministic 10% sample (vec_id % 10 == 0)
+    * only when the MEASURED corpus size keeps the sample at ≥ PqK rows
+    * (one training vector per codeword); under this, train on everything.
+    * The count-gated branch mirrors the triangles broadcast gate: a
+    * measured decision, both branches spec-pinned via the injectable
+    * threshold. */
+  private val PqTrainMin = PqK * 10L
 
   /** (vec_id, m, sv): each vector split into [[PqM]] contiguous
     * [[PqSubDim]]-dim subvectors — a narrow per-row explode, no shuffle. */
@@ -343,10 +350,19 @@ object Similarity {
     * Training: per-subspace k-means, 2 Lloyd iterations from the same
     * deterministic hash seeds as IVF, per-(m,cell,dim) means from exact
     * quantized BIGINT sums — fully oracle-expressible, like [[qAnnIvf]].
-    * Vectors are L2-normalized first so squared-L2 order equals cosine
-    * order (‖a−b‖² = 2 − 2·cos on unit vectors) — the corpus is
-    * unit-norm already, but the normalization keeps the metric contract
-    * explicit and input-independent.
+    * Codebooks train on a deterministic 10% sample (vec_id % 10 == 0)
+    * whenever the measured corpus keeps the sample ≥ PqK rows — the
+    * FAISS train/add split: two of the three corpus-wide Lloyd scans
+    * (and their (m,cell,pos) update shuffles) shrink 10×. Honest local
+    * measurement: at sf0.1 the wall time is UNCHANGED (7.0 → 6.9 s) —
+    * on local[32] the cost is compute-bound in the interpreted ADC fold
+    * and the full-corpus encode, not in training I/O. The split earns
+    * its keep in the scan-bound regime (100 TB: 3 full reads → 1.3),
+    * and costs one count() job — same posture as the triangles gate. Vectors are L2-normalized
+    * first so squared-L2 order equals cosine order (‖a−b‖² = 2 − 2·cos
+    * on unit vectors) — the corpus is unit-norm already, but the
+    * normalization keeps the metric contract explicit and
+    * input-independent.
     *
     * Query: (1) ADC — the per-query distance TABLE (q × m × cell
     * squared-L2, quantized to a BIGINT 1e6 grid so downstream sums are
@@ -372,15 +388,29 @@ object Similarity {
     * no shuffle, no join; only the tiny shortlist (queries × PqShortlist
     * rows, broadcast) goes back to the full-precision store, the
     * fetch-by-id a production system serves from the KV/columnar store. */
-  def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+  def qAnnPq(s: SparkSession, dir: String): DataFrame =
+    qAnnPqImpl(s, dir, PqTrainMin)
+
+  /** [[qAnnPq]] core with the train-sample gate injectable so the spec
+    * can pin BOTH branches at sf0.001 (full-corpus training under the
+    * threshold, 10%-sample training forced with trainMin = 1). */
+  private[graft] def qAnnPqImpl(s: SparkSession, dir: String,
+      trainMin: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val raw = vecs(s, dir).select(col("vec_id"), col("v"))
     val nrm = sqrt(aggregate(transform(col("v"), x => x * x),
       lit(0.0), (acc, x) => acc + x))
     val e = raw.select(col("vec_id"),
       transform(col("v"), x => x / nrm).as("v"))
+    // FAISS-style train/add split: Lloyd passes scan only the training
+    // set (10% at scale — measured count decides, like the triangles
+    // gate); the full corpus is scanned once, to encode. Cuts codebook
+    // training from 3 full-corpus scans to ~0.3.
+    val train = if (e.count() >= trainMin)
+      e.filter(col("vec_id") % 10 === 0) else e
+    val tsub = pqMelt(train)
     val sub = pqMelt(e)
-    val c2 = pqUpdate(pqAssign(sub, pqUpdate(pqAssign(sub, pqSeeds(e)))))
+    val c2 = pqUpdate(pqAssign(tsub, pqUpdate(pqAssign(tsub, pqSeeds(train)))))
       .localCheckpoint()
 
     // compressed store: one row per vector, codes[m] = nearest codeword
@@ -488,14 +518,16 @@ object Similarity {
        |  GROUP BY cell""".stripMargin
 
   /** Per-(vector, subspace) assignment CTE body — the SQL twin of
-    * [[pqAssign]] (same sequential (x−y)² fold, same (d2, cell) tie-break). */
-  private def duckPqAssign(cents: String): String =
+    * [[pqAssign]] (same sequential (x−y)² fold, same (d2, cell)
+    * tie-break). `src` is the melted relation to assign: the training
+    * sample during Lloyd passes, the full corpus for encoding. */
+  private def duckPqAssign(cents: String, src: String = "sub"): String =
     s"""SELECT vec_id, m, sv, cell FROM (
        |    SELECT s.vec_id, s.m, s.sv, c.cell,
        |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
        |        list_sum(list_transform(s.sv, (x,i) -> (x - c.cv[i])*(x - c.cv[i]))) ASC,
        |        c.cell ASC) AS r
-       |    FROM sub s JOIN $cents c ON s.m = c.m) WHERE r = 1""".stripMargin
+       |    FROM $src s JOIN $cents c ON s.m = c.m) WHERE r = 1""".stripMargin
 
   /** Per-(subspace, cell, dim) Lloyd-update CTE body — the SQL twin of
     * [[pqUpdate]] (exact quantized BIGINT sums). */
@@ -573,17 +605,22 @@ object Similarity {
          |sub AS (SELECT vec_id, m,
          |          list_slice(v, m*$PqSubDim + 1, m*$PqSubDim + $PqSubDim) AS sv
          |        FROM e, mm),
+         |tr AS (SELECT vec_id, v FROM e
+         |       WHERE (SELECT count(*) FROM e) < $PqTrainMin OR vec_id % 10 = 0),
+         |trsub AS (SELECT vec_id, m,
+         |            list_slice(v, m*$PqSubDim + 1, m*$PqSubDim + $PqSubDim) AS sv
+         |          FROM tr, mm),
          |s0 AS (SELECT vec_id, v,
          |         CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell
          |       FROM (SELECT vec_id, v,
-         |               ${TextPipeline.duckH32("CAST(vec_id AS VARCHAR)")} AS h FROM e)
+         |               ${TextPipeline.duckH32("CAST(vec_id AS VARCHAR)")} AS h FROM tr)
          |       ORDER BY h, vec_id LIMIT $PqK),
          |seeds AS (SELECT m, cell,
          |            list_slice(v, m*$PqSubDim + 1, m*$PqSubDim + $PqSubDim) AS cv
          |          FROM s0, mm),
-         |a0 AS (${duckPqAssign("seeds")}),
+         |a0 AS (${duckPqAssign("seeds", "trsub")}),
          |c1 AS (${duckPqUpdate("a0")}),
-         |a1 AS (${duckPqAssign("c1")}),
+         |a1 AS (${duckPqAssign("c1", "trsub")}),
          |c2 AS (${duckPqUpdate("a1")}),
          |codes AS (${duckPqAssign("c2")}),
          |q AS (SELECT vec_id AS q_id, m, sv AS q_sv FROM sub WHERE vec_id < 10),

@@ -160,6 +160,25 @@ class DedupSimilaritySpec extends SparkSpec {
     // pinned with headroom — a metric or codebook regression (e.g. the
     // unnormalized-ADC bug, which measured 0.18) lands far below
     assert(mean >= 0.85, f"PQ mean recall@10 $mean%.2f (per-q: ${recalls.mkString(",")})")
+
+    // the OTHER train-gate branch: force 10%-sample training (sf0.001's
+    // 500 vectors sit under PqTrainMin, so the default runs full-corpus
+    // training — trainMin=1 flips the gate). 50 training vectors for
+    // 256 codewords is a deliberately degenerate codebook; the re-rank
+    // stage must still produce dense ranks, exact cosines, and usable
+    // recall — the two-stage design's whole point
+    val pqS = byQ(Similarity.qAnnPqImpl(spark, sf, trainMin = 1L).collect())
+    assert(pqS.size == 10)
+    pqS.foreach { case (q, ns) =>
+      ns.foreach { case (n, c) =>
+        bf(q).get(n).foreach(cBf => assert(cBf == c,
+          s"sampled-train q=$q n=$n cosine drift"))
+      }
+    }
+    val meanS = bf.keys.toSeq.sorted
+      .map(q => (bf(q).keySet & pqS(q).keySet).size / 10.0).sum / 10
+    assert(meanS >= 0.5,
+      f"sampled-train PQ mean recall@10 $meanS%.2f — rerank should keep this usable")
   }
 
   test("winnowed fingerprints equal a local recompute of the full pipeline") {
