@@ -51,6 +51,15 @@ object VectorFunctions {
       ExpressionUtils.expression(tokens),
       org.apache.spark.sql.catalyst.expressions.Literal(width)))
 
+  /** PQ asymmetric-distance lookup-sum Σ_m tab[m·stride + codes[m]] over
+    * a flattened per-query distance table (one codegen loop; replaces the
+    * interpreted aggregate/zip_with/element_at-map fold — see
+    * graft.plans.AdcSum). */
+  def adcSum(codes: Column, tab: Column, stride: Int): Column =
+    ExpressionUtils.column(graft.plans.AdcSum(
+      ExpressionUtils.expression(codes), ExpressionUtils.expression(tab),
+      org.apache.spark.sql.catalyst.expressions.Literal(stride)))
+
   /** Quantized Shannon-entropy numerator Σ round(c·log2(c)·1e6) over an
     * ARRAY<STRING>'s term frequencies (one hash-count pass, codegen;
     * replaces both the corpus-shuffling explode/groupBy spelling and the

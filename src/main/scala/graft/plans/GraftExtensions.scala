@@ -53,6 +53,8 @@ object GraftExtensions {
       arity("shingle_posting", 2)(c => ShinglePosting(c(0), c(1)))),
     (FunctionIdentifier("entropy_qsum"), EntropyQsum.info,
       arity("entropy_qsum", 1)(c => EntropyQsum(c(0)))),
+    (FunctionIdentifier("adc_sum"), AdcSum.info,
+      arity("adc_sum", 3)(c => AdcSum(c(0), c(1), c(2)))),
   )
 
   /** Install the same functions on an already-built session (for hosts

@@ -75,6 +75,52 @@ class ExpressionsSpec extends SparkSpec {
     assert(tied == 4L, s"tie must break to the lowest cell, got $tied")
   }
 
+  test("adc_sum: kernel == composed map fold, OOB/null-slot -> NULL, codegen compiles") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val K = 16; val M = 4
+    val r = new scala.util.Random(7)
+    // random codes + dense tables with a few null holes NO code indexes
+    val rows = (1 to 40).map { _ =>
+      val codes = Seq.fill(M)(r.nextInt(K).toLong)
+      val tab = Seq.tabulate(M * K) { k =>
+        val m = k / K; val c = (k % K).toLong
+        if (!codes.contains(c) && r.nextInt(5) == 0) None
+        else Some(r.nextInt(1000000).toLong)
+      }
+      (codes, tab)
+    }
+    val df = rows.toDF("codes", "tab")
+    val out = df.select(
+      VectorFunctions.adcSum(col("codes"), col("tab"), K).as("kernel"),
+      aggregate(
+        zip_with(col("codes"), sequence(lit(0L), lit((M - 1).toLong)),
+          (code, m) => element_at(col("tab"), (m * K + code + 1).cast("int"))),
+        lit(0L), (acc, x) => acc + x).as("composed")).collect()
+    out.foreach(r0 => assert(r0.getLong(0) == r0.getLong(1),
+      s"kernel ${r0.getLong(0)} != composed ${r0.getLong(1)}"))
+    // a code pointing at a null slot, or past the table, yields NULL
+    val bad = Seq(
+      (Seq(0L), Seq(Option.empty[Long])),          // null slot indexed
+      (Seq(5L), Seq(Option(1L), Option(2L)))       // OOB index
+    ).toDF("codes", "tab")
+      .select(VectorFunctions.adcSum(col("codes"), col("tab"), 16)).collect()
+    assert(bad.forall(_.isNullAt(0)))
+    // SQL name + empty codes -> 0 (empty sum)
+    val viaSql = spark.sql(
+      "SELECT adc_sum(CAST(array() AS ARRAY<BIGINT>), array(1L, 2L), 2)").collect()(0)
+    assert(viaSql.getLong(0) == 0L)
+    // codegen must actually compile (no silent interpreted fallback)
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val expr = graft.plans.AdcSum(
+      BoundReference(0, ArrayType(LongType, containsNull = true), nullable = true),
+      BoundReference(1, ArrayType(LongType, containsNull = true), nullable = true),
+      Literal(K))
+    GenerateUnsafeProjection.generate(Seq(expr)) // throws if codegen broken
+  }
+
   test("kernels are null-safe (null input -> null output)") {
     import spark.implicits._
     val df = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]])).toDF("a", "b")
