@@ -44,11 +44,30 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val df = load(s, d, "events")
+    val df =
+      try load(s, d, "events")
+      catch {
+        case e: Exception if e.getMessage != null
+            && e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
+          // a nanos-generation fixture read without the session flag —
+          // rethrow with the curated pointer instead of Spark's raw error
+          throw new IllegalStateException(
+            s"events.parquet at $d has a TIMESTAMP(NANOS) physical type; " +
+              s"set ${EventsNanosConf._1}=${EventsNanosConf._2} at session " +
+              "build (Tables.EventsNanosConf) — inspect the fixture with " +
+              "pyarrow pq.read_schema", e)
+      }
     df.schema("ts").dataType match {
       case LongType        => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _               => df
+      case TimestampType   => df // already session-zone micros: nothing to do
+      case other           => throw new IllegalStateException(
+        s"events.ts read as unexpected type ${other.simpleString}; known " +
+          s"fixture generations are TIMESTAMP(NANOS)->LongType (needs " +
+          s"${EventsNanosConf._1}) and timestamp[us] NTZ. A new driver " +
+          "generation changed the physical type — check pq.read_schema " +
+          "and extend this normalizer deliberately rather than letting " +
+          "the raw type flow downstream.")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
