@@ -60,6 +60,19 @@ object VectorFunctions {
       ExpressionUtils.expression(codes), ExpressionUtils.expression(tab),
       org.apache.spark.sql.catalyst.expressions.Literal(stride)))
 
+  /** Bounded top-k aggregate: the k lexicographically smallest
+    * (score, id) pairs as a sorted ARRAY<STRUCT<score, id>> — O(k)
+    * aggregation state with map-side partial aggregation, the scale-safe
+    * replacement for a per-group `row_number()` window (which ships the
+    * whole group to one reducer partition). NULL inputs THROW — see
+    * graft.plans.TopKMin. */
+  def topkMin(score: Column, id: Column, k: Int): Column = {
+    val agg = graft.plans.TopKMin(
+      ExpressionUtils.expression(score), ExpressionUtils.expression(id),
+      org.apache.spark.sql.catalyst.expressions.Literal(k))
+    ExpressionUtils.column(agg.toAggregateExpression())
+  }
+
   /** Quantized Shannon-entropy numerator Σ round(c·log2(c)·1e6) over an
     * ARRAY<STRING>'s term frequencies (one hash-count pass, codegen;
     * replaces both the corpus-shuffling explode/groupBy spelling and the

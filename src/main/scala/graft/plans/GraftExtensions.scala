@@ -18,7 +18,12 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   *  - `shingle_posting(ARRAY<STRING>, INT)` — table function (Generator),
   *    one `(shingle, n_shingles)` row per distinct shingle;
   *  - `entropy_qsum(ARRAY<STRING>) -> BIGINT` (one-pass quantized
-  *    entropy numerator, see EntropyQsum).
+  *    entropy numerator, see EntropyQsum);
+  *  - `adc_sum(ARRAY<BIGINT>, ARRAY<BIGINT>, INT) -> BIGINT` (PQ
+  *    asymmetric-distance lookup-sum, see AdcSum);
+  *  - `topk_min(BIGINT, BIGINT, INT) -> ARRAY<STRUCT<score,id>>`
+  *    (bounded top-k aggregate, O(k) state with map-side partials,
+  *    see TopKMin).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -55,6 +60,8 @@ object GraftExtensions {
       arity("entropy_qsum", 1)(c => EntropyQsum(c(0)))),
     (FunctionIdentifier("adc_sum"), AdcSum.info,
       arity("adc_sum", 3)(c => AdcSum(c(0), c(1), c(2)))),
+    (FunctionIdentifier("topk_min"), TopKMin.info,
+      arity("topk_min", 3)(c => TopKMin(c(0), c(1), c(2)))),
   )
 
   /** Install the same functions on an already-built session (for hosts

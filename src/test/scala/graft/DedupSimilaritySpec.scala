@@ -181,6 +181,49 @@ class DedupSimilaritySpec extends SparkSpec {
       f"sampled-train PQ mean recall@10 $meanS%.2f — rerank should keep this usable")
   }
 
+  test("IVFADC (q_ann_ivfpq): dense ranks, exact cosines, recall vs brute force, both train branches") {
+    def byQ(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).view
+        .mapValues(_.map(r => r.getAs[Long]("neighbor_id") ->
+          r.getAs[Double]("cosine")).toMap).toMap
+    val bf = byQ(Similarity.qAnnBruteforce(spark, sf).collect())
+    val rows = Similarity.qAnnIvfPq(spark, sf).collect()
+    val ix = byQ(rows)
+    assert(bf.size == 10 && ix.size == 10,
+      "nprobe=2 of 8 cells must yield candidates for every query")
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"q=$q ranks not dense: $ranks")
+    }
+    // the re-rank is the same fused cosine kernel on the same raw vectors
+    // as brute force — shared neighbors must carry IDENTICAL cosines
+    ix.foreach { case (q, ns) =>
+      ns.foreach { case (n, c) =>
+        bf(q).get(n).foreach(cBf => assert(cBf == c,
+          s"q=$q n=$n cosine drift ivfpq=$c bf=$cBf"))
+      }
+    }
+    // cell pruning caps recall at the IVF rung's coverage (the true
+    // neighbor must live in a probed cell AND survive the ADC shortlist);
+    // floor sits under the measured value with headroom, far above a
+    // broken-quantizer baseline
+    val recalls = bf.keys.toSeq.sorted
+      .map(q => (bf(q).keySet & ix.getOrElse(q, Map.empty).keySet).size / 10.0)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, f"IVFADC mean recall@10 $mean%.2f (per-q: ${recalls.mkString(",")})")
+    // forced 10%-sample training (the other count-gate branch): still
+    // dense ranks + exact cosines — the two-stage rerank keeps degenerate
+    // codebooks usable, same contract as qAnnPqImpl's spec
+    val ixS = byQ(Similarity.qAnnIvfPqImpl(spark, sf, trainMin = 1L).collect())
+    assert(ixS.size == 10)
+    ixS.foreach { case (q, ns) =>
+      ns.foreach { case (n, c) =>
+        bf(q).get(n).foreach(cBf => assert(cBf == c,
+          s"sampled-train q=$q n=$n cosine drift"))
+      }
+    }
+  }
+
   test("winnowed fingerprints equal a local recompute of the full pipeline") {
     // Full independent recompute of the winnowing pipeline (tokenize →
     // trigram → h32 → window minima → distinct) on all 500 sf0.001 docs —

@@ -119,6 +119,77 @@ class ExpressionsSpec extends SparkSpec {
       BoundReference(1, ArrayType(LongType, containsNull = true), nullable = true),
       Literal(K))
     GenerateUnsafeProjection.generate(Seq(expr)) // throws if codegen broken
+
+    // interpreted path (eval/nullSafeEval) must agree with codegen on the
+    // same normal / OOB / null-slot cases — the DataFrame run above only
+    // exercises whole-stage codegen, so a divergence between the two loop
+    // bodies would otherwise pass the suite
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def litArr(xs: Seq[java.lang.Long]): Literal = Literal.create(
+      new GenericArrayData(xs.map(x => if (x == null) null else x.longValue())
+        .toArray[Any]),
+      ArrayType(LongType, containsNull = true))
+    def evalAdc(codes: Seq[java.lang.Long], tab: Seq[java.lang.Long]): Any =
+      graft.plans.AdcSum(litArr(codes), litArr(tab), Literal(2)).eval(null)
+    // stride 2, M = 2: tab = [t00 t01 | t10 t11]
+    assert(evalAdc(Seq(1L, 0L), Seq(10L, 20L, 30L, 40L)) == 50L) // 20 + 30
+    assert(evalAdc(Seq(0L, 3L), Seq(10L, 20L, 30L, 40L)) == null) // OOB
+    assert(evalAdc(Seq(1L, 1L), Seq(10L, null, 30L, 40L)) == null) // null slot
+    assert(evalAdc(Seq(null, 0L), Seq(10L, 20L, 30L, 40L)) == null) // null code
+    assert(evalAdc(Seq.empty, Seq(10L, 20L)) == 0L) // empty sum
+    // and the interpreted results equal the codegen results row-for-row on
+    // the random fixture above (project the same exprs through eval)
+    rows.foreach { case (codes, tab) =>
+      val got = graft.plans.AdcSum(
+        litArr(codes.map(java.lang.Long.valueOf)),
+        litArr(tab.map(o => o.map(java.lang.Long.valueOf).orNull)),
+        Literal(K)).eval(null)
+      val want = codes.zipWithIndex
+        .map { case (c, m) => tab(m * K + c.toInt).get }.sum
+      assert(got == want, s"interpreted adc_sum $got != $want")
+    }
+  }
+
+  test("topk_min: bounded heap == sort-take over many partitions; NULL throws; SQL name") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val r = new scala.util.Random(11)
+    // 3 groups × 5000 rows spread over 13 partitions: exercises the full
+    // partial-update → serialize → merge → eval path with heavy score ties
+    // (scores drawn from 0..999, so tie-break by id is load-bearing)
+    val rows = (1 to 15000).map(i => (i % 3L, r.nextInt(1000).toLong, i.toLong))
+    val got = rows.toDF("g", "score", "id").repartition(13)
+      .groupBy("g")
+      .agg(VectorFunctions.topkMin(col("score"), col("id"), 50).as("top"))
+      .collect()
+      .map(row => row.getLong(0) -> row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("top")
+        .map(p => (p.getLong(0), p.getLong(1))).toList).toMap
+    val want = rows.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sorted.take(50).toList).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (g, xs) => assert(xs == want(g), s"group $g mismatch") }
+    // k larger than the input: everything, ascending
+    val small = Seq((5L, 1L), (3L, 2L), (5L, 0L)).toDF("score", "id")
+      .agg(VectorFunctions.topkMin(col("score"), col("id"), 10))
+      .collect()(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0)
+      .map(p => (p.getLong(0), p.getLong(1))).toList
+    assert(small == List((3L, 2L), (5L, 0L), (5L, 1L)))
+    // NULL score must THROW (the fail-loud ADC contract), never rank:
+    // Spark's nulls-first ascending default would otherwise report a
+    // construction bug as the nearest neighbor
+    val ex = intercept[Exception] {
+      Seq((Option(1L), 1L), (Option.empty[Long], 2L)).toDF("score", "id")
+        .agg(VectorFunctions.topkMin(col("score"), col("id"), 5)).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("topk_min"), s"expected topk_min fail-loud, got: $msgs")
+    // SQL name registered via extensions
+    val viaSql = spark.sql(
+      "SELECT topk_min(x, i, 2) FROM VALUES (3L, 1L), (1L, 2L), (2L, 3L) AS t(x, i)")
+      .collect()(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0)
+      .map(p => (p.getLong(0), p.getLong(1))).toList
+    assert(viaSql == List((1L, 2L), (2L, 3L)))
   }
 
   test("kernels are null-safe (null input -> null output)") {
