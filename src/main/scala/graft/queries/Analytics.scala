@@ -419,7 +419,10 @@ object Analytics {
     * dimension, then one count-distinct per report day. At 100 TB the
     * raw events collapse to (user, day) in the first partial aggregate;
     * nothing downstream ever re-touches the event stream, and no
-    * window function holds per-day user sets in executor memory. */
+    * window function holds per-day user sets in executor memory.
+    * Exact by declared contract; the sketch twin that serves the same
+    * metric with one mergeable ~KB sketch per day is
+    * [[qRollingDistinctApprox]]. */
   def qRollingDistinct(s: SparkSession, dir: String): DataFrame = {
     val ud = Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
@@ -430,6 +433,40 @@ object Analytics {
       .groupBy(col("day"))
       .agg(countDistinct(col("user_id")).as("active_7d"))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("active_7d"))
+      .orderBy("day")
+  }
+
+  /** Sketch twin of [[qRollingDistinct]]: per-day HLL sketches merged
+    * over the trailing 7-day frame (`hll_sketch_agg` / `hll_union_agg` /
+    * `hll_sketch_estimate`, Spark's Apache DataSketches bindings) — the
+    * shape that actually serves this metric at 100 TB. The exact twin is
+    * exact by contract but shuffles 7× the distinct (user, day) pairs
+    * into a per-day countDistinct; HERE the event stream collapses to
+    * ONE ~KB sketch per day in a single partial-aggregating scan (HLL
+    * union is commutative, so map-side partials compose), the per-day
+    * sketch table is the persistable incremental state (yesterday's
+    * sketches never recompute), and the 7-day union is a RANGE window
+    * over that tiny table — #days rows, bounded by the calendar, not the
+    * data, so the unpartitioned window is safe at any corpus size.
+    *
+    * Driver contract: rows-only (DuckDB's approx_count_distinct is a
+    * different sketch — no cross-engine hash equality exists);
+    * AnalyticsSpec pins every day's estimate against the exact twin
+    * (exact equality at these cardinalities: DataSketches HLL is in
+    * exact coupon mode below ~512 distincts) plus day-set equality. */
+  def qRollingDistinctApprox(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDay = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val w = Window.orderBy(col("dn")).rangeBetween(-6, 0)
+    perDay
+      .withColumn("dn", datediff(col("day"), lit("1970-01-01")))
+      .withColumn("active_7d_approx",
+        round(hll_sketch_estimate(hll_union_agg(col("sk")).over(w))).cast("long"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("active_7d_approx"))
       .orderBy("day")
   }
 
@@ -470,6 +507,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rolling_distinct" -> (qRollingDistinct _),
+    "q_rolling_distinct_approx" -> (qRollingDistinctApprox _),
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_sessionize" -> (qSessionize _),
     "q_revenue_concentration" -> (qRevenueConcentration _),

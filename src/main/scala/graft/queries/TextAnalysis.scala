@@ -383,8 +383,9 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   /** Winnowing window size (consecutive k-gram hashes per window);
-    * private[queries]: Dedup's winnow-pair oracle inlines the same W. */
-  private[queries] val WinnowW = 4
+    * private[graft]: Dedup's winnow-pair oracle inlines the same W, and
+    * streaming.Windows.winnowFingerprints mirrors the same selection. */
+  private[graft] val WinnowW = 4
 
   /** Winnowed k-gram fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
     * Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash every

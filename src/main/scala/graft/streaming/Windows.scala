@@ -222,6 +222,44 @@ object Windows {
       }
   }
 
+  /** Winnowed-fingerprint selection as pure per-row projections — the
+    * STREAMING spelling of TextAnalysis.winnowFps. Same trigram → h32
+    * hash, same SIGMOD-2003 selection rule (min per W-hash window over
+    * starts 1..max(n−W+1, 1), so short docs contribute their single
+    * whole-array window), same distinct — but computed with array HOFs
+    * (`sequence`/`slice`/`array_min`) because window functions cannot run
+    * on an unbounded stream. The per-row compute replaces the batch
+    * variant's narrow (doc_id, pos, hash) shuffle — the right trade
+    * inside a micro-batch, where a stateful shuffle per batch would
+    * dominate the interpreted-HOF cost the batch scaladoc warns about.
+    * Spelling equivalence (HOF == window-function, streaming == batch)
+    * is pinned in StreamingSpec on real corpus documents. */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val w = graft.queries.TextAnalysis.WinnowW
+    val hs = transform(
+      graft.core.TextPipeline.trigrams(
+        graft.core.TextPipeline.normalizedTokens(col("text"))),
+      t => graft.core.TextPipeline.h32(t))
+    val wins = transform(
+      sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+      i => array_min(slice(col("hs"), i, lit(w))))
+    docs.select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"), explode(array_distinct(wins)).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull) // empty doc -> zero fingerprints
+  }
+
+  /** Online fingerprint novelty: first-seen winnowed fingerprints across
+    * all arrived documents — `dropDuplicates` on the fingerprint key, the
+    * same key the batch `q_dedup_winnow` pair-join buckets on, so the
+    * round-8 dedup rung composes with the streaming tier exactly like
+    * latest-wins CDC does. State is O(distinct fingerprints) (~2/(W+1) of
+    * the k-gram hashes); a production deployment bounds it with
+    * `withWatermark` + `dropDuplicatesWithinWatermark` once fingerprints
+    * carry arrival time — kept unbounded here to mirror the batch
+    * corpus-wide dedup contract. */
+  def winnowNovel(docs: DataFrame): DataFrame =
+    winnowFingerprints(docs).dropDuplicates("fingerprint")
+
   /** Convenience: run a streaming DataFrame to an in-memory table and block
     * until all available input is processed (test/dev harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

@@ -303,6 +303,23 @@ class AnalyticsSpec extends SparkSpec {
       "7-day window never exceeded single-day distinct — fixture too sparse")
   }
 
+  test("HLL rolling-distinct twin agrees with the exact twin day for day") {
+    val exact = Analytics.qRollingDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Analytics.qRollingDistinctApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet, "day sets must match")
+    // at fixture cardinalities DataSketches HLL sits in exact coupon mode
+    // (< ~512 distincts), so the rounded estimate should EQUAL the exact
+    // count; tolerate ±2% so a future bigger fixture doesn't false-fail,
+    // while a broken union (e.g. per-day sketch not merging) lands far out
+    exact.foreach { case (day, n) =>
+      val a = approx(day)
+      assert(math.abs(a - n) <= math.max(1L, (n * 0.02).toLong),
+        s"day=$day approx=$a exact=$n")
+    }
+  }
+
   test("incremental agg merge equals the one-pass recompute") {
     val merged = Analytics.qIncrementalAgg(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -213,6 +213,38 @@ class StreamingSpec extends SparkSpec {
       "each event_id must survive exactly once across batches")
   }
 
+  test("streaming winnow-fingerprint novelty equals the batch winnow pipeline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real corpus documents arriving in two batches, then a re-delivery
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select("doc_id", "text").limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = docs.splitAt(30)
+    val mem = MemoryStream[(Long, String)]
+    val q = Windows.winnowNovel(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("t_winnow")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(b1.toSeq); q.processAllAvailable()
+    mem.addData(b2.toSeq); q.processAllAvailable()
+    mem.addData(b1.take(5).toSeq); q.processAllAvailable() // at-least-once redelivery
+    val got = spark.table("t_winnow").collect()
+      .map(_.getAs[Long]("fingerprint"))
+    q.stop()
+    // batch truth from the WINDOW-FUNCTION spelling (qFingerprintWinnow),
+    // restricted to the streamed docs — pins streaming==batch AND the
+    // per-row HOF selection == the relational window selection in one shot
+    val ids = docs.map(_._1)
+    val batch = graft.queries.TextAnalysis.qFingerprintWinnow(spark, sf)
+      .filter(col("doc_id").isin(ids: _*))
+      .select("fingerprint").collect().map(_.getLong(0)).toSet
+    assert(got.toSet == batch,
+      s"streaming novelty set ${got.size} != batch winnow set ${batch.size}")
+    // dropDuplicates state must swallow the redelivered batch: each
+    // fingerprint appears exactly once in the append output
+    assert(got.length == got.toSet.size, "redelivery leaked duplicate fingerprints")
+  }
+
   test("stream-stream interval join equals the batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
