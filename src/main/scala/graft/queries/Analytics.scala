@@ -30,7 +30,11 @@ object Analytics {
     * N, avgdl, and the 3 query terms ride as broadcast scalar/dimension
     * subqueries; the final ranking is a TakeOrderedAndProject over
     * doc-cardinality rows. Nothing quadratic, nothing driver-side. */
-  def qBm25Top(s: SparkSession, dir: String): DataFrame = {
+  /** Shared lexical base of [[qBm25Top]] and [[qHybridRrf]]: per-(doc,
+    * word) tf (checkpointed once for its several consumers), doc lengths,
+    * corpus stats, and the deterministic top-3-df query term set. */
+  private def lexBase(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), TextPipeline.normalizedTokens(col("text")).as("w"))
     val dl = docs.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
@@ -45,7 +49,15 @@ object Analytics {
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
     val qterms = dfq.orderBy(col("df").desc, col("word").asc).limit(3)
       .select(col("word"), col("df"))
-    val scored = tf.join(broadcast(qterms), "word")
+    (tf, dl, stats, qterms)
+  }
+
+  /** Per-doc 1e-9-quantized BM25 total over the query terms — the
+    * un-truncated score relation behind [[qBm25Top]]'s top-10 and
+    * [[qHybridRrf]]'s ranker A. */
+  private def bm25Sq(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+      qterms: DataFrame): DataFrame =
+    tf.join(broadcast(qterms), "word")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -57,11 +69,68 @@ object Analytics {
             + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
       .select(col("doc_id"),
         round(col("idf") * col("tfpart") * 1e9).cast("long").as("q"))
-    scored.groupBy("doc_id").agg(sum(col("q")).as("sq"))
+      .groupBy("doc_id").agg(sum(col("q")).as("sq"))
+
+  def qBm25Top(s: SparkSession, dir: String): DataFrame = {
+    val (tf, dl, stats, qterms) = lexBase(s, dir)
+    bm25Sq(tf, dl, stats, qterms)
       .orderBy(col("sq").desc, col("doc_id").asc)
       .limit(10)
       .select(col("doc_id"),
         round(col("sq").cast("double") / 1e9, 6).as("bm25"))
+  }
+
+  /** RRF depth (per-ranker list length) and the canonical smoothing
+    * constant from Cormack, Clarke & Büttcher, SIGIR 2009. */
+  private val RrfDepth = 20
+  private val RrfK = 60
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+    * Büttcher, "Reciprocal Rank Fusion outperforms Condorcet and
+    * individual rank learning methods", SIGIR 2009) — the combinator
+    * every production search stack ships for fusing heterogeneous
+    * rankers: each ranker contributes 1/(K + rank) for its top-[[RrfDepth]]
+    * docs, fused score = the sum, no score calibration needed (ranks
+    * only). Ranker A = BM25 (length-normalized); ranker B = raw
+    * query-term frequency (deliberately NOT normalized — the naive
+    * lexical ranker BM25 exists to improve on, so the two genuinely
+    * disagree and fusion is non-vacuous, which AnalyticsSpec pins).
+    *
+    * Exactness: ranks are integers with total-order tie-breaks
+    * (score DESC, doc_id ASC); each contribution is quantized
+    * round(1e9/(K+rank)) BIGINT — both engines evaluate the same 41
+    * possible rational values through IEEE double division and round,
+    * so the fused sum is exact integer math (the q_stats rule).
+    *
+    * Scale stance (100 TB): both rankers end in `orderBy().limit(20)` —
+    * TakeOrderedAndProject, per-partition top-k then a 20-row driver
+    * merge, NO full sort, NO corpus-wide window (the rank attachment
+    * window runs over the ≤20-row truncated lists); the fusion join is
+    * 20×20 rows. The tf/df base is the same one-shuffle word aggregate
+    * BM25 already pays, shared via [[lexBase]]. */
+  def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (tf, dl, stats, qterms) = lexBase(s, dir)
+    // rank attachment: top-Depth via TakeOrderedAndProject FIRST, then a
+    // row_number window over the surviving <= Depth rows only
+    def ranked(scores: DataFrame, out: String): DataFrame = {
+      val w = Window.orderBy(col("s").desc, col("doc_id").asc)
+      scores.orderBy(col("s").desc, col("doc_id").asc).limit(RrfDepth)
+        .withColumn(out, row_number().over(w))
+        .select(col("doc_id"), col(out))
+    }
+    val a = ranked(bm25Sq(tf, dl, stats, qterms)
+      .select(col("doc_id"), col("sq").as("s")), "bm25_rank")
+    val b = ranked(tf.join(broadcast(qterms), "word")
+      .groupBy("doc_id").agg(sum(col("tf")).as("s")), "tf_rank")
+    def contrib(rank: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(round(lit(1e9) / (rank.cast("double") + RrfK)).cast("long"), lit(0L))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_q", contrib(col("bm25_rank")) + contrib(col("tf_rank")))
+      .orderBy(col("rrf_q").desc, col("doc_id").asc)
+      .limit(10)
+      .select(col("doc_id"), col("bm25_rank"), col("tf_rank"),
+        round(col("rrf_q").cast("double") / 1e9, 6).as("rrf"))
   }
 
   // Bloom-filter geometry: M bits in M/64 longs, K salted h32 hashes.
@@ -516,6 +585,7 @@ object Analytics {
     "q_autocorr" -> (qAutocorr _),
     "q_markov_transition" -> (qMarkovTransition _),
     "q_bm25_top" -> (qBm25Top _),
+    "q_hybrid_rrf" -> (qHybridRrf _),
     "q_bloom_semi" -> (qBloomSemi _),
     "q_rfm" -> (qRfm _),
     "q_stratified_sample" -> (qStratifiedSample _),
@@ -683,6 +753,51 @@ object Analytics {
          |SELECT doc_id, round(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / 1e9, 6) AS bm25
          |FROM scored GROUP BY doc_id
          |ORDER BY CAST(sum(q) AS BIGINT) DESC, doc_id LIMIT 10""".stripMargin
+    },
+    "q_hybrid_rrf" -> {
+      val duckToks = TextPipeline.duckToks
+      s"""WITH docs AS (
+         |  SELECT doc_id, $duckToks AS w FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs),
+         |words AS (SELECT doc_id, unnest(w) AS word FROM docs),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+         |dfq AS (SELECT word, count(*) AS df
+         |        FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY word),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |            CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE)
+         |              / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+         |qterms AS (SELECT word, df FROM dfq ORDER BY df DESC, word LIMIT 3),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    CAST(round(
+         |      ((CAST(n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+         |         / (CAST(q.df AS DOUBLE) + 0.5))
+         |      * ((CAST(tf.tf AS DOUBLE) * 2.2)
+         |         / (CAST(tf.tf AS DOUBLE)
+         |            + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)))
+         |      * 1e9) AS BIGINT) AS q
+         |  FROM tf JOIN qterms q USING (word) JOIN dl USING (doc_id), stats),
+         |asq AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS s
+         |        FROM scored GROUP BY doc_id),
+         |ar AS (SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT)
+         |           AS bm25_rank
+         |       FROM (SELECT * FROM asq ORDER BY s DESC, doc_id LIMIT $RrfDepth)),
+         |bsq AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS s
+         |        FROM tf JOIN qterms q USING (word) GROUP BY tf.doc_id),
+         |br AS (SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT)
+         |           AS tf_rank
+         |       FROM (SELECT * FROM bsq ORDER BY s DESC, doc_id LIMIT $RrfDepth)),
+         |f AS (SELECT COALESCE(ar.doc_id, br.doc_id) AS doc_id,
+         |        ar.bm25_rank, br.tf_rank,
+         |        COALESCE(CAST(round(1e9 / (ar.bm25_rank + $RrfK)) AS BIGINT), 0)
+         |        + COALESCE(CAST(round(1e9 / (br.tf_rank + $RrfK)) AS BIGINT), 0)
+         |          AS rrf_q
+         |      FROM ar FULL OUTER JOIN br ON ar.doc_id = br.doc_id)
+         |SELECT doc_id, bm25_rank, tf_rank,
+         |  round(CAST(rrf_q AS DOUBLE) / 1e9, 6) AS rrf
+         |FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10""".stripMargin
     },
     // the bloom filter is a pure optimization: the oracle is the exact
     // semi join it provably implements (no false negatives; false

@@ -303,6 +303,30 @@ class AnalyticsSpec extends SparkSpec {
       "7-day window never exceeded single-day distinct — fixture too sparse")
   }
 
+  test("RRF fusion: two genuinely different rankers, exact contributions, sane order") {
+    val rows = Analytics.qHybridRrf(spark, sf).collect()
+    assert(rows.length == 10)
+    // every fused doc belongs to at least one ranker's truncated list
+    rows.foreach(r => assert(!(r.isNullAt(1) && r.isNullAt(2)),
+      s"doc ${r.getLong(0)} in neither list"))
+    // non-vacuity: BM25 (length-normalized) and raw tf must disagree
+    // somewhere on this fixture, else the fusion tests nothing
+    assert(rows.exists(r => r.isNullAt(1) != r.isNullAt(2)) ||
+      rows.exists(r => !r.isNullAt(1) && !r.isNullAt(2) && r.getInt(1) != r.getInt(2)),
+      "BM25 and raw-tf rankings identical — fusion vacuous")
+    // reported rrf equals the quantized-contribution recompute, and the
+    // list is ordered by the fused quantized score descending
+    val fused = rows.map { r =>
+      def c(i: Int): Long =
+        if (r.isNullAt(i)) 0L else math.round(1e9 / (r.getInt(i) + 60.0))
+      val q = c(1) + c(2)
+      assert(math.abs(r.getDouble(3) - q / 1e9) < 5e-7,
+        s"doc ${r.getLong(0)} rrf ${r.getDouble(3)} != recompute ${q / 1e9}")
+      q
+    }
+    assert(fused.sameElements(fused.sortBy(-_)), "not ordered by fused score")
+  }
+
   test("HLL rolling-distinct twin agrees with the exact twin day for day") {
     val exact = Analytics.qRollingDistinct(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
