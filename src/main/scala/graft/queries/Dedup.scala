@@ -495,7 +495,20 @@ object Dedup {
     * shingle arrays move only for surviving candidates. A hot-fingerprint
     * corpus degrades exactly like hot shingles — and the same
     * prefix-filter fallback ([[qNgramJaccardPrefix]]) applies. */
-  def qDedupWinnow(s: SparkSession, dir: String): DataFrame = {
+  def qDedupWinnow(s: SparkSession, dir: String): DataFrame =
+    winnowScored(s, dir)
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardT)
+      .orderBy("a_id", "b_id")
+
+  /** Shared winnow-candidate verification stage behind [[qDedupWinnow]] and
+    * [[qDedupContainment]]: doc pairs sharing ≥ 1 winnowed fingerprint,
+    * with the exact sorted-merge shingle intersection and both set sizes —
+    * the two queries differ only in the similarity RATIO they gate on
+    * (union-normalized jaccard vs min-normalized containment), so the
+    * candidate generation and the exact verify kernel are defined once. */
+  private def winnowScored(s: SparkSession, dir: String): DataFrame = {
     val fps = TextAnalysis.winnowFps(s, dir)
     val fa = fps.select(col("lang"), col("fingerprint"), col("doc_id").as("a_id"))
     val fb = fps.select(col("lang"), col("fingerprint"), col("doc_id").as("b_id"))
@@ -510,10 +523,70 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         graft.functions.VectorFunctions.sortedIntersectCount(col("a_ss"), col("b_ss"))
           .cast("long").as("inter"), col("a_n"), col("b_n"))
+  }
+
+  /** Containment threshold for [[qDedupContainment]] — deliberately BELOW
+    * [[JaccardT]]-equivalent symmetric similarity: the query exists to
+    * surface pairs where the SMALLER document is largely contained in the
+    * larger one even though the symmetric jaccard is tiny (sf0.01: doc 52
+    * has 3/11 of its shingles inside doc 190 — containment 0.27, jaccard
+    * 0.036, invisible to every jaccard-gated rung). */
+  private val ContainT = 0.25
+
+  /** Asymmetric containment near-dups: |A∩B| / min(|A|,|B|) ≥ [[ContainT]]
+    * over the same winnow-fingerprint candidates as [[qDedupWinnow]] — the
+    * subset-duplicate detector (quoted blocks, boilerplate wrappers, doc-
+    * inside-doc) that union-normalized jaccard structurally under-weights:
+    * a 10-shingle doc fully pasted into a 1000-shingle doc scores jaccard
+    * 0.01 but containment 1.0. The winnowing guarantee is if anything
+    * stronger here — a contained run of ≥ W+2 consecutive words is exactly
+    * what forces a shared fingerprint (SIGMOD 2003 §2), so candidate
+    * recall for contiguous containment is structural, not probabilistic.
+    *
+    * Scale stance (100 TB): identical shape to [[qDedupWinnow]] — one
+    * shuffle of winnow postings (~2/(W+1) of the shingle stream), per-
+    * fingerprint bucketed candidate join, sorted arrays move only for
+    * surviving candidates. Only the final ratio differs. */
+  def qDedupContainment(s: SparkSession, dir: String): DataFrame =
+    winnowScored(s, dir)
       .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / least(col("a_n"), col("b_n"))).as("containment"),
         (col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= JaccardT)
+      .filter(col("containment") >= ContainT)
       .orderBy("a_id", "b_id")
+
+  /** Quality-aware dedup survivor selection — the step that turns the
+    * cluster labeling ([[qDedupClusters]]) into the RETAINED corpus: per
+    * near-dup cluster keep the member with the MOST tokens (tie → lowest
+    * doc_id), drop the rest, pass every unclustered document through.
+    * This is the "keep the best copy" policy production dedup pipelines
+    * apply (the min-id canonical in q_dedup_clusters is the labeling
+    * convention; the survivor policy is a quality argmax over members).
+    *
+    * Scale stance (100 TB): cluster membership rows exist only for docs
+    * in ≥ 1 near-dup pair (≪ corpus); the per-cluster argmax is a tiny
+    * grouped max_by over those rows; the final anti-join shuffles narrow
+    * (doc_id, n_tokens) pairs once. Nothing here touches text after the
+    * token count, and no stage is proportional to corpus × clusters. */
+  def qDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val counted = Tables.documents(s, dir)
+      .select(col("doc_id"), size(toks).as("n_tokens"))
+    val pairs = qDedupMinhash(s, dir)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val clusters = components(pairs)
+    val members = clusters.join(counted, clusters("id") === counted("doc_id"))
+    val reps = members
+      .groupBy(col("lbl"))
+      .agg(max_by(col("doc_id"), struct(col("n_tokens"), -col("doc_id"))).as("rep_id"))
+    val losers = members.join(broadcast(reps), "lbl")
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select(col("doc_id"))
+    counted.join(losers, Seq("doc_id"), "left_anti")
+      .join(broadcast(reps.select(col("rep_id").as("doc_id"),
+        lit(true).as("in_cluster"))), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("in_cluster"), lit("rep")).otherwise(lit("unique")).as("status"))
+      .orderBy("doc_id")
   }
 
   /** Embedding-cosine near-dup pairs, blocked by `label` (the coarse
@@ -551,6 +624,8 @@ object Dedup {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ngram_jaccard_prefix" -> (qNgramJaccardPrefix _),
     "q_dedup_winnow" -> (qDedupWinnow _),
+    "q_dedup_containment" -> (qDedupContainment _),
+    "q_dedup_survivors" -> (qDedupSurvivors _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
   )
 
@@ -583,6 +658,28 @@ object Dedup {
        |    CASE WHEN 2 * len(list_filter(hs, h -> (h // (1::BIGINT << j)) % 2 = 1)) - len(hs) > 0
        |         THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
        |  FROM hs)""".stripMargin
+
+  /** Shared CTE chain ending in `cand(a_id, b_id)` (winnow-fingerprint
+    * candidate pairs) and `sh(doc_id, s)` (distinct shingle sets) — the
+    * oracle twin of [[winnowScored]]'s candidate generation, used by both
+    * q_dedup_winnow and q_dedup_containment so the fingerprint selection
+    * rule cannot drift between the two verifiers. */
+  private lazy val winnowCandCte = {
+    val wm1 = TextAnalysis.WinnowW - 1
+    s"""toks AS (SELECT doc_id, lang, $duckToks AS w FROM documents),
+       |g AS (SELECT doc_id, lang,
+       |        list_transform(${TextPipeline.duckTrigrams("w")},
+       |          t -> ${TextPipeline.duckH32("t")}) AS hs
+       |      FROM toks),
+       |f AS (SELECT doc_id, lang, unnest(list_distinct(
+       |        list_transform(range(1, greatest(len(hs) - $wm1, 1) + 1),
+       |          i -> list_min(list_slice(hs, i, i + $wm1))))) AS fp
+       |      FROM g WHERE len(hs) >= 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM f a JOIN f b ON a.lang = b.lang AND a.fp = b.fp
+       |           AND a.doc_id < b.doc_id),
+       |sh AS (SELECT doc_id, $duckSh AS s FROM toks WHERE len(w) >= 3)""".stripMargin
+  }
 
   private def sigCte =
     s"""toks AS (SELECT doc_id, $duckToks AS w FROM documents),
@@ -656,21 +753,8 @@ object Dedup {
     // the plan, never the result.
     "q_ngram_jaccard_prefix" -> ngramJaccardOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
-    "q_dedup_winnow" -> {
-      val wm1 = TextAnalysis.WinnowW - 1
-      s"""WITH toks AS (SELECT doc_id, lang, $duckToks AS w FROM documents),
-         |g AS (SELECT doc_id, lang,
-         |        list_transform(${TextPipeline.duckTrigrams("w")},
-         |          t -> ${TextPipeline.duckH32("t")}) AS hs
-         |      FROM toks),
-         |f AS (SELECT doc_id, lang, unnest(list_distinct(
-         |        list_transform(range(1, greatest(len(hs) - $wm1, 1) + 1),
-         |          i -> list_min(list_slice(hs, i, i + $wm1))))) AS fp
-         |      FROM g WHERE len(hs) >= 1),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |         FROM f a JOIN f b ON a.lang = b.lang AND a.fp = b.fp
-         |           AND a.doc_id < b.doc_id),
-         |sh AS (SELECT doc_id, $duckSh AS s FROM toks WHERE len(w) >= 3)
+    "q_dedup_winnow" ->
+      s"""WITH $winnowCandCte
          |SELECT c.a_id, c.b_id,
          |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
@@ -678,8 +762,44 @@ object Dedup {
          |            JOIN sh b ON b.doc_id = c.b_id
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |    / len(list_distinct(list_concat(a.s, b.s))) >= $JaccardT
-         |ORDER BY a_id, b_id""".stripMargin
-    },
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_containment" ->
+      s"""WITH $winnowCandCte,
+         |scored AS (SELECT c.a_id, c.b_id,
+         |    len(list_intersect(a.s, b.s)) AS i, len(a.s) AS an, len(b.s) AS bn
+         |  FROM cand c JOIN sh a ON a.doc_id = c.a_id
+         |              JOIN sh b ON b.doc_id = c.b_id)
+         |SELECT a_id, b_id,
+         |  CAST(i AS DOUBLE) / least(an, bn) AS containment,
+         |  CAST(i AS DOUBLE) / (an + bn - i) AS jaccard
+         |FROM scored WHERE CAST(i AS DOUBLE) / least(an, bn) >= $ContainT
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_survivors" ->
+      s"""WITH RECURSIVE $minhashCandCte,
+         |pairs AS (SELECT a_id, b_id FROM cand WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.t AS id, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+         |clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+         |             FROM reach GROUP BY id),
+         |counted AS (SELECT doc_id, len($duckToks) AS n_tokens FROM documents),
+         |members AS (SELECT c.cluster_id, c.doc_id, t.n_tokens
+         |            FROM clusters c JOIN counted t USING (doc_id)),
+         |reps AS (SELECT cluster_id, doc_id AS rep_id FROM (
+         |    SELECT cluster_id, doc_id, row_number() OVER (
+         |      PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id ASC) AS rn
+         |    FROM members) WHERE rn = 1),
+         |losers AS (SELECT m.doc_id FROM members m
+         |           JOIN reps r USING (cluster_id) WHERE m.doc_id <> r.rep_id)
+         |SELECT t.doc_id, t.n_tokens,
+         |  CASE WHEN r.rep_id IS NOT NULL THEN 'rep' ELSE 'unique' END AS status
+         |FROM counted t LEFT JOIN reps r ON t.doc_id = r.rep_id
+         |WHERE t.doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)

@@ -466,6 +466,54 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("containment catches the asymmetric subset-dup that jaccard misses; ratios are consistent") {
+    val d = "/root/testdata/sf0.01" // sf0.001 has only symmetric clone pairs
+    val cont = Dedup.qDedupContainment(spark, d).collect()
+    assert(cont.nonEmpty, "fixture should contain containment pairs")
+    cont.foreach { r =>
+      val (c, j) = (r.getDouble(2), r.getDouble(3))
+      assert(c > 0.0 && c <= 1.0, s"containment out of range: $r")
+      // containment normalizes by min(|A|,|B|) <= |A∪B|, so it dominates
+      assert(c >= j, s"containment must dominate jaccard: $r")
+    }
+    // non-vacuity vs the jaccard rung: at least one pair passes the
+    // containment gate while sitting BELOW the jaccard gate (the quoted-
+    // block / doc-inside-doc case this query exists for)
+    assert(cont.exists(r => r.getDouble(3) < 0.2),
+      "expected an asymmetric pair invisible to the jaccard-gated rung")
+    // every jaccard-rung pair with jaccard >= ContainT is also caught
+    // (containment >= jaccard), so the clone pairs all appear here
+    val contPairs = cont.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clonePairs = Dedup.qDedupWinnow(spark, d).collect()
+      .filter(_.getDouble(2) >= 0.25).map(r => (r.getLong(0), r.getLong(1)))
+    assert(clonePairs.nonEmpty && clonePairs.forall(contPairs),
+      "clone pairs above the containment threshold must be reported")
+  }
+
+  test("survivors keep exactly one max-token member per cluster plus all unclustered docs") {
+    val d = "/root/testdata/sf0.01"
+    val surv = Dedup.qDedupSurvivors(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    // independent recompute from the oracle-verified cluster labeling
+    val counted = graft.io.Tables.documents(spark, d)
+      .select(col("doc_id"), size(graft.core.TextPipeline.normalizedTokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val clusters = Dedup.qDedupClusters(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byCluster.nonEmpty, "fixture should contain near-dup clusters")
+    val reps = byCluster.values.map(ms => ms.maxBy(id => (counted(id), -id))).toSet
+    val losers = clusters.map(_._1).toSet -- reps
+    val expected = counted.keySet -- losers
+    assert(surv.map(_._1).toSet == expected, "survivor id set mismatch")
+    surv.foreach { case (id, n, status) =>
+      assert(n == counted(id), s"token count mismatch for $id")
+      assert(status == (if (reps(id)) "rep" else "unique"), s"status mismatch for $id")
+    }
+    assert(surv.count(_._3 == "rep") == byCluster.size,
+      "exactly one representative per cluster")
+  }
+
   test("ANN results are top-k ranked with dense ranks starting at 1") {
     val rows = Similarity.qAnnBruteforce(spark, sf)
       .groupBy("q_id").agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
