@@ -257,7 +257,79 @@ object Corpus {
       .orderBy("lang", "rn")
   }
 
+  /** Number of BPE merge rounds [[qBpeMerges]] learns. */
+  private val BpeRounds = 6
+
+  /** BPE tokenizer-training merge table (Sennrich, Haddow & Birch, "Neural
+    * Machine Translation of Rare Words with Subword Units", ACL 2016 §3.2):
+    * from the character-split word-frequency table, repeatedly (a) count
+    * adjacent symbol pairs weighted by word frequency, (b) pick the most
+    * frequent pair (ties → lexicographically smallest), (c) merge every
+    * occurrence greedily left-to-right. Output: the learned merge table
+    * (round, lhs, rhs, pair_count) — the artifact a tokenizer trainer
+    * ships. The reference engine has no tokenizer training (SURVEY §2.2);
+    * this is the extension tier's LLM-pipeline rung.
+    *
+    * Merge application is a left FOLD over the symbol list (init = first
+    * symbol; step: merge iff last-emitted == lhs ∧ next == rhs, else
+    * append). The fold yields greedy non-overlapping semantics for free —
+    * "aaa" + (a,a) → [aa, a] — because a just-merged symbol no longer
+    * equals lhs. State is a space-delimited symbol string; DuckDB's
+    * list_reduce runs the IDENTICAL fold (overlap case spec-pinned), so
+    * the merge tables match exactly.
+    *
+    * Scale stance (100 TB): the corpus is touched ONCE — the word-frequency
+    * aggregate (the wordcount shape: map-side partial agg, shuffle bounded
+    * by distinct words per partition, NOT by tokens). Every merge round
+    * then runs on the VOCABULARY: a pair aggregate, a TakeOrdered(1), a
+    * 1-row broadcast, a narrow per-word map — all independent of corpus
+    * size, exactly how production trainers (SentencePiece, HF tokenizers)
+    * structure BPE training. Per-round state is localCheckpoint'ed with
+    * superseded blocks freed (the q_dedup_clusters lifecycle), so executor
+    * memory stays O(vocab) however many rounds run. */
+  def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val base = TextPipeline.words(Tables.documents(s, dir), "text")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(col("n"), trim(regexp_replace(col("word"), "(.)", "$1 ")).as("st"))
+    var state = base.localCheckpoint(true)
+    val bests = Seq.newBuilder[DataFrame]
+    for (r <- 1 to BpeRounds) {
+      val syms = split(col("st"), " ")
+      val pairs = state
+        .select(col("n"), explode(zip_with(syms,
+          slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+          (x, y) => struct(x.as("lhs"), y.as("rhs")))).as("p"))
+        .filter(col("p.rhs").isNotNull) // zip_with pads the sliced side
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("n")).as("pair_count"))
+      val best = pairs
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(1).localCheckpoint(true)
+      val applied = state.crossJoin(broadcast(best))
+        .select(col("n"),
+          aggregate(
+            slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+            element_at(syms, 1),
+            (acc, x) => {
+              val last = element_at(split(acc, " "), -1)
+              when(last === col("lhs") && x === col("rhs"),
+                concat(acc.substr(lit(1), length(acc) - length(last)),
+                  col("lhs"), col("rhs")))
+                .otherwise(concat(acc, lit(" "), x))
+            }).as("st"))
+      val next = applied.localCheckpoint(true)
+      Bridge.freeLocalCheckpoint(state)
+      state = next
+      bests += best.select(lit(r).as("round"),
+        col("lhs"), col("rhs"), col("pair_count"))
+    }
+    Bridge.freeLocalCheckpoint(state)
+    bests.result().reduce(_ union _).orderBy("round")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_merges" -> (qBpeMerges _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_redact" -> (qRedact _),
     "q_quality_gate" -> (qQualityGate _),
@@ -269,7 +341,42 @@ object Corpus {
     "q_decontaminate" -> (qDecontaminate _),
   )
 
+  /** Oracle twin of [[qBpeMerges]]: the same [[BpeRounds]] rounds unrolled
+    * as chained CTEs, the same fold via DuckDB's list_reduce (init = first
+    * element, left-to-right — identical greedy semantics). */
+  private lazy val bpeOracle: String = {
+    val norm = TextPipeline.duckNormalize
+    def lastSym(acc: String) =
+      s"list_extract(string_split($acc,' '), len(string_split($acc,' ')))"
+    val head = Seq(
+      s"""w AS (SELECT word, count(*) AS n FROM
+         |  (SELECT ${norm("t")} AS word
+         |   FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents) q
+         |   WHERE ${norm("t")} <> '') q2 GROUP BY word)""".stripMargin,
+      """s0 AS (SELECT n, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS st FROM w)""")
+    val rounds = (1 to BpeRounds).flatMap { i =>
+      Seq(
+        s"""p$i AS (SELECT pr[1] AS lhs, pr[2] AS rhs,
+           |    CAST(sum(n) AS BIGINT) AS pair_count FROM (
+           |  SELECT unnest(list_transform(range(1, len(ss)), j -> [ss[j], ss[j+1]])) AS pr, n
+           |  FROM (SELECT string_split(st, ' ') AS ss, n FROM s${i - 1}) t$i) u$i
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"""b$i AS (SELECT lhs, rhs, pair_count FROM p$i
+           |        ORDER BY pair_count DESC, lhs, rhs LIMIT 1)""".stripMargin,
+        s"""s$i AS (SELECT n, list_reduce(string_split(st, ' '), (acc, x) ->
+           |  CASE WHEN ${lastSym("acc")} = b.lhs AND x = b.rhs
+           |       THEN left(acc, len(acc) - len(${lastSym("acc")})) || b.lhs || b.rhs
+           |       ELSE acc || ' ' || x END) AS st FROM s${i - 1}, b$i b)""".stripMargin)
+    }
+    val union = (1 to BpeRounds)
+      .map(i => s"SELECT $i AS round, lhs, rhs, pair_count FROM b$i")
+      .mkString(" UNION ALL ")
+    ("WITH " + (head ++ rounds).mkString(",\n") +
+      s"\nSELECT * FROM ($union) ORDER BY round")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeOracle,
     "q_weighted_sample" -> {
       val h = TextPipeline.duckH32("CAST(doc_id AS VARCHAR)")
       s"""WITH keyed AS (

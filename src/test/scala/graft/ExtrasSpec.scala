@@ -264,4 +264,51 @@ class ExtrasSpec extends SparkSpec {
       assert(nLo > 0 || nHi > 0, s"$p: clipping must be non-vacuous")
     }
   }
+
+  test("BPE merge fold is greedy non-overlapping with lexicographic ties; dry rounds emit nothing") {
+    // crafted corpus: "aaa aaaa". Hand-computed trace:
+    //   r1: (a,a) count 2+3=5 → "aa a" / "aa aa"   (GREEDY left-to-right:
+    //       "aaa" must become [aa, a], NOT [a, aa] — round 2 distinguishes)
+    //   r2: (aa,a) and (aa,aa) tie at 1 → lexicographic rhs "a" < "aa"
+    //   r3: "aaa" is one symbol; only (aa,aa) remains
+    //   r4+: no pairs anywhere → rounds vanish (run-dry contract)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bpe").toString
+    Seq((0L, "aaa aaaa", "en", "synth", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val got = graft.queries.Corpus.qBpeMerges(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, "a", "a", 5L), (2, "aa", "a", 1L), (3, "aa", "aa", 1L)),
+      s"unexpected merge trace: $got")
+  }
+
+  test("BPE first merge equals an independent recompute; counts non-increasing over rounds") {
+    val got = graft.queries.Corpus.qBpeMerges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got.map(_._1) == (1 to 6), "expected 6 dense rounds on the fixture")
+    // merged pairs are distinct (a chosen pair is eliminated by its merge)
+    assert(got.map(t => (t._2, t._3)).distinct.size == 6)
+    // best-pair frequency can never increase round-over-round: a new pair
+    // created by a merge occurs at most as often as the pairs it replaced
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._4 <= a._4, s"pair_count increased: $a -> $b")
+    }
+    // independent recompute of round 1 from the raw word counts
+    val wc = graft.core.TextPipeline.words(Tables.documents(spark, sf), "text")
+      .groupBy("word").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+    wc.foreach { case (w, n) =>
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p.substring(0, 1), p.substring(1, 2))
+        pairCounts(k) = pairCounts.getOrElse(k, 0L) + n
+      }
+    }
+    val bestExpected = pairCounts.toSeq
+      .sortBy { case ((l, r), c) => (-c, l, r) }.head
+    assert((got.head._2, got.head._3) == bestExpected._1
+      && got.head._4 == bestExpected._2,
+      s"round-1 merge mismatch: got ${got.head}, expected $bestExpected")
+  }
 }
