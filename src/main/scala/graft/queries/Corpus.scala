@@ -288,6 +288,32 @@ object Corpus {
     * superseded blocks freed (the q_dedup_clusters lifecycle), so executor
     * memory stays O(vocab) however many rounds run. */
   def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val (bests, fin) = bpeTrain(s, dir)
+    org.apache.spark.sql.graftbridge.Bridge.freeLocalCheckpoint(fin)
+    bests.reduce(_ union _).orderBy("round")
+  }
+
+  /** BPE application / subword vocabulary (the inference half of
+    * [[qBpeMerges]]): run the same [[BpeRounds]] training rounds, then
+    * report the SUBWORD frequency table of the final segmentation —
+    * Σ word_freq per surviving symbol. This is the train→apply
+    * composition a tokenizer pipeline ships: the merge table drives
+    * segmentation, and the resulting subword counts are the unigram
+    * stats downstream sampling/packing reads. Final state is one
+    * explode + one wordcount-shaped aggregate over the VOCABULARY —
+    * still corpus-size-independent after the single corpus scan. */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val (_, fin) = bpeTrain(s, dir)
+    fin.select(col("n"), explode(split(col("st"), " ")).as("subword"))
+      .groupBy("subword").agg(sum(col("n")).as("cnt"))
+      .orderBy("subword")
+  }
+
+  /** Shared BPE training loop: returns (per-round best-pair 1-row frames
+    * tagged with `round`, final checkpointed state (n, st)). The final
+    * state's blocks are the caller's to manage: qBpeEncode consumes it,
+    * qBpeMerges frees it immediately. */
+  private def bpeTrain(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
     import org.apache.spark.sql.graftbridge.Bridge
     val base = TextPipeline.words(Tables.documents(s, dir), "text")
       .groupBy("word").agg(count(lit(1)).as("n"))
@@ -324,12 +350,12 @@ object Corpus {
       bests += best.select(lit(r).as("round"),
         col("lhs"), col("rhs"), col("pair_count"))
     }
-    Bridge.freeLocalCheckpoint(state)
-    bests.result().reduce(_ union _).orderBy("round")
+    (bests.result(), state)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_redact" -> (qRedact _),
     "q_quality_gate" -> (qQualityGate _),
@@ -344,7 +370,25 @@ object Corpus {
   /** Oracle twin of [[qBpeMerges]]: the same [[BpeRounds]] rounds unrolled
     * as chained CTEs, the same fold via DuckDB's list_reduce (init = first
     * element, left-to-right — identical greedy semantics). */
-  private lazy val bpeOracle: String = {
+  private lazy val bpeOracle: String =
+    s"WITH $bpeCtes\nSELECT * FROM ($bpeMergesUnion) ORDER BY round"
+
+  /** Oracle twin of [[qBpeEncode]]: the same chain, then the subword
+    * frequency table of the final segmentation. */
+  private lazy val bpeEncodeOracle: String =
+    s"""WITH $bpeCtes
+       |SELECT subword, CAST(sum(n) AS BIGINT) AS cnt FROM (
+       |  SELECT unnest(string_split(st, ' ')) AS subword, n FROM s$BpeRounds) e
+       |GROUP BY subword ORDER BY subword""".stripMargin
+
+  private lazy val bpeMergesUnion: String = (1 to BpeRounds)
+    .map(i => s"SELECT $i AS round, lhs, rhs, pair_count FROM b$i")
+    .mkString(" UNION ALL ")
+
+  /** The unrolled [[BpeRounds]]-round CTE chain shared by both BPE
+    * oracles, ending in b1..bN (per-round best pairs) and sN (final
+    * segmentation state). */
+  private lazy val bpeCtes: String = {
     val norm = TextPipeline.duckNormalize
     def lastSym(acc: String) =
       s"list_extract(string_split($acc,' '), len(string_split($acc,' ')))"
@@ -368,15 +412,12 @@ object Corpus {
            |       THEN left(acc, len(acc) - len(${lastSym("acc")})) || b.lhs || b.rhs
            |       ELSE acc || ' ' || x END) AS st FROM s${i - 1}, b$i b)""".stripMargin)
     }
-    val union = (1 to BpeRounds)
-      .map(i => s"SELECT $i AS round, lhs, rhs, pair_count FROM b$i")
-      .mkString(" UNION ALL ")
-    ("WITH " + (head ++ rounds).mkString(",\n") +
-      s"\nSELECT * FROM ($union) ORDER BY round")
+    (head ++ rounds).mkString(",\n")
   }
 
   val oracle: Map[String, String] = Map(
     "q_bpe_merges" -> bpeOracle,
+    "q_bpe_encode" -> bpeEncodeOracle,
     "q_weighted_sample" -> {
       val h = TextPipeline.duckH32("CAST(doc_id AS VARCHAR)")
       s"""WITH keyed AS (

@@ -311,4 +311,26 @@ class ExtrasSpec extends SparkSpec {
       && got.head._4 == bestExpected._2,
       s"round-1 merge mismatch: got ${got.head}, expected $bestExpected")
   }
+
+  test("BPE encode conserves character mass; every multi-char subword is a learned merge product") {
+    val vocab = graft.queries.Corpus.qBpeEncode(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(vocab.nonEmpty)
+    // merges rearrange symbol boundaries but never create or drop letters:
+    // Σ len(subword)·cnt must equal the corpus letter count
+    val subwordMass = vocab.map { case (sw, c) => sw.length.toLong * c }.sum
+    val letterMass = graft.core.TextPipeline
+      .words(Tables.documents(spark, sf), "text")
+      .agg(sum(length(col("word")))).collect()(0).getLong(0)
+    assert(subwordMass == letterMass,
+      s"character mass not conserved: $subwordMass vs $letterMass")
+    // only a merge creates a multi-char symbol, and a surviving symbol is
+    // exactly the product of the LAST merge that formed it
+    val merges = graft.queries.Corpus.qBpeMerges(spark, sf).collect()
+      .map(r => r.getString(1) + r.getString(2)).toSet
+    val multi = vocab.map(_._1).filter(_.length > 1)
+    assert(multi.nonEmpty, "expected at least one merged subword on the fixture")
+    multi.foreach(sw => assert(merges(sw),
+      s"multi-char subword $sw is not a learned merge product"))
+  }
 }
