@@ -265,6 +265,46 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("z-order interleave matches a bit-level recompute; cells prune BOTH dimensions") {
+    val d = "/root/testdata/sf0.01"
+    val z = Extras.qZorder(spark, d)
+      .join(Tables.orders(spark, d).select(col("o_orderkey"),
+        col("o_custkey"), to_date(col("o_orderdate")).as("od")), "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDate(4).toLocalDate))
+    // independent Scala recompute of the Morton interleave
+    z.take(500).foreach { case (_, zval, _, ck, od) =>
+      val d2 = od.toEpochDay & 0xffffL
+      val d1 = ck & 0xffffL
+      val expect = (0 until 16).map(j =>
+        (((d1 >> j) & 1L) << (2 * j + 1)) | (((d2 >> j) & 1L) << (2 * j))).sum
+      assert(zval == expect, s"zval mismatch for custkey=$ck date=$od")
+    }
+    // pruning evidence (the reason the layout exists): a rectangle
+    // predicate on EITHER dimension touches a small fraction of z-cells,
+    // while a custkey-sorted layout with the same bucket count is touched
+    // 100% by the date predicate (it only prunes its own dimension).
+    // Measured on this fixture: 12/66 (date) and 11/66 (custkey) vs 66/66.
+    val cells = z.map(_._3).distinct.length
+    val lo = java.time.LocalDate.parse("1997-03-01")
+    val hi = java.time.LocalDate.parse("1997-05-29")
+    val dateTouched = z.filter(r => !r._5.isBefore(lo) && !r._5.isAfter(hi))
+      .map(_._3).distinct.length
+    val keyTouched = z.filter(r => r._4 >= 400 && r._4 <= 499)
+      .map(_._3).distinct.length
+    assert(dateTouched.toDouble / cells <= 0.3,
+      s"date predicate touched $dateTouched/$cells z-cells")
+    assert(keyTouched.toDouble / cells <= 0.3,
+      s"custkey predicate touched $keyTouched/$cells z-cells")
+    val nCust = 1500L
+    val custBucket = (ck: Long) => ck * cells / nCust
+    val custBuckets = z.map(r => custBucket(r._4)).distinct.length
+    val custTouchedByDate = z.filter(r => !r._5.isBefore(lo) && !r._5.isAfter(hi))
+      .map(r => custBucket(r._4)).distinct.length
+    assert(custTouchedByDate == custBuckets,
+      "a custkey-sorted layout should NOT prune a date-only predicate")
+  }
+
   test("BPE merge fold is greedy non-overlapping with lexicographic ties; dry rounds emit nothing") {
     // crafted corpus: "aaa aaaa". Hand-computed trace:
     //   r1: (a,a) count 2+3=5 → "aa a" / "aa aa"   (GREEDY left-to-right:
