@@ -188,9 +188,49 @@ object Graph {
       .groupBy("part").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per node, cc(v) = 2·T(v) / (d(v)·(d(v)−1))
+    * over the same co-order part graph as [[qTriangles]] — the per-node
+    * community/cohesion feature (Watts & Strogatz 1998) that graph-based
+    * spam and community detection read: how close a node's neighborhood is
+    * to a clique. Nodes of degree < 2 are excluded (the coefficient is
+    * undefined on fewer than one potential wedge); triangle-free nodes
+    * report cc = 0 via the left join.
+    *
+    * Exactness: T and d are exact integers from the oriented triangle
+    * count and the degree aggregate; cc = one IEEE division of integers —
+    * identical in both engines, no rounding needed. The ORACLE recomputes
+    * T from the brute-force undirected 3-way join, so the oriented plan
+    * is again re-proven equal to brute force, now over ALL nodes rather
+    * than the top-20 projection.
+    *
+    * Scale stance: [[triangleCounts]]'s wedge bound carries over
+    * unchanged (that's the whole cost); degree is one partial-agg shuffle
+    * of int pairs; the final join is node-cardinality ⋈ node-cardinality.
+    */
+  def qClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = li.join(li.withColumnRenamed("p", "q"), "o")
+      .filter(col("p") < col("q"))
+      .select(col("p").as("a"), col("q").as("b"))
+      .distinct().localCheckpoint()
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(edges)
+    deg.filter(col("degree") >= 2)
+      .join(tri, Seq("part"), "left")
+      .select(col("part"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("cc", lit(2.0) * col("n_triangles") /
+        (col("degree") * (col("degree") - 1)).cast("double"))
+      .orderBy("part")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
     "q_triangles" -> (qTriangles _),
+    "q_clustering_coeff" -> (qClusteringCoeff _),
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -235,5 +275,24 @@ object Graph {
         |n AS (SELECT unnest([a, b, c]) AS part FROM t)
         |SELECT part, count(*) AS n_triangles FROM n GROUP BY part
         |ORDER BY n_triangles DESC, part LIMIT 20""".stripMargin,
+    "q_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |deg AS (SELECT part, count(*) AS degree FROM (
+        |          SELECT a AS part FROM e UNION ALL SELECT b FROM e) u
+        |        GROUP BY part),
+        |t AS (SELECT e1.a, e1.b, e2.b AS c
+        |      FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tri AS (SELECT part, count(*) AS n_triangles FROM (
+        |          SELECT unnest([a, b, c]) AS part FROM t) n GROUP BY part)
+        |SELECT d.part, d.degree,
+        |  coalesce(tri.n_triangles, 0) AS n_triangles,
+        |  2.0 * coalesce(tri.n_triangles, 0)
+        |    / CAST(d.degree * (d.degree - 1) AS DOUBLE) AS cc
+        |FROM deg d LEFT JOIN tri ON d.part = tri.part
+        |WHERE d.degree >= 2 ORDER BY d.part""".stripMargin,
   )
 }

@@ -136,6 +136,37 @@ class GraphTextSpec extends SparkSpec {
     assert(got.nonEmpty && got.head._2 > 0)
   }
 
+  test("clustering coefficient equals a neighbor-set brute-force recompute; bounds hold") {
+    val cc = Graph.qClusteringCoeff(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(cc.nonEmpty)
+    cc.values.foreach { case (d, t, c) =>
+      assert(d >= 2, "degree-<2 nodes must be excluded")
+      assert(c >= 0.0 && c <= 1.0, s"cc out of [0,1]: $c")
+      assert(c == 2.0 * t / (d.toDouble * (d - 1)), "cc formula mismatch")
+    }
+    // independent recompute from the raw adjacency (no orientation, no
+    // wedge join): cc(v) = |{(x,y) ⊆ N(v) : x~y}| / C(d,2)
+    val li = graft.io.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = li.join(li.withColumnRenamed("p", "q"), "o")
+      .filter(col("p") < col("q"))
+      .select(col("p").as("a"), col("q").as("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set())
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val sample = cc.keys.toSeq.sorted.take(200)
+    sample.foreach { v =>
+      val nbrs = adj(v).toSeq
+      val t = (for (i <- nbrs.indices; j <- i + 1 until nbrs.length
+                    if edges(( math.min(nbrs(i), nbrs(j)), math.max(nbrs(i), nbrs(j)) )))
+        yield 1).size
+      val d = nbrs.length
+      val expect = 2.0 * t / (d.toDouble * (d - 1))
+      assert(cc(v) == ((d.toLong, t.toLong, expect)), s"node $v: ${cc(v)} vs ($d, $t, $expect)")
+    }
+  }
+
   test("token entropy: uniform doc = log2(n), constant doc = 0, 50/50 doc = 1") {
     import spark.implicits._
     val docs = Seq(
