@@ -257,6 +257,36 @@ object Corpus {
       .orderBy("lang", "rn")
   }
 
+  /** Temperature-based domain mixing weights (the "data mixing recipe"
+    * step of multilingual / multi-source LLM training, cf. the T=...
+    * sampling in XLM-R and mT5: raw size-proportional sampling starves
+    * small domains, so sample ∝ size^(1/T)). Here 1/T = 0.5: per source,
+    * weight ∝ √(token count), reported as an exact parts-per-million
+    * allocation.
+    *
+    * Cross-engine exactness: √n is the ONE float op — IEEE-754 sqrt is
+    * correctly rounded, so both engines produce the identical double —
+    * immediately quantized to round(√n · 1e6) BIGINT; the ppm share is
+    * then BIGINT multiply + BIGINT floor-division (commutative integer
+    * sums only). Scale stance: one wordcount-shaped token-count
+    * aggregate (the only corpus scan), then a ~|sources|-row table and a
+    * 1-row broadcast total — the recipe itself costs nothing at 100 TB. */
+  def qDomainMix(s: SparkSession, dir: String): DataFrame = {
+    val counted = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks)).cast("long").as("n_tokens"))
+      .withColumn("wq", round(sqrt(col("n_tokens").cast("double")) * 1e6)
+        .cast("long"))
+    val tot = counted.agg(sum(col("wq")).as("sum_wq"))
+    counted.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        // DIV: exact BIGINT floor-division (the plain `/` would promote
+        // to IEEE double and risk a boundary ulp vs the oracle's `//`)
+        expr("wq * 1000000 DIV sum_wq").cast("long").as("weight_ppm"))
+      .orderBy("source")
+  }
+
   /** Number of BPE merge rounds [[qBpeMerges]] learns. */
   private val BpeRounds = 6
 
@@ -354,6 +384,7 @@ object Corpus {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_domain_mix" -> (qDomainMix _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_weighted_sample" -> (qWeightedSample _),
@@ -416,6 +447,17 @@ object Corpus {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_domain_mix" ->
+      s"""WITH counted AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len($duckToks)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
+         |                AS BIGINT) AS wq FROM counted),
+         |t AS (SELECT CAST(sum(wq) AS BIGINT) AS sum_wq FROM w)
+         |SELECT source, n_docs, n_tokens,
+         |  (wq * 1000000) // sum_wq AS weight_ppm
+         |FROM w, t ORDER BY source""".stripMargin,
     "q_bpe_merges" -> bpeOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
     "q_weighted_sample" -> {

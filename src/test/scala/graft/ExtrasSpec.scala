@@ -265,6 +265,31 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("domain mix: temperature flattens toward uniform; ppm matches integer recompute") {
+    val rows = graft.queries.Corpus.qDomainMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length > 1)
+    // independent integer recompute of the ppm allocation
+    val wq = rows.map { case (_, _, nt, _) => math.round(math.sqrt(nt.toDouble) * 1e6) }
+    val sumWq = wq.sum
+    rows.zip(wq).foreach { case ((src, _, _, ppm), w) =>
+      assert(ppm == w * 1000000L / sumWq, s"ppm mismatch for $src")
+    }
+    // floor-division conservation: total ppm within n_sources of 1e6
+    val tot = rows.map(_._4).sum
+    assert(tot <= 1000000L && tot > 1000000L - rows.length)
+    // the point of the temperature: sqrt weighting sits strictly between
+    // proportional and uniform for every non-average source
+    val totTok = rows.map(_._3).sum
+    val uniform = 1000000.0 / rows.length
+    rows.foreach { case (src, _, nt, ppm) =>
+      val prop = 1000000.0 * nt / totTok
+      if (math.abs(prop - uniform) > 1.0)
+        assert(math.abs(ppm - uniform) < math.abs(prop - uniform),
+          s"$src: temperature did not flatten ($ppm vs prop $prop, uniform $uniform)")
+    }
+  }
+
   test("z-order interleave matches a bit-level recompute; cells prune BOTH dimensions") {
     val d = "/root/testdata/sf0.01"
     val z = Extras.qZorder(spark, d)
