@@ -87,6 +87,63 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Hamming radius for [[qMediaDedup]]; 4×8-bit bands pigeonhole-cover
+    * radius ≤ 3 exactly as the SimHash band join does. */
+  private val MediaHammingT = 3
+
+  /** Perceptual-hash media near-dup pairs — the multimodal rung of the
+    * dedup ladder: a 32-bit average-hash (aHash: sample a fixed grid,
+    * threshold each sample against the mean — the standard perceptual
+    * image fingerprint, computed here over the stubbed byte domain since
+    * the container has no codecs) and a 4×8-bit pigeonhole band join for
+    * candidates, verified by exact hamming distance ≤ [[MediaHammingT]].
+    * Exact content clones get identical sample vectors → hamming 0, and
+    * re-encoded/lightly-edited media lands within the radius — the
+    * content-level match a media pipeline runs before any expensive
+    * embedding model.
+    *
+    * Exactness: samples are ascii() of evenly spaced bytes (the fixture
+    * is printable ASCII, the qMediaResize convention); the threshold is
+    * the integer compare s·32 > Σs (no division); the hash is a 32-bit
+    * sum of powers of two — every step integer, both engines identical.
+    *
+    * Scale stance (100 TB of media): the hash is a narrow per-row pass —
+    * content bytes never shuffle; candidates shuffle (band, byte, id)
+    * triples exactly like SimHash; completeness inside the radius is the
+    * same pigeonhole argument (hamming ≤ 3 over 4 bands leaves ≥ 1 band
+    * untouched), re-proven against all-pairs in MultimodalSpec. */
+  def qMediaDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = length(col("text"))
+    val samples = transform(sequence(lit(0), lit(31)),
+      i => ascii(col("text").substr((floor(i * n / 32) + 1).cast("int"), lit(1))))
+    // relational spelling (posexplode + per-doc window sum), NOT a 32-term
+    // per-row fold: projection collapse would inline the sample pipeline
+    // once per bit term (the O(n²) HOF trap TextAnalysis.winnowFps pins)
+    val rows = media(s, dir).filter(n >= 1)
+      .select(col("doc_id"), posexplode(samples).as(Seq("i", "sv")))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val hashes = rows
+      .withColumn("tot", sum(col("sv")).over(wDoc))
+      .select(col("doc_id"),
+        when(col("sv") * 32 > col("tot"),
+          expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(lit(0L)).as("bit"))
+      .groupBy("doc_id").agg(sum(col("bit")).as("ahash"))
+    val bands = hashes.select(col("doc_id"), col("ahash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bv", expr("shiftright(ahash, b * 8)").bitwiseAND(lit(255L)))
+    val cand = bands.select(col("b"), col("bv"), col("doc_id").as("a_id"), col("ahash").as("ah"))
+      .join(bands.select(col("b"), col("bv"), col("doc_id").as("b_id"), col("ahash").as("bh")),
+        Seq("b", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("ah"), col("bh")).distinct()
+    cand
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("ah").bitwiseXOR(col("bh"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= MediaHammingT)
+      .orderBy("a_id", "b_id")
+  }
+
   // ---- batched feature extraction (mapInPandas analogue) -------------------
 
   /** Typed rows crossing the extractor boundary. */
@@ -145,10 +202,30 @@ object Multimodal {
     "q_frame_sample" -> (qFrameSample _),
     "q_media_resize" -> (qMediaResize _),
     "q_media_features" -> (qMediaFeatures _),
+    "q_media_dedup" -> (qMediaDedup _),
   )
 
   /** q_media_features intentionally omitted → driver rows-only check. */
   val oracle: Map[String, String] = Map(
+    "q_media_dedup" ->
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) >= 1),
+        |sm AS (SELECT doc_id, list_transform(range(0, 32),
+        |         i -> ascii(substring(text,
+        |                CAST(i * length(text) // 32 + 1 AS INT), 1))) AS sm
+        |       FROM t),
+        |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 32),
+        |        i -> CASE WHEN sm[CAST(i + 1 AS INT)] * 32 > list_sum(sm)
+        |             THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS ahash
+        |      FROM sm),
+        |bands AS (SELECT doc_id, ahash, b, (ahash >> CAST(8 * b AS INT)) & 255 AS bv
+        |          FROM h, (SELECT unnest(range(0, 4)) AS b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |                a.ahash AS ah, b.ahash AS bh
+        |         FROM bands a JOIN bands b
+        |           ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(bit_count(xor(ah, bh)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(ah, bh)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_media_metadata" ->
       """SELECT doc_id,
         |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,

@@ -53,4 +53,41 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Int]("lo") == 0 && r.getAs[Int]("hi") == want - 1)
     }
   }
+
+  test("media aHash dedup: band join equals all-pairs hamming; byte-identical clone scores 0") {
+    val d = "/root/testdata/sf0.01"
+    val got = Multimodal.qMediaDedup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.nonEmpty, "expected near-dup media pairs at sf0.01")
+    // independent Scala aHash + brute-force all-pairs: the pigeonhole band
+    // join must be COMPLETE within the radius, not just sound
+    val texts = graft.io.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).filter(_._2.nonEmpty)
+    def ahash(t: String): Long = {
+      val n = t.length
+      val sm = (0 until 32).map(i => t.charAt(i * n / 32).toInt)
+      val tot = sm.sum
+      sm.zipWithIndex.map { case (s, i) => if (s * 32 > tot) 1L << i else 0L }.sum
+    }
+    val hs = texts.map { case (id, t) => id -> ahash(t) }
+    val brute = (for {
+      i <- hs.indices; j <- i + 1 until hs.length
+      h = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2) if h <= 3
+      (a, b) = if (hs(i)._1 < hs(j)._1) (hs(i)._1, hs(j)._1) else (hs(j)._1, hs(i)._1)
+    } yield (a, b, h)).toSet
+    assert(got == brute, s"band join != brute force (${got.size} vs ${brute.size})")
+    // a byte-identical clone must land at hamming 0 (the content-clone
+    // contract): run the query over a crafted two-doc corpus
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mediadedup").toString
+    Seq((0L, "the same exact media payload bytes", "en", "synth", 34L),
+        (1L, "the same exact media payload bytes", "en", "synth", 34L),
+        (2L, "completely different other content here", "en", "synth", 39L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val clone = Multimodal.qMediaDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(clone.contains((0L, 1L, 0)), s"clone pair not at hamming 0: ${clone.toSeq}")
+  }
 }
