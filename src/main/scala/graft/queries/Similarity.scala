@@ -491,6 +491,37 @@ object Similarity {
     pqRerank(ix.raw, shortlist)
   }
 
+  /** Metadata-filtered exact vector search (the "filtered ANN" feature
+    * every production vector store exposes: retrieve top-k AMONG rows
+    * matching a metadata predicate — here, the query's own `label`).
+    * PRE-filtering: the label equality sits in the join condition, so
+    * distances are computed only for matching rows — never score-then-
+    * discard (post-filtering wastes the full scan and can starve k).
+    *
+    * Selection is the scale-safe two-stage: the bounded `topk_min`
+    * aggregate keeps a 50-deep quantized shortlist per query (map-side
+    * partials, no per-query full-subset window — the round-8 verdict's
+    * selection rule), then the exact fused-cosine re-rank orders the
+    * ≤ 50-row shortlist. The oracle is the DIRECT filtered top-k, so the
+    * two-stage spelling is re-proven equal to the straightforward
+    * semantics on every verify run. */
+  def qAnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val q = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("v").as("q_v")))
+    val shortlist = e.join(q, col("label") === col("q_label")
+        && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        // quantized descending-cosine key for the integer top-k aggregate;
+        // exact order is restored by the re-rank below
+        round(-cosine(col("v"), col("q_v")) * 1e12).cast("long").as("negq"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.VectorFunctions.topkMin(
+        col("negq"), col("neighbor_id"), PqShortlist).as("top"))
+      .select(col("q_id"), explode(col("top").getField("id")).as("neighbor_id"))
+    pqRerank(e.select(col("vec_id"), col("v")), shortlist)
+  }
+
   /** Exact re-rank of a (q_id, neighbor_id) shortlist on the RAW vectors:
     * fused cosine, top-[[TopK]] by (cosine DESC, neighbor ASC) — the
     * shared final stage of [[qAnnPq]] and [[qAnnIvfPq]]. The window ranks
@@ -593,6 +624,7 @@ object Similarity {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
+    "q_ann_filtered" -> (qAnnFiltered _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_embed_quantize" -> (qEmbedQuantize _),
   )
@@ -733,6 +765,18 @@ object Similarity {
          |scored AS (
          |  SELECT q.q_id, a.vec_id AS neighbor_id, $duckCos AS cos_raw
          |  FROM e a, q WHERE a.vec_id <> q.q_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos_raw DESC, neighbor_id ASC) AS rank FROM scored)
+         |SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id,
+         |  round(cos_raw, 6) AS cosine
+         |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "q_ann_filtered" ->
+      s"""WITH $duckVecs,
+         |q AS (SELECT vec_id AS q_id, label AS q_label, v AS q_v
+         |      FROM e WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.q_id, a.vec_id AS neighbor_id, $duckCos AS cos_raw
+         |  FROM e a JOIN q ON a.label = q.q_label AND a.vec_id <> q.q_id),
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY cos_raw DESC, neighbor_id ASC) AS rank FROM scored)
          |SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id,

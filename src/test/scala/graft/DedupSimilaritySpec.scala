@@ -514,6 +514,37 @@ class DedupSimilaritySpec extends SparkSpec {
       "exactly one representative per cluster")
   }
 
+  test("filtered ANN respects the label predicate and actually changes the answer") {
+    val labels = graft.io.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val filtered = Similarity.qAnnFiltered(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(filtered.nonEmpty)
+    // every returned neighbor matches the query's own label (pre-filter
+    // semantics), ranks dense 1..k per query
+    filtered.foreach { case (q, _, n, _) =>
+      assert(labels(n) == labels(q), s"neighbor $n label != query $q label")
+    }
+    filtered.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length), s"ranks not dense for $q")
+    }
+    // the predicate must BITE: the unfiltered brute-force top-10 of at
+    // least one query contains a cross-label neighbor, so filtering is
+    // not vacuously equal to q_ann_bruteforce
+    val unfiltered = Similarity.qAnnBruteforce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(unfiltered.exists { case (q, n) => labels(n) != labels(q) },
+      "fixture should have cross-label neighbors in the unfiltered top-k")
+    // restricting the candidate set can never improve the best cosine
+    val bestF = filtered.filter(_._2 == 1).map(r => r._1 -> r._4).toMap
+    val bestU = Similarity.qAnnBruteforce(spark, sf).collect()
+      .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    bestF.foreach { case (q, c) =>
+      assert(c <= bestU(q) + 1e-9, s"filtered top-1 beats unfiltered for $q")
+    }
+  }
+
   test("ANN results are top-k ranked with dense ranks starting at 1") {
     val rows = Similarity.qAnnBruteforce(spark, sf)
       .groupBy("q_id").agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
