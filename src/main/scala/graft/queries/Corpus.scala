@@ -272,12 +272,17 @@ object Corpus {
     * aggregate (the only corpus scan), then a ~|sources|-row table and a
     * 1-row broadcast total — the recipe itself costs nothing at 100 TB. */
   def qDomainMix(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint the ~|sources|-row aggregate: it feeds BOTH the
+    // total and the final projection, and the two agg subtrees otherwise
+    // don't exchange-reuse — the plan audit showed the corpus scanned
+    // TWICE for a 20-row recipe without this
     val counted = Tables.documents(s, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(toks)).cast("long").as("n_tokens"))
       .withColumn("wq", round(sqrt(col("n_tokens").cast("double")) * 1e6)
         .cast("long"))
+      .localCheckpoint(true)
     val tot = counted.agg(sum(col("wq")).as("sum_wq"))
     counted.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"),
