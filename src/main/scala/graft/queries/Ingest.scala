@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.io.Tables
 
 /** M14 — schema-first CSV/JSON ingestion with corrupt-record handling,
   * the weekly reality of any corpus pipeline: upstream drops you a file,
@@ -140,10 +141,42 @@ object Ingest {
       .orderBy(col("src_file"))
   }
 
+  /** ORC sink → source round trip: write the documents projection as ORC
+    * (Spark's second built-in columnar format — the Hive-ecosystem interop
+    * sink), read it back with a pushable range predicate, and aggregate.
+    * The ORACLE computes the SAME aggregate over the original parquet, so
+    * a hash match proves the ORC round trip preserved every surviving
+    * row and value — format-fidelity verified through the data itself,
+    * not a schema diff. The read-back filter (`doc_id >= 100`) reaches
+    * the ORC reader as a pushed predicate (stripe-stat pruning at scale;
+    * the PLANS audit shows PushedFilters on the ORC scan).
+    *
+    * Scale stance: write is one narrow pass (ORC stripes + zlib are the
+    * writer's concern); read-back prunes stripes by the pushed range.
+    * The eager write is the operator under test — a sink IS a side
+    * effect; Overwrite keeps the query re-runnable. */
+  def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_orc_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .filter(col("doc_id") >= 100)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("text_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_ingest" -> (qCsvIngest _),
     "q_csv_ingest_glob" -> (qCsvIngestGlob _),
     "q_json_ingest" -> (qJsonIngest _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -159,6 +192,14 @@ object Ingest {
   // IngestSpec pins the companion fixture contract (no blank lines).
 
   val oracle: Map[String, String] = Map(
+    // Same aggregate over the ORIGINAL parquet — a hash match proves the
+    // ORC write→read round trip preserved every surviving row and value.
+    "q_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS text_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id >= 100
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_csv_ingest" ->
       s"""SELECT category,
          |       count(*) AS n_rows,

@@ -84,4 +84,23 @@ class IngestSpec extends SparkSpec {
       .select(col("id"), col("amount")).collect().length
     assert(csvKept == 21, s"DROPMALFORMED kept $csvKept of 24 csv rows")
   }
+
+  test("ORC round trip preserves the parquet-side aggregate; filter is pushed to the ORC scan") {
+    val df = graft.queries.Ingest.qOrcRoundtrip(spark, sf)
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val want = graft.io.Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 100)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("text_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want, "ORC round trip changed the data")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Format: ORC"), "read-back scan is not ORC")
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual(doc_id,100)]")
+      || plan.contains("(doc_id#"), s"range predicate not pushed to the ORC scan")
+  }
 }
