@@ -568,7 +568,49 @@ object TextAnalysis {
   def qPhraseSearch(s: SparkSession, dir: String): DataFrame =
     phraseHits(Tables.documents(s, dir), "fast", "table").orderBy("doc_id")
 
+  /** Per-source unigram KL divergence from the corpus distribution —
+    * the distribution-drift / domain-shift monitor a data-quality
+    * pipeline runs per ingestion source (a source whose word
+    * distribution diverges from the corpus signals crawl drift, spam
+    * injection, or a broken extractor). KL(pₛ‖q) in bits, where pₛ is
+    * the source's unigram distribution and q the whole-corpus one;
+    * support is total by construction (every source word is in the
+    * corpus vocabulary), so no smoothing term is needed.
+    *
+    * Determinism (the q_token_entropy algebra): with p = c_sw/nₛ and
+    * q = c_w/N, KL = (Σ_w c_sw·(qlog(c_sw) − qlog(c_w)))/(nₛ·1e6)
+    * − (qlog(nₛ) − qlog(N))/1e6 — every log2 argument is an integer
+    * COUNT quantized on the verified 1e-6 BIGINT grid, the inner sum is
+    * a commutative integer sum, and the two divisions happen once at
+    * the end (identical doubles both engines, rounded to 6 dp).
+    *
+    * Scale shape: one (source, word) partial-agg shuffle (the wordcount
+    * shape); the corpus marginal c_w derives from the same relation and
+    * joins back on word (co-partitioned); per-source totals are a tiny
+    * broadcast. */
+  def qKlDrift(s: SparkSession, dir: String): DataFrame = {
+    val qlog = (c: Column) => round(log2(c.cast("double")) * 1e6).cast("long")
+    val sw = TextPipeline.words(Tables.documents(s, dir), "text", keep = Seq("source"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint() // feeds the marginal AND the scoring join once
+    val cw = sw.groupBy("word").agg(sum(col("c_sw")).as("c_w"))
+    val ns = sw.groupBy("source").agg(sum(col("c_sw")).as("n_s"))
+    val bigN = ns.agg(sum(col("n_s")).as("big_n"))
+    sw.join(cw, "word")
+      .select(col("source"),
+        (col("c_sw") * (qlog(col("c_sw")) - qlog(col("c_w")))).as("contrib"))
+      .groupBy("source").agg(sum(col("contrib")).as("qsum"))
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(bigN))
+      .select(col("source"), col("n_s").as("n_tokens"),
+        round(col("qsum").cast("double") / (col("n_s").cast("double") * 1e6)
+          - (qlog(col("n_s")) - qlog(col("big_n"))).cast("double") / 1e6,
+          6).as("kl_bits"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kl_drift" -> (qKlDrift _),
     "q_token_entropy" -> (qTokenEntropy _),
     "q_phrase_search" -> (qPhraseSearch _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -590,6 +632,22 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_kl_drift" ->
+      s"""WITH w AS (SELECT source, unnest($duckToks) AS word FROM documents),
+         |sw AS (SELECT source, word, count(*) AS c_sw FROM w GROUP BY 1, 2),
+         |cw AS (SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY word),
+         |ns AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY source),
+         |n AS (SELECT CAST(sum(n_s) AS BIGINT) AS big_n FROM ns),
+         |qs AS (SELECT source, CAST(sum(c_sw *
+         |    (CAST(round(log2(c_sw) * 1000000.0) AS BIGINT)
+         |     - CAST(round(log2(c_w) * 1000000.0) AS BIGINT))) AS BIGINT) AS qsum
+         |  FROM sw JOIN cw USING (word) GROUP BY source)
+         |SELECT qs.source, n_s AS n_tokens,
+         |  round(CAST(qsum AS DOUBLE) / (CAST(n_s AS DOUBLE) * 1e6)
+         |    - (CAST(round(log2(n_s) * 1000000.0) AS BIGINT)
+         |       - CAST(round(log2(big_n) * 1000000.0) AS BIGINT)) / 1e6,
+         |    6) AS kl_bits
+         |FROM qs JOIN ns USING (source), n ORDER BY source""".stripMargin,
     "q_token_entropy" ->
       s"""WITH w AS (SELECT doc_id, unnest($duckToks) AS word FROM documents),
          |c AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),

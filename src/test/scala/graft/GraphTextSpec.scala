@@ -167,6 +167,43 @@ class GraphTextSpec extends SparkSpec {
     }
   }
 
+  test("KL drift: non-negative, matches a float recompute, disjoint vocab hits log2(N/n)") {
+    val got = TextAnalysis.qKlDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    // Gibbs' inequality (quantization can dip a hair below zero)
+    got.foreach { case (s, _, kl) => assert(kl >= -1e-5, s"KL < 0 for $s: $kl") }
+    // independent plain-double recompute within grid tolerance
+    val counts = graft.core.TextPipeline
+      .words(graft.io.Tables.documents(spark, sf), "text", keep = Seq("source"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val cw = counts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val ns = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val bigN = ns.values.sum.toDouble
+    def log2(x: Double) = math.log(x) / math.log(2)
+    got.foreach { case (s, n, kl) =>
+      assert(n == ns(s))
+      val expect = counts.filter(_._1 == s).map { case (_, w, c) =>
+        (c / ns(s).toDouble) * log2((c / ns(s).toDouble) / (cw(w) / bigN))
+      }.sum
+      assert(math.abs(kl - expect) < 1e-4, s"$s: $kl vs $expect")
+    }
+    // disjoint-vocabulary source: inner term vanishes (c_w == c_sw), so
+    // KL collapses to the closed form log2(N / n_s)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kldrift").toString
+    Seq((0L, "aa bb aa bb aa bb aa bb aa bb aa bb", "en", "big", 35L),
+        (1L, "zz yy zz yy", "en", "rare", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val crafted = TextAnalysis.qKlDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(crafted("rare") - log2(16.0 / 4.0)) < 1e-5,
+      s"disjoint-vocab KL != log2(N/n): ${crafted("rare")}")
+    assert(math.abs(crafted("big") - log2(16.0 / 12.0)) < 1e-5)
+  }
+
   test("token entropy: uniform doc = log2(n), constant doc = 0, 50/50 doc = 1") {
     import spark.implicits._
     val docs = Seq(
