@@ -555,6 +555,47 @@ object Dedup {
       .filter(col("containment") >= ContainT)
       .orderBy("a_id", "b_id")
 
+  /** Incremental-ingestion dedup — the shape a 100 TB pipeline actually
+    * runs: an already-deduplicated historical INDEX (here: even doc_ids,
+    * standing in for yesterday's corpus) and an incoming BATCH (odd
+    * doc_ids). Report each verified duplicate in the incoming batch,
+    * classified by what it collides with: `index` (new doc duplicates a
+    * historical doc — drop it, the index wins) or `batch` (two new docs
+    * duplicate each other — keep the earlier id). Index-internal pairs
+    * are deliberately NOT emitted: the historical corpus is already
+    * deduped, re-checking it is exactly the work incremental ingestion
+    * exists to avoid.
+    *
+    * Built as a classification layer over the same [[winnowScored]]
+    * candidates and exact-jaccard verify as the batch rungs, so the
+    * match rule cannot drift from [[qDedupWinnow]]. At scale the index
+    * side's winnow fingerprints are PERSISTED (they are deterministic
+    * per document — a parquet table keyed by fingerprint), so each
+    * ingestion shuffles only the new batch's postings against the
+    * stored index postings; this query recomputes them only because the
+    * fixture has no cross-run store. */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame =
+    winnowScored(s, dir)
+      .filter(col("a_id") % 2 === 1 || col("b_id") % 2 === 1) // drop index-internal
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardT)
+      .select(
+        when(col("a_id") % 2 === 1, col("a_id")).otherwise(col("b_id")).as("new_id"),
+        when(col("a_id") % 2 === 1 && col("b_id") % 2 === 1, lit("batch"))
+          .otherwise(lit("index")).as("kind"),
+        when(col("a_id") % 2 === 1, col("b_id")).otherwise(col("a_id")).as("dup_of"),
+        col("jaccard"))
+      // batch-internal pairs arrive as (a<b, both odd): keep-earlier means
+      // the LARGER id is the duplicate being reported
+      .select(
+        when(col("kind") === "batch", greatest(col("new_id"), col("dup_of")))
+          .otherwise(col("new_id")).as("new_id"),
+        when(col("kind") === "batch", least(col("new_id"), col("dup_of")))
+          .otherwise(col("dup_of")).as("dup_of"),
+        col("kind"), col("jaccard"))
+      .orderBy("new_id", "dup_of")
+
   /** Quality-aware dedup survivor selection — the step that turns the
     * cluster labeling ([[qDedupClusters]]) into the RETAINED corpus: per
     * near-dup cluster keep the member with the MOST tokens (tie → lowest
@@ -624,6 +665,7 @@ object Dedup {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ngram_jaccard_prefix" -> (qNgramJaccardPrefix _),
     "q_dedup_winnow" -> (qDedupWinnow _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_survivors" -> (qDedupSurvivors _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -763,6 +805,25 @@ object Dedup {
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |    / len(list_distinct(list_concat(a.s, b.s))) >= $JaccardT
          |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH $winnowCandCte,
+         |scored AS (SELECT c.a_id, c.b_id,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |  FROM cand c JOIN sh a ON a.doc_id = c.a_id
+         |              JOIN sh b ON b.doc_id = c.b_id
+         |  WHERE (c.a_id % 2 = 1 OR c.b_id % 2 = 1)
+         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.s, b.s))) >= $JaccardT)
+         |SELECT
+         |  CASE WHEN a_id % 2 = 1 AND b_id % 2 = 1 THEN greatest(a_id, b_id)
+         |       WHEN a_id % 2 = 1 THEN a_id ELSE b_id END AS new_id,
+         |  CASE WHEN a_id % 2 = 1 AND b_id % 2 = 1 THEN least(a_id, b_id)
+         |       WHEN a_id % 2 = 1 THEN b_id ELSE a_id END AS dup_of,
+         |  CASE WHEN a_id % 2 = 1 AND b_id % 2 = 1 THEN 'batch'
+         |       ELSE 'index' END AS kind,
+         |  jaccard
+         |FROM scored ORDER BY new_id, dup_of""".stripMargin,
     "q_dedup_containment" ->
       s"""WITH $winnowCandCte,
          |scored AS (SELECT c.a_id, c.b_id,

@@ -490,6 +490,35 @@ class DedupSimilaritySpec extends SparkSpec {
       "clone pairs above the containment threshold must be reported")
   }
 
+  test("incremental dedup classifies winnow pairs by index/batch parity and skips index-internal") {
+    val d = "/root/testdata/sf0.01"
+    val inc = Dedup.qDedupIncremental(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(inc.nonEmpty)
+    inc.foreach { case (newId, dupOf, kind, _) =>
+      assert(newId % 2 == 1, s"reported duplicate $newId is not in the incoming batch")
+      kind match {
+        case "index" => assert(dupOf % 2 == 0, s"index dup_of $dupOf is odd")
+        case "batch" => assert(dupOf % 2 == 1 && dupOf < newId,
+          s"batch pair must keep the earlier id: $newId vs $dupOf")
+        case k => fail(s"unknown kind $k")
+      }
+    }
+    // exactly the full-corpus winnow pairs, minus index-internal ones,
+    // re-keyed to (duplicate, kept)
+    val winnow = Dedup.qDedupWinnow(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = winnow.filter { case (a, b, _) => a % 2 == 1 || b % 2 == 1 }
+      .map { case (a, b, j) =>
+        if (a % 2 == 1 && b % 2 == 1) (b, a, "batch", j)
+        else if (a % 2 == 1) (a, b, "index", j)
+        else (b, a, "index", j)
+      }.toSet
+    assert(inc.toSet == expected, "incremental output != re-keyed winnow pairs")
+    assert(winnow.exists { case (a, b, _) => a % 2 == 0 && b % 2 == 0 },
+      "fixture should contain an index-internal pair that gets skipped")
+  }
+
   test("survivors keep exactly one max-token member per cluster plus all unclustered docs") {
     val d = "/root/testdata/sf0.01"
     val surv = Dedup.qDedupSurvivors(spark, d).collect()
