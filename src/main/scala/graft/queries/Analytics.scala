@@ -574,7 +574,64 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** EWMA lag horizon: weights halve per day and 2^-21 of the signal is
+    * far below the cents resolution, so truncating at 20 lags (21 terms)
+    * changes nothing observable while keeping the arithmetic EXACT. */
+  private val EwmaLags = 20
+
+  /** Exponentially weighted moving average (α = ½) of daily order
+    * revenue — the trend-smoothing twin of q_autocorr's seasonality
+    * readout and the standard anomaly baseline ("today vs the smoothed
+    * expectation"). Weights halve per day of age and the series truncates
+    * at [[EwmaLags]] lags, normalized by the REALIZED weight mass (early
+    * days with a short history average over what exists, rather than
+    * leaking a zero-padded bias).
+    *
+    * Cross-engine exactness: daily revenue accumulates as round-to-cents
+    * BIGINT; the weighted numerator is Σ xs[i] · 2^(20−n+i) — integer
+    * shifts, max ~1e17 at sf1000, no overflow — and the weight mass is
+    * 2^21 − 2^(21−n); the smoothed value is numerator DIV mass (floor, in
+    * cents) — zero float ops anywhere, the q_domain_mix DIV doctrine.
+    * (A round(·, 6) spelling was measured to diverge by 1e-6 between
+    * engines: scaling an identical double by 1e6 before rounding is
+    * inexact, and the two libms disagree at half-ULP boundaries.)
+    *
+    * Scale stance (100 TB): the only pass over the data is the
+    * orders→daily rollup (map-side combined partial agg). The window then
+    * runs over a DATE-CARDINALITY relation — ~2.5k rows for this fixture's
+    * date range at ANY corpus scale, the q_markov_transition bounded-state
+    * argument — so the single-partition WindowExec is a constant-size
+    * epilogue, not a data-bound stage; its 21-row ROWS frame carries
+    * ≤ 21 longs of state per row. */
+  def qEwma(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, dir)
+      .select(
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("day").agg(sum(col("cents")).as("rev_cents"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(-EwmaLags, Window.currentRow)
+    daily
+      .withColumn("xs", collect_list(col("rev_cents")).over(w))
+      .select(col("day"), col("rev_cents"),
+        size(col("xs")).as("n_terms"),
+        expr(s"""aggregate(
+            transform(sequence(1, size(xs)),
+              i -> element_at(xs, i)
+                   * shiftleft(CAST(1 AS BIGINT),
+                               CAST($EwmaLags - size(xs) + i AS INT))),
+            CAST(0 AS BIGINT), (acc, x) -> acc + x)
+          div (shiftleft(CAST(1 AS BIGINT), ${EwmaLags + 1})
+               - shiftleft(CAST(1 AS BIGINT),
+                           CAST(${EwmaLags + 1} - size(xs) AS INT)))""")
+          .as("ewma_cents"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma" -> (qEwma _),
     "q_rolling_distinct" -> (qRollingDistinct _),
     "q_rolling_distinct_approx" -> (qRollingDistinctApprox _),
     "q_incremental_agg" -> (qIncrementalAgg _),
@@ -592,6 +649,25 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same 21-term integer-shift numerator / realized-weight-mass
+    // denominator; list() over the identical ROWS frame.
+    "q_ewma" ->
+      s"""WITH daily AS (
+         |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |           AS rev_cents
+         |  FROM orders GROUP BY 1),
+         |win AS (
+         |  SELECT day, rev_cents,
+         |         list(rev_cents) OVER (ORDER BY day
+         |           ROWS BETWEEN $EwmaLags PRECEDING AND CURRENT ROW) AS xs
+         |  FROM daily)
+         |SELECT day, rev_cents, CAST(len(xs) AS INT) AS n_terms,
+         |  CAST(list_sum(list_transform(range(1, len(xs) + 1),
+         |      i -> xs[i] * (CAST(1 AS BIGINT) << ($EwmaLags - len(xs) + i)))) AS BIGINT)
+         |    // ((CAST(1 AS BIGINT) << ${EwmaLags + 1})
+         |        - (CAST(1 AS BIGINT) << (${EwmaLags + 1} - len(xs)))) AS ewma_cents
+         |FROM win ORDER BY day""".stripMargin,
     // Range-join restatement of the explode-contribution plan: user u
     // counts toward day d iff u was active on some day in [d-6, d].
     "q_rolling_distinct" ->

@@ -379,4 +379,26 @@ class AnalyticsSpec extends SparkSpec {
         s"session ids must be dense 1..k: $r")
     }
   }
+
+  test("ewma equals an independent BigInt recompute; stays inside the frame hull") {
+    val rows = Analytics.qEwma(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).sameElements(rows.map(_._1).sorted), "day-ordered")
+    // independent recompute: Σ x_j·2^(20−n+i) DIV (2^21 − 2^(21−n)) in
+    // BigInt over the collected daily series (driver-side, test-only)
+    val series = rows.map(_._2)
+    rows.zipWithIndex.foreach { case ((day, _, nTerms, ewma), t) =>
+      val frame = series.slice(math.max(0, t - 20), t + 1)
+      assert(nTerms == frame.length, s"day $day n_terms")
+      val n = frame.length
+      val numer = frame.zipWithIndex.map { case (x, i0) =>
+        BigInt(x) << (20 - n + (i0 + 1)) }.sum
+      val mass = (BigInt(1) << 21) - (BigInt(1) << (21 - n))
+      assert(BigInt(ewma) == numer / mass, s"day $day: $ewma != $numer/$mass")
+      // a weighted average (up to the floor) never leaves the frame hull
+      assert(ewma >= frame.min - 1 && ewma <= frame.max,
+        s"day $day: ewma $ewma outside [${frame.min}, ${frame.max}]")
+    }
+  }
 }

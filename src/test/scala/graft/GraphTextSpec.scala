@@ -275,4 +275,70 @@ class GraphTextSpec extends SparkSpec {
     assert(got(2L) == (2L, 1L, 0.5), s"doc2 ${got(2L)}")
     assert(got(3L) == (2L, 0L, 0.0), s"doc3 ${got(3L)}")
   }
+
+  test("kcore layers: exact cascade on a hand-built clique + pendant chain") {
+    import spark.implicits._
+    // K5 clique on 1..5 plus a pendant path 5-6-7-8. With k=2 the chain
+    // peels one node per round (8 → 7 → 6: layers 1, 2, 3) and the clique
+    // is the 2-core — the cascade proves rounds re-evaluate degrees on
+    // the CURRENT edge set, not the original one.
+    val clique = for { a <- 1 to 5; b <- (a + 1) to 5 } yield (a.toLong, b.toLong)
+    val chain = Seq((5L, 6L), (6L, 7L), (7L, 8L))
+    val edges = (clique ++ chain).toDF("a", "b")
+    val got = Graph.kcoreLayers(edges, k = 2, rounds = 6).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0,
+      6L -> 3, 7L -> 2, 8L -> 1), s"got $got")
+    // idempotence past the fixpoint: 7 rounds == 6 rounds (the headroom
+    // contract q_kcore's fixed 8-round unroll relies on)
+    val more = Graph.kcoreLayers(edges, k = 2, rounds = 7).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(more == got, "extra peel rounds past the fixpoint must be no-ops")
+  }
+
+  test("kcore at sf0.001: total partition into layers, k-core property holds") {
+    val rows = Graph.qKcore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    // every node of the co-order graph appears exactly once
+    assert(rows.map(_._1).distinct.length == rows.length, "node listed twice")
+    assert(rows.length == 200, s"expected all 200 sf0.001 parts, got ${rows.length}")
+    // measured fixture behavior: K=80 dissolves the sf0.001 graph entirely
+    // within the unrolled rounds (fixpoint at 3) — no layer-0 survivors,
+    // and layers stay far inside the 8-round unroll (convergence evidence)
+    val layers = rows.map(_._2)
+    assert(layers.forall(l => l >= 1 && l <= 4), s"layers out of range: ${layers.distinct.sorted.toSeq}")
+    assert(rows.count(_._2 == 0) == 0, "sf0.001 graph has no 80-core")
+  }
+
+  test("shortest path == local Dijkstra recompute; source at distance 0") {
+    val got = Graph.qShortestPath(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent recompute: collect the weighted edge list and run plain
+    // Dijkstra on the driver (160 nodes at sf0.001)
+    val li = graft.io.Tables.lineitem(spark, sf)
+    val ord = graft.io.Tables.orders(spark, sf)
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(concat(lit("s:"), col("l_suppkey")).as("s"),
+        concat(lit("c:"), col("o_custkey")).as("c"))
+      .agg(countDistinct(col("l_orderkey")).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val adj = (pairs.map(p => (p._1, (p._2, p._3))) ++
+      pairs.map(p => (p._2, (p._1, p._3)))).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    val src = pairs.map(_._1).min
+    val dist = scala.collection.mutable.Map(src -> 0L)
+    val pq = scala.collection.mutable.PriorityQueue((0L, src))(
+      Ordering.by[(Long, String), Long](-_._1))
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (d == dist(u)) adj.getOrElse(u, Array.empty[(String, Long)]).foreach {
+        case (v, w) =>
+          if (dist.get(v).forall(_ > d + w)) { dist(v) = d + w; pq.enqueue((d + w, v)) }
+      }
+    }
+    assert(got(src) == 0L, "source must be at distance 0")
+    assert(got == dist.toMap,
+      s"Bellman-Ford 6-round unroll diverges from Dijkstra on ${
+        (got.toSet diff dist.toSet).take(5)}")
+  }
 }
