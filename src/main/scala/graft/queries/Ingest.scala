@@ -172,11 +172,83 @@ object Ingest {
       .orderBy("lang")
   }
 
+  /** Bucket count for [[qTableDiff]]'s Merkle-style checksum pass. 256
+    * keeps the summary table trivially broadcastable; at 100 TB the same
+    * plan runs with 2^16–2^20 buckets so each drill-down bucket stays a
+    * small fraction of the table (the constant is the only thing that
+    * changes). */
+  private val DiffBuckets = 256
+
+  /** Replica reconciliation (anti-entropy table diff): find the rows on
+    * which two copies of `orders` disagree WITHOUT ever shuffling or
+    * comparing full rows — the Merkle-tree / Cassandra-repair shape, and
+    * the "did the nightly copy land intact" audit every warehouse runs.
+    *
+    * The "replica" is derived deterministically from the fixture so both
+    * engines see the identical pair: rows whose key-hash ≡ 13 (mod 1000)
+    * are missing from the replica (a lost batch), rows ≡ 7 got
+    * +1 cent (a corrupted decimal). Phase 1 collapses each side
+    * map-side to [[DiffBuckets]] (bucket, xor-of-row-sig, count)
+    * checksums — xor, not sum, so the fold can never overflow and stays
+    * commutative at any scale. Phase 2 joins the two 256-row summaries,
+    * keeps only disagreeing buckets, and re-scans JUST those buckets'
+    * rows (a broadcast semi join prunes everything else) for a per-key
+    * full-outer sig compare: key on one side only → missing; both sides,
+    * different sig → changed.
+    *
+    * Cross-engine exactness: the row signature is the portable h32 over
+    * a '|'-joined rendering of integer/string columns only (cents as
+    * BIGINT — no float formatting anywhere), so sigs, xors, and the
+    * bucket assignment are bit-identical in DuckDB.
+    *
+    * Scale stance (100 TB): phase 1 is a full scan that partial-aggs to
+    * 256 rows — network cost is the checksum table, not the data; the
+    * drill-down scan reads both sides once more but shuffles only
+    * (bucket-pruned key, sig) pairs, proportional to the DAMAGE times
+    * the bucket width, not the table; nothing ever collects. With the
+    * replica partitioned by the same bucket key, the second scan prunes
+    * at the storage layer too. */
+  def qTableDiff(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.TextPipeline.h32
+    def rows(side: DataFrame): DataFrame = side
+      .select(col("o_orderkey"),
+        pmod(h32(col("o_orderkey").cast("string")), lit(DiffBuckets)).as("bucket"),
+        h32(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long"))).as("sig"))
+    val damage = pmod(h32(col("o_orderkey").cast("string")), lit(1000))
+    val src = rows(Tables.orders(s, dir))
+    val dst = rows(Tables.orders(s, dir)
+        .filter(damage =!= 13)
+        .withColumn("o_totalprice",
+          when(damage === 7, col("o_totalprice") + 0.01)
+            .otherwise(col("o_totalprice"))))
+    def sums(r: DataFrame, tag: String): DataFrame = r.groupBy("bucket")
+      .agg(expr("bit_xor(sig)").as(s"x_$tag"), count(lit(1)).as(s"n_$tag"))
+    val dirty = sums(src, "s").join(sums(dst, "d"), Seq("bucket"), "full_outer")
+      .filter(coalesce(col("x_s"), lit(-1L)) =!= coalesce(col("x_d"), lit(-1L))
+        || coalesce(col("n_s"), lit(0L)) =!= coalesce(col("n_d"), lit(0L)))
+      .select("bucket")
+    def drill(r: DataFrame): DataFrame =
+      r.join(broadcast(dirty), Seq("bucket"), "left_semi")
+    drill(src).select(col("o_orderkey"), col("sig").as("sig_s"))
+      .join(drill(dst).select(col("o_orderkey"), col("sig").as("sig_d")),
+        Seq("o_orderkey"), "full_outer")
+      .filter(col("sig_s").isNull || col("sig_d").isNull
+        || col("sig_s") =!= col("sig_d"))
+      .select(col("o_orderkey"),
+        when(col("sig_d").isNull, "src_only")
+          .when(col("sig_s").isNull, "dst_only")
+          .otherwise("changed").as("diff"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_ingest" -> (qCsvIngest _),
     "q_csv_ingest_glob" -> (qCsvIngestGlob _),
     "q_json_ingest" -> (qJsonIngest _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_table_diff" -> (qTableDiff _),
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -191,7 +263,48 @@ object Ingest {
   // empty elements — robust to presence/absence of a trailing newline;
   // IngestSpec pins the companion fixture contract (no blank lines).
 
+  /** DuckDB spelling of [[qTableDiff]]'s per-row (key, bucket, sig)
+    * projection over a relation with the orders columns. */
+  private def duckDiffRows(rel: String): String = {
+    import graft.core.TextPipeline.duckH32
+    s"""SELECT o_orderkey,
+       |  ${duckH32(s"CAST(o_orderkey AS VARCHAR)")} % $DiffBuckets AS bucket,
+       |  ${duckH32(s"concat_ws('|', o_orderkey, o_custkey, o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT))")} AS sig
+       |FROM $rel""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_table_diff" -> {
+      import graft.core.TextPipeline.duckH32
+      val dmg = s"${duckH32("CAST(o_orderkey AS VARCHAR)")} % 1000"
+      s"""WITH replica AS MATERIALIZED (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |    CASE WHEN $dmg = 7 THEN o_totalprice + 0.01
+         |         ELSE o_totalprice END AS o_totalprice
+         |  FROM orders WHERE $dmg <> 13),
+         |src AS MATERIALIZED (${duckDiffRows("orders")}),
+         |dst AS MATERIALIZED (${duckDiffRows("replica")}),
+         |ss AS (SELECT bucket, bit_xor(sig) AS x_s, count(*) AS n_s
+         |       FROM src GROUP BY bucket),
+         |sd AS (SELECT bucket, bit_xor(sig) AS x_d, count(*) AS n_d
+         |       FROM dst GROUP BY bucket),
+         |dirty AS MATERIALIZED (
+         |  SELECT coalesce(ss.bucket, sd.bucket) AS bucket
+         |  FROM ss FULL OUTER JOIN sd ON ss.bucket = sd.bucket
+         |  WHERE coalesce(x_s, -1) <> coalesce(x_d, -1)
+         |     OR coalesce(n_s, 0) <> coalesce(n_d, 0)),
+         |a AS (SELECT o_orderkey, sig FROM src
+         |      WHERE bucket IN (SELECT bucket FROM dirty)),
+         |b AS (SELECT o_orderkey, sig FROM dst
+         |      WHERE bucket IN (SELECT bucket FROM dirty))
+         |SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         |  CASE WHEN b.sig IS NULL THEN 'src_only'
+         |       WHEN a.sig IS NULL THEN 'dst_only'
+         |       ELSE 'changed' END AS diff
+         |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+         |WHERE a.sig IS NULL OR b.sig IS NULL OR a.sig <> b.sig
+         |ORDER BY 1""".stripMargin
+    },
     // Same aggregate over the ORIGINAL parquet — a hash match proves the
     // ORC write→read round trip preserved every surviving row and value.
     "q_orc_roundtrip" ->

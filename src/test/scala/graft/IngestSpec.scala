@@ -103,4 +103,24 @@ class IngestSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual(doc_id,100)]")
       || plan.contains("(doc_id#"), s"range predicate not pushed to the ORC scan")
   }
+
+  test("table diff equals the injected damage exactly (no false positives/negatives)") {
+    val got = Ingest.qTableDiff(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // ground truth straight from the damage rule the replica was built
+    // with: key-hash % 1000 == 13 -> dropped (src_only), == 7 -> +1 cent
+    // (changed); everything else must be ABSENT from the diff
+    val truth = graft.io.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        pmod(graft.core.TextPipeline.h32(col("o_orderkey").cast("string")),
+          lit(1000)).as("m"))
+      .filter(col("m") === 13 || col("m") === 7)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.getLong(1) == 13) "src_only" else "changed"))
+      .toMap
+    assert(got == truth,
+      s"diff != damage: extra=${(got.toSet -- truth.toSet).take(5)} missing=${(truth.toSet -- got.toSet).take(5)}")
+    assert(got.nonEmpty, "fixture produced no damaged rows - test is vacuous")
+    assert(got.values.toSet == Set("src_only", "changed"))
+  }
 }
