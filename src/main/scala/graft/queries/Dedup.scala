@@ -653,7 +653,92 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** [[qDedupSpans]] constants: gram width K (spans are runs of K-word
+    * grams, so the minimum reportable span is MinRun + K − 1 = 8 words),
+    * the minimum run of consecutive shared grams, and the
+    * document-frequency cap excluding boilerplate stopgrams from seeding
+    * (fixture max df = 2 — the cap is non-binding here, so the fixture
+    * answer IS the unrestricted exact answer; it exists for the hot-gram
+    * corpus where a header shared by every doc would otherwise pay
+    * Σ df² in the pair join, the q_ngram_jaccard postings caveat). */
+  private val SpanK = 5
+  private val SpanMinRun = 4
+  private val SpanDfCap = 128
+
+  /** Exact duplicated-SUBSTRING spans across documents — for each
+    * within-language doc pair, every maximal run of ≥ [[SpanMinRun]]
+    * consecutive shared [[SpanK]]-word grams, reported as (start_a,
+    * start_b, span length in words). This is the span-level rung of the
+    * dedup ladder (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL'22): exact/minhash/winnow decide
+    * WHETHER two docs overlap; this query says WHERE, which is what you
+    * need to cut the duplicated passage out instead of dropping a whole
+    * document.
+    *
+    * Plan: positional k-gram postings (lang, gram-h32, doc, pos) — the
+    * grams come from the trigrams-style zip_with chain (the element_at-
+    * over-sequence spelling re-derives the token array per element,
+    * the measured O(n²) cliff) and hash to h32 so only narrow integer
+    * rows shuffle, never text. Pair join on (lang, gram) aligns every
+    * co-occurrence; a run of consecutive shared grams has CONSTANT
+    * offset pa − pb, so maximal runs are gaps-and-islands per
+    * (a, b, offset): island = pa − row_number(), one window over the
+    * matched pairs only. |span| = run + K − 1.
+    *
+    * Scale stance (100 TB): work is Σ_gram df² like the postings
+    * jaccard — optimal for content-bearing grams (5-word grams are far
+    * rarer than 3-shingles; fixture max df = 2) — with the df cap as
+    * the documented boilerplate guard; the islands window partitions by
+    * (a, b, offset), so state is one run counter per live pair-offset,
+    * and only matched-pair rows (damage-proportional, not corpus-
+    * proportional) ever reach it. */
+  def qDedupSpans(s: SparkSession, dir: String): DataFrame =
+    dedupSpans(Tables.documents(s, dir))
+
+  /** Core of [[qDedupSpans]] over any (doc_id, lang, text) relation —
+    * exposed so DedupSimilaritySpec can pin exact span boundaries on
+    * hand-built passages. */
+  private[graft] def dedupSpans(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // K-word grams as a zip_with fold: g_i = w_i ⊕ w_{i+1} ⊕ … ⊕ w_{i+K-1}
+    val grams = (2 to SpanK).foldLeft(col("w")) { (acc, j) =>
+      zip_with(acc, slice(col("w"), lit(j), greatest(size(col("w")) - (j - 1), lit(0))),
+        (x, y) => concat(x, lit(" "), y))
+    }
+    val g = docs
+      .select(col("doc_id"), col("lang"), toks.as("w"))
+      .filter(size(col("w")) >= SpanK)
+      .select(col("lang"), col("doc_id"),
+        posexplode(transform(filter(grams, _.isNotNull), x => TextPipeline.h32(x)))
+          .as(Seq("pos", "gram")))
+      .repartition(col("lang"), col("gram"))
+    // df per (lang, gram): co-partitioned with g — no extra exchange for
+    // the cap join; the cap keeps boilerplate grams out of the pair join
+    val dfT = g.groupBy(col("lang"), col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= SpanDfCap)
+      .select("lang", "gram")
+    val post = g.join(dfT, Seq("lang", "gram"), "left_semi")
+    val pairs = post.select(col("lang"), col("gram"), col("doc_id").as("a_id"), col("pos").as("pa"))
+      .join(post.select(col("lang"), col("gram"), col("doc_id").as("b_id"), col("pos").as("pb")),
+        Seq("lang", "gram"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("pa"), (col("pa") - col("pb")).as("off"))
+    val w = Window.partitionBy(col("a_id"), col("b_id"), col("off"))
+      .orderBy(col("pa"))
+    pairs
+      .withColumn("island", col("pa") - row_number().over(w))
+      .groupBy(col("a_id"), col("b_id"), col("off"), col("island"))
+      .agg(min(col("pa")).as("a_start"), count(lit(1)).as("run"))
+      .filter(col("run") >= SpanMinRun)
+      .select(col("a_id"), col("b_id"), col("a_start"),
+        (col("a_start") - col("off")).as("b_start"),
+        (col("run") + (SpanK - 1)).as("span_words"))
+      .orderBy("a_id", "b_id", "a_start", "b_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_spans" -> (qDedupSpans _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_minhash_signature" -> (qMinhashSignature _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -672,6 +757,50 @@ object Dedup {
   )
 
   // ---- oracle SQL ----------------------------------------------------------
+
+  /** The zip_with K-gram chain's SQL twin (index arithmetic is fine in
+    * DuckDB — lists are materialized values, no per-element re-derivation)
+    * plus the identical df cap, pair join, and gaps-and-islands window. */
+  private lazy val spansOracle: String = {
+    val gramExpr = (0 until SpanK).map {
+      case 0 => "w[i]"
+      case j => s"w[i+$j]"
+    }.mkString(" || ' ' || ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, lang, ${TextPipeline.duckToks} AS w FROM documents),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    list_transform(range(1, len(w) - ${SpanK - 1} + 1),
+       |      i -> ${duckH32(gramExpr)}) AS gs
+       |  FROM toks WHERE len(w) >= $SpanK),
+       |p AS MATERIALIZED (
+       |  SELECT doc_id, lang, unnest(gs) AS gram,
+       |         unnest(range(0, len(gs))) AS pos FROM g),
+       |keep AS MATERIALIZED (
+       |  SELECT lang, gram FROM (
+       |    SELECT lang, gram, count(DISTINCT doc_id) AS df FROM p GROUP BY 1, 2)
+       |  WHERE df <= $SpanDfCap),
+       |pk AS MATERIALIZED (
+       |  SELECT p.* FROM p SEMI JOIN keep ON p.lang = keep.lang AND p.gram = keep.gram),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS pa,
+       |         a.pos - b.pos AS off
+       |  FROM pk a JOIN pk b
+       |    ON a.lang = b.lang AND a.gram = b.gram AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT a_id, b_id, off, pa,
+       |         pa - row_number() OVER (PARTITION BY a_id, b_id, off ORDER BY pa)
+       |           AS island
+       |  FROM pairs),
+       |runs AS (
+       |  SELECT a_id, b_id, off, island, min(pa) AS a_start,
+       |         count(*) AS run
+       |  FROM isl GROUP BY 1, 2, 3, 4)
+       |SELECT a_id, b_id, a_start, a_start - off AS b_start,
+       |       CAST(run + ${SpanK - 1} AS BIGINT) AS span_words
+       |FROM runs WHERE run >= $SpanMinRun
+       |ORDER BY a_id, b_id, a_start, b_start""".stripMargin
+  }
 
   private val duckSh = duckShingles("w")
 
@@ -794,6 +923,7 @@ object Dedup {
     // verifies against the same all-pairs oracle — the pruning changes
     // the plan, never the result.
     "q_ngram_jaccard_prefix" -> ngramJaccardOracle,
+    "q_dedup_spans" -> spansOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
     "q_dedup_winnow" ->
       s"""WITH $winnowCandCte

@@ -582,4 +582,48 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("n") == 10 && r.getAs[Int]("lo") == 1 && r.getAs[Int]("hi") == 10)
     }
   }
+
+  test("dedup spans: exact boundaries, split spans, sub-threshold absence") {
+    import spark.implicits._
+    def sent(ws: String*) = ws.mkString(" ")
+    val filler = (1 to 30).map(i => s"pad${('a' + i % 26).toChar}$i")
+    val shared = Seq("the", "quick", "brown", "fox", "jumps", "over",
+      "the", "lazy", "dog", "again", "tonight") // 11 words → 7 grams
+    val shared2 = Seq("four", "score", "and", "seven", "years",
+      "ago", "our", "fathers", "brought") // 9 words → 5 grams
+    val short = Seq("just", "six", "words", "here", "no", "more") // 6 → 2 grams < MinRun
+    // doc 1: shared at word 0, shared2 at word 17; doc 2: shared at word 5,
+    // shared2 at word 22 (different offsets → two separate islands)
+    val d1 = sent((shared ++ filler.slice(0, 6) ++ shared2 ++ filler.slice(6, 12)): _*)
+    val d2 = sent((filler.slice(12, 17) ++ shared ++ filler.slice(17, 23) ++ shared2 ++ filler.slice(23, 28)): _*)
+    val d3 = sent((filler.slice(0, 10) ++ short ++ filler.slice(10, 14)): _*)
+    val d4 = sent((filler.slice(14, 24) ++ short ++ filler.slice(24, 28)): _*)
+    val docs = Seq((1L, d1, "en"), (2L, d2, "en"), (3L, d3, "en"), (4L, d4, "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.dedupSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4))).toSet
+    // doc1/doc2: shared 11-word span at (0, 5); shared2 9-word span at (17, 22).
+    // doc3/doc4's 6-word overlap yields only 2 grams — below MinRun, absent.
+    // The two filler segments between docs 1 and 2 never align.
+    assert(got == Set((1L, 2L, 0, 5, 11L), (1L, 2L, 17, 22, 9L)), s"got $got")
+  }
+
+  test("dedup spans at sf0.001: spans are genuine (verified against the raw text)") {
+    val spans = Dedup.qDedupSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(spans.nonEmpty, "fixture has known near-dup docs; spans must exist")
+    val toksByDoc = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.core.TextPipeline.normalizedTokens(col("text")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    spans.foreach { case (a, b, sa, sb, len) =>
+      val (wa, wb) = (toksByDoc(a), toksByDoc(b))
+      assert(wa.slice(sa, sa + len.toInt) == wb.slice(sb, sb + len.toInt),
+        s"span ($a,$b,$sa,$sb,$len) does not match the underlying text")
+      // maximality: the span cannot extend by one word on either side
+      val leftOk = sa == 0 || sb == 0 || wa(sa - 1) != wb(sb - 1)
+      val rightOk = sa + len >= wa.length || sb + len >= wb.length ||
+        wa(sa + len.toInt) != wb(sb + len.toInt)
+      assert(leftOk && rightOk, s"span ($a,$b,$sa,$sb,$len) is not maximal")
+    }
+  }
 }
