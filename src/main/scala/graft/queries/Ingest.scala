@@ -172,6 +172,50 @@ object Ingest {
       .orderBy("lang")
   }
 
+  /** Schema evolution across parquet generations — the other weekly
+    * reality of a long-lived 100 TB corpus: a column is ADDED mid-life,
+    * and every job from then on reads a mix of old files (without it)
+    * and new files (with it). Generation 1 (even doc_ids) writes
+    * (doc_id, lang, text); generation 2 (odd doc_ids) adds a
+    * `quality` token-count column. The read unions both directories
+    * under `mergeSchema` — Spark's parquet schema reconciliation fills
+    * the missing column with NULL for legacy files — and the report
+    * quantifies the mix per language: how much of the corpus is
+    * legacy-unscored vs scored, and the score mass of the scored slice.
+    *
+    * The oracle recomputes the same report from the fixture directly
+    * (the parity split and the token count are both deterministic), so
+    * the round trip through two heterogeneous parquet generations is
+    * hash-proven lossless — the q_orc_roundtrip doctrine extended to a
+    * heterogeneous-schema read.
+    *
+    * Scale stance: mergeSchema's footer reconciliation is a
+    * driver-side metadata pass over file footers (at 100 TB you cache
+    * it in a metastore; semantics identical); the data plan is one
+    * scan → partial agg → |langs| rows, and `quality IS NULL` needs no
+    * extra column when pruned. */
+  def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_schevo_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val docs = Tables.documents(s, dir)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .write.mode("overwrite").parquet(s"$base/gen1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(graft.core.TextPipeline.normalizedTokens(col("text")))
+          .cast("long").as("quality"))
+      .write.mode("overwrite").parquet(s"$base/gen2")
+    s.read.option("mergeSchema", "true").parquet(s"$base/gen1", s"$base/gen2")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("quality").isNull, 1)).as("n_legacy"),
+        count(col("quality")).as("n_scored"),
+        coalesce(sum(col("quality")), lit(0L)).as("quality_sum"))
+      .orderBy("lang")
+  }
+
   /** Bucket count for [[qTableDiff]]'s Merkle-style checksum pass. 256
     * keeps the summary table trivially broadcastable; at 100 TB the same
     * plan runs with 2^16–2^20 buckets so each drill-down bucket stays a
@@ -249,6 +293,7 @@ object Ingest {
     "q_json_ingest" -> (qJsonIngest _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_table_diff" -> (qTableDiff _),
+    "q_schema_evolution" -> (qSchemaEvolution _),
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -274,6 +319,22 @@ object Ingest {
   }
 
   val oracle: Map[String, String] = Map(
+    // The parity split and token count recomputed straight from the
+    // fixture: a hash match proves the two-generation mergeSchema read
+    // lost and invented nothing.
+    "q_schema_evolution" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 2 = 1
+         |         THEN CAST(len(${graft.core.TextPipeline.duckToks}) AS BIGINT)
+         |         ELSE NULL END AS quality
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_legacy,
+         |  CAST(count(quality) AS BIGINT) AS n_scored,
+         |  CAST(coalesce(sum(quality), 0) AS BIGINT) AS quality_sum
+         |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
     "q_table_diff" -> {
       import graft.core.TextPipeline.duckH32
       val dmg = s"${duckH32("CAST(o_orderkey AS VARCHAR)")} % 1000"

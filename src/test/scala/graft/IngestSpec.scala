@@ -123,4 +123,26 @@ class IngestSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture produced no damaged rows - test is vacuous")
     assert(got.values.toSet == Set("src_only", "changed"))
   }
+
+  test("schema evolution: legacy rows are the nulls, generations reconcile exactly") {
+    val rows = Ingest.qSchemaEvolution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val docs = graft.io.Tables.documents(spark, sf)
+    val nEven = docs.filter(col("doc_id") % 2 === 0).count()
+    val nOdd = docs.filter(col("doc_id") % 2 === 1).count()
+    assert(rows.map(_._3).sum == nEven, "every even (gen-1) doc reads as legacy/null")
+    assert(rows.map(_._4).sum == nOdd, "every odd (gen-2) doc carries a score")
+    rows.foreach { case (lang, n, legacy, scored, qsum) =>
+      assert(n == legacy + scored, s"$lang: $n != $legacy + $scored")
+      assert(scored == 0 || qsum > 0, s"$lang: scored docs with zero token mass")
+    }
+    // the evolution is real: a bare read of the gen-1 directory alone has
+    // no `quality` column at all
+    val base = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_schevo_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    assert(!spark.read.parquet(s"$base/gen1").columns.contains("quality"))
+    assert(spark.read.parquet(s"$base/gen2").columns.contains("quality"))
+  }
 }
