@@ -249,6 +249,34 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
 
+  /** Per-GROUP bounded top-k via the native `topk_min` aggregate — the
+    * 3 cheapest orders per nation. This is the relational face of the
+    * ANN tier's selection primitive (graft.plans.TopKMin): per-group
+    * state is a bounded k-pair heap, the map side reduces each partition
+    * to ≤ k pairs per nation BEFORE the shuffle, and no full sort of any
+    * group ever happens. The ORACLE is the classic
+    * `row_number().over(partitionBy(nation))` spelling — so every verify
+    * run re-proves the bounded aggregate answer-identical to the window
+    * form it replaces at scale (the window ships whole groups to single
+    * reducer partitions; the round-8 scale-killer finding this primitive
+    * was built for). Ties break on (price, orderkey) lexicographic order
+    * in both spellings. */
+  def qTopkBounded(s: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("o_orderkey"))
+    joined.groupBy(col("n_name"))
+      .agg(graft.functions.VectorFunctions.topkMin(
+        col("price_cents"), col("o_orderkey"), 3).as("topk"))
+      .select(col("n_name"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("n_name"), (col("pos") + 1).as("rank"),
+        col("e.id").as("o_orderkey"), col("e.score").as("price_cents"))
+      .orderBy("n_name", "rank")
+  }
+
   /** DISTINCT projection. */
   def qDistinctSegments(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select(col("c_mktsegment").as("segment"))
@@ -440,6 +468,7 @@ object Relational {
     "q_intersect" -> (qIntersect _),
     "q_except" -> (qExcept _),
     "q_topk_orders" -> (qTopKOrders _),
+    "q_topk_bounded" -> (qTopkBounded _),
     "q_distinct_segments" -> (qDistinctSegments _),
     "q_scalar_fns" -> (qScalarFns _),
     "q_case_buckets" -> (qCaseBuckets _),
@@ -568,6 +597,20 @@ object Relational {
         |EXCEPT SELECT o_orderdate FROM orders
         |  WHERE o_totalprice > 300000
         |ORDER BY d""".stripMargin,
+    // row_number window spelling — re-proves the bounded topk_min
+    // aggregate equal to the window form it replaces at scale
+    "q_topk_bounded" ->
+      """WITH j AS (
+        |  SELECT n_name, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |         o_orderkey
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |r AS (SELECT n_name, price_cents, o_orderkey,
+        |        row_number() OVER (PARTITION BY n_name
+        |          ORDER BY price_cents, o_orderkey) AS rank
+        |      FROM j)
+        |SELECT n_name, CAST(rank AS INT) AS rank, o_orderkey, price_cents
+        |FROM r WHERE rank <= 3 ORDER BY n_name, rank""".stripMargin,
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,

@@ -173,4 +173,34 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(r.getBoolean(5), s"$status all_pos must hold on fixture prices")
     }
   }
+
+  test("topk_bounded: no Window node, topk_min partial-aggregates, window-equal") {
+    val df = graft.queries.Relational.qTopkBounded(spark, sf)
+    val rows = df.collect()
+    // plan shape: the bounded aggregate replaces the window — no WindowExec
+    // anywhere, and topk_min appears in BOTH partial and final modes (the
+    // map side reduces each partition to <= k pairs per group pre-shuffle)
+    val plan = org.apache.spark.sql.graftbridge.Bridge.finalPlanString(df)
+    assert(!plan.contains("Window"), s"bounded top-k must not plan a window:\n$plan")
+    assert("partial_topk_min|partial topk_min|topk_min".r
+      .findAllIn(plan.toLowerCase).size >= 2,
+      s"topk_min must appear in partial AND final aggregate modes:\n$plan")
+    // answer equality vs the window spelling, computed independently here
+    import org.apache.spark.sql.expressions.Window
+    val j = graft.io.Tables.orders(spark, sf)
+      .join(graft.io.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(graft.io.Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("o_orderkey"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("price_cents"), col("o_orderkey"))
+    val windowed = j.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("n_name"), col("rank"), col("o_orderkey"), col("price_cents"))
+      .orderBy("n_name", "rank").collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq ==
+      windowed.map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq,
+      "bounded aggregate must equal the window spelling row for row")
+  }
 }
