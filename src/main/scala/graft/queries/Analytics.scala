@@ -630,7 +630,53 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** Pearson chi-square independence test over the market-segment ×
+    * order-priority contingency table — the categorical-association
+    * readout behind feature selection and segmentation sanity checks
+    * (does priority mix differ by segment?). The statistic's per-cell
+    * term (n−e)²/e quantizes to a 1e-6 BIGINT grid before the sum — the
+    * PageRank contribution trick — so the total is commutative and
+    * partition-order-free; e itself is a fixed sequence of exact-double
+    * ops from BIGINT margins, spelled identically in the oracle (no pow,
+    * no libm). Output is all-integer: N, cell/margin counts, dof,
+    * chi2_micros.
+    *
+    * Scale stance (100 TB): one fact join (orders⨝customer on custkey —
+    * shuffled on the key, AQE-skewable) partial-aggregates to the
+    * |segments|·|priorities| cell table; margins, N, expected values and
+    * the statistic are arithmetic over that constant-size relation
+    * (broadcast scalar joins), so nothing downstream of the first
+    * aggregate grows with the data. */
+  def qChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // 4 consumers: margins ×2, N, terms
+    val rowM = cells.groupBy("seg").agg(sum(col("n")).as("rn"))
+    val colM = cells.groupBy("prio").agg(sum(col("n")).as("cn"))
+    val tot = cells.agg(sum(col("n")).as("total"))
+    cells
+      .join(rowM, "seg").join(colM, "prio").crossJoin(broadcast(tot))
+      .select(col("seg"), col("prio"), col("n"), col("total"),
+        (col("rn").cast("double") * col("cn").cast("double")
+          / col("total").cast("double")).as("e"))
+      .select(col("seg"), col("prio"), col("total"),
+        round((col("n").cast("double") - col("e"))
+          * (col("n").cast("double") - col("e")) / col("e") * 1e6)
+          .cast("long").as("term_micros"))
+      .agg(max(col("total")).as("n_obs"),
+        count(lit(1)).as("n_cells"),
+        countDistinct(col("seg")).as("n_segs"),
+        countDistinct(col("prio")).as("n_prios"),
+        sum(col("term_micros")).as("chi2_micros"))
+      .select(col("n_obs"), col("n_cells"), col("n_segs"), col("n_prios"),
+        ((col("n_segs") - 1) * (col("n_prios") - 1)).as("dof"),
+        col("chi2_micros"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chi_square" -> (qChiSquare _),
     "q_ewma" -> (qEwma _),
     "q_rolling_distinct" -> (qRollingDistinct _),
     "q_rolling_distinct_approx" -> (qRollingDistinctApprox _),
@@ -649,6 +695,29 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    // Identical expected-value expression tree and 1e-6 term grid.
+    "q_chi_square" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg, o_orderpriority AS prio
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (SELECT seg, prio, count(*) AS n FROM j GROUP BY 1, 2),
+        |rm AS (SELECT seg, CAST(sum(n) AS BIGINT) AS rn FROM cells GROUP BY 1),
+        |cm AS (SELECT prio, CAST(sum(n) AS BIGINT) AS cn FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells),
+        |terms AS (
+        |  SELECT seg, prio, total,
+        |    CAST(round((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e * 1e6)
+        |      AS BIGINT) AS term_micros
+        |  FROM (SELECT cells.*, rn, cn, total,
+        |          CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(total AS DOUBLE) AS e
+        |        FROM cells JOIN rm USING (seg) JOIN cm USING (prio), t) x)
+        |SELECT max(total) AS n_obs, count(*) AS n_cells,
+        |  CAST(count(DISTINCT seg) AS BIGINT) AS n_segs,
+        |  CAST(count(DISTINCT prio) AS BIGINT) AS n_prios,
+        |  CAST((count(DISTINCT seg) - 1) * (count(DISTINCT prio) - 1) AS BIGINT)
+        |    AS dof,
+        |  CAST(sum(term_micros) AS BIGINT) AS chi2_micros
+        |FROM terms""".stripMargin,
     // Same 21-term integer-shift numerator / realized-weight-mass
     // denominator; list() over the identical ROWS frame.
     "q_ewma" ->

@@ -380,6 +380,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("chi-square matches a driver-side float recompute; margins conserve") {
+    val r = Analytics.qChiSquare(spark, sf).collect()(0)
+    val (nObs, nCells, nSegs, nPrios, dof, chi2Micros) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val joined = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+    assert(nObs == joined.count(), "every joined order lands in one cell")
+    assert(dof == (nSegs - 1) * (nPrios - 1) && nCells <= nSegs * nPrios)
+    // independent float recompute of the statistic from raw cell counts
+    val cells = joined.groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .count().collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    val rowM = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val colM = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val n = cells.map(_._3).sum.toDouble
+    val chi2 = cells.map { case (s2, p, c) =>
+      val e = rowM(s2) * colM(p) / n
+      (c - e) * (c - e) / e
+    }.sum
+    assert(math.abs(chi2Micros / 1e6 - chi2) < 1e-3,
+      s"chi2 ${chi2Micros / 1e6} != recompute $chi2")
+  }
+
   test("ewma equals an independent BigInt recompute; stays inside the frame hull") {
     val rows = Analytics.qEwma(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))

@@ -153,4 +153,33 @@ class SourcesSpec extends SparkSpec {
     val digests = imgs.select(md5(col("content")).as("d")).collect().map(_.getString(0))
     assert(digests.toSet.size == 2, "distinct blobs must digest distinctly")
   }
+
+  test("small-file compaction: 64 shards -> 4 files, content checksum preserved") {
+    // The nightly-compaction job every streaming/hourly-ingest lake needs:
+    // thousands of small files (one per micro-batch) re-written as few
+    // large ones. Order-free content checksum (sum over row h32s) proves
+    // the rewrite lossless; at 100 TB the same job runs per partition with
+    // maxRecordsPerFile instead of a repartition count.
+    val base = Files.createTempDirectory("graft_compact").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    def checksum(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(graft.core.TextPipeline.h32(
+          concat_ws("|", col("doc_id"), col("lang"), col("text"))).as("h"))
+        .agg(sum(col("h"))).collect()(0).getLong(0)
+    docs.repartition(64).write.mode("overwrite").parquet(s"$base/small")
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val nSmall = parts(s"$base/small")
+    assert(nSmall == 64, s"expected 64 small files, got $nSmall")
+    // the compactor: read the fragmented layout, coalesce, rewrite
+    spark.read.parquet(s"$base/small")
+      .repartition(4).write.mode("overwrite").parquet(s"$base/compact")
+    assert(parts(s"$base/compact") == 4, "compaction must produce 4 files")
+    val (a, b) = (checksum(docs), checksum(spark.read.parquet(s"$base/compact")))
+    assert(a == b, "compaction changed the data")
+    // fewer, larger files also means fewer scan tasks at the same
+    // maxPartitionBytes — the actual point of compacting
+    assert(spark.read.parquet(s"$base/compact").rdd.getNumPartitions <=
+      spark.read.parquet(s"$base/small").rdd.getNumPartitions)
+  }
 }
