@@ -675,7 +675,54 @@ object Analytics {
         col("chi2_micros"))
   }
 
+  /** Minimum absolute co-occurrence for a pair to seed rules — the
+    * Apriori support floor. Fixture-calibrated (max pair count is 5 at
+    * sf0.001–sf0.01): 3 keeps a real rule set at every sf; at 100 TB the
+    * floor is the lever that keeps the pair table polynomial. */
+  private val RuleMinPairs = 3
+
+  /** Association rules over order baskets (Agrawal–Srikant Apriori, the
+    * 2-itemset tier): for every part pair co-ordered ≥ [[RuleMinPairs]]
+    * times, both directed rules a→b with exact-integer support counts
+    * and confidence = n_ab/n_a, lift = n_ab·N/(n_a·n_b) — each ONE
+    * division of exact BIGINTs (the q_markov_transition pattern), so
+    * cross-engine identical. The market-basket complement of
+    * q_cooccur_lift (words) and the edge machinery of q_triangles,
+    * graduated to the directed-rule readout a recommender consumes.
+    *
+    * Scale stance (100 TB): baskets collapse to distinct (order, part)
+    * once; the pair join is the co-order self-join bounded by per-order
+    * basket size (TPC-H-ish baskets are ≤ 7 lines — pair work is
+    * Σ basket², not N²); the support floor prunes BEFORE the rule
+    * expansion; item counts broadcast-join onto the ≤|pairs| rule rows.
+    * One scan, three narrow integer shuffles, no text, no windows. */
+  def qAssocRules(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().localCheckpoint() // 3 consumers: items, pairs, N
+    val items = li.groupBy(col("p")).agg(count(lit(1)).as("n_item"))
+    val nOrders = li.agg(countDistinct(col("o")).as("n_orders"))
+    val pairs = li.join(li.withColumnRenamed("p", "q"), "o")
+      .filter(col("p") < col("q"))
+      .groupBy(col("p"), col("q")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= RuleMinPairs)
+    // both directed rules per surviving pair
+    val rules = pairs.select(col("p").as("a"), col("q").as("b"), col("n_ab"))
+      .unionAll(pairs.select(col("q").as("a"), col("p").as("b"), col("n_ab")))
+    rules
+      .join(items.select(col("p").as("a"), col("n_item").as("n_a")), "a")
+      .join(items.select(col("p").as("b"), col("n_item").as("n_b")), "b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+          .as("confidence"),
+        round((col("n_ab") * col("n_orders")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assoc_rules" -> (qAssocRules _),
     "q_chi_square" -> (qChiSquare _),
     "q_ewma" -> (qEwma _),
     "q_rolling_distinct" -> (qRollingDistinct _),
@@ -695,6 +742,27 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same support floor, same one-division confidence/lift spellings.
+    "q_assoc_rules" ->
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |items AS (SELECT p, CAST(count(*) AS BIGINT) AS n_item FROM li GROUP BY p),
+         |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+         |pairs AS (
+         |  SELECT x.p, y.p AS q, CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= $RuleMinPairs),
+         |rules AS (
+         |  SELECT p AS a, q AS b, n_ab FROM pairs
+         |  UNION ALL SELECT q, p, n_ab FROM pairs)
+         |SELECT r.a, r.b, r.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+         |  round(CAST(r.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE), 6)
+         |    AS confidence,
+         |  round(CAST(r.n_ab * n.n_orders AS DOUBLE)
+         |    / CAST(ia.n_item * ib.n_item AS DOUBLE), 6) AS lift
+         |FROM rules r
+         |JOIN items ia ON r.a = ia.p JOIN items ib ON r.b = ib.p, n
+         |ORDER BY a, b""".stripMargin,
     // Identical expected-value expression tree and 1e-6 term grid.
     "q_chi_square" ->
       """WITH j AS (

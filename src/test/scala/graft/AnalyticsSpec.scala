@@ -380,6 +380,32 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("assoc rules: mirrored pairs, support bounds, symmetric lift") {
+    val rows = Analytics.qAssocRules(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val byDir = rows.map(r => (r._1, r._2) -> r).toMap
+    rows.foreach { case (a, b, nab, na, nb, conf, lift) =>
+      assert(nab >= 3, "support floor")
+      assert(nab <= math.min(na, nb), "joint count exceeds a marginal")
+      assert(conf > 0 && conf <= 1.0, s"confidence out of range: $conf")
+      assert(lift > 0)
+      // the mirrored rule exists with swapped margins and the SAME lift
+      val m = byDir((b, a))
+      assert(m._3 == nab && m._4 == nb && m._5 == na, s"mirror of ($a,$b) broken")
+      assert(math.abs(m._7 - lift) < 1e-9, "lift must be direction-free")
+    }
+    // independent recompute of one rule from raw baskets
+    val (a, b, nab, na, _, conf, _) = rows.maxBy(_._6)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val oa = li.filter(col("p") === a).select("o").collect().map(_.getLong(0)).toSet
+    val ob = li.filter(col("p") === b).select("o").collect().map(_.getLong(0)).toSet
+    assert(na == oa.size && nab == (oa intersect ob).size)
+    assert(math.abs(conf - math.round(nab.toDouble / na * 1e6) / 1e6) < 1e-12)
+  }
+
   test("chi-square matches a driver-side float recompute; margins conserve") {
     val r = Analytics.qChiSquare(spark, sf).collect()(0)
     val (nObs, nCells, nSegs, nPrios, dof, chi2Micros) =
