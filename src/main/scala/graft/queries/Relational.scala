@@ -326,6 +326,40 @@ object Relational {
       .agg(count(lit(1)).as("n"), countDistinct(col("event_type")).as("n_types"))
       .orderBy("k_val")
 
+  /** Semi-structured VARIANT path (Spark 4): assemble a nested JSON
+    * payload per event (object, nested object, array), `parse_json` it
+    * ONCE into a VariantType value, then pull several typed fields back
+    * out with `variant_get` — nested path, array index, string leaf —
+    * plus a `try_variant_get` miss that must yield NULL, and aggregate.
+    * This is the modern semi-structured shape: at 100 TB you parse each
+    * payload once into the binary variant encoding and run many cheap
+    * typed extractions, instead of re-parsing the JSON text per
+    * `get_json_object` call (q_json_extract is that legacy spelling).
+    *
+    * The ORACLE computes the same aggregate straight from the source
+    * columns — extraction is thereby proven LOSSLESS through the data
+    * (build → parse → extract must be the identity), the
+    * q_schema_evolution doctrine rather than a JSON-text compare that
+    * would be hostage to whitespace conventions. */
+  def qVariantExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(parse_json(to_json(struct(
+        col("user_id").as("uid"),
+        struct(col("event_type").as("name"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")).as("evt"),
+        array(col("event_id"), col("user_id") * 2).as("ids")))).as("v"))
+      .select(
+        expr("variant_get(v, '$.evt.name', 'string')").as("etype"),
+        expr("variant_get(v, '$.evt.k', 'long')").as("k"),
+        expr("variant_get(v, '$.ids[1]', 'long')").as("uid2"),
+        expr("try_variant_get(v, '$.absent.path', 'long')").as("missing"))
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("k_sum"),
+        sum(col("uid2")).as("uid2_sum"),
+        count(col("missing")).as("n_phantom"))
+      .orderBy("etype")
+
   /** Scalar subquery: customers above the global average balance. */
   def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)
@@ -473,6 +507,7 @@ object Relational {
     "q_scalar_fns" -> (qScalarFns _),
     "q_case_buckets" -> (qCaseBuckets _),
     "q_json_extract" -> (qJsonExtract _),
+    "q_variant_extract" -> (qVariantExtract _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_correlated_subquery" -> (qCorrelatedSubquery _),
     "q_like_filter" -> (qLikeFilter _),
@@ -643,6 +678,15 @@ object Relational {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
         | count(*) AS n, count(DISTINCT event_type) AS n_types
         |FROM events GROUP BY k_val ORDER BY k_val""".stripMargin,
+    // straight-from-source recompute: build -> parse_json -> variant_get
+    // must be the identity on every field for the hashes to match
+    "q_variant_extract" ->
+      """SELECT event_type AS etype, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS k_sum,
+        |  CAST(sum(user_id * 2) AS BIGINT) AS uid2_sum,
+        |  CAST(0 AS BIGINT) AS n_phantom
+        |FROM events GROUP BY event_type ORDER BY etype""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)

@@ -174,6 +174,25 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("variant: typed extraction round-trips, misses are NULL not errors") {
+    import spark.implicits._
+    val v = Seq("""{"a": {"b": [10, 20]}, "s": "x", "neg": -5}""").toDF("j")
+      .selectExpr("parse_json(j) AS v")
+    assert(v.schema("v").dataType.typeName == "variant", "parse_json must yield VariantType")
+    val r = v.selectExpr(
+      "variant_get(v, '$.a.b[1]', 'long') AS i",
+      "variant_get(v, '$.s', 'string') AS s",
+      "variant_get(v, '$.neg', 'long') AS n",
+      "try_variant_get(v, '$.a.zzz', 'long') AS miss").collect()(0)
+    assert(r.getLong(0) == 20L && r.getString(1) == "x" && r.getLong(2) == -5L)
+    assert(r.isNullAt(3), "try_variant_get on a missing path must be NULL")
+    // the query-level contract: phantom-path extraction contributes zero
+    val q = graft.queries.Relational.qVariantExtract(spark, sf).collect()
+    assert(q.nonEmpty && q.forall(_.getLong(4) == 0L), "n_phantom must be 0 everywhere")
+    assert(q.map(_.getLong(1)).sum == graft.io.Tables.events(spark, sf).count(),
+      "every event must survive the build->parse->extract round trip")
+  }
+
   test("topk_bounded: no Window node, topk_min partial-aggregates, window-equal") {
     val df = graft.queries.Relational.qTopkBounded(spark, sf)
     val rows = df.collect()
