@@ -167,6 +167,35 @@ object Windows {
       }
   }
 
+  /** One priced order flowing into the streaming top-k. */
+  case class PricedOrder(nation: String, price_cents: Long, o_orderkey: Long)
+  /** Current per-nation top-k snapshot (ascending (price, key) order). */
+  case class TopkSnapshot(nation: String, prices: Seq[Long], keys: Seq[Long])
+
+  /** Streaming bounded top-k — the online twin of `q_topk_bounded` (and
+    * of the ANN tier's `topk_min` aggregate): per nation, maintain the k
+    * lexicographically smallest (price, key) pairs as orders arrive,
+    * emitting the refreshed snapshot each trigger. State per group is
+    * the SAME bounded k-pair structure the batch aggregate carries —
+    * O(k), independent of stream length — so the leaderboard never
+    * replays history. Re-delivered pairs are swallowed by the distinct
+    * merge (at-least-once safe), mirroring `winnowNovel`'s redelivery
+    * contract. Streaming == batch pinned in StreamingSpec against the
+    * same merge computed in one pass. */
+  def topkStream(orders: Dataset[PricedOrder], k: Int = 3): Dataset[TopkSnapshot] = {
+    import orders.sparkSession.implicits._
+    orders.groupByKey(_.nation)
+      .mapGroupsWithState[Seq[(Long, Long)], TopkSnapshot](
+        GroupStateTimeout.NoTimeout()) {
+        (nation: String, batch: Iterator[PricedOrder], state: GroupState[Seq[(Long, Long)]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty).iterator ++
+            batch.map(o => (o.price_cents, o.o_orderkey)))
+            .toSeq.distinct.sorted.take(k)
+          state.update(merged)
+          TopkSnapshot(nation, merged.map(_._1), merged.map(_._2))
+      }
+  }
+
   /** Open-session accumulator carried in the state store (one per user). */
   case class SessionBuf(start_us: Long, last_us: Long, n: Long, sum: Double)
   /** A completed session, session_window-compatible (end = last + gap). */

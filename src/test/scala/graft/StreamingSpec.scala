@@ -384,4 +384,43 @@ class StreamingSpec extends SparkSpec {
     assert(last(1L)._3 == ts("2024-01-01 03:00:00").getTime * 1000L)
     assert(last(2L)._1 == 1L && last(2L)._2 == 0.5)
   }
+
+  test("streaming bounded top-k converges to the batch merge; redelivery-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Windows.PricedOrder
+    // real fixture data: sf0.001 orders joined to nation, driver-collected
+    val rows = graft.io.Tables.orders(spark, sf)
+      .join(graft.io.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.io.Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        round(col("o_totalprice") * 100).cast("long"), col("o_orderkey"))
+      .collect().map(r => PricedOrder(r.getString(0), r.getLong(1), r.getLong(2)))
+    val mem = MemoryStream[PricedOrder]
+    val q = graft.streaming.Windows.topkStream(mem.toDS())
+      .writeStream.format("memory").queryName("t_topk")
+      .outputMode(OutputMode.Update()).start()
+    val (b1, rest) = rows.splitAt(rows.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    // redeliver part of batch 2 (at-least-once) alongside batch 3
+    mem.addData(b3 ++ b2.take(20)); q.processAllAvailable()
+    // LAST snapshot per nation (memory sink appends each Update emission)
+    val got = spark.table("t_topk").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+      .zipWithIndex.groupBy(_._1._1).map { case (n2, v) => n2 -> v.maxBy(_._2)._1 }
+      .map { case (n2, (_, ps, ks)) => n2 -> ps.zip(ks) }
+    val want = rows.groupBy(_.nation).map { case (n2, os) =>
+      n2 -> os.map(o => (o.price_cents, o.o_orderkey)).distinct.sorted.take(3).toSeq }
+    assert(got == want, "final streamed snapshots must equal the one-pass batch merge")
+    // and equal q_topk_bounded's answer on the same fixture
+    val batchQ = graft.queries.Relational.qTopkBounded(spark, sf).collect()
+      .groupBy(_.getString(0)).map { case (n2, rs) =>
+        n2 -> rs.sortBy(_.getInt(1)).map(r => (r.getLong(3), r.getLong(2))).toSeq }
+    assert(got == batchQ, "streamed top-k must equal the q_topk_bounded aggregate")
+    q.stop()
+  }
 }
