@@ -721,7 +721,61 @@ object Analytics {
       .orderBy("a", "b")
   }
 
+  /** Peak concurrency per day — the max number of simultaneously-active
+    * users (activity interval = [first, last] event of the (user, day)) —
+    * the capacity-planning readout behind "how many seats were live at
+    * once". Classic sweep line: +1 at interval start, −1 just after the
+    * end, running-sum the deltas in time order, take the max.
+    *
+    * The SCALE-SAFE spelling is a two-phase distributed prefix sum, not
+    * one giant per-day window: deltas pre-aggregate by (day, µs), then
+    * (1) hour-level partial sums prefix-scan over ≤ 24 rows per day and
+    * (2) the within-hour running sum adds the hour's carry-in — so the
+    * sequential character of the scan is confined to (day, HOUR)
+    * partitions, 24× the parallelism of the naive day-window, with the
+    * carry chain a constant-size relation. The ORACLE is the naive
+    * single-window-per-day spelling, so the decomposition is re-proven
+    * equal to the textbook form on every verify run (the q_triangles
+    * brute-force-oracle doctrine). Boundary semantics: a user active at
+    * instant t counts at t (end delta lands at t+1µs); all integer. */
+  def qPeakConcurrency(s: SparkSession, dir: String): DataFrame =
+    peakConcurrency(Tables.events(s, dir))
+
+  /** Core of [[qPeakConcurrency]] over any (user_id, ts) relation —
+    * exposed so AnalyticsSpec can pin exact peaks on hand-built overlap
+    * patterns (shared-instant inclusivity, singleton intervals). */
+  private[graft] def peakConcurrency(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        unix_micros(col("ts")).as("t_us"))
+      .groupBy("user_id", "day")
+      .agg(min(col("t_us")).as("lo"), max(col("t_us")).as("hi"))
+      .localCheckpoint() // 2 consumers: deltas and the n_intervals count
+    val deltas = iv.select(col("day"), col("lo").as("t"), lit(1L).as("d"))
+      .unionAll(iv.select(col("day"), (col("hi") + 1).as("t"), lit(-1L).as("d")))
+      .groupBy(col("day"), col("t")).agg(sum(col("d")).as("d"))
+      .withColumn("hour", expr("t div 3600000000"))
+    val hourSums = deltas.groupBy(col("day"), col("hour"))
+      .agg(sum(col("d")).as("hd"))
+    val carry = hourSums.withColumn("carry_in",
+      coalesce(sum(col("hd")).over(Window.partitionBy(col("day"))
+        .orderBy(col("hour")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("hour"), col("carry_in"))
+    val running = deltas.join(carry, Seq("day", "hour"))
+      .withColumn("run", col("carry_in") +
+        sum(col("d")).over(Window.partitionBy(col("day"), col("hour"))
+          .orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)))
+    running.groupBy(col("day"))
+      .agg(max(col("run")).as("peak_concurrent"))
+      .join(iv.groupBy(col("day")).agg(count(lit(1)).as("n_intervals")), "day")
+      .select(col("day"), col("n_intervals"), col("peak_concurrent"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_peak_concurrency" -> (qPeakConcurrency _),
     "q_assoc_rules" -> (qAssocRules _),
     "q_chi_square" -> (qChiSquare _),
     "q_ewma" -> (qEwma _),
@@ -742,6 +796,27 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    // The NAIVE sweep: one running-sum window per day — re-proves the
+    // two-phase hour-carry decomposition equal to the textbook form.
+    "q_peak_concurrency" ->
+      """WITH iv AS MATERIALIZED (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |  FROM events GROUP BY 1, 2),
+        |deltas AS (
+        |  SELECT day, t, CAST(sum(d) AS BIGINT) AS d FROM (
+        |    SELECT day, lo AS t, 1 AS d FROM iv
+        |    UNION ALL SELECT day, hi + 1, -1 FROM iv) u
+        |  GROUP BY day, t),
+        |run AS (
+        |  SELECT day, sum(d) OVER (PARTITION BY day ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM deltas)
+        |SELECT r.day, n.n_intervals, CAST(r.peak AS BIGINT) AS peak_concurrent
+        |FROM (SELECT day, max(run) AS peak FROM run GROUP BY day) r
+        |JOIN (SELECT day, count(*) AS n_intervals FROM iv GROUP BY day) n
+        |  USING (day)
+        |ORDER BY day""".stripMargin,
     // Same support floor, same one-division confidence/lift spellings.
     "q_assoc_rules" ->
       s"""WITH li AS MATERIALIZED (

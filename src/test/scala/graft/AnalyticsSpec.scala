@@ -380,6 +380,34 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("peak concurrency: exact on hand-built overlaps, bounded at fixture") {
+    import spark.implicits._
+    def t(h: Int, m: Int = 0, us: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00.${us}%06d")
+    // u1 08:00-12:00, u2 10:00-14:00, u3 11:00-11:30 -> 3 live at 11:00
+    // u4 ends EXACTLY when u5 starts (15:00) -> inclusive: both live -> 2
+    // u6 single event at 20:00 -> its own peak of 1 there
+    val ev = Seq(
+      (1L, t(8)), (1L, t(12)), (2L, t(10)), (2L, t(14)), (3L, t(11)), (3L, t(11, 30)),
+      (4L, t(14, 30)), (4L, t(15)), (5L, t(15)), (5L, t(16)),
+      (6L, t(20))
+    ).toDF("user_id", "ts")
+    val got = Analytics.peakConcurrency(ev).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 6L, "six (user, day) intervals")
+    assert(got(0).getLong(2) == 3L, s"peak must be 3 (u1+u2+u3 at 11:00), got ${got(0).getLong(2)}")
+    // shared-instant inclusivity in isolation: drop u1..u3 and u6
+    val got2 = Analytics.peakConcurrency(ev.filter(col("user_id").isin(4L, 5L))).collect()
+    assert(got2(0).getLong(2) == 2L, "a handoff at the same instant counts both")
+    // fixture bounds: 1 <= peak <= intervals, days complete
+    val fx = Analytics.qPeakConcurrency(spark, sf).collect()
+    assert(fx.nonEmpty)
+    fx.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1),
+        s"day ${r.getLong(0)}: peak out of [1, n_intervals]")
+    }
+  }
+
   test("assoc rules: mirrored pairs, support bounds, symmetric lift") {
     val rows = Analytics.qAssocRules(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
