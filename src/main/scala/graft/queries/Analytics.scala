@@ -774,7 +774,53 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** Time-weighted average value (TWAP) per (event_type, day): the
+    * `value` signal is a step function that holds until the next
+    * observation (LOCF), so the honest daily average is the integral
+    * ∫v·dt / ∫dt between the first and last observation — the metric
+    * behind TWAP pricing and "average concurrent load", and the
+    * correction for irregularly-sampled series that a plain avg()
+    * silently gets wrong (it over-weights bursts; the spec pins an
+    * actual fixture group where the two disagree).
+    *
+    * Exactness: cents × microsecond durations are BIGINT products
+    * (≤ ~1e15 per event), the integral is a BIGINT sum, and the output
+    * is numerator DIV denominator (floor cents) — zero float ops, the
+    * q_ewma doctrine. Groups with a single observation carry no
+    * interval and are excluded (denominator 0).
+    *
+    * Scale stance: one shuffle for the lead() window keyed by
+    * (event_type, day) — state is one row lookahead; the aggregate then
+    * collapses to |types|·|days| rows. Nothing global, nothing
+    * single-partition. */
+  def qTwap(s: SparkSession, dir: String): DataFrame =
+    twap(Tables.events(s, dir))
+
+  /** Core of [[qTwap]] over any (event_type, event_id, ts, value)
+    * relation — exposed for AnalyticsSpec's hand-built burst series. */
+  private[graft] def twap(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    events
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        unix_micros(col("ts")).as("t_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("t_next", lead(col("t_us"), 1).over(w))
+      .filter(col("t_next").isNotNull)
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("cents") * (col("t_next") - col("t_us"))).as("numer"),
+        sum(col("t_next") - col("t_us")).as("span_us"))
+      .filter(col("span_us") > 0)
+      .select(col("event_type"), col("day"), col("n_intervals"),
+        col("span_us"), expr("numer div span_us").as("twap_cents"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_twap" -> (qTwap _),
     "q_peak_concurrency" -> (qPeakConcurrency _),
     "q_assoc_rules" -> (qAssocRules _),
     "q_chi_square" -> (qChiSquare _),
@@ -796,6 +842,25 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    // Identical lead() window, BIGINT integral, floor division.
+    "q_twap" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    epoch_us(ts) // 86400000000 AS day, epoch_us(ts) AS t_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |led AS (
+        |  SELECT event_type, day, cents, t_us,
+        |    lead(t_us) OVER (PARTITION BY event_type, day
+        |      ORDER BY t_us, event_id) AS t_next
+        |  FROM e)
+        |SELECT event_type, day, count(*) AS n_intervals,
+        |  CAST(sum(t_next - t_us) AS BIGINT) AS span_us,
+        |  CAST(sum(cents * (t_next - t_us)) AS BIGINT)
+        |    // CAST(sum(t_next - t_us) AS BIGINT) AS twap_cents
+        |FROM led WHERE t_next IS NOT NULL
+        |GROUP BY event_type, day HAVING sum(t_next - t_us) > 0
+        |ORDER BY event_type, day""".stripMargin,
     // The NAIVE sweep: one running-sum window per day — re-proves the
     // two-phase hour-carry decomposition equal to the textbook form.
     "q_peak_concurrency" ->

@@ -380,6 +380,36 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("twap: burst-robust exact integral; plain avg provably disagrees") {
+    import spark.implicits._
+    def t(m: Int, sec: Int = 0) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:$sec%02d")
+    // value 1.00 holds for 59 minutes, then a 10-event burst at 100.00
+    // packed into the final minute: TWAP ≈ 1.xx, plain avg ≈ 84
+    val burst = (0 until 10).map(i => ("load", 100L + i, t(59, i * 6), 100.0))
+    val ev = (Seq(("load", 1L, t(0), 1.0)) ++ burst)
+      .toDF("event_type", "event_id", "ts", "value")
+    val r = Analytics.twap(ev).collect()(0)
+    val (n, span, twapCents) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n == 10, "10 intervals from 11 observations")
+    assert(span == 59L * 60 * 1000000 + 9L * 6 * 1000000)
+    // exact integral: 100 cents * 59 min + 10000 cents * 54 s, floor-div
+    val expect = (100L * 59 * 60 * 1000000 + 10000L * 54 * 1000000) / span
+    assert(twapCents == expect, s"twap $twapCents != $expect")
+    assert(twapCents < 300, "time weighting must suppress the burst")
+    // fixture: TWAP and the naive mean must genuinely differ somewhere
+    val fx = Analytics.qTwap(spark, sf).collect()
+      .map(r2 => (r2.getString(0), r2.getLong(1)) -> r2.getLong(4)).toMap
+    assert(fx.nonEmpty)
+    val naive = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(expr("sum(cents) div count(1)").as("avg_cents")).collect()
+      .map(r2 => (r2.getString(0), r2.getLong(1)) -> r2.getLong(2)).toMap
+    assert(fx.keys.exists(k => naive.get(k).exists(_ != fx(k))),
+      "on an irregular series TWAP must diverge from the plain mean somewhere")
+  }
+
   test("peak concurrency: exact on hand-built overlaps, bounded at fixture") {
     import spark.implicits._
     def t(h: Int, m: Int = 0, us: Int = 0) =
