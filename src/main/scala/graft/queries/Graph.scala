@@ -367,6 +367,9 @@ object Graph {
     // identical distance map and every later round is a no-op in both
     // engines — skip the remaining work, not the semantics (the kcore /
     // triangles data-dependent-gate discipline).
+    // ONE-ROW scalar aggregate on a just-checkpointed node-cardinality
+    // frame — the same driver-side-gate class as the triangles e.count()
+    // (a control decision, not data movement; never rows to the driver).
     def stamp(r: DataFrame): (Long, Long) = {
       val x = r.agg(count(lit(1)), sum(col("dist"))).collect()(0)
       (x.getLong(0), x.getLong(1))
