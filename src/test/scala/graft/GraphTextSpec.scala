@@ -276,6 +276,85 @@ class GraphTextSpec extends SparkSpec {
     assert(got(3L) == (2L, 0L, 0.0), s"doc3 ${got(3L)}")
   }
 
+  test("kcore layers are exact on random graphs vs a local peel recompute") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(421)
+    for (trial <- 1 to 6) {
+      val n = 8 + rnd.nextInt(25)
+      val p = 0.1 + rnd.nextDouble() * 0.5
+      val k = 2 + rnd.nextInt(3)
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < p
+      } yield (a, b)).toSet
+      if (edges.nonEmpty) {
+        // driver-side peel: recount degrees, remove < k, tag the round
+        var live = edges
+        var layers = Map.empty[Long, Int]
+        var round = 1
+        var alive = live.flatMap(e => Seq(e._1, e._2))
+        var done = false
+        while (!done && round <= 12) {
+          val deg = live.toSeq.flatMap(e => Seq(e._1, e._2))
+            .groupBy(identity).view.mapValues(_.size).toMap
+          val keep = alive.filter(v => deg.getOrElse(v, 0) >= k)
+          val dropped = alive -- keep
+          if (dropped.isEmpty) done = true
+          else {
+            layers ++= dropped.map(_ -> round)
+            live = live.filter(e => keep(e._1) && keep(e._2))
+            alive = keep
+            round += 1
+          }
+        }
+        val want = layers ++ alive.map(_ -> 0)
+        val got = Graph.kcoreLayers(edges.toSeq.toDF("a", "b"), k, 12)
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(got == want, s"trial $trial n=$n p=$p k=$k")
+      }
+    }
+  }
+
+  test("shortest path relax equals local Dijkstra on random weighted graphs") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 5) {
+      val n = 6 + rnd.nextInt(15)
+      val und = (for {
+        a <- 0 until n; b <- (a + 1) until n if rnd.nextDouble() < 0.3
+      } yield (s"v$a", s"v$b", 1L + rnd.nextInt(9))).toSeq
+      if (und.nonEmpty) {
+        val dirEdges = und.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+        val src = und.head._1
+        // the SAME relax fold qShortestPath runs, over an injected graph
+        val e = dirEdges.toDF("src", "dst", "w").localCheckpoint()
+        var r = Seq((src, 0L)).toDF("node", "dist").localCheckpoint()
+        for (_ <- 1 to 12) {
+          val next = r.select(col("node"), col("dist"))
+            .unionAll(r.join(e, r("node") === e("src"))
+              .select(col("dst").as("node"), (col("dist") + col("w")).as("dist")))
+            .groupBy("node").agg(min(col("dist")).as("dist")).localCheckpoint()
+          Bridge.freeLocalCheckpoint(r)
+          r = next
+        }
+        val got = r.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+        // Dijkstra
+        val adj = dirEdges.groupBy(_._1).view
+          .mapValues(_.map(t => (t._2, t._3))).toMap
+        val dist = scala.collection.mutable.Map(src -> 0L)
+        val pq = scala.collection.mutable.PriorityQueue((0L, src))(
+          Ordering.by[(Long, String), Long](-_._1))
+        while (pq.nonEmpty) {
+          val (d, u) = pq.dequeue()
+          if (d == dist(u)) adj.getOrElse(u, Seq.empty).foreach { case (v, w) =>
+            if (dist.get(v).forall(_ > d + w)) { dist(v) = d + w; pq.enqueue((d + w, v)) }
+          }
+        }
+        assert(got == dist.toMap, s"trial $trial n=$n")
+      }
+    }
+  }
+
   test("kcore layers: exact cascade on a hand-built clique + pendant chain") {
     import spark.implicits._
     // K5 clique on 1..5 plus a pendant path 5-6-7-8. With k=2 the chain
