@@ -604,7 +604,71 @@ object Extras {
       .orderBy("o_orderkey")
   }
 
+  /** KMV sketch size for [[qAudienceOverlap]]. */
+  private val OverlapK = 64
+
+  /** Audience-overlap estimation between event types via KMV sketch
+    * INTERSECTION — the "how many users do campaigns A and B share"
+    * readout a warehouse answers with theta/KMV sketches instead of an
+    * exact self-join over every pair. Per type, the K smallest distinct
+    * user-hashes form the sketch — built with the bounded `topk_min`
+    * aggregate (O(K) state, map-side partial — the scale-safe spelling;
+    * a per-type `row_number()` window would sort each full audience in
+    * one task). Per type pair: merge-sketch = K smallest of the union;
+    * ĵ = |merge ∩ A ∩ B| / K; |A∪B|̂ = (K−1)·2³²/kth; estimate =
+    * round(ĵ·|A∪B|̂). The sketch is a DETERMINISTIC function of the
+    * data (h32 + mins), so unlike HLL the whole estimator is
+    * oracle-exact; the EXACT overlap and the signed ppm error ship in
+    * the same row — the estimator's accuracy is part of the verified
+    * result, not a hope.
+    *
+    * Scale stance: the only full-data pass is the distinct (type, user)
+    * projection; sketches are |types|·K rows; the pair stage is
+    * sketch-×-sketch array math over ≤ 10 pairs of 64-long arrays. The
+    * exact-overlap join exists ONLY to verify the estimator on fixture
+    * scale — a production run ships the sketch columns alone. */
+  def qAudienceOverlap(s: SparkSession, dir: String): DataFrame =
+    audienceOverlap(Tables.events(s, dir))
+
+  /** Core of [[qAudienceOverlap]] over any (event_type, user_id)
+    * relation — exposed so ExtrasSpec can pin estimator accuracy on
+    * hand-built partial-overlap audiences (the fixture's audiences
+    * overlap almost totally, which is the easy case). */
+  private[graft] def audienceOverlap(events: DataFrame): DataFrame = {
+    val users = events
+      .select(col("event_type"), TextPipeline.h32(col("user_id").cast("string")).as("h"))
+      .distinct().localCheckpoint() // 2 consumers: sketches + exact join
+    val sk = users.groupBy(col("event_type"))
+      .agg(graft.functions.VectorFunctions.topkMin(col("h"), col("h"), OverlapK).as("tk"))
+      .select(col("event_type"), expr("transform(tk, x -> x.score)").as("sketch"))
+    val pairs = sk.select(col("event_type").as("ta"), col("sketch").as("sa"))
+      .join(sk.select(col("event_type").as("tb"), col("sketch").as("sb")),
+        col("ta") < col("tb"))
+      .withColumn("u", expr(s"slice(array_sort(array_union(sa, sb)), 1, $OverlapK)"))
+      .withColumn("kth", expr("element_at(u, size(u))"))
+      .withColumn("n_both",
+        expr("size(array_intersect(array_intersect(u, sa), sb))"))
+      .select(col("ta"), col("tb"),
+        when(col("kth").isNotNull,
+          round((lit((OverlapK - 1).toDouble) * 4294967296.0
+              / col("kth").cast("double"))
+            * (col("n_both").cast("double") / OverlapK)))
+          .otherwise(lit(0.0)).cast("long").as("est_overlap"))
+    val exact = users.select(col("event_type").as("ta"), col("h"))
+      .join(users.select(col("event_type").as("tb"), col("h")), Seq("h"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("exact_overlap"))
+    pairs.join(exact, Seq("ta", "tb"), "left")
+      .select(col("ta"), col("tb"), col("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"),
+        when(coalesce(col("exact_overlap"), lit(0L)) > 0,
+          expr("(est_overlap - exact_overlap) * 1000000 div exact_overlap"))
+          .otherwise(lit(0L)).as("err_ppm"))
+      .orderBy("ta", "tb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_audience_overlap" -> (qAudienceOverlap _),
     "q_zorder" -> (qZorder _),
     "q_outliers" -> (qOutliers _),
     "q_merge_upsert" -> (qMergeUpsert _),
@@ -636,6 +700,40 @@ object Extras {
   private val duckToksE = TextPipeline.duckToks
 
   val oracle: Map[String, String] = Map(
+    // Same h32 mins, same merge/intersect estimator, same ppm arithmetic.
+    "q_audience_overlap" -> {
+      val k = OverlapK
+      s"""WITH users AS MATERIALIZED (
+         |  SELECT DISTINCT event_type,
+         |    ${TextPipeline.duckH32("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |sk AS MATERIALIZED (
+         |  SELECT event_type, list_sort(list(h))[1:$k] AS sketch
+         |  FROM users GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.event_type AS ta, b.event_type AS tb, a.sketch AS sa,
+         |         b.sketch AS sb,
+         |         list_sort(list_distinct(a.sketch || b.sketch))[1:$k] AS u
+         |  FROM sk a JOIN sk b ON a.event_type < b.event_type),
+         |est AS (
+         |  SELECT ta, tb,
+         |    CAST(round((${k - 1}.0 * 4294967296.0 / CAST(u[len(u)] AS DOUBLE))
+         |      * (CAST(len(list_intersect(list_intersect(u, sa), sb)) AS DOUBLE)
+         |         / $k)) AS BIGINT) AS est_overlap
+         |  FROM pairs),
+         |exact AS (
+         |  SELECT x.event_type AS ta, y.event_type AS tb,
+         |         CAST(count(*) AS BIGINT) AS exact_overlap
+         |  FROM users x JOIN users y
+         |    ON x.h = y.h AND x.event_type < y.event_type GROUP BY 1, 2)
+         |SELECT e.ta, e.tb, e.est_overlap,
+         |  coalesce(x.exact_overlap, 0) AS exact_overlap,
+         |  CASE WHEN coalesce(x.exact_overlap, 0) > 0
+         |       THEN (e.est_overlap - x.exact_overlap) * 1000000 // x.exact_overlap
+         |       ELSE 0 END AS err_ppm
+         |FROM est e LEFT JOIN exact x USING (ta, tb)
+         |ORDER BY ta, tb""".stripMargin
+    },
     "q_zorder" -> {
       val terms = (0 until ZBits).map { j =>
         s"(((d1 >> $j) & 1) << ${2 * j + 1}) + (((d2 >> $j) & 1) << ${2 * j})"

@@ -398,4 +398,36 @@ class ExtrasSpec extends SparkSpec {
     multi.foreach(sw => assert(merges(sw),
       s"multi-char subword $sw is not a learned merge product"))
   }
+
+  test("audience overlap: KMV estimate tracks controlled partial overlaps") {
+    import spark.implicits._
+    // A = users 1..1200, B = 601..1800 (overlap 600), C = 1..300 (C is a
+    // subset of A and disjoint from B's tail only partially: |B∩C| = 0)
+    val ev =
+      ((1 to 1200).map(u => ("A", u.toLong)) ++
+       (601 to 1800).map(u => ("B", u.toLong)) ++
+       (1 to 300).map(u => ("C", u.toLong)))
+        .toDF("event_type", "user_id")
+    val got = graft.queries.Extras.audienceOverlap(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("A", "B"))._2 == 600 && got(("A", "C"))._2 == 300
+      && got(("B", "C"))._2 == 0, "exact overlaps must be the constructed ones")
+    // estimator tolerance: at K=64 BOTH error terms are live - the
+    // jaccard count (sigma ~ sqrt(K*j*(1-j)) members) AND the union
+    // (K-1)*2^32/kth (sigma ~ union/sqrt(K)) - and on this fixture's
+    // md5 values the A-C pair measures a ~3-sigma union overshoot
+    // (recomputed by hand: 22/64 members vs E=16, union-hat 1650 vs
+    // 1200 -> estimate 567 vs exact 300). The spec therefore pins the
+    // ORDER OF MAGNITUDE, which still fails on any structural break
+    // (empty intersect -> 0; merge bug -> union-sized estimates), and
+    // exactness of the degenerate cases below.
+    val (estAB, exAB) = got(("A", "B"))
+    assert(estAB > exAB / 3 && estAB < exAB * 3,
+      s"A-B estimate $estAB outside [x/3, 3x] of $exAB")
+    val (estAC, exAC) = got(("A", "C"))
+    assert(estAC > exAC / 3 && estAC < exAC * 3,
+      s"A-C estimate $estAC outside [x/3, 3x] of $exAC")
+    assert(got(("B", "C"))._1 == 0, "disjoint audiences must estimate 0")
+  }
 }
