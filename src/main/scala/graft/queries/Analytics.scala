@@ -819,7 +819,47 @@ object Analytics {
       .orderBy("event_type", "day")
   }
 
+  /** Gini coefficient of customer revenue per market segment — the
+    * whole-distribution inequality readout completing
+    * q_revenue_concentration's top-decile share: G = (2·Σ i·xᵢ −
+    * (n+1)·Σ xᵢ) / (n·Σ xᵢ) over the ascending-sorted per-customer
+    * revenues (the discrete Lorenz form). Everything is BIGINT until
+    * the final single division (cents × rank products ≤ ~1e17 at any
+    * realistic sf): rank order among equal values cannot change the
+    * sum (equal xᵢ commute), so the window tie-break exists only for
+    * determinism of the intermediate, not the answer.
+    *
+    * Scale stance: one orders→customer rollup shuffle, then a
+    * per-segment rank window over the already-collapsed
+    * customer-cardinality relation (the q_revenue_concentration plan
+    * shape), then a 5-row aggregate. */
+  def qGini(s: SparkSession, dir: String): DataFrame =
+    gini(Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents")))
+
+  /** Core of [[qGini]] over any (segment, c_custkey, cents) relation —
+    * exposed for AnalyticsSpec's closed-form cases (uniform → 0,
+    * single-holder → (n−1)/n exactly). */
+  private[graft] def gini(rev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("segment"))
+      .orderBy(col("cents").asc, col("c_custkey").asc)
+    rev.withColumn("i", row_number().over(w))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("cents")).as("total_cents"),
+        sum(col("i") * col("cents")).as("weighted_cents"))
+      .select(col("segment"), col("n_cust"), col("total_cents"),
+        round((lit(2) * col("weighted_cents")
+            - (col("n_cust") + 1) * col("total_cents")).cast("double")
+          / (col("n_cust") * col("total_cents")).cast("double"), 6).as("gini"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gini" -> (qGini _),
     "q_twap" -> (qTwap _),
     "q_peak_concurrency" -> (qPeakConcurrency _),
     "q_assoc_rules" -> (qAssocRules _),
@@ -842,6 +882,24 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    // Identical Lorenz rank-sum and the one final division.
+    "q_gini" ->
+      """WITH rev AS (
+        |  SELECT c_mktsegment AS segment, c_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT segment, cents,
+        |    row_number() OVER (PARTITION BY segment
+        |      ORDER BY cents, c_custkey) AS i
+        |  FROM rev)
+        |SELECT segment, count(*) AS n_cust,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  round(CAST(2 * sum(i * cents) - (count(*) + 1) * sum(cents) AS DOUBLE)
+        |    / CAST(count(*) * sum(cents) AS DOUBLE), 6) AS gini
+        |FROM ranked GROUP BY segment ORDER BY segment""".stripMargin,
     // Identical lead() window, BIGINT integral, floor division.
     "q_twap" ->
       """WITH e AS (

@@ -508,4 +508,21 @@ class AnalyticsSpec extends SparkSpec {
         s"day $day: ewma $ewma outside [${frame.min}, ${frame.max}]")
     }
   }
+
+  test("gini: closed-form on uniform and single-holder, bounded at fixture") {
+    import spark.implicits._
+    val uniform = (1L to 40L).map(u => ("U", u, 500L)).toDF("segment", "c_custkey", "cents")
+    val single = (1L to 9L).map(u => ("S", u, 0L)).:+(("S", 10L, 777L))
+      .toDF("segment", "c_custkey", "cents")
+    val got = Analytics.gini(uniform.unionAll(single)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got("U")._2 == 0.0, "perfect equality must read exactly 0")
+    assert(got("S")._2 == 0.9, "single holder of n=10 must read (n-1)/n = 0.9")
+    val fx = Analytics.qGini(spark, sf).collect()
+    assert(fx.nonEmpty)
+    fx.foreach { r =>
+      val g = r.getDouble(3)
+      assert(g >= 0.0 && g < 1.0, s"${r.getString(0)}: gini $g out of [0,1)")
+    }
+  }
 }
