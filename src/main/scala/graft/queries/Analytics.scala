@@ -574,24 +574,31 @@ object Analytics {
       .orderBy("user_id")
   }
 
-  /** EWMA lag horizon: weights halve per day and 2^-21 of the signal is
-    * far below the cents resolution, so truncating at 20 lags (21 terms)
-    * changes nothing observable while keeping the arithmetic EXACT. */
+  /** EWMA lag horizon: weights halve per day of age and 2^-21 of the
+    * signal is far below the cents resolution, so truncating at 20 days
+    * (≤ 21 terms) changes nothing observable while keeping the
+    * arithmetic EXACT. */
   private val EwmaLags = 20
 
   /** Exponentially weighted moving average (α = ½) of daily order
     * revenue — the trend-smoothing twin of q_autocorr's seasonality
     * readout and the standard anomaly baseline ("today vs the smoothed
-    * expectation"). Weights halve per day of age and the series truncates
-    * at [[EwmaLags]] lags, normalized by the REALIZED weight mass (early
-    * days with a short history average over what exists, rather than
-    * leaking a zero-padded bias).
+    * expectation"). Weights halve per CALENDAR DAY of age — the frame is
+    * a RANGE over the day number, not a ROWS count, so on a gapped
+    * series a 3-day-old observation weighs 2^-3 regardless of how many
+    * rows sit between (a ROWS spelling would decay per present row — the
+    * round-9 ADVICE divergence; on a dense calendar like this fixture
+    * the two coincide term-for-term). The series truncates at
+    * [[EwmaLags]] days, normalized by the REALIZED weight mass (days
+    * with a short or gapped history average over what exists, rather
+    * than leaking a zero-padded bias).
     *
     * Cross-engine exactness: daily revenue accumulates as round-to-cents
-    * BIGINT; the weighted numerator is Σ xs[i] · 2^(20−n+i) — integer
-    * shifts, max ~1e17 at sf1000, no overflow — and the weight mass is
-    * 2^21 − 2^(21−n); the smoothed value is numerator DIV mass (floor, in
-    * cents) — zero float ops anywhere, the q_domain_mix DIV doctrine.
+    * BIGINT; the weighted numerator is Σ xᵢ · 2^(20−(day−dayᵢ)) —
+    * integer shifts, max ~1e17 at sf1000, no overflow — and the weight
+    * mass is the same shift-sum over 1; the smoothed value is numerator
+    * DIV mass (floor, in cents) — zero float ops anywhere, the
+    * q_domain_mix DIV doctrine.
     * (A round(·, 6) spelling was measured to diverge by 1e-6 between
     * engines: scaling an identical double by 1e6 before rounding is
     * inexact, and the two libms disagree at half-ULP boundaries.)
@@ -601,31 +608,38 @@ object Analytics {
     * runs over a DATE-CARDINALITY relation — ~2.5k rows for this fixture's
     * date range at ANY corpus scale, the q_markov_transition bounded-state
     * argument — so the single-partition WindowExec is a constant-size
-    * epilogue, not a data-bound stage; its 21-row ROWS frame carries
-    * ≤ 21 longs of state per row. */
-  def qEwma(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val daily = Tables.orders(s, dir)
+    * epilogue, not a data-bound stage; its 21-day RANGE frame carries
+    * ≤ 21 (day, cents) pairs of state per row. */
+  def qEwma(s: SparkSession, dir: String): DataFrame =
+    ewma(Tables.orders(s, dir)
       .select(
         expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
           .as("day"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
-      .groupBy("day").agg(sum(col("cents")).as("rev_cents"))
+      .groupBy("day").agg(sum(col("cents")).as("rev_cents")))
+
+  /** Core of [[qEwma]] over any (day, rev_cents) daily relation —
+    * exposed for AnalyticsSpec's gapped-calendar series, which pins that
+    * decay is keyed on day DELTAS (2^-gap), not row offsets. */
+  private[graft] def ewma(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("day"))
-      .rowsBetween(-EwmaLags, Window.currentRow)
+      .rangeBetween(-EwmaLags, Window.currentRow)
     daily
       .withColumn("xs", collect_list(col("rev_cents")).over(w))
+      .withColumn("ds", collect_list(col("day")).over(w))
       .select(col("day"), col("rev_cents"),
         size(col("xs")).as("n_terms"),
         expr(s"""aggregate(
-            transform(sequence(1, size(xs)),
-              i -> element_at(xs, i)
-                   * shiftleft(CAST(1 AS BIGINT),
-                               CAST($EwmaLags - size(xs) + i AS INT))),
+            zip_with(xs, ds,
+              (x, dd) -> x * shiftleft(CAST(1 AS BIGINT),
+                                       CAST($EwmaLags - (day - dd) AS INT))),
             CAST(0 AS BIGINT), (acc, x) -> acc + x)
-          div (shiftleft(CAST(1 AS BIGINT), ${EwmaLags + 1})
-               - shiftleft(CAST(1 AS BIGINT),
-                           CAST(${EwmaLags + 1} - size(xs) AS INT)))""")
+          div aggregate(
+            transform(ds,
+              dd -> shiftleft(CAST(1 AS BIGINT),
+                              CAST($EwmaLags - (day - dd) AS INT))),
+            CAST(0 AS BIGINT), (acc, x) -> acc + x)""")
           .as("ewma_cents"))
       .orderBy("day")
   }
@@ -823,9 +837,13 @@ object Analytics {
     * whole-distribution inequality readout completing
     * q_revenue_concentration's top-decile share: G = (2·Σ i·xᵢ −
     * (n+1)·Σ xᵢ) / (n·Σ xᵢ) over the ascending-sorted per-customer
-    * revenues (the discrete Lorenz form). Everything is BIGINT until
-    * the final single division (cents × rank products ≤ ~1e17 at any
-    * realistic sf): rank order among equal values cannot change the
+    * revenues (the discrete Lorenz form). The rank-weighted sum
+    * Σ i·xᵢ grows as n_cust² × avg_cents (~6.75e16·sf² on TPC-H), so
+    * a BIGINT accumulator would wrap around sf≈12 while DuckDB's
+    * sum(BIGINT) silently promotes to HUGEINT — the sum therefore
+    * accumulates in DECIMAL(38,0) (exact to ~1e38, i.e. sf ~1e10),
+    * matching the oracle's promotion; only the final division is
+    * floating-point. Rank order among equal values cannot change the
     * sum (equal xᵢ commute), so the window tie-break exists only for
     * determinism of the intermediate, not the answer.
     *
@@ -850,7 +868,8 @@ object Analytics {
       .groupBy(col("segment"))
       .agg(count(lit(1)).as("n_cust"),
         sum(col("cents")).as("total_cents"),
-        sum(col("i") * col("cents")).as("weighted_cents"))
+        sum(col("i").cast("decimal(38,0)") * col("cents"))
+          .as("weighted_cents"))
       .select(col("segment"), col("n_cust"), col("total_cents"),
         round((lit(2) * col("weighted_cents")
             - (col("n_cust") + 1) * col("total_cents")).cast("double")
@@ -984,8 +1003,8 @@ object Analytics {
         |    AS dof,
         |  CAST(sum(term_micros) AS BIGINT) AS chi2_micros
         |FROM terms""".stripMargin,
-    // Same 21-term integer-shift numerator / realized-weight-mass
-    // denominator; list() over the identical ROWS frame.
+    // Same day-delta integer-shift numerator / realized-weight-mass
+    // denominator; list() over the identical RANGE frame on day.
     "q_ewma" ->
       s"""WITH daily AS (
          |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
@@ -994,14 +1013,20 @@ object Analytics {
          |  FROM orders GROUP BY 1),
          |win AS (
          |  SELECT day, rev_cents,
-         |         list(rev_cents) OVER (ORDER BY day
-         |           ROWS BETWEEN $EwmaLags PRECEDING AND CURRENT ROW) AS xs
-         |  FROM daily)
+         |         list(rev_cents) OVER w AS xs,
+         |         list(day) OVER w AS ds
+         |  FROM daily
+         |  WINDOW w AS (ORDER BY day
+         |    RANGE BETWEEN $EwmaLags PRECEDING AND CURRENT ROW))
          |SELECT day, rev_cents, CAST(len(xs) AS INT) AS n_terms,
          |  CAST(list_sum(list_transform(range(1, len(xs) + 1),
-         |      i -> xs[i] * (CAST(1 AS BIGINT) << ($EwmaLags - len(xs) + i)))) AS BIGINT)
-         |    // ((CAST(1 AS BIGINT) << ${EwmaLags + 1})
-         |        - (CAST(1 AS BIGINT) << (${EwmaLags + 1} - len(xs)))) AS ewma_cents
+         |      i -> xs[i] * (CAST(1 AS BIGINT)
+         |                    << CAST($EwmaLags - (day - ds[i]) AS INT))))
+         |    AS BIGINT)
+         |    // CAST(list_sum(list_transform(ds,
+         |      dd -> (CAST(1 AS BIGINT)
+         |             << CAST($EwmaLags - (day - dd) AS INT)))) AS BIGINT)
+         |    AS ewma_cents
          |FROM win ORDER BY day""".stripMargin,
     // Range-join restatement of the explode-contribution plan: user u
     // counts toward day d iff u was active on some day in [d-6, d].

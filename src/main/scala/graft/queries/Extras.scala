@@ -626,7 +626,15 @@ object Extras {
     * projection; sketches are |types|·K rows; the pair stage is
     * sketch-×-sketch array math over ≤ 10 pairs of 64-long arrays. The
     * exact-overlap join exists ONLY to verify the estimator on fixture
-    * scale — a production run ships the sketch columns alone. */
+    * scale — a production run ships the sketch columns alone.
+    *
+    * Small-union regime (round-9 ADVICE): when the merged sketch holds
+    * fewer than K hashes, BOTH audiences have < K members (a saturated
+    * side alone contributes K), so the sketches are the complete
+    * audiences and the intersection count IS the exact overlap — the
+    * estimator returns it directly instead of dividing by a constant K
+    * that would bias it low; in the saturated branch the jaccard term
+    * divides by size(u) (= K there) rather than the constant. */
   def qAudienceOverlap(s: SparkSession, dir: String): DataFrame =
     audienceOverlap(Tables.events(s, dir))
 
@@ -649,11 +657,13 @@ object Extras {
       .withColumn("n_both",
         expr("size(array_intersect(array_intersect(u, sa), sb))"))
       .select(col("ta"), col("tb"),
-        when(col("kth").isNotNull,
-          round((lit((OverlapK - 1).toDouble) * 4294967296.0
-              / col("kth").cast("double"))
-            * (col("n_both").cast("double") / OverlapK)))
-          .otherwise(lit(0.0)).cast("long").as("est_overlap"))
+        when(size(col("u")) < OverlapK, col("n_both").cast("double"))
+          .otherwise(when(col("kth").isNotNull,
+            round((lit((OverlapK - 1).toDouble) * 4294967296.0
+                / col("kth").cast("double"))
+              * (col("n_both").cast("double")
+                 / size(col("u")).cast("double"))))
+            .otherwise(lit(0.0))).cast("long").as("est_overlap"))
     val exact = users.select(col("event_type").as("ta"), col("h"))
       .join(users.select(col("event_type").as("tb"), col("h")), Seq("h"))
       .filter(col("ta") < col("tb"))
@@ -717,9 +727,15 @@ object Extras {
          |  FROM sk a JOIN sk b ON a.event_type < b.event_type),
          |est AS (
          |  SELECT ta, tb,
-         |    CAST(round((${k - 1}.0 * 4294967296.0 / CAST(u[len(u)] AS DOUBLE))
-         |      * (CAST(len(list_intersect(list_intersect(u, sa), sb)) AS DOUBLE)
-         |         / $k)) AS BIGINT) AS est_overlap
+         |    CASE WHEN len(u) < $k
+         |      THEN CAST(len(list_intersect(list_intersect(u, sa), sb))
+         |                AS BIGINT)
+         |      ELSE CAST(round((${k - 1}.0 * 4294967296.0
+         |          / CAST(u[len(u)] AS DOUBLE))
+         |        * (CAST(len(list_intersect(list_intersect(u, sa), sb))
+         |             AS DOUBLE)
+         |           / CAST(len(u) AS DOUBLE))) AS BIGINT)
+         |    END AS est_overlap
          |  FROM pairs),
          |exact AS (
          |  SELECT x.event_type AS ta, y.event_type AS tb,

@@ -48,6 +48,23 @@ object Ingest {
       else "/root/repo/fixtures/ingest"
     }
 
+  /** Per-JVM scratch roots for the write-then-read queries, keyed by
+    * (query prefix, FULL fixture path): the full sanitized path — not
+    * its hashCode — makes distinct fixture dirs collision-free, and
+    * `Files.createTempDirectory`'s random suffix makes concurrent
+    * sessions in different JVMs land in different roots, so two runs
+    * over the same fixture can never race each other's
+    * mode(overwrite) writes. Cached so bench iterations rewrite one
+    * stable root instead of leaking a directory per call. */
+  private val scratchRoots =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private[graft] def scratchDir(prefix: String, dir: String): String =
+    scratchRoots.computeIfAbsent((prefix, dir), { key =>
+      val safe = key._2.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(80)
+      java.nio.file.Files
+        .createTempDirectory(s"graft_${key._1}_${safe}_").toString
+    })
+
   /** CSV with an explicit schema: 24 rows, 3 of them with a
     * type-malformed `amount` cell ("N/A"). PERMISSIVE parses the good
     * cells of a bad row (category survives), nulls the bad cell, and
@@ -156,9 +173,7 @@ object Ingest {
     * The eager write is the operator under test — a sink IS a side
     * effect; Overwrite keeps the query re-runnable. */
   def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_orc_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val out = scratchDir("orc", dir)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text"))
       .write.mode("overwrite").orc(out)
@@ -193,11 +208,11 @@ object Ingest {
     * driver-side metadata pass over file footers (at 100 TB you cache
     * it in a metastore; semantics identical); the data plan is one
     * scan → partial agg → |langs| rows, and `quality IS NULL` needs no
-    * extra column when pruned. */
+    * extra column when pruned. (The two-generation write is fixture
+    * synthesis and runs eagerly at construction — it IS part of the
+    * operator's measured cost, like q_orc_roundtrip's write half.) */
   def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val base = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_schevo_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val base = scratchDir("schevo", dir)
     val docs = Tables.documents(s, dir)
     docs.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("lang"), col("text"))

@@ -492,21 +492,40 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
     assert(rows.nonEmpty)
     assert(rows.map(_._1).sameElements(rows.map(_._1).sorted), "day-ordered")
-    // independent recompute: Σ x_j·2^(20−n+i) DIV (2^21 − 2^(21−n)) in
-    // BigInt over the collected daily series (driver-side, test-only)
-    val series = rows.map(_._2)
-    rows.zipWithIndex.foreach { case ((day, _, nTerms, ewma), t) =>
-      val frame = series.slice(math.max(0, t - 20), t + 1)
+    // independent recompute over the CALENDAR frame [day−20, day]:
+    // Σ x_d·2^(20−(day−d)) DIV Σ 2^(20−(day−d)) in BigInt (driver-side,
+    // test-only) — weights keyed on day deltas, not row offsets
+    val series = rows.map(r => r._1 -> r._2)
+    rows.foreach { case (day, _, nTerms, ewma) =>
+      val frame = series.filter { case (d, _) => d >= day - 20 && d <= day }
       assert(nTerms == frame.length, s"day $day n_terms")
-      val n = frame.length
-      val numer = frame.zipWithIndex.map { case (x, i0) =>
-        BigInt(x) << (20 - n + (i0 + 1)) }.sum
-      val mass = (BigInt(1) << 21) - (BigInt(1) << (21 - n))
+      val numer = frame.map { case (d, x) =>
+        BigInt(x) << (20 - (day - d).toInt) }.sum
+      val mass = frame.map { case (d, _) =>
+        BigInt(1) << (20 - (day - d).toInt) }.sum
       assert(BigInt(ewma) == numer / mass, s"day $day: $ewma != $numer/$mass")
       // a weighted average (up to the floor) never leaves the frame hull
-      assert(ewma >= frame.min - 1 && ewma <= frame.max,
-        s"day $day: ewma $ewma outside [${frame.min}, ${frame.max}]")
+      val vals = frame.map(_._2)
+      assert(ewma >= vals.min - 1 && ewma <= vals.max,
+        s"day $day: ewma $ewma outside [${vals.min}, ${vals.max}]")
     }
+  }
+
+  test("ewma decay is keyed on calendar-day deltas, not row offsets") {
+    import spark.implicits._
+    // days 0, 1, 3 — the gap means day 1 is TWO days old at day 3. A
+    // ROWS frame would weight it 2^-1 (previous row); calendar decay
+    // weighs it 2^-2.
+    val got = Analytics.ewma(
+        Seq((0L, 1000L), (1L, 2000L), (3L, 4000L)).toDF("day", "rev_cents"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(got(0L) == ((1, 1000L)))
+    // day 1: (1000·2^19 + 2000·2^20) / (2^19 + 2^20) = 5000/3 floor
+    assert(got(1L) == ((2, 5000L / 3)))
+    // day 3: deltas 3,2,0 → (1000·2^17 + 2000·2^18 + 4000·2^20) /
+    // (2^17 + 2^18 + 2^20) = (1000 + 4000 + 32000)/11 = 37000/11 floor
+    assert(got(3L) == ((3, 37000L / 11)),
+      s"gapped decay must be 2^-delta: ${got(3L)}")
   }
 
   test("gini: closed-form on uniform and single-holder, bounded at fixture") {

@@ -430,4 +430,21 @@ class ExtrasSpec extends SparkSpec {
       s"A-C estimate $estAC outside [x/3, 3x] of $exAC")
     assert(got(("B", "C"))._1 == 0, "disjoint audiences must estimate 0")
   }
+
+  test("audience overlap: unsaturated union sketch falls back to the exact count") {
+    import spark.implicits._
+    // |D| = |E| = 40 < K = 64 and |D∪E| = 60 < K: the merged sketch IS
+    // the full union, so the estimator must return the exact overlap
+    // (20) with zero error — not a jaccard scaled by the constant K
+    // (which would read round((63·2^32/kth)·20/64), biased low).
+    val ev =
+      ((1 to 40).map(u => ("D", u.toLong)) ++
+       (21 to 60).map(u => ("E", u.toLong)))
+        .toDF("event_type", "user_id")
+    val r = graft.queries.Extras.audienceOverlap(ev).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(2) == 20L && r(0).getLong(3) == 20L
+        && r(0).getLong(4) == 0L,
+      s"unsaturated estimate must be exact: ${r(0)}")
+  }
 }
