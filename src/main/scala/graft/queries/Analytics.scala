@@ -877,7 +877,119 @@ object Analytics {
       .orderBy("segment")
   }
 
+  /** Two-sample Kolmogorov–Smirnov test between the value distributions
+    * of `view` and `purchase` events — the distribution-shift readout
+    * behind drift monitors and A/B sanity checks, completing the test
+    * tier (q_chi_square: categorical; q_ab_test: proportions; this:
+    * whole-CDF). The statistic is computed EXACTLY in integers: with
+    * cumulative counts cA, cB at each distinct cent value, D =
+    * max |cA/nA − cB/nB| = max |cA·nB − cB·nA| / (nA·nB) — the output
+    * carries the integer numerator d_num, the sizes, the 1e6-scaled
+    * quotient d_ppm (all BIGINT, exact while nA·nB < 9.2e18 ≈ two
+    * 3-billion-row samples), and the α=0.05 verdict evaluated WITHOUT
+    * any square root: D > 1.358·√((nA+nB)/(nA·nB)) squares to
+    * 10⁶·d_num² > 1844164·(nA+nB)·nA·nB, compared in DECIMAL(38,0) /
+    * HUGEINT so both engines decide the boundary identically (1.358² =
+    * 1.844164 exactly — the constant is rational).
+    *
+    * Scale stance (100 TB): one scan partial-aggregates to per-cent
+    * counts — the only data-bound shuffle; the cumulative window then
+    * runs over the VALUE-RESOLUTION relation (≤ ~10k distinct cents for
+    * a bounded price domain — the q_ewma bounded-cardinality epilogue
+    * argument; an unbounded domain takes the q_peak_concurrency
+    * two-phase prefix sum verbatim), and the final max is a 1-row agg. */
+  def qKsTest(s: SparkSession, dir: String): DataFrame =
+    ksTest(Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select((col("event_type") === "view").as("is_a"),
+        round(col("value") * 100).cast("long").as("cents")))
+
+  /** Core of [[qKsTest]] over any (is_a, cents) relation — exposed for
+    * AnalyticsSpec's closed-form cases (identical samples → D = 0,
+    * disjoint supports → D = 1). */
+  private[graft] def ksTest(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ev.groupBy(col("cents"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("da"),
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("db"))
+      .withColumn("ca", sum(col("da")).over(w))
+      .withColumn("cb", sum(col("db")).over(w))
+      .localCheckpoint() // 2 consumers: sample totals + the gap scan
+    val tot = cum.agg(max(col("ca")).as("n_a"), max(col("cb")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs(col("ca") * col("n_b") - col("cb") * col("n_a")).as("gap"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("gap")).as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        expr("d_num * 1000000 div (n_a * n_b)").as("d_ppm"),
+        (lit(1000000).cast("decimal(38,0)") * col("d_num") * col("d_num")
+          > lit(1844164).cast("decimal(38,0)")
+            * (col("n_a") + col("n_b")) * col("n_a") * col("n_b"))
+          .as("reject_05"))
+  }
+
+  /** Attribution lookback window: 7 days in µs. */
+  private val AttribWindowUs = 7L * 86400000000L
+
+  /** Last-touch marketing attribution: every `purchase` conversion is
+    * credited to the user's most recent `click` or `view` touchpoint
+    * within the [[AttribWindowUs]] lookback (ties broken by event_id);
+    * conversions with no qualifying touch credit `direct`. Output is the
+    * per-channel revenue readout a marketing warehouse reports —
+    * completing the journey tier (q_funnel: stage counts; q_sessionize:
+    * visit boundaries; q_markov_transition: path structure; this: credit
+    * assignment).
+    *
+    * Determinism: the winning touch is rank-1 by (t_us DESC, touch_id
+    * DESC) — a total order — and revenue accumulates as round-to-cents
+    * BIGINT. Both engines run the identical window.
+    *
+    * Scale stance (100 TB): the touch⨝conversion join shuffles ONCE on
+    * user_id (AQE-skewable); per-user work is bounded by touches×
+    * conversions within one user's 7-day windows, not corpus size. The
+    * rank window partitions per conversion id — maximal parallelism,
+    * one-row output per conversion — and the channel rollup is a
+    * 3-row partial agg. No window ever sees more than one user's rows. */
+  def qAttribution(s: SparkSession, dir: String): DataFrame =
+    attribution(Tables.events(s, dir))
+
+  /** Core of [[qAttribution]] over any (event_id, ts, user_id,
+    * event_type, value) relation — exposed for AnalyticsSpec's
+    * hand-built journeys (window edge, tie at the same instant,
+    * touchless conversion). */
+  private[graft] def attribution(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        unix_micros(col("ts")).as("p_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val touch = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("event_id").as("touch_id"), unix_micros(col("ts")).as("t_us"))
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("t_us").desc_nulls_last, col("touch_id").desc_nulls_last)
+    conv
+      .join(touch,
+        conv("user_id") === touch("user_id")
+          && col("t_us") <= col("p_us")
+          && col("t_us") > col("p_us") - AttribWindowUs,
+        "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(coalesce(col("channel"), lit("direct")).as("channel"),
+        col("cents"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("cents")).as("revenue_cents"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_test" -> (qKsTest _),
+    "q_attribution" -> (qAttribution _),
     "q_gini" -> (qGini _),
     "q_twap" -> (qTwap _),
     "q_peak_concurrency" -> (qPeakConcurrency _),
@@ -901,6 +1013,58 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    // Identical integer cross-multiplied CDF gap; HUGEINT mirrors the
+    // Spark side's DECIMAL(38,0) in the squared α=0.05 compare.
+    "q_ks_test" ->
+      """WITH s AS (
+        |  SELECT (event_type = 'view') AS is_a,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |c AS (
+        |  SELECT cents,
+        |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS da,
+        |    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS db
+        |  FROM s GROUP BY cents),
+        |cum AS (
+        |  SELECT cents,
+        |    CAST(sum(da) OVER w AS BIGINT) AS ca,
+        |    CAST(sum(db) OVER w AS BIGINT) AS cb
+        |  FROM c WINDOW w AS (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT max(ca) AS n_a, max(cb) AS n_b FROM cum),
+        |g AS (SELECT n_a, n_b, abs(ca * n_b - cb * n_a) AS gap
+        |      FROM cum, tot)
+        |SELECT n_a, n_b, CAST(max(gap) AS BIGINT) AS d_num,
+        |  CAST(max(gap) AS BIGINT) * 1000000 // (n_a * n_b) AS d_ppm,
+        |  (CAST(1000000 AS HUGEINT) * max(gap) * max(gap)
+        |     > CAST(1844164 AS HUGEINT) * (n_a + n_b) * n_a * n_b)
+        |    AS reject_05
+        |FROM g GROUP BY n_a, n_b""".stripMargin,
+    // Identical rank-1-by-(t_us, touch_id) window and 7-day lookback.
+    "q_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id, event_id AS conv_id, epoch_us(ts) AS p_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, event_type AS channel, event_id AS touch_id,
+        |    epoch_us(ts) AS t_us
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (
+        |  SELECT conv.conv_id, conv.cents, touch.channel, touch.t_us,
+        |         touch.touch_id
+        |  FROM conv LEFT JOIN touch
+        |    ON conv.user_id = touch.user_id
+        |   AND touch.t_us <= conv.p_us
+        |   AND touch.t_us > conv.p_us - 604800000000),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY conv_id
+        |    ORDER BY t_us DESC NULLS LAST, touch_id DESC NULLS LAST) AS rn
+        |  FROM j)
+        |SELECT coalesce(channel, 'direct') AS channel,
+        |  count(*) AS n_conversions,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
     // Identical Lorenz rank-sum and the one final division.
     "q_gini" ->
       """WITH rev AS (

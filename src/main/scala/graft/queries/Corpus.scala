@@ -388,7 +388,76 @@ object Corpus {
     (bests.result(), state)
   }
 
+  /** Context-window length for [[qPackSequences]]. 256 keeps a few
+    * hundred bins at fixture scale; a production pretraining run sets
+    * 2048–8192 — the plan is length-agnostic. */
+  private val PackLen = 256L
+
+  /** Doc-id block size for the distributed prefix sum in
+    * [[qPackSequences]]: the carry chain is |docs|/1024 rows — at 100 TB
+    * (~10¹⁰ docs) that is ~10⁷ rows of (group, carry) longs, itself
+    * prefix-summable by one more level of the same decomposition. */
+  private val PackGroup = 1024L
+
+  /** GPT-style sequence packing: concatenate the corpus token stream in
+    * doc_id order and split it every [[PackLen]] tokens — the "sample
+    * packing" step every LLM pretraining pipeline runs so short
+    * documents don't waste context-window slots. Output is the per-bin
+    * manifest a packing job ships to the trainer: how many documents
+    * touch the bin, how many START in it (attention-mask reset points),
+    * and its token fill ([[PackLen]] everywhere except the final bin —
+    * concat-and-split packs with zero padding waste by construction).
+    *
+    * The SCALE-SAFE spelling of the global token offset is the
+    * q_peak_concurrency two-phase distributed prefix sum keyed on
+    * doc_id blocks of [[PackGroup]]: (1) per-block token sums
+    * prefix-scan over the tiny block relation, (2) the within-block
+    * exclusive running sum adds the block's carry-in — so the
+    * sequential scan is confined to 1024-doc partitions and the carry
+    * chain is |docs|/1024 rows. The ORACLE is the naive single-window
+    * prefix sum, so the decomposition is re-proven equal to the
+    * textbook form on every verify run. Zero-token documents (text
+    * that normalizes away) are excluded — they occupy no stream
+    * positions. All arithmetic is BIGINT; bin membership explodes as
+    * sequence(first_bin, last_bin) — ≤ len/L + 1 rows per doc, so the
+    * explode is output-proportional, never quadratic. */
+  def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(s, dir)
+      .select(col("doc_id"), size(toks).cast("long").as("len"))
+      .filter(col("len") > 0))
+
+  /** Core of [[qPackSequences]] over any (doc_id, len) relation —
+    * exposed so CorpusSpec can pin exact bin boundaries on hand-built
+    * lengths (straddlers, exact-fit, long-doc multi-bin spans). */
+  private[graft] def packSequences(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grouped = d.withColumn("g", expr(s"doc_id div $PackGroup"))
+      .localCheckpoint() // 2 consumers: block sums + within-block scan
+    val carry = grouped.groupBy(col("g")).agg(sum(col("len")).as("gl"))
+      .withColumn("carry_in",
+        coalesce(sum(col("gl")).over(Window.orderBy(col("g"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("g"), col("carry_in"))
+    val off = grouped.join(broadcast(carry), "g")
+      .withColumn("off", col("carry_in") +
+        coalesce(sum(col("len")).over(Window.partitionBy(col("g"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    off
+      .select(col("doc_id"), col("len"), col("off"),
+        explode(sequence(expr(s"off div $PackLen"),
+          expr(s"(off + len - 1) div $PackLen"))).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr(s"off div $PackLen") === col("bin"), 1L)
+          .otherwise(0L)).as("n_starts"),
+        sum(least(lit(PackLen) * (col("bin") + 1), col("off") + col("len"))
+          - greatest(lit(PackLen) * col("bin"), col("off"))).as("n_tokens"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_sequences" -> (qPackSequences _),
     "q_domain_mix" -> (qDomainMix _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_encode" -> (qBpeEncode _),
@@ -452,6 +521,30 @@ object Corpus {
   }
 
   val oracle: Map[String, String] = Map(
+    // Naive single-window prefix sum — proves the two-phase block
+    // decomposition equals the textbook offset stream.
+    "q_pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS len
+         |  FROM documents),
+         |nz AS (SELECT * FROM d WHERE len > 0),
+         |o AS (
+         |  SELECT doc_id, len,
+         |    CAST(coalesce(sum(len) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS off
+         |  FROM nz),
+         |b AS (
+         |  SELECT doc_id, len, off,
+         |    unnest(range(off // $PackLen, (off + len - 1) // $PackLen + 1))
+         |      AS bin
+         |  FROM o)
+         |SELECT bin, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN off // $PackLen = bin THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_starts,
+         |  CAST(sum(least(($PackLen) * (bin + 1), off + len)
+         |         - greatest(($PackLen) * bin, off)) AS BIGINT) AS n_tokens
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "q_domain_mix" ->
       s"""WITH counted AS (
          |  SELECT source, count(*) AS n_docs,

@@ -110,7 +110,16 @@ object TextAnalysis {
   def qBigramLm(s: SparkSession, dir: String): DataFrame =
     bigramLm(Tables.documents(s, dir)).orderBy("doc_id")
 
-  private[graft] def bigramLm(docs: DataFrame): DataFrame = {
+  private[graft] def bigramLm(docs: DataFrame): DataFrame =
+    bigramNll(docs)
+      .select(col("doc_id"), col("nb").as("n_bigrams"),
+        round((col("qnll").cast("double") / 1e6) / col("nb"), 4).as("avg_nll"))
+
+  /** Integer heart of [[bigramLm]]: per-doc (nb, qnll) where qnll is the
+    * 1e-6-grid Σ tf·(log2 c1 − log2 c12) — exposed unrounded so
+    * [[qPerplexityFilter]] can rank on the exact BIGINT instead of the
+    * presentation double. */
+  private[graft] def bigramNll(docs: DataFrame): DataFrame = {
     val qlog = (c: Column) => round(log2(c.cast("double")) * 1e6).cast("long")
     val bg = docs
       .select(col("doc_id"), toks.as("w"))
@@ -133,8 +142,45 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("nb"),
         sum(col("tf") * (qlog(col("c1")) - qlog(col("c12")))).as("qnll"))
-      .select(col("doc_id"), col("nb").as("n_bigrams"),
-        round((col("qnll").cast("double") / 1e6) / col("nb"), 4).as("avg_nll"))
+  }
+
+  /** LM-perplexity quality filter (the CCNet recipe): score every
+    * document by the corpus bigram LM's average negative log-likelihood
+    * ([[bigramNll]]'s exact BIGINT micros, floor-divided per bigram) and
+    * emit the WORST decile per language — the reject manifest a curation
+    * pipeline drops before tokenization. Per-language because perplexity
+    * distributions are not comparable across languages (a global cut
+    * would just drop the rarest language).
+    *
+    * Determinism: the rank key is (score_micros DESC, doc_id ASC) —
+    * integer score, total tie-break — and the cut is rank ≤ n DIV 10,
+    * all integer; both engines run the identical window. Documents with
+    * fewer than two tokens have no bigrams and are unscored (a length
+    * gate, not a perplexity gate, handles those — q_quality_gate).
+    *
+    * Scale stance (100 TB): scoring inherits q_bigram_lm's shape (one
+    * instance-stream shuffle, broadcast head counts); the decile cut is
+    * a per-language rank window — at extreme per-language cardinality
+    * the same cut runs as a two-phase quantile (sketch the threshold,
+    * then one filter pass), which changes the selection from exact-rank
+    * to threshold semantics; the exact-rank spelling here is the
+    * verifiable contract. */
+  def qPerplexityFilter(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val sc = bigramNll(docs)
+      .select(col("doc_id"), col("nb"),
+        expr("qnll div nb").as("score_micros"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val n = sc.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score_micros").desc, col("doc_id").asc)
+    sc.withColumn("rn", row_number().over(w))
+      .join(broadcast(n), "lang")
+      .filter(col("rn") <= expr("n div 10"))
+      .select(col("lang"), col("doc_id"), col("nb").as("n_bigrams"),
+        col("score_micros"), col("rn").as("ppl_rank"))
+      .orderBy("lang", "ppl_rank")
   }
 
   /** Corpus novelty score: the fraction of a document's distinct word
@@ -620,6 +666,7 @@ object TextAnalysis {
     "q_token_counts" -> (qTokenCounts _),
     "q_bigrams_top" -> (qBigramsTop _),
     "q_bigram_lm" -> (qBigramLm _),
+    "q_perplexity_filter" -> (qPerplexityFilter _),
     "q_trigram_novelty" -> (qTrigramNovelty _),
     "q_lang_id" -> (qLangId _),
     "q_tfidf_top" -> (qTfidfTop _),
@@ -750,6 +797,37 @@ object TextAnalysis {
          |  round((CAST(CAST(sum(tf * q) AS BIGINT) AS DOUBLE) / 1000000.0)
          |    / CAST(sum(tf) AS BIGINT), 4) AS avg_nll
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Identical LM grid as q_bigram_lm; rank window + n DIV 10 cut.
+    "q_perplexity_filter" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(l[1:len(l)-1], (x, i) -> x || ' ' || l[i+1]))
+         |      AS bigram
+         |  FROM (SELECT doc_id, $duckToks AS l FROM documents)),
+         |tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY 1, 2),
+         |c12 AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS c12
+         |        FROM tf GROUP BY 1),
+         |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1,
+         |         CAST(sum(c12) AS BIGINT) AS c1
+         |       FROM c12 GROUP BY 1),
+         |j AS (SELECT tf.doc_id, tf.tf,
+         |        CAST(round(log2(CAST(c1.c1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |          - CAST(round(log2(CAST(c12.c12 AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |          AS q
+         |      FROM tf JOIN c12 USING (bigram)
+         |      JOIN c1 ON split_part(tf.bigram, ' ', 1) = c1.w1),
+         |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |        CAST(sum(tf * q) AS BIGINT) // CAST(sum(tf) AS BIGINT)
+         |          AS score_micros
+         |       FROM j GROUP BY doc_id),
+         |r AS (SELECT d.lang, sc.doc_id, sc.n_bigrams, sc.score_micros,
+         |        row_number() OVER (PARTITION BY d.lang
+         |          ORDER BY sc.score_micros DESC, sc.doc_id ASC) AS rn,
+         |        count(*) OVER (PARTITION BY d.lang) AS n
+         |      FROM sc JOIN documents d USING (doc_id))
+         |SELECT lang, doc_id, n_bigrams, score_micros,
+         |  CAST(rn AS INT) AS ppl_rank
+         |FROM r WHERE rn <= n // 10 ORDER BY lang, ppl_rank""".stripMargin,
     "q_lang_id" ->
       s"""SELECT doc_id, lang,
          | CASE WHEN CAST(len(list_filter($duckToks, x -> x IN $duckStop)) AS DOUBLE)

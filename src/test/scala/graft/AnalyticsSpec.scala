@@ -544,4 +544,57 @@ class AnalyticsSpec extends SparkSpec {
       assert(g >= 0.0 && g < 1.0, s"${r.getString(0)}: gini $g out of [0,1)")
     }
   }
+
+  test("KS test: identical samples read D=0, disjoint supports read D=1 and reject") {
+    import spark.implicits._
+    val same = ((1 to 10).map(c => (true, c.toLong))
+        ++ (1 to 10).map(c => (false, c.toLong))).toDF("is_a", "cents")
+    val s0 = Analytics.ksTest(same).collect()(0)
+    assert(s0.getLong(2) == 0L && s0.getLong(3) == 0L && !s0.getBoolean(4),
+      s"identical samples must read D=0: $s0")
+    // A entirely below B: at the A/B boundary |cA·nB − cB·nA| = nA·nB
+    val disj = ((1 to 10).map(c => (true, c.toLong))
+        ++ (11 to 20).map(c => (false, c.toLong))).toDF("is_a", "cents")
+    val d0 = Analytics.ksTest(disj).collect()(0)
+    assert(d0.getLong(0) == 10L && d0.getLong(1) == 10L)
+    assert(d0.getLong(2) == 100L, s"disjoint D must be nA·nB/nA·nB = 1: $d0")
+    assert(d0.getLong(3) == 1000000L && d0.getBoolean(4),
+      s"disjoint supports must reject at α=0.05: $d0")
+    // fixture: statistic well-formed, 0 ≤ d_ppm ≤ 1e6
+    val fx = Analytics.qKsTest(spark, sf).collect()(0)
+    assert(fx.getLong(0) > 0 && fx.getLong(1) > 0)
+    assert(fx.getLong(3) >= 0L && fx.getLong(3) <= 1000000L)
+  }
+
+  test("attribution: last touch wins, window edge is strict, touchless is direct") {
+    import spark.implicits._
+    def ev(id: Long, us: Long, u: Long, t: String, v: Double) =
+      (id, us, u, t, v)
+    val day7 = 7L * 86400000000L
+    val base = 1700000000000000L
+    val rows = Seq(
+      // user 1: click then view then purchase → view (the LATER touch)
+      ev(1, base + 100L, 1, "click", 0),
+      ev(2, base + 200L, 1, "view", 0),
+      ev(3, base + 250L, 1, "purchase", 10.0),
+      // user 2: touchless purchase → direct
+      ev(4, base + 300L, 2, "purchase", 20.0),
+      // user 3: touch EXACTLY 7 days before → outside (strict >)
+      ev(5, base, 3, "click", 0),
+      ev(6, base + day7, 3, "purchase", 30.0),
+      // user 4: touch 7 days minus 1 µs before → inside
+      ev(7, base + 1L, 4, "click", 0),
+      ev(8, base + day7, 4, "purchase", 40.0),
+      // user 5: two touches at the SAME µs → higher event_id (view) wins
+      ev(9, base + 500L, 5, "click", 0),
+      ev(10, base + 500L, 5, "view", 0),
+      ev(11, base + 600L, 5, "purchase", 50.0))
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val got = Analytics.attribution(rows).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("view") == ((2L, 6000L)), s"view: $got")     // users 1, 5
+    assert(got("click") == ((1L, 4000L)), s"click: $got")   // user 4
+    assert(got("direct") == ((2L, 5000L)), s"direct: $got") // users 2, 3
+  }
 }

@@ -447,4 +447,39 @@ class ExtrasSpec extends SparkSpec {
         && r(0).getLong(4) == 0L,
       s"unsaturated estimate must be exact: ${r(0)}")
   }
+
+  test("sequence packing: exact bin boundaries for straddlers, exact fits, and multi-bin spans") {
+    import spark.implicits._
+    // PackLen = 256. Stream: 100 + 156 (exact fit at bin 0 boundary),
+    // then 300 (spans bins 1-2), then 200 (fits inside bin 2 after the
+    // 44-token carryover).
+    val got = graft.queries.Corpus.packSequences(
+        Seq((1L, 100L), (2L, 156L), (3L, 300L), (4L, 200L))
+          .toDF("doc_id", "len"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(0L) == ((2L, 2L, 256L)), s"bin0 ${got(0L)}") // 100+156 fill
+    assert(got(1L) == ((1L, 1L, 256L)), s"bin1 ${got(1L)}") // doc3 only
+    assert(got(2L) == ((2L, 1L, 244L)), s"bin2 ${got(2L)}") // doc3 tail 44 + doc4 head 200...
+    assert(got.size == 3, s"stream of 756 tokens must occupy 3 bins: $got")
+    // token conservation: Σ n_tokens == Σ len
+    assert(got.values.map(_._3).sum == 756L)
+    // every bin except the last is exactly full
+    assert(got.toSeq.sortBy(_._1).dropRight(1).forall(_._2._3 == 256L))
+  }
+
+  test("sequence packing at fixture: full bins, conserved tokens, start counts sum to docs") {
+    val rows = graft.queries.Corpus.qPackSequences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).sameElements(rows.map(_._1).sorted))
+    // bins are contiguous 0..n-1 (concat-and-split leaves no holes)
+    assert(rows.map(_._1).sameElements(rows.indices.map(_.toLong)))
+    assert(rows.dropRight(1).forall(_._4 == 256L), "non-final bins full")
+    val nDocs = graft.io.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.size(
+        graft.core.TextPipeline.normalizedTokens(
+          org.apache.spark.sql.functions.col("text"))) > 0).count()
+    assert(rows.map(_._3).sum == nDocs, "each doc starts in exactly one bin")
+  }
 }

@@ -260,6 +260,33 @@ class GraphTextSpec extends SparkSpec {
     assert(nll((3, 3)) == 0.0)
   }
 
+  test("perplexity filter: exact per-lang decile cut, worst scores first, ranks contiguous") {
+    val rows = TextAnalysis.qPerplexityFilter(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    assert(rows.nonEmpty, "fixture must have a reject decile")
+    // exact cut size: per-lang rejects == scored-doc count DIV 10
+    val scoredPerLang = TextAnalysis.qBigramLm(spark, sf)
+      .join(graft.io.Tables.documents(spark, sf)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang")), "doc_id")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.length == (scoredPerLang(lang) / 10).toInt,
+        s"$lang: ${rs.length} rejects vs ${scoredPerLang(lang)} scored")
+      val byRank = rs.sortBy(_._5)
+      assert(byRank.map(_._5).sameElements(1 to rs.length),
+        s"$lang ranks not contiguous")
+      // worst-first: score_micros non-increasing along the rank order
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4
+        case _ => true
+      }, s"$lang scores not sorted worst-first")
+      assert(rs.forall(_._4 >= 0L), "MLE nll is non-negative")
+    }
+  }
+
   test("trigram novelty: first occurrence owns the trigram, restatement scores low") {
     import spark.implicits._
     val docs = Seq(
