@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.TextPipeline
@@ -987,7 +987,76 @@ object Analytics {
       .orderBy("channel")
   }
 
+  /** Right-censoring horizon for [[qSurvival]]: a user whose last event
+    * is within 12 hours of the observation end is still-active. Hours,
+    * not days: the fixture's event stream spans ~30 days with every
+    * user active into the final 48 h, so the curve lives at hour
+    * granularity (a longer-horizon deployment changes only these two
+    * constants). */
+  private val SurvivalCensorUs = 12L * 3600000000L
+
+  /** Kaplan–Meier survival curve of user lifetime (hours from first to
+    * last event), right-censored at [[SurvivalCensorUs]] before the
+    * observation end — the churn-analysis readout that q_churn's point
+    * estimate and q_retention's cohort grid don't give: "what fraction
+    * of users survive past t hours", correctly NOT counting
+    * still-active users as churned. At each churn time t: S(t) =
+    * Π_{tᵢ≤t} (1 − dᵢ/nᵢ) with nᵢ the at-risk count (observed time
+    * ≥ tᵢ).
+    *
+    * Cross-engine exactness: the product is carried in LOG2 space on
+    * the verified 1e-6 BIGINT grid — km_log2_micros = Σ (qlog(nᵢ−dᵢ) −
+    * qlog(nᵢ)), an integer exact under any partitioning; S(t) =
+    * 2^(km/1e6) is derivable but never computed (no cross-engine pow).
+    * If the risk set exhausts exactly (nᵢ = dᵢ, S → 0), that row — by
+    * construction the last — carries NULL (log 0), spelled identically
+    * in the oracle.
+    *
+    * Scale stance (100 TB): one user rollup shuffle (partial-agg
+    * min/max), then everything runs on the DISTINCT-LIFETIME relation —
+    * bounded by the observation range in hours (the q_ewma
+    * bounded-cardinality epilogue), where the reverse-cumulative risk
+    * set and the forward-cumulative log sum are two windows over ≤ ~1k
+    * rows. */
+  def qSurvival(s: SparkSession, dir: String): DataFrame =
+    survival(Tables.events(s, dir))
+
+  /** Core of [[qSurvival]] over any (user_id, ts) relation — exposed
+    * for AnalyticsSpec's closed-form cohort (known churn days, one
+    * censored straggler). */
+  private[graft] def survival(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qlog = (c: Column) => round(log2(c.cast("double")) * 1e6).cast("long")
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .localCheckpoint() // 2 consumers: observation end + lifetimes
+    val tend = users.agg(max(col("last_us")).as("t_end"))
+    val obs = users.crossJoin(broadcast(tend))
+      .select(expr("(last_us - first_us) div 3600000000").as("t"),
+        (col("last_us") <= col("t_end") - SurvivalCensorUs).as("churned"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_t"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("d_t"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs.withColumn("n_risk", sum(col("n_t")).over(wDesc))
+      .filter(col("d_t") > 0)
+      .withColumn("term",
+        when(col("n_risk") === col("d_t"), 0L)
+          .otherwise(qlog(col("n_risk") - col("d_t")) - qlog(col("n_risk"))))
+      .withColumn("km_log2_micros",
+        when(col("n_risk") === col("d_t"), lit(null).cast("long"))
+          .otherwise(sum(col("term")).over(wAsc)))
+      .select(col("t").as("t_hour"), col("n_risk"),
+        col("d_t").as("n_churn"), col("km_log2_micros"))
+      .orderBy("t_hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_survival" -> (qSurvival _),
     "q_ks_test" -> (qKsTest _),
     "q_attribution" -> (qAttribution _),
     "q_gini" -> (qGini _),
@@ -1013,6 +1082,40 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    // Identical reverse-cumulative risk set and 1e-6-grid log2 product;
+    // the exhausted-risk-set row carries NULL in both engines.
+    "q_survival" ->
+      s"""WITH u AS (
+         |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+         |         max(epoch_us(ts)) AS last_us
+         |  FROM events GROUP BY 1),
+         |te AS (SELECT max(last_us) AS t_end FROM u),
+         |obs AS (
+         |  SELECT (last_us - first_us) // 3600000000 AS t,
+         |    (last_us <= t_end - $SurvivalCensorUs) AS churned
+         |  FROM u, te),
+         |g AS (SELECT t, count(*) AS n_t,
+         |        CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS d_t
+         |      FROM obs GROUP BY t),
+         |r AS (SELECT t, d_t,
+         |        CAST(sum(n_t) OVER (ORDER BY t DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS BIGINT) AS n_risk
+         |      FROM g),
+         |e AS (SELECT t, n_risk, d_t,
+         |        CASE WHEN n_risk = d_t THEN 0
+         |          ELSE CAST(round(log2(CAST(n_risk - d_t AS DOUBLE))
+         |                 * 1000000.0) AS BIGINT)
+         |             - CAST(round(log2(CAST(n_risk AS DOUBLE))
+         |                 * 1000000.0) AS BIGINT) END AS term
+         |      FROM r WHERE d_t > 0)
+         |SELECT t AS t_hour, n_risk, d_t AS n_churn,
+         |  CASE WHEN n_risk = d_t THEN NULL
+         |    ELSE CAST(sum(term) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |  END AS km_log2_micros
+         |FROM e ORDER BY t_hour""".stripMargin,
     // Identical integer cross-multiplied CDF gap; HUGEINT mirrors the
     // Spark side's DECIMAL(38,0) in the squared α=0.05 compare.
     "q_ks_test" ->

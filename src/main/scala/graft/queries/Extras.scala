@@ -99,6 +99,86 @@ object Extras {
       .orderBy("priority")
   }
 
+  /** Robust (median/MAD) outlier detection per order priority — the
+    * heavy-tail-safe twin of q_outliers' mean/σ z-score: a single whale
+    * order inflates σ and masks every other outlier, while the median
+    * and the median absolute deviation ignore it. Flag: |x − med| >
+    * 3·1.4826·MAD (1.4826 ≈ 1/Φ⁻¹(3/4) makes MAD a consistent σ
+    * estimator under normality; the product 4.4478 is the rational
+    * constant both engines compare against — no libm anywhere).
+    *
+    * Cross-engine exactness: med and MAD come from the exact
+    * interpolating percentile (quantile_cont parity proven by
+    * q_median_price); |x − med| and the 4.4478·MAD threshold are plain
+    * IEEE double ops on identical inputs, so the flag boundary is
+    * bit-identical in both engines.
+    *
+    * Scale stance (100 TB): two narrow passes (per-group median, then
+    * per-group MAD of the residuals) + one counting pass, each a
+    * partial agg with the tiny per-group statistics broadcast back —
+    * the q_winsorize shape one rung more robust. The exact percentile
+    * needs the per-group sort; at extreme group cardinality the same
+    * plan runs on q_quantile_sketch's mergeable histogram instead. */
+  def qRobustOutliers(s: SparkSession, dir: String): DataFrame =
+    robustOutliers(Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("priority"),
+        col("o_totalprice").as("x")))
+
+  /** Core of [[qRobustOutliers]] over any (priority, x) relation —
+    * exposed for ExtrasSpec's whale-masking closed form (a point the
+    * 3σ z-score misses but median/MAD flags). */
+  private[graft] def robustOutliers(oIn: DataFrame): DataFrame = {
+    val o = oIn.localCheckpoint() // 3 consumers: median, residuals, flags
+    val med = o.groupBy("priority")
+      .agg(expr("percentile(x, 0.5)").as("med"))
+    val mad = o.join(broadcast(med), "priority")
+      .groupBy("priority")
+      .agg(expr("percentile(abs(x - med), 0.5)").as("mad"))
+    o.join(broadcast(med), "priority").join(broadcast(mad), "priority")
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 4).as("median"),
+        round(max(col("mad")), 4).as("mad"),
+        sum(when(abs(col("x") - col("med")) > col("mad") * 4.4478, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("priority")
+  }
+
+  /** Skew diagnosis over the orders fact's join key (o_custkey) — the
+    * operational pre-flight every 100 TB join deserves: per-key
+    * cardinality rollup, the hot key, the max/mean skew ratio, and the
+    * salting factor (ceil(max/mean)) a skew-mitigation pass would
+    * apply. This is the MEASUREMENT side of the machinery the suite
+    * already exercises (q_wordcount_salted applies salting; the
+    * SkewJoinSpec pins AQE's skew split) — a planner consumes this
+    * readout to decide between AQE, salting, or broadcast.
+    *
+    * All-integer output (counts, DIV ratios ×100, ceil as
+    * (a+b−1) DIV b); the hot key resolves ties toward the smallest key,
+    * spelled as min-over-argmax in both engines.
+    *
+    * Scale stance: one partial-agg shuffle to per-key counts, a 1-row
+    * statistics agg, and a broadcast-filtered argmax pass over the
+    * per-key relation — nothing downstream of the first aggregate
+    * scales with row count. */
+  def qSkewAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // 2 consumers: stats + hot-key argmax
+    val stats = cnts.agg(count(lit(1)).as("n_keys"),
+      sum(col("n")).as("n_rows"), max(col("n")).as("max_rows"))
+    val hot = cnts.crossJoin(broadcast(stats))
+      .filter(col("n") === col("max_rows"))
+      .agg(min(col("key")).as("hot_key"))
+    stats.crossJoin(broadcast(hot))
+      .select(col("n_rows"), col("n_keys"),
+        expr("n_rows div n_keys").as("mean_rows"),
+        col("max_rows"), col("hot_key"),
+        expr("max_rows * 100 * n_keys div n_rows").as("skew_x100"),
+        expr("(max_rows * n_keys + n_rows - 1) div n_rows").as("salt"))
+  }
+
   /** Histogram-quantile buckets. */
   private val QsBuckets = 128
 
@@ -681,6 +761,8 @@ object Extras {
     "q_audience_overlap" -> (qAudienceOverlap _),
     "q_zorder" -> (qZorder _),
     "q_outliers" -> (qOutliers _),
+    "q_robust_outliers" -> (qRobustOutliers _),
+    "q_skew_advisor" -> (qSkewAdvisor _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_skyline" -> (qSkyline _),
     "q_grouping_id" -> (qGroupingId _),
@@ -1017,6 +1099,36 @@ object Extras {
         |  ON p.user_id = c.user_id
         |  AND abs(c.c_us - p.t_us) <= 3600000000
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+    // Same integer rollup, min-over-argmax hot key, DIV ratios.
+    "q_skew_advisor" ->
+      """WITH c AS (SELECT o_custkey AS key, count(*) AS n
+        |           FROM orders GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(sum(n) AS BIGINT) AS n_rows,
+        |         CAST(max(n) AS BIGINT) AS max_rows FROM c),
+        |hot AS (SELECT min(key) AS hot_key FROM c, st WHERE n = max_rows)
+        |SELECT n_rows, n_keys, n_rows // n_keys AS mean_rows,
+        |  max_rows, hot_key,
+        |  max_rows * 100 * n_keys // n_rows AS skew_x100,
+        |  (max_rows * n_keys + n_rows - 1) // n_rows AS salt
+        |FROM st, hot""".stripMargin,
+    // Same exact interpolating percentile chain and rational 4.4478
+    // threshold; plain double ops → identical flag boundary.
+    "q_robust_outliers" ->
+      """WITH o AS (SELECT o_orderpriority AS priority, o_totalprice AS x
+        |           FROM orders),
+        |med AS (SELECT priority, quantile_cont(x, 0.5) AS med
+        |        FROM o GROUP BY 1),
+        |madt AS (SELECT o.priority,
+        |          quantile_cont(abs(o.x - med.med), 0.5) AS mad
+        |        FROM o JOIN med USING (priority) GROUP BY o.priority)
+        |SELECT o.priority, count(*) AS n,
+        |  round(max(med.med), 4) AS median,
+        |  round(max(madt.mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN abs(o.x - med.med) > madt.mad * 4.4478
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM o JOIN med USING (priority) JOIN madt USING (priority)
+        |GROUP BY o.priority ORDER BY o.priority""".stripMargin,
     "q_median_price" ->
       """SELECT o_orderstatus AS status,
         | round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,

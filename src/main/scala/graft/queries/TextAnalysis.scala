@@ -214,6 +214,51 @@ object TextAnalysis {
         round(col("n_novel").cast("double") / col("n_tri"), 6).as("novelty"))
   }
 
+  /** Hill-estimator order-statistic count for [[qTailIndex]]. */
+  private val HillK = 20
+
+  /** Zipf tail index of the token frequency distribution (Hill
+    * estimator over the top-[[HillK]] frequencies) — the corpus-health
+    * readout behind "is this corpus natural text or template spam":
+    * natural language reads α ≈ 1 (Zipf), boilerplate-heavy corpora
+    * read heavier tails. α̂ = k / Σᵢ₌₁..k ln(fᵢ/f₍k₊₁₎), reported in
+    * LOG2 units (α_log2 = k / Σ log2(fᵢ/f₍k₊₁₎); α_ln = α_log2/ln 2 is
+    * derivable — no cross-engine transcendental constant ships). k
+    * adapts to small vocabularies as min([[HillK]], |V|−1).
+    *
+    * Cross-engine exactness: each log2(f) quantizes to the verified
+    * 1e-6 BIGINT grid before the sum; the single division is integer
+    * (k·10¹² DIV denom, i.e. α in micros); a zero denominator (all
+    * top-k frequencies equal) yields NULL identically in both engines.
+    *
+    * Scale stance (100 TB): the only data-bound stage is the wordcount
+    * partial agg; the rank window runs over the VOCABULARY-cardinality
+    * relation (the q_ewma bounded-cardinality epilogue — and top-k of
+    * it is TakeOrderedAndProject territory if vocabulary ever grew
+    * data-bound). */
+  def qTailIndex(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qlog = (c: Column) => round(log2(c.cast("double")) * 1e6).cast("long")
+    val ranked = TextPipeline.words(Tables.documents(s, dir), "text")
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("f").desc, col("word").asc)))
+      .localCheckpoint() // vocabulary-sized; 3 consumers
+    val nv = ranked.agg(max(col("rank")).cast("long").as("n_vocab"))
+    val withK = ranked.crossJoin(broadcast(nv))
+      .withColumn("k", least(lit(HillK.toLong), col("n_vocab") - 1))
+    val fref = withK.filter(col("rank") === col("k") + 1)
+      .select(col("f").as("f_ref"))
+    withK.filter(col("rank") <= col("k"))
+      .crossJoin(broadcast(fref))
+      .groupBy(col("n_vocab"), col("k"), col("f_ref"))
+      .agg(sum(qlog(col("f")) - qlog(col("f_ref"))).as("denom_micros"))
+      .select(col("n_vocab"), col("k"), col("f_ref"), col("denom_micros"),
+        when(col("denom_micros") > 0,
+          expr("k * 1000000000000 div denom_micros"))
+          .otherwise(lit(null).cast("long")).as("alpha_log2_micros"))
+  }
+
   /** Language ID, n-gram/stopword heuristic: deterministic rule so the
     * oracle can replicate it — predicted 'en' iff stopword ratio > 0.05. */
   def qLangId(s: SparkSession, dir: String): DataFrame =
@@ -667,6 +712,7 @@ object TextAnalysis {
     "q_bigrams_top" -> (qBigramsTop _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_perplexity_filter" -> (qPerplexityFilter _),
+    "q_tail_index" -> (qTailIndex _),
     "q_trigram_novelty" -> (qTrigramNovelty _),
     "q_lang_id" -> (qLangId _),
     "q_tfidf_top" -> (qTfidfTop _),
@@ -797,6 +843,31 @@ object TextAnalysis {
          |  round((CAST(CAST(sum(tf * q) AS BIGINT) AS DOUBLE) / 1000000.0)
          |    / CAST(sum(tf) AS BIGINT), 4) AS avg_nll
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Identical rank order, adaptive k, and 1e-6 log2 grid; the one
+    // division is integer in both engines.
+    "q_tail_index" ->
+      s"""WITH wc AS (
+         |  SELECT w AS word, count(*) AS f
+         |  FROM (SELECT unnest($duckToks) AS w FROM documents)
+         |  GROUP BY 1),
+         |r AS (SELECT word, f,
+         |        row_number() OVER (ORDER BY f DESC, word ASC) AS rank
+         |      FROM wc),
+         |nv AS (SELECT CAST(max(rank) AS BIGINT) AS n_vocab FROM r),
+         |kk AS (SELECT n_vocab, least(20, n_vocab - 1) AS k FROM nv),
+         |fr AS (SELECT f AS f_ref FROM r, kk WHERE rank = k + 1),
+         |d AS (SELECT kk.n_vocab, kk.k, CAST(fr.f_ref AS BIGINT) AS f_ref,
+         |        CAST(sum(
+         |          CAST(round(log2(CAST(f AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |          - CAST(round(log2(CAST(f_ref AS DOUBLE)) * 1000000.0)
+         |              AS BIGINT)) AS BIGINT) AS denom_micros
+         |      FROM r, kk, fr WHERE rank <= k
+         |      GROUP BY 1, 2, 3)
+         |SELECT n_vocab, k, f_ref, denom_micros,
+         |  CASE WHEN denom_micros > 0
+         |       THEN k * 1000000000000 // denom_micros ELSE NULL END
+         |    AS alpha_log2_micros
+         |FROM d""".stripMargin,
     // Identical LM grid as q_bigram_lm; rank window + n DIV 10 cut.
     "q_perplexity_filter" ->
       s"""WITH bg AS (

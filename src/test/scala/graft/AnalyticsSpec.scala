@@ -545,6 +545,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("Kaplan-Meier: closed-form curve with a censored straggler in the risk set") {
+    import spark.implicits._
+    val h = 3600000000L
+    // u1: 0→10h churn; u2: 5→15h churn (lifetime 10h); u3: 0→20h churn;
+    // u4: 0→100h (defines t_end, gap 0 → censored but AT RISK throughout)
+    val ev = Seq(
+      (1L, 0L), (1L, 10L * h),
+      (2L, 5L * h), (2L, 15L * h),
+      (3L, 0L), (3L, 20L * h),
+      (4L, 0L), (4L, 100L * h))
+      .toDF("user_id", "us").withColumn("ts", expr("timestamp_micros(us)"))
+    val got = Analytics.survival(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // t=10: d=2, risk=4 → S=1/2 → −1e6; t=20: d=1, risk=2 (u3 + the
+    // censored u4) → S=1/4 → −2e6. u4 must NOT appear as a churn time.
+    assert(got.sameElements(Seq(
+      (10L, 4L, 2L, -1000000L),
+      (20L, 2L, 1L, -2000000L))), s"KM curve: ${got.toSeq}")
+  }
+
   test("KS test: identical samples read D=0, disjoint supports read D=1 and reject") {
     import spark.implicits._
     val same = ((1 to 10).map(c => (true, c.toLong))

@@ -448,6 +448,39 @@ class ExtrasSpec extends SparkSpec {
       s"unsaturated estimate must be exact: ${r(0)}")
   }
 
+  test("robust outliers: MAD flags the whale the 3-sigma z-score masks") {
+    import spark.implicits._
+    // values 1..9 plus a 1000 whale: med = 5.5, MAD = 2.5, threshold
+    // 2.5·4.4478 = 11.12 → exactly the whale flagged. The z-score view
+    // of the same data reads σ ≈ 313 → the whale is only ~2.9σ and a
+    // 3σ rule MISSES it — the masking effect this operator exists for.
+    val df = ((1 to 9).map(v => ("P", v.toDouble)) :+ (("P", 1000.0)))
+      .toDF("priority", "x")
+    val r = graft.queries.Extras.robustOutliers(df).collect()(0)
+    assert(r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 5.5 && r.getDouble(3) == 2.5, s"med/mad: $r")
+    assert(r.getLong(4) == 1L, s"exactly the whale must be flagged: $r")
+    // and the sanity direction: no outliers in clean uniform data
+    val clean = (1 to 10).map(v => ("Q", v.toDouble)).toDF("priority", "x")
+    assert(graft.queries.Extras.robustOutliers(clean)
+      .collect()(0).getLong(4) == 0L)
+  }
+
+  test("skew advisor: all outputs match a driver-side recompute of the key histogram") {
+    val got = graft.queries.Extras.qSkewAdvisor(spark, sf).collect()(0)
+    val cnts = Tables.orders(spark, sf).groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val nRows = cnts.map(_._2).sum; val nKeys = cnts.length.toLong
+    val maxRows = cnts.map(_._2).max
+    val hotKey = cnts.filter(_._2 == maxRows).map(_._1).min
+    assert(got.getLong(0) == nRows && got.getLong(1) == nKeys)
+    assert(got.getLong(2) == nRows / nKeys)
+    assert(got.getLong(3) == maxRows && got.getLong(4) == hotKey)
+    assert(got.getLong(5) == maxRows * 100 * nKeys / nRows)
+    assert(got.getLong(6) == (maxRows * nKeys + nRows - 1) / nRows)
+    assert(got.getLong(6) >= 1L, "salt factor is at least 1")
+  }
+
   test("sequence packing: exact bin boundaries for straddlers, exact fits, and multi-bin spans") {
     import spark.implicits._
     // PackLen = 256. Stream: 100 + 156 (exact fit at bin 0 boundary),

@@ -260,6 +260,27 @@ class GraphTextSpec extends SparkSpec {
     assert(nll((3, 3)) == 0.0)
   }
 
+  test("tail index equals a full driver-side Hill recompute on the fixture wordcount") {
+    val r = TextAnalysis.qTailIndex(spark, sf).collect()(0)
+    val counts = graft.core.TextPipeline
+      .words(graft.io.Tables.documents(spark, sf), "text")
+      .groupBy("word").count().collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+      .sortBy { case (w, f) => (-f, w) } // rank order: f desc, word asc
+    def qlog(c: Long): Long =
+      math.round(math.log(c.toDouble) / math.log(2.0) * 1e6)
+    val nVocab = counts.length.toLong
+    val k = math.min(20L, nVocab - 1).toInt
+    val fRef = counts(k)._2 // rank k+1, 0-indexed
+    val denom = counts.take(k).map(c => qlog(c._2) - qlog(fRef)).sum
+    assert(r.getLong(0) == nVocab && r.getLong(1) == k.toLong)
+    assert(r.getLong(2) == fRef && r.getLong(3) == denom,
+      s"denom ${r.getLong(3)} != recompute $denom")
+    if (denom > 0)
+      assert(r.getLong(4) == k * 1000000000000L / denom)
+    assert(denom >= 0, "top-k frequencies are >= the reference frequency")
+  }
+
   test("perplexity filter: exact per-lang decile cut, worst scores first, ranks contiguous") {
     val rows = TextAnalysis.qPerplexityFilter(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
