@@ -1055,7 +1055,125 @@ object Analytics {
       .orderBy("t_hour")
   }
 
+  /** Daily uptime (interval-union coverage): the total microseconds per
+    * day during which AT LEAST ONE user was active — the SLA/coverage
+    * twin of q_peak_concurrency's max readout, over the same (user,
+    * day) activity intervals. Classic sweep line with DURATIONS: +1/−1
+    * deltas, and every inter-delta segment whose running count is
+    * positive contributes its length.
+    *
+    * The SCALE-SAFE spelling extends the q_peak_concurrency two-phase
+    * prefix sum with an HOUR SPINE: deltas pre-aggregate to (day, µs),
+    * hour-level sums prefix-scan over the 25-row-per-day spine (so
+    * hours with NO deltas — fully-covered or fully-idle — still carry
+    * their running count), and within each (day, hour) partition the
+    * segment walk is a lead(t) window over that hour's deltas plus one
+    * head segment from the hour boundary. Sequential work is confined
+    * to single hours; the carry chain is 25 rows/day. The ORACLE is
+    * the naive one-window-per-day sweep, so the decomposition is
+    * re-proven equal on every verify. All integer µs; a user active at
+    * instant t covers t (end delta at hi+1), matching
+    * q_peak_concurrency's boundary semantics exactly. */
+  def qUptime(s: SparkSession, dir: String): DataFrame =
+    uptime(Tables.events(s, dir))
+
+  /** Core of [[qUptime]] over any (user_id, ts) relation — exposed for
+    * AnalyticsSpec's hand-built coverage patterns (disjoint, nested,
+    * abutting, hour-spanning intervals). */
+  private[graft] def uptime(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val HourUs = 3600000000L
+    val iv = events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        unix_micros(col("ts")).as("t_us"))
+      .groupBy("user_id", "day")
+      .agg(min(col("t_us")).as("lo"), max(col("t_us")).as("hi"))
+      .localCheckpoint() // 3 consumers: deltas, day spine, interval count
+    val deltas = iv.select(col("day"), col("lo").as("t"), lit(1L).as("d"))
+      .unionAll(iv.select(col("day"), (col("hi") + 1).as("t"), lit(-1L).as("d")))
+      .groupBy(col("day"), col("t")).agg(sum(col("d")).as("d"))
+      .withColumn("hour", expr(s"t div $HourUs"))
+      .localCheckpoint() // 3 consumers: hour sums, segments, hour heads
+    val spine = iv.select(col("day")).distinct()
+      .select(col("day"),
+        explode(sequence(col("day") * 24, col("day") * 24 + 24)).as("hour"))
+    val carry = spine
+      .join(deltas.groupBy(col("day"), col("hour")).agg(sum(col("d")).as("hd")),
+        Seq("day", "hour"), "left")
+      .withColumn("carry_in",
+        coalesce(sum(coalesce(col("hd"), lit(0L)))
+          .over(Window.partitionBy(col("day")).orderBy(col("hour"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("hour"), col("carry_in"))
+      .localCheckpoint() // 2 consumers: segments join + hour heads
+    val wh = Window.partitionBy(col("day"), col("hour")).orderBy(col("t"))
+    val segCov = deltas.join(carry, Seq("day", "hour"))
+      .withColumn("run", col("carry_in")
+        + sum(col("d")).over(wh.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("nxt", lead(col("t"), 1).over(wh))
+      .select(col("day"),
+        when(col("run") > 0,
+          coalesce(col("nxt"), (col("hour") + 1) * HourUs) - col("t"))
+          .otherwise(0L).as("cov"))
+    val headCov = carry
+      .join(deltas.groupBy(col("day"), col("hour")).agg(min(col("t")).as("t0")),
+        Seq("day", "hour"), "left")
+      .select(col("day"),
+        when(col("carry_in") > 0,
+          coalesce(col("t0"), (col("hour") + 1) * HourUs)
+            - col("hour") * HourUs)
+          .otherwise(0L).as("cov"))
+    segCov.unionAll(headCov)
+      .groupBy(col("day")).agg(sum(col("cov")).as("uptime_us"))
+      .join(iv.groupBy(col("day")).agg(count(lit(1)).as("n_intervals")), "day")
+      .select(col("day"), col("n_intervals"), col("uptime_us"),
+        expr("uptime_us * 1000000 div 86400000000").as("uptime_ppm"))
+      .orderBy("day")
+  }
+
+  /** First-signup → first-qualifying-purchase conversion lag — the
+    * activation-latency readout ("how long until a new user buys")
+    * completing q_funnel's stage counts with TIME between stages. Per
+    * user: earliest signup s₀, earliest purchase at or after s₀, lag in
+    * whole minutes (integer DIV). Output is one global row: cohort
+    * sizes, conversion ppm (integer), and the exact interpolating
+    * median/p90 of the lag (quantile_cont parity proven by
+    * q_median_price).
+    *
+    * Scale stance: two per-user partial aggs (signup min, then
+    * qualifying-purchase min after a user-keyed join — one shuffle
+    * each, AQE-skewable) collapse to USER cardinality before the
+    * percentile; the final agg is one row. */
+  def qConversionLag(s: SparkSession, dir: String): DataFrame =
+    conversionLag(Tables.events(s, dir))
+
+  /** Core of [[qConversionLag]] over any (user_id, ts, event_type)
+    * relation — exposed for AnalyticsSpec's hand-built journeys
+    * (pre-signup purchase, signup-less purchaser, first-of-many). */
+  private[graft] def conversionLag(ev: DataFrame): DataFrame = {
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("s0"))
+      .localCheckpoint() // 2 consumers: cohort count + purchase join
+    val lag = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      .join(su, "user_id")
+      .filter(col("p_us") >= col("s0"))
+      .groupBy(col("user_id"))
+      .agg(expr("(min(p_us) - min(s0)) div 60000000").as("lag_min"))
+    lag.agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(lag_min, 0.5)"), 4).as("median_lag_min"),
+        round(expr("percentile(lag_min, 0.9)"), 4).as("p90_lag_min"))
+      .crossJoin(broadcast(su.agg(count(lit(1)).as("n_signup"))))
+      .select(col("n_signup"), col("n_converted"),
+        expr("n_converted * 1000000 div n_signup").as("conv_ppm"),
+        col("median_lag_min"), col("p90_lag_min"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_uptime" -> (qUptime _),
+    "q_conversion_lag" -> (qConversionLag _),
     "q_survival" -> (qSurvival _),
     "q_ks_test" -> (qKsTest _),
     "q_attribution" -> (qAttribution _),
@@ -1082,6 +1200,55 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    // Naive one-window-per-day sweep with durations — proves the
+    // hour-spine decomposition equals the textbook form.
+    "q_uptime" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT day, t, CAST(sum(dd) AS BIGINT) AS dd FROM (
+        |    SELECT day, lo AS t, 1 AS dd FROM iv
+        |    UNION ALL SELECT day, hi + 1 AS t, -1 AS dd FROM iv)
+        |  GROUP BY day, t),
+        |r AS (
+        |  SELECT day, t,
+        |    CAST(sum(dd) OVER (PARTITION BY day ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS run,
+        |    lead(t, 1, (day + 1) * 86400000000) OVER (PARTITION BY day
+        |      ORDER BY t) AS nxt
+        |  FROM d),
+        |cov AS (
+        |  SELECT day, CAST(sum(CASE WHEN run > 0 THEN nxt - t ELSE 0 END)
+        |    AS BIGINT) AS uptime_us
+        |  FROM r GROUP BY day),
+        |n AS (SELECT day, count(*) AS n_intervals FROM iv GROUP BY day)
+        |SELECT cov.day, n.n_intervals, cov.uptime_us,
+        |  cov.uptime_us * 1000000 // 86400000000 AS uptime_ppm
+        |FROM cov JOIN n USING (day) ORDER BY day""".stripMargin,
+    // Same per-user min chain, integer minute DIV, exact percentiles.
+    "q_conversion_lag" ->
+      """WITH su AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS s0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |lag AS (
+        |  SELECT e.user_id,
+        |    (min(epoch_us(e.ts)) - min(su.s0)) // 60000000 AS lag_min
+        |  FROM events e JOIN su USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.s0
+        |  GROUP BY e.user_id),
+        |agg AS (
+        |  SELECT count(*) AS n_converted,
+        |    round(quantile_cont(lag_min, 0.5), 4) AS median_lag_min,
+        |    round(quantile_cont(lag_min, 0.9), 4) AS p90_lag_min
+        |  FROM lag),
+        |c AS (SELECT count(*) AS n_signup FROM su)
+        |SELECT n_signup, n_converted,
+        |  n_converted * 1000000 // n_signup AS conv_ppm,
+        |  median_lag_min, p90_lag_min
+        |FROM agg, c""".stripMargin,
     // Identical reverse-cumulative risk set and 1e-6-grid log2 product;
     // the exhausted-risk-set row carries NULL in both engines.
     "q_survival" ->

@@ -545,6 +545,57 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("uptime: exact union coverage for nested, abutting, hour-spanning and idle-hour patterns") {
+    import spark.implicits._
+    val H = 3600000000L; val D = 86400000000L
+    val ev = Seq(
+      // u1 day0: [0, 2h] — spans a DELTALESS full hour (hour 1 covered
+      // entirely by the spine carry, not by any segment row)
+      (1L, 0L), (1L, 2L * H),
+      // u2 day0: [10h+5, 10h+10]; u3 abuts at [10h+11, 10h+20] — the
+      // −1/+1 deltas at 10h+11 cancel → one contiguous covered run
+      (2L, 10L * H + 5), (2L, 10L * H + 10),
+      (3L, 10L * H + 11), (3L, 10L * H + 20),
+      // u1 day1: single event → 1 µs interval
+      (1L, D + 100L))
+      .toDF("user_id", "us").withColumn("ts", expr("timestamp_micros(us)"))
+    val got = Analytics.uptime(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sameElements(Seq(
+      (0L, 3L, 2L * H + 1 + 16L, (2L * H + 17) * 1000000L / D),
+      (1L, 1L, 1L, 0L))), s"coverage: ${got.toSeq}")
+  }
+
+  test("conversion lag: first qualifying purchase, pre-signup purchases excluded") {
+    import spark.implicits._
+    val M = 60000000L
+    val ev = Seq(
+      // u1: signup then purchase 5 min later
+      (1L, 0L, "signup"), (1L, 5 * M, "purchase"),
+      // u2: purchase BEFORE signup only → signed up, never converted
+      (2L, 10 * M, "purchase"), (2L, 20 * M, "signup"),
+      // u3: purchase with no signup → not in the cohort at all
+      (3L, 0L, "purchase"),
+      // u4: two purchases after signup → FIRST one (90 s → 1 min) wins
+      (4L, 0L, "signup"), (4L, 90000000L, "purchase"),
+      (4L, 600 * M, "purchase"))
+      .toDF("user_id", "us", "event_type")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val r = Analytics.conversionLag(ev).collect()(0)
+    // cohort {u1, u2, u4}; conversions: u1 lag 5 min, u4 lag 1 min
+    // (floor of 90 s; the 600-min purchase loses to first-qualifying);
+    // median of {1, 5} interpolates to 3.0, p90 to 1 + 0.9·(5−1) = 4.6
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L, s"cohort: $r")
+    assert(r.getLong(2) == 666666L, s"conv_ppm: $r")
+    assert(r.getDouble(3) == 3.0, s"median: $r")
+    assert(r.getDouble(4) == 4.6, s"p90 must interpolate 1+0.9·(5−1): $r")
+    // fixture-level: cohort arithmetic holds and percentiles are sane
+    val fx = Analytics.qConversionLag(spark, sf).collect()(0)
+    assert(fx.getLong(1) <= fx.getLong(0), "converted <= signed up")
+    assert(fx.getLong(2) == fx.getLong(1) * 1000000L / fx.getLong(0))
+    assert(fx.getDouble(3) <= fx.getDouble(4), "median <= p90")
+  }
+
   test("Kaplan-Meier: closed-form curve with a censored straggler in the risk set") {
     import spark.implicits._
     val h = 3600000000L
