@@ -1171,7 +1171,81 @@ object Analytics {
         col("median_lag_min"), col("p90_lag_min"))
   }
 
+  /** PSI bin count (deciles of the value range). */
+  private val PsiBins = 10
+
+  /** Population stability index of the purchase-value distribution,
+    * first half vs second half of the observation window — THE model-
+    * monitoring drift metric (PSI < 0.1 stable, > 0.25 shifted), the
+    * numeric-feature complement of q_kl_drift's vocabulary divergence
+    * and q_ks_test's single-statistic verdict: PSI localizes WHERE the
+    * distribution moved, bin by bin. PSI = Σ (pᵢ−qᵢ)·log(pᵢ/qᵢ) over
+    * [[PsiBins]] equal-width bins of the full value range, with
+    * Laplace-smoothed shares (cᵢ+1)/(n+bins) so empty bins are finite.
+    *
+    * Cross-engine exactness: binning, the period split (calendar
+    * midpoint), and counts are integer; each bin's log ratio is a
+    * DIFFERENCE OF INTEGER-COUNT LOGS on the verified 1e-6 grid
+    * (log(c+1)−log(n+bins) per side — no libm on non-integer input),
+    * the share difference is exact-double division of integers (the
+    * q_chi_square doctrine), and each term quantizes to BIGINT micros
+    * before the sum. Output is the per-bin drill-down plus a bin = −1
+    * total row whose term_micros IS the PSI (in log2 micros; ×ln 2 for
+    * nats is derivable).
+    *
+    * Scale stance: one scan → 10-bin partial agg; everything downstream
+    * runs on the constant [[PsiBins]]-row relation (range and totals
+    * broadcast). */
+  def qPsi(s: SparkSession, dir: String): DataFrame =
+    psi(Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents")))
+
+  /** Core of [[qPsi]] over any (day, cents) relation — exposed for
+    * AnalyticsSpec's closed forms (identical halves → PSI 0, disjoint
+    * bin masses → every term positive). */
+  private[graft] def psi(vals: DataFrame): DataFrame = {
+    val qlog = (c: Column) => round(log2(c.cast("double")) * 1e6).cast("long")
+    val v = vals.localCheckpoint() // 2 consumers: range + binned counts
+    val rng = v.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"),
+      min(col("cents")).as("cmin"), max(col("cents")).as("cmax"))
+      .localCheckpoint() // 2 consumers: binning + spine
+    val binned = v.crossJoin(broadcast(rng))
+      .select(
+        (col("day") < expr("(dmin + dmax + 1) div 2")).as("is_a"),
+        least(lit((PsiBins - 1).toLong),
+          expr(s"(cents - cmin) * $PsiBins div (cmax - cmin + 1)"))
+          .as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("c_b"))
+    val spine = rng.filter(col("dmin").isNotNull)
+      .select(explode(sequence(lit(0L), lit((PsiBins - 1).toLong))).as("bin"))
+    val tot = binned.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    val terms = spine.join(binned, Seq("bin"), "left")
+      .na.fill(0L, Seq("c_a", "c_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("c_a"), col("c_b"),
+        round(((col("c_a") + 1).cast("double")
+              / (col("n_a") + PsiBins).cast("double")
+            - (col("c_b") + 1).cast("double")
+              / (col("n_b") + PsiBins).cast("double"))
+          * (qlog(col("c_a") + 1) - qlog(col("n_a") + PsiBins)
+            - qlog(col("c_b") + 1) + qlog(col("n_b") + PsiBins))
+            .cast("double"))
+          .cast("long").as("term_micros"))
+      .localCheckpoint() // 2 consumers: bin detail + the total row
+    terms.unionAll(
+        terms.agg(sum(col("c_a")).as("c_a"), sum(col("c_b")).as("c_b"),
+            sum(col("term_micros")).as("t"))
+          .filter(col("c_a").isNotNull)
+          .select(lit(-1L).as("bin"), col("c_a"), col("c_b"),
+            col("t").as("term_micros")))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_psi" -> (qPsi _),
     "q_uptime" -> (qUptime _),
     "q_conversion_lag" -> (qConversionLag _),
     "q_survival" -> (qSurvival _),
@@ -1200,6 +1274,52 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    // Identical integer binning, midpoint split, Laplace smoothing, and
+    // difference-of-integer-logs grid; total row via UNION ALL.
+    "q_psi" ->
+      """WITH v AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |rng AS (SELECT min(day) AS dmin, max(day) AS dmax,
+        |          min(cents) AS cmin, max(cents) AS cmax FROM v),
+        |b AS (SELECT least(9, (cents - cmin) * 10 // (cmax - cmin + 1))
+        |        AS bin,
+        |        (day < (dmin + dmax + 1) // 2) AS is_a
+        |      FROM v, rng),
+        |g AS (SELECT bin,
+        |        CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS c_a,
+        |        CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)
+        |          AS c_b
+        |      FROM b GROUP BY bin),
+        |spine AS (SELECT unnest(range(0, 10)) AS bin FROM rng
+        |          WHERE dmin IS NOT NULL),
+        |f AS (SELECT spine.bin, coalesce(g.c_a, 0) AS c_a,
+        |        coalesce(g.c_b, 0) AS c_b
+        |      FROM spine LEFT JOIN g USING (bin)),
+        |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+        |          CAST(sum(c_b) AS BIGINT) AS n_b FROM f),
+        |terms AS (SELECT bin, c_a, c_b,
+        |    CAST(round((CAST(c_a + 1 AS DOUBLE) / CAST(n_a + 10 AS DOUBLE)
+        |         - CAST(c_b + 1 AS DOUBLE) / CAST(n_b + 10 AS DOUBLE))
+        |      * CAST(
+        |          CAST(round(log2(CAST(c_a + 1 AS DOUBLE)) * 1000000.0)
+        |            AS BIGINT)
+        |        - CAST(round(log2(CAST(n_a + 10 AS DOUBLE)) * 1000000.0)
+        |            AS BIGINT)
+        |        - CAST(round(log2(CAST(c_b + 1 AS DOUBLE)) * 1000000.0)
+        |            AS BIGINT)
+        |        + CAST(round(log2(CAST(n_b + 10 AS DOUBLE)) * 1000000.0)
+        |            AS BIGINT) AS DOUBLE)) AS BIGINT) AS term_micros
+        |  FROM f, tot)
+        |SELECT * FROM (
+        |  SELECT bin, c_a, c_b, term_micros FROM terms
+        |  UNION ALL
+        |  SELECT -1, CAST(sum(c_a) AS BIGINT), CAST(sum(c_b) AS BIGINT),
+        |    CAST(sum(term_micros) AS BIGINT)
+        |  FROM terms)
+        |ORDER BY bin""".stripMargin,
     // Naive one-window-per-day sweep with durations — proves the
     // hour-spine decomposition equals the textbook form.
     "q_uptime" ->

@@ -445,6 +445,55 @@ object Relational {
       .orderBy("stage")
   }
 
+  /** windowFunnel time constraint: every later stage must land within
+    * 24 h of the user's FIRST stage-1 event (fixture-calibrated: the
+    * 30-day event stream reads 150/60/14 users at stages 1/2/3). */
+  private val FunnelWindowUs = 24L * 3600000000L
+
+  /** Time-constrained sequential funnel (the ClickHouse `windowFunnel`
+    * shape): view → click → purchase where EVERY later stage must occur
+    * within [[FunnelWindowUs]] of the user's first view — q_funnel's
+    * unbounded progression made operational ("converted within a day"),
+    * which is what campaign reporting actually asks. Each stage keeps
+    * the EARLIEST qualifying event (min — order-free, deterministic);
+    * the window anchors at stage 1, so a click at +23 h leaves only 1 h
+    * for the purchase. Output adds conv_ppm per stage (integer DIV of
+    * the stage-1 cohort).
+    *
+    * Scale stance: identical to q_funnel — three stage-keyed partial
+    * aggs chained by user-keyed joins (one shuffle each, AQE-skewable),
+    * with the time predicate pushed into the join filter; nothing wider
+    * than (user, ts) ever shuffles. */
+  def qWindowFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("t")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
+      .filter(col("t") > col("t1")
+        && col("t") <= col("t1") + FunnelWindowUs)
+      .groupBy("user_id")
+      .agg(min(col("t")).as("t2"), min(col("t1")).as("t1"))
+    val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+      .filter(col("t") > col("t2")
+        && col("t") <= col("t1") + FunnelWindowUs)
+      .groupBy("user_id").agg(min(col("t")).as("t3"))
+    val n1 = t1.agg(count(lit(1)).as("users"))
+      .select(lit(1).as("stage"), col("users"))
+    val n2 = t2.agg(count(lit(1)).as("users"))
+      .select(lit(2).as("stage"), col("users"))
+    val n3 = t3.agg(count(lit(1)).as("users"))
+      .select(lit(3).as("stage"), col("users"))
+    val cohort = t1.agg(count(lit(1)).as("n1"))
+    n1.unionAll(n2).unionAll(n3)
+      .crossJoin(broadcast(cohort))
+      .select(col("stage"), col("users"),
+        when(col("n1") > 0, expr("users * 1000000 div n1"))
+          .otherwise(lit(0L)).as("conv_ppm"))
+      .orderBy("stage")
+  }
+
   /** Weekly cohort retention: users grouped by their FIRST active day,
     * counted once per (cohort, floor(days-since-first/7)) week offset.
     * Two user-cardinality aggregates + one distinct — the whole matrix
@@ -514,6 +563,7 @@ object Relational {
     "q_having" -> (qHaving _),
     "q_events_daily" -> (qEventsDaily _),
     "q_funnel" -> (qFunnel _),
+    "q_window_funnel" -> (qWindowFunnel _),
     "q_retention" -> (qRetention _),
     "q_churn" -> (qChurn _),
   )
@@ -716,6 +766,31 @@ object Relational {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         | min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+    // Identical anchored-window stage chain and integer ppm.
+    "q_window_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t
+         |           FROM events),
+         |t1 AS (SELECT user_id, min(t) AS t1 FROM e
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |t2 AS (SELECT e.user_id, min(e.t) AS t2, min(t1.t1) AS t1
+         |       FROM e JOIN t1 USING (user_id)
+         |       WHERE e.event_type = 'click' AND e.t > t1.t1
+         |         AND e.t <= t1.t1 + $FunnelWindowUs
+         |       GROUP BY e.user_id),
+         |t3 AS (SELECT e.user_id, min(e.t) AS t3
+         |       FROM e JOIN t2 USING (user_id)
+         |       WHERE e.event_type = 'purchase' AND e.t > t2.t2
+         |         AND e.t <= t2.t1 + $FunnelWindowUs
+         |       GROUP BY e.user_id),
+         |st AS (
+         |  SELECT 1 AS stage, count(*) AS users FROM t1
+         |  UNION ALL SELECT 2, count(*) FROM t2
+         |  UNION ALL SELECT 3, count(*) FROM t3),
+         |c AS (SELECT count(*) AS n1 FROM t1)
+         |SELECT stage, users,
+         |  CASE WHEN n1 > 0 THEN users * 1000000 // n1 ELSE 0 END
+         |    AS conv_ppm
+         |FROM st, c ORDER BY stage""".stripMargin,
     "q_funnel" ->
       """WITH t1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events

@@ -545,6 +545,46 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("window funnel: stages monotone, each a subset of the unbounded funnel, ppm exact") {
+    val wf = Relational.qWindowFunnel(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val un = Relational.qFunnel(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(wf.keySet == Set(1, 2, 3))
+    assert(wf(1)._1 >= wf(2)._1 && wf(2)._1 >= wf(3)._1,
+      s"constrained funnel must narrow: $wf")
+    // the 24 h window can only LOSE users vs the unbounded progression
+    (1 to 3).foreach(st => assert(wf(st)._1 <= un(st),
+      s"stage $st: windowed ${wf(st)._1} > unbounded ${un(st)}"))
+    assert(wf(1)._1 == un(1), "stage 1 has no window constraint")
+    (1 to 3).foreach(st =>
+      assert(wf(st)._2 == wf(st)._1 * 1000000L / wf(1)._1, s"ppm stage $st"))
+    assert(wf(2)._1 > wf(3)._1, "fixture must differentiate stages 2 and 3")
+  }
+
+  test("PSI: identical halves read exactly 0; a full shift localizes to the end bins") {
+    import spark.implicits._
+    // identical value multisets in both halves → every term exactly 0
+    val same = (0L to 9L).flatMap(d => (1 to 10).map(c => (d, c * 100L)))
+      .toDF("day", "cents")
+    val s0 = Analytics.psi(same).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(s0.values.forall(_ == 0L), s"identical halves must read 0: $s0")
+    assert(s0(-1L) == 0L)
+    // period A all at cents=100 (bin 0), period B all at 1000 (bin 9):
+    // qlog(11) = round(log2(11)·1e6) = 3459432; each end bin reads
+    // round(0.5·3459432), middle bins cancel exactly
+    val shifted = ((1 to 10).map(_ => (0L, 100L))
+        ++ (1 to 10).map(_ => (9L, 1000L))).toDF("day", "cents")
+    val s1 = Analytics.psi(shifted).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val qlog11 = math.round(math.log(11.0) / math.log(2.0) * 1e6)
+    assert(s1(0L) == math.round(0.5 * qlog11) && s1(9L) == s1(0L),
+      s"end bins must carry the shift: $s1")
+    assert((1L to 8L).forall(s1(_) == 0L), s"middle bins must cancel: $s1")
+    assert(s1(-1L) == s1(0L) + s1(9L), "total row is the sum")
+  }
+
   test("uptime: exact union coverage for nested, abutting, hour-spanning and idle-hour patterns") {
     import spark.implicits._
     val H = 3600000000L; val D = 86400000000L
