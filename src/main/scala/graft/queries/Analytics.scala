@@ -1244,7 +1244,46 @@ object Analytics {
       .orderBy("bin")
   }
 
+  /** Weekly-cohort lifetime value: users grouped by first-active week,
+    * cumulative purchase revenue per cohort across week offsets, and
+    * the LTV-per-user readout (integer cents DIV) — the revenue
+    * completion of q_retention's presence grid (retention says "they
+    * came back"; LTV says "what that was worth"). Weeks with no
+    * purchases are simply absent (their revenue is 0, so the cumulative
+    * sum is unaffected).
+    *
+    * All-integer: round-to-cents BIGINT revenue, week arithmetic on
+    * epoch-µs DIV, one DIV per output row. Scale stance: two
+    * user-keyed partial aggs (first week, weekly revenue) + the
+    * cumulative window over the COHORT×WEEKS grid — bounded by the
+    * observation range squared in weeks, not by events (the q_ewma
+    * epilogue argument); cohort sizes broadcast. */
+  def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val first = ev.groupBy(col("user_id"))
+      .agg(expr("min(unix_micros(ts) div 604800000000)").as("cw"))
+      .localCheckpoint() // 2 consumers: cohort sizes + revenue join
+    val sizes = first.groupBy("cw").agg(count(lit(1)).as("cohort_users"))
+    val win = Window.partitionBy(col("cw")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("w"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .join(first, "user_id")
+      .groupBy(col("cw"), (col("w") - col("cw")).as("week_offset"))
+      .agg(sum(col("cents")).as("rev_cents"))
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(win))
+      .join(broadcast(sizes), "cw")
+      .select(col("cw").as("cohort_week"), col("week_offset"),
+        col("cohort_users"), col("rev_cents"), col("cum_rev_cents"),
+        expr("cum_rev_cents div cohort_users").as("ltv_cents"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_ltv" -> (qCohortLtv _),
     "q_psi" -> (qPsi _),
     "q_uptime" -> (qUptime _),
     "q_conversion_lag" -> (qConversionLag _),
@@ -1274,6 +1313,30 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same first-week cohorts, weekly rollup, cumulative window, DIV.
+    "q_cohort_ltv" ->
+      """WITH f AS (
+        |  SELECT user_id, min(epoch_us(ts) // 604800000000) AS cw
+        |  FROM events GROUP BY 1),
+        |sz AS (SELECT cw, count(*) AS cohort_users FROM f GROUP BY 1),
+        |r AS (SELECT f.cw,
+        |        (epoch_us(e.ts) // 604800000000) - f.cw AS week_offset,
+        |        CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+        |          AS rev_cents
+        |      FROM events e JOIN f USING (user_id)
+        |      WHERE e.event_type = 'purchase'
+        |      GROUP BY 1, 2),
+        |c AS (SELECT cw, week_offset, rev_cents,
+        |        CAST(sum(rev_cents) OVER (PARTITION BY cw
+        |          ORDER BY week_offset
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum_rev_cents
+        |      FROM r)
+        |SELECT c.cw AS cohort_week, c.week_offset, sz.cohort_users,
+        |  c.rev_cents, c.cum_rev_cents,
+        |  c.cum_rev_cents // sz.cohort_users AS ltv_cents
+        |FROM c JOIN sz USING (cw)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     // Identical integer binning, midpoint split, Laplace smoothing, and
     // difference-of-integer-logs grid; total row via UNION ALL.
     "q_psi" ->

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.TextPipeline
@@ -142,6 +142,39 @@ object Extras {
         sum(when(abs(col("x") - col("med")) > col("mad") * 4.4478, 1L)
           .otherwise(0L)).as("n_outliers"))
       .orderBy("priority")
+  }
+
+  /** Benford first-digit audit of order amounts — the classic
+    * fraud/data-fabrication screen: naturally-occurring multi-scale
+    * amounts follow P(d) = log10(1 + 1/d), and a fabricated or
+    * truncated column visibly deviates. Output per digit 1–9: count,
+    * observed ppm, expected Benford ppm, and the signed deviation.
+    *
+    * Cross-engine exactness: the leading digit is string arithmetic on
+    * integer cents; the Benford expectation needs log10(1+1/d) — a
+    * transcendental — spelled ENTIRELY on the verified integer-count
+    * log2 grid: log10(1+1/d) = (log2(d+1) − log2(d)) / log2(10), i.e.
+    * (qlog(d+1) − qlog(d)) · 10⁶ DIV qlog(10) with every qlog an
+    * integer-argument 1e-6 grid point — no libm on non-integer input
+    * anywhere, and the one division is integer.
+    *
+    * Scale stance: one scan partial-aggs to 9 rows; the expectation is
+    * per-digit constant arithmetic. */
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val qlog = (c: Column) => round(log2(c.cast("double")) * 1e6).cast("long")
+    Tables.orders(s, dir)
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("qd", qlog(col("digit") + 1) - qlog(col("digit")))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div total").as("obs_ppm"),
+        expr("qd * 1000000 div 3321928").as("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .orderBy("digit")
   }
 
   /** Skew diagnosis over the orders fact's join key (o_custkey) — the
@@ -763,6 +796,7 @@ object Extras {
     "q_outliers" -> (qOutliers _),
     "q_robust_outliers" -> (qRobustOutliers _),
     "q_skew_advisor" -> (qSkewAdvisor _),
+    "q_benford" -> (qBenford _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_skyline" -> (qSkyline _),
     "q_grouping_id" -> (qGroupingId _),
@@ -1099,6 +1133,27 @@ object Extras {
         |  ON p.user_id = c.user_id
         |  AND abs(c.c_us - p.t_us) <= 3600000000
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+    // Same string-derived leading digit and grid-integer Benford
+    // expectation (qlog(d+1) − qlog(d)) · 1e6 // qlog(10).
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, count(*) AS n FROM d WHERE digit >= 1
+        |      GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+        |SELECT digit, n,
+        |  n * 1000000 // total AS obs_ppm,
+        |  (CAST(round(log2(CAST(digit + 1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |   - CAST(round(log2(CAST(digit AS DOUBLE)) * 1000000.0) AS BIGINT))
+        |    * 1000000 // 3321928 AS exp_ppm,
+        |  n * 1000000 // total
+        |    - (CAST(round(log2(CAST(digit + 1 AS DOUBLE)) * 1000000.0)
+        |         AS BIGINT)
+        |       - CAST(round(log2(CAST(digit AS DOUBLE)) * 1000000.0)
+        |           AS BIGINT)) * 1000000 // 3321928 AS dev_ppm
+        |FROM g, t ORDER BY digit""".stripMargin,
     // Same integer rollup, min-over-argmax hot key, DIV ratios.
     "q_skew_advisor" ->
       """WITH c AS (SELECT o_custkey AS key, count(*) AS n

@@ -302,6 +302,51 @@ object Ingest {
       .orderBy("o_orderkey")
   }
 
+  /** Sequence-gap audit (islands and gaps): find every missing run in
+    * the event_id sequence — the "did we drop a batch" data-quality
+    * check that q_table_diff answers for VALUE damage, asked here for
+    * ARRIVAL damage. The damaged stream is derived deterministically
+    * (event_id ≡ 13 mod 997 withheld — the q_table_diff lost-batch
+    * convention), so both engines audit the identical stream and the
+    * result is the exact planted gap list.
+    *
+    * The SCALE-SAFE spelling avoids the textbook lag() window over the
+    * full sequence (one partition sorting N rows): gap STARTS are
+    * `id+1 absent` (a self anti-join on the shifted key — one narrow
+    * shuffle), gap ENDS are `id−1 absent`, and since gaps are disjoint
+    * and ordered, the i-th start pairs with the i-th end — a
+    * row_number window over the GAP-cardinality relation (damage-
+    * proportional, not data-proportional). The ORACLE is the naive
+    * lead() spelling, so the decomposition is re-proven equal on every
+    * verify. */
+  def qSequenceGaps(s: SparkSession, dir: String): DataFrame =
+    sequenceGaps(Tables.events(s, dir)
+      .select(col("event_id").as("id"))
+      .filter(pmod(col("id"), lit(997)) =!= 13))
+
+  /** Core of [[qSequenceGaps]] over any single-column (id) relation —
+    * exposed for IngestSpec's hand-built gap patterns (adjacent gaps,
+    * width-1 gaps, missing head/tail are NOT gaps). */
+  private[graft] def sequenceGaps(idsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = idsIn.localCheckpoint() // 4 consumers: starts ×2, ends ×2, bounds
+    val bounds = ids.agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+    val starts = ids.select((col("id") + 1).as("gs"))
+      .join(ids.select(col("id").as("gs")), Seq("gs"), "left_anti")
+      .crossJoin(broadcast(bounds)).filter(col("gs") <= col("hi"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("gs"))))
+      .select(col("rn"), col("gs"))
+    val ends = ids.select((col("id") - 1).as("ge"))
+      .join(ids.select(col("id").as("ge")), Seq("ge"), "left_anti")
+      .crossJoin(broadcast(bounds)).filter(col("ge") >= col("lo"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("ge"))))
+      .select(col("rn"), col("ge"))
+    starts.join(ends, "rn")
+      .select(col("gs").as("gap_start"), col("ge").as("gap_end"),
+        (col("ge") - col("gs") + 1).as("n_missing"))
+      .orderBy("gap_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_ingest" -> (qCsvIngest _),
     "q_csv_ingest_glob" -> (qCsvIngestGlob _),
@@ -309,6 +354,7 @@ object Ingest {
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_table_diff" -> (qTableDiff _),
     "q_schema_evolution" -> (qSchemaEvolution _),
+    "q_sequence_gaps" -> (qSequenceGaps _),
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -334,6 +380,15 @@ object Ingest {
   }
 
   val oracle: Map[String, String] = Map(
+    // Naive lead()-window islands-and-gaps — proves the anti-join
+    // start/end pairing equals the textbook spelling.
+    "q_sequence_gaps" ->
+      """WITH ids AS (
+        |  SELECT event_id AS id FROM events WHERE event_id % 997 <> 13),
+        |w AS (SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM ids)
+        |SELECT id + 1 AS gap_start, nxt - 1 AS gap_end,
+        |  nxt - id - 1 AS n_missing
+        |FROM w WHERE nxt > id + 1 ORDER BY gap_start""".stripMargin,
     // The parity split and token count recomputed straight from the
     // fixture: a hash match proves the two-generation mergeSchema read
     // lost and invented nothing.

@@ -545,6 +545,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("cohort LTV: revenue conserved, cumulative monotone, per-user DIV exact") {
+    val rows = Analytics.qCohortLtv(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // revenue conservation: Σ rev_cents equals total purchase cents
+    val total = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100).cast("long")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_._4).sum == total, "cohort grid conserves revenue")
+    rows.groupBy(_._1).foreach { case (cw, rs) =>
+      val byW = rs.sortBy(_._2)
+      // cumulative = running sum of the weekly column, strictly derived
+      assert(byW.map(_._4).scanLeft(0L)(_ + _).tail
+        .sameElements(byW.map(_._5)), s"cohort $cw cumulative")
+      byW.foreach { r => assert(r._6 == r._5 / r._3, s"cohort $cw ltv") }
+    }
+  }
+
   test("window funnel: stages monotone, each a subset of the unbounded funnel, ppm exact") {
     val wf = Relational.qWindowFunnel(spark, sf).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -448,6 +448,30 @@ class ExtrasSpec extends SparkSpec {
       s"unsaturated estimate must be exact: ${r(0)}")
   }
 
+  test("benford: grid-exact expectations, shares sum to ~1e6, counts conserve") {
+    val rows = Extras.qBenford(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).sameElements(1L to 9L), "all nine digits present")
+    // expectation column is the pure grid constant: (qlog(d+1) −
+    // qlog(d)) · 1e6 div qlog(10); spot-pin the closed forms
+    def qlog(x: Long): Long =
+      math.round(math.log(x.toDouble) / math.log(2.0) * 1e6)
+    rows.foreach { case (d, _, _, exp, _) =>
+      assert(exp == (qlog(d + 1) - qlog(d)) * 1000000L / 3321928L,
+        s"digit $d expectation")
+    }
+    // 301030, not 301029: the grid divisor qlog(10) = 3321928 sits half
+    // a grid step below true log2(10)·1e6, nudging the quotient up one
+    assert(rows.head._4 == 301030L, "P(1) = log10 2 on the 1e-6 grid")
+    assert(rows.last._4 == 45757L, "P(9) = log10(10/9) = 0.045757..")
+    assert(rows.map(_._2).sum ==
+      Tables.orders(spark, sf).count(), "every order has a leading digit")
+    val obsSum = rows.map(_._3).sum
+    assert(obsSum > 999990L && obsSum <= 1000000L, s"shares sum ~1e6: $obsSum")
+    rows.foreach { case (_, _, obs, exp, dev) => assert(dev == obs - exp) }
+  }
+
   test("robust outliers: MAD flags the whale the 3-sigma z-score masks") {
     import spark.implicits._
     // values 1..9 plus a 1000 whale: med = 5.5, MAD = 2.5, threshold

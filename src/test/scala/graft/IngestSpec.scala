@@ -138,11 +138,29 @@ class IngestSpec extends SparkSpec {
       assert(scored == 0 || qsum > 0, s"$lang: scored docs with zero token mass")
     }
     // the evolution is real: a bare read of the gen-1 directory alone has
-    // no `quality` column at all
-    val base = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_schevo_" + Integer.toHexString(sf.hashCode)).getAbsolutePath
+    // no `quality` column at all (same per-JVM scratch root the query used)
+    val base = Ingest.scratchDir("schevo", sf)
     assert(!spark.read.parquet(s"$base/gen1").columns.contains("quality"))
     assert(spark.read.parquet(s"$base/gen2").columns.contains("quality"))
+  }
+
+  test("sequence gaps: planted gap list exact; width-1 gaps kept; head/tail are not gaps") {
+    import spark.implicits._
+    // present: 5,6, [gap 7-8], 9, [gap 10], 11 — ids below 5 / above 11
+    // are out of observed range and must NOT read as gaps
+    val got = Ingest.sequenceGaps(Seq(5L, 6L, 9L, 11L).toDF("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sameElements(Seq((7L, 8L, 2L), (10L, 10L, 1L))),
+      s"gap list: ${got.toSeq}")
+    // gapless input → empty audit
+    assert(Ingest.sequenceGaps((1L to 8L).toDF("id")).count() == 0)
+    // fixture: the synthesized damage (id ≡ 13 mod 997) comes back
+    // exactly — every gap is a single withheld id
+    val fx = Ingest.qSequenceGaps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fx.nonEmpty)
+    assert(fx.forall { case (s0, e0, n) =>
+      s0 == e0 && n == 1L && s0 % 997 == 13
+    }, s"planted damage only: ${fx.take(3).toSeq}")
   }
 }
