@@ -74,6 +74,94 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q4 shape — late-order priority count: EXISTS-style LEFT SEMI
+    * join whose condition is an INEQUALITY across both sides (a lineitem
+    * shipped > 60 days after the order date), the "did anything go
+    * wrong with this order" probe. The semi join keeps orders
+    * single-appearance regardless of how many lines are late — the
+    * distinct-free EXISTS spelling — and shuffles only (orderkey,
+    * shipdate) against the quarter-pruned order side. (The fixture has
+    * no commit/receipt dates; lateness vs o_orderdate is the available
+    * equivalent of the reference predicate.) */
+  def q4LateOrders(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    ord.join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > date_add(col("o_orderdate"), 60),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q10 shape — returned-item customer ranking: which customers
+    * drove returned revenue in a quarter. The returnflag filter pushes
+    * into the lineitem scan; the quarter filter into orders; nation is
+    * a broadcast dim; TakeOrdered caps at 20 without a global sort. */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+        dMoney(col("c_acctbal")).cast("double").as("acctbal"))
+      .agg(sum(dMoney(col("l_extendedprice"))
+          * (lit(1).cast(DecimalType(4, 2)) - dRate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q14 shape — promotion revenue share: the conditional-
+    * aggregate ratio (CASE inside sum) over one quarter's lineitem⨝part.
+    * Both sums accumulate in DECIMAL (exact, partial-aggregatable) and
+    * cast to double only for the final percentage — the Q1 doctrine. */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val disc = dMoney(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(4, 2)) - dRate(col("l_discount")))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"), disc)
+          .otherwise(lit(0).cast(DecimalType(14, 2)))).as("dp"),
+        sum(disc).as("dt"))
+      .select(
+        round(col("dp").cast("double") * 100.0 / col("dt").cast("double"), 4)
+          .as("promo_pct"),
+        col("dp").cast("double").as("promo_revenue"),
+        col("dt").cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q19 shape — disjunctive predicate revenue (OR of brand ×
+    * size × quantity conjunctions): the optimizer test case where the
+    * common `p_brand IN (...)` / size bounds must be EXTRACTED from the
+    * OR and pushed into the part scan rather than evaluated post-join
+    * (PLANS shows the pushed IN-filter on the part side). Revenue in
+    * DECIMAL, cast once. */
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity"); val b = col("p_brand"); val z = col("p_size")
+    val cond =
+      (b === "Brand#12" && z.between(1, 15) && q.between(1, 21)) ||
+      (b === "Brand#23" && z.between(1, 20) && q.between(10, 30)) ||
+      (b === "Brand#34" && z.between(1, 25) && q.between(20, 40))
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dMoney(col("l_extendedprice"))
+            * (lit(1).cast(DecimalType(4, 2)) - dRate(col("l_discount"))))
+          .cast("double").as("revenue"))
+  }
+
   /** TPC-H Q13 shape — customer order-count distribution: LEFT OUTER join
     * preserving order-less customers, then aggregate TWICE (per customer,
     * then per count). Both aggregations partial-agg before their shuffle;
@@ -535,6 +623,10 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
+    "q4_late_orders" -> (q4LateOrders _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q19_disjunctive" -> (q19Disjunctive _),
     "q_filter_project" -> (qFilterProject _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -766,6 +858,50 @@ object Relational {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         | min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+    // EXISTS via semi join with the cross-side inequality; 60-day grace.
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  CAST(CAST(c_acctbal AS DECIMAL(14,2)) AS DOUBLE) AS acctbal,
+         |  CAST(sum($price * $disc) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q14_promo_revenue" ->
+      s"""WITH a AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $price * $disc
+         |             ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE) AS dp,
+         |    CAST(sum($price * $disc) AS DOUBLE) AS dt
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01')
+         |SELECT round(dp * 100.0 / dt, 4) AS promo_pct,
+         |  dp AS promo_revenue, dt AS total_revenue FROM a""".stripMargin,
+    "q19_disjunctive" ->
+      s"""SELECT count(*) AS n_lines,
+         |  CAST(sum($price * $disc) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |        AND l_quantity BETWEEN 1 AND 21)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+         |        AND l_quantity BETWEEN 10 AND 30)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+         |        AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
     // Identical anchored-window stage chain and integer ppm.
     "q_window_funnel" ->
       s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t

@@ -545,6 +545,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("TPC-H shapes q4/q10/q14/q19: semi-join bounds, ratio bounds, disjunct containment") {
+    // q4: EXISTS can only keep a subset of the quarter's orders
+    val quarter = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1996-04-01").cast("timestamp")).count()
+    val q4 = Relational.q4LateOrders(spark, sf).collect()
+    assert(q4.nonEmpty && q4.map(_.getLong(1)).sum <= quarter)
+    // q10: ranked output, revenue strictly ordered desc with key tiebreak
+    val q10 = Relational.q10ReturnedItems(spark, sf).collect()
+      .map(r => (r.getDouble(4), r.getLong(0)))
+    assert(q10.nonEmpty && q10.length <= 20)
+    assert(q10.sliding(2).forall {
+      case Array(a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+      case _ => true
+    }, "q10 must order by revenue desc, custkey asc")
+    // q14: a share is a share
+    val q14 = Relational.q14PromoRevenue(spark, sf).collect()(0)
+    assert(q14.getDouble(0) >= 0.0 && q14.getDouble(0) <= 100.0)
+    assert(q14.getDouble(1) <= q14.getDouble(2), "promo <= total")
+    // q19: the disjunctive filter is contained in its brand superset
+    val q19 = Relational.q19Disjunctive(spark, sf).collect()(0)
+    val superset = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+      .count()
+    assert(q19.getLong(0) > 0 && q19.getLong(0) <= superset,
+      s"disjunct rows ${q19.getLong(0)} must sit inside the brand superset $superset")
+  }
+
   test("cohort LTV: revenue conserved, cumulative monotone, per-user DIV exact") {
     val rows = Analytics.qCohortLtv(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
