@@ -536,7 +536,7 @@ object Relational {
   /** windowFunnel time constraint: every later stage must land within
     * 24 h of the user's FIRST stage-1 event (fixture-calibrated: the
     * 30-day event stream reads 150/60/14 users at stages 1/2/3). */
-  private val FunnelWindowUs = 24L * 3600000000L
+  private[graft] val FunnelWindowUs = 24L * 3600000000L
 
   /** Time-constrained sequential funnel (the ClickHouse `windowFunnel`
     * shape): view → click → purchase where EVERY later stage must occur

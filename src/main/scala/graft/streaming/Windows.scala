@@ -196,6 +196,53 @@ object Windows {
       }
   }
 
+  /** A funnel-relevant event (the q_window_funnel input shape). */
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+                         event_type: String)
+  /** A user's current funnel position; absent stages read −1. */
+  case class FunnelSnap(user_id: Long, stage: Int, t1: Long, t2: Long,
+                        t3: Long)
+
+  /** Streaming twin of `Relational.qWindowFunnel`: per-user anchored-
+    * window funnel maintained with `mapGroupsWithState`, re-emitting the
+    * user's stage snapshot on every update. State is the user's ordered
+    * (µs, stage-code) funnel events, and the stage chain (earliest view;
+    * earliest click in (t1, t1+W]; earliest purchase in (t2, t1+W]) is
+    * recomputed over it per batch — every stage is a MIN over value
+    * predicates, so the result is identical for ANY arrival order or
+    * batch split, including a late-arriving EARLIER view that re-anchors
+    * the whole window (the case an O(1) incremental state machine gets
+    * wrong). Streaming == batch is pinned in StreamingSpec under a
+    * deliberately order-shuffled feed. At 100 TB the buffer prunes to
+    * [t1, t1+W] once the watermark passes t1+W (bounded state per
+    * user); the full-buffer spelling here is the verifiable contract. */
+  def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelSnap] = {
+    import events.sparkSession.implicits._
+    val W = graft.queries.Relational.FunnelWindowUs
+    val code = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Seq[(Long, Int)], FunnelSnap](
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[FunnelEvent],
+         state: GroupState[Seq[(Long, Int)]]) =>
+          val buf = (state.getOption.getOrElse(Seq.empty) ++
+            batch.flatMap(e =>
+              code.get(e.event_type).map(c => (tsMicros(e.ts), c))))
+            .distinct.sorted
+          state.update(buf)
+          val t1 = buf.collectFirst { case (t, 1) => t }
+          val t2 = t1.flatMap(a =>
+            buf.collectFirst { case (t, 2) if t > a && t <= a + W => t })
+          val t3 = t2.flatMap(b =>
+            buf.collectFirst { case (t, 3) if t > b && t <= t1.get + W => t })
+          val stage =
+            if (t3.isDefined) 3 else if (t2.isDefined) 2
+            else if (t1.isDefined) 1 else 0
+          FunnelSnap(uid, stage, t1.getOrElse(-1L), t2.getOrElse(-1L),
+            t3.getOrElse(-1L))
+      }
+  }
+
   /** Open-session accumulator carried in the state store (one per user). */
   case class SessionBuf(start_us: Long, last_us: Long, n: Long, sum: Double)
   /** A completed session, session_window-compatible (end = last + gap). */

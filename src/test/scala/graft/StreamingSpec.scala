@@ -166,6 +166,43 @@ class StreamingSpec extends SparkSpec {
       s"custom sessionizer diverged: extra=${got -- want} missing=${want -- got}")
   }
 
+  test("streaming window funnel: order-independent, and a late earlier view re-anchors the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Windows.FunnelEvent
+    val H = 3600L * 1000L // ms per hour for Timestamp construction
+    def at(h: Long) = new Timestamp(1700000000000L + h * H)
+    val mem = MemoryStream[FunnelEvent]
+    val q = Windows.funnelStream(mem.toDS()).writeStream.format("memory")
+      .queryName("t_funnel").outputMode(OutputMode.Update()).start()
+    // batch 1 delivers u1's chain REVERSED (purchase, click, view) plus
+    // u2 (click before view) and u3 (click at +25 h, outside 24 h)
+    mem.addData(Seq(
+      FunnelEvent(1L, at(20), "purchase"), FunnelEvent(1L, at(10), "click"),
+      FunnelEvent(1L, at(0), "view"),
+      FunnelEvent(2L, at(1), "click"), FunnelEvent(2L, at(2), "view"),
+      FunnelEvent(3L, at(0), "view"), FunnelEvent(3L, at(25), "click"),
+      // u4: view at 20 h, click at 30 h — qualifies against THIS anchor
+      FunnelEvent(4L, at(20), "view"), FunnelEvent(4L, at(30), "click")))
+    q.processAllAvailable()
+    def snaps() = spark.table("t_funnel").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.last._2).toMap
+    val s1 = snaps()
+    assert(s1(1L)._1 == 3, s"out-of-order delivery must still reach stage 3: $s1")
+    assert(s1(2L)._1 == 1 && s1(3L)._1 == 1, s"non-qualifying clicks: $s1")
+    assert(s1(4L)._1 == 2, s"u4 qualifies against the 20 h anchor: $s1")
+    // batch 2: a LATE, EARLIER view for u4 re-anchors the window at 0 h —
+    // the 30 h click now falls OUTSIDE (0, 24] and the stage must DROP
+    mem.addData(Seq(FunnelEvent(4L, at(0), "view")))
+    q.processAllAvailable()
+    val s2 = snaps()
+    q.stop()
+    assert(s2(4L) == ((1, at(0).getTime * 1000L, -1L)),
+      s"re-anchoring must demote u4 to stage 1 with t1 = 0 h: ${s2(4L)}")
+    assert(s2(1L)._1 == 3, "unrelated users unchanged")
+  }
+
   test("the reference's flagship as a stream: incremental word count == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
