@@ -1167,7 +1167,9 @@ object Analytics {
         round(expr("percentile(lag_min, 0.9)"), 4).as("p90_lag_min"))
       .crossJoin(broadcast(su.agg(count(lit(1)).as("n_signup"))))
       .select(col("n_signup"), col("n_converted"),
-        expr("n_converted * 1000000 div n_signup").as("conv_ppm"),
+        when(col("n_signup") > 0,
+          expr("n_converted * 1000000 div n_signup"))
+          .otherwise(lit(0L)).as("conv_ppm"),
         col("median_lag_min"), col("p90_lag_min"))
   }
 
@@ -1429,7 +1431,9 @@ object Analytics {
         |  FROM lag),
         |c AS (SELECT count(*) AS n_signup FROM su)
         |SELECT n_signup, n_converted,
-        |  n_converted * 1000000 // n_signup AS conv_ppm,
+        |  CASE WHEN n_signup > 0
+        |       THEN n_converted * 1000000 // n_signup ELSE 0 END
+        |    AS conv_ppm,
         |  median_lag_min, p90_lag_min
         |FROM agg, c""".stripMargin,
     // Identical reverse-cumulative risk set and 1e-6-grid log2 product;
