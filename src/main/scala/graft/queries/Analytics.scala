@@ -1284,7 +1284,96 @@ object Analytics {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Mutual information between market segment and order priority — the
+    * information-theoretic completion of q_chi_square over the SAME
+    * contingency table: MI says how many bits one label carries about
+    * the other, and the normalized score MI/min(H_row, H_col) is the
+    * [0,1] association strength feature selection ranks by.
+    *
+    * Cross-engine exactness: every log is an INTEGER-COUNT log on the
+    * verified 1e-6 grid (log2 n_ij + log2 N − log2 n_i − log2 n_j, and
+    * the marginal entropies likewise); each cell weight n_ij/N is one
+    * exact-double division of BIGINTs; each term quantizes to BIGINT
+    * micros before the commutative sum (the q_chi_square doctrine).
+    * The normalization is a single integer DIV in ppm.
+    *
+    * Scale stance: identical to q_chi_square — one fact-join shuffle
+    * partial-aggs to the |segments|·|priorities| cell table; margins
+    * and the statistic are constant-size arithmetic. */
+  def qMutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val qlog = (c: Column) => round(log2(c.cast("double")) * 1e6).cast("long")
+    val cells = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // 4 consumers: margins ×2, N, terms
+    val rowM = cells.groupBy("seg").agg(sum(col("n")).as("rn"))
+    val colM = cells.groupBy("prio").agg(sum(col("n")).as("cn"))
+    val tot = cells.agg(sum(col("n")).as("big_n"))
+    val mi = cells
+      .join(rowM, "seg").join(colM, "prio").crossJoin(broadcast(tot))
+      .select(round((col("n").cast("double") / col("big_n").cast("double"))
+          * (qlog(col("n")) + qlog(col("big_n"))
+            - qlog(col("rn")) - qlog(col("cn"))).cast("double"))
+          .cast("long").as("term"))
+      .agg(sum(col("term")).as("mi_micros"))
+    def entropy(m: DataFrame, c: String): DataFrame = m
+      .crossJoin(broadcast(tot))
+      .select(round((col(c).cast("double") / col("big_n").cast("double"))
+          * (qlog(col("big_n")) - qlog(col(c))).cast("double"))
+          .cast("long").as("t"))
+      .agg(sum(col("t")).as(s"h_$c"))
+    mi.crossJoin(broadcast(entropy(rowM, "rn")))
+      .crossJoin(broadcast(entropy(colM, "cn")))
+      .crossJoin(broadcast(tot))
+      .select(col("big_n").as("n_obs"), col("mi_micros"),
+        col("h_rn").as("h_seg_micros"), col("h_cn").as("h_prio_micros"),
+        when(least(col("h_rn"), col("h_cn")) > 0,
+          expr("mi_micros * 1000000 div least(h_rn, h_cn)"))
+          .otherwise(lit(0L)).as("nmi_ppm"))
+  }
+
+  /** CUSUM changepoint detection on daily order revenue: the day k that
+    * maximizes |Σ_{i≤k} (N·xᵢ − T)| — the scaled CUSUM that avoids the
+    * non-integer mean entirely (S_k = N·(prefix_k − k·mean) exactly) —
+    * with the shift direction read off the sign (S < 0 at the argmax ⇒
+    * the left side sat below the overall mean ⇒ an UPWARD level shift
+    * after the changepoint). The standard "when did the metric move"
+    * monitoring readout behind alert timelines.
+    *
+    * All-integer: cents revenue, N·x − T products (≤ ~1e16 at sf10 —
+    * DECIMAL territory beyond, same note as q_gini), argmax tie broken
+    * toward the earliest day via min-over-argmax. Scale stance: one
+    * rollup shuffle to the DATE-cardinality relation; prefix sum +
+    * argmax over it (the q_ewma bounded epilogue). */
+  def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, dir)
+      .select(
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("day").agg(sum(col("cents")).as("x"))
+    val tot = daily.agg(count(lit(1)).as("nd"), sum(col("x")).as("t"))
+    val cum = daily.crossJoin(broadcast(tot))
+      .withColumn("s", sum(col("nd") * col("x") - col("t"))
+        .over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint() // 2 consumers: the max and the argmax row
+    val mx = cum.agg(max(abs(col("s"))).as("s_abs_max"))
+    cum.crossJoin(broadcast(mx))
+      .filter(abs(col("s")) === col("s_abs_max"))
+      .groupBy(col("s_abs_max"))
+      .agg(min(col("day")).as("cp_day"),
+        min(struct(col("day"), col("s"))).as("_first"))
+      .select(col("cp_day"), col("s_abs_max"),
+        when(col("_first.s") < 0, lit("up")).otherwise(lit("down"))
+          .as("shift"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mutual_info" -> (qMutualInfo _),
+    "q_changepoint" -> (qChangepoint _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_psi" -> (qPsi _),
     "q_uptime" -> (qUptime _),
@@ -1314,7 +1403,65 @@ object Analytics {
     "q_stratified_sample" -> (qStratifiedSample _),
   )
 
+  /** DuckDB spelling of the 1e-6 integer-count log2 grid point. */
+  private def ql(e: String): String =
+    s"CAST(round(log2(CAST($e AS DOUBLE)) * 1000000.0) AS BIGINT)"
+
   val oracle: Map[String, String] = Map(
+    // Identical cell table, integer-count log grid, micro-quantized
+    // terms, and one ppm DIV.
+    "q_mutual_info" ->
+      s"""WITH cells AS (
+         |  SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2),
+         |rm AS (SELECT seg, CAST(sum(n) AS BIGINT) AS rn
+         |       FROM cells GROUP BY 1),
+         |cm AS (SELECT prio, CAST(sum(n) AS BIGINT) AS cn
+         |       FROM cells GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM cells),
+         |mi AS (SELECT CAST(sum(CAST(round(
+         |      (CAST(n AS DOUBLE) / big_n)
+         |      * CAST(${ql("n")} + ${ql("big_n")}
+         |             - ${ql("rn")} - ${ql("cn")} AS DOUBLE))
+         |    AS BIGINT)) AS BIGINT) AS mi_micros
+         |  FROM cells JOIN rm USING (seg) JOIN cm USING (prio), t),
+         |hr AS (SELECT CAST(sum(CAST(round(
+         |      (CAST(rn AS DOUBLE) / big_n)
+         |      * CAST(${ql("big_n")} - ${ql("rn")} AS DOUBLE)) AS BIGINT))
+         |    AS BIGINT) AS h_rn FROM rm, t),
+         |hc AS (SELECT CAST(sum(CAST(round(
+         |      (CAST(cn AS DOUBLE) / big_n)
+         |      * CAST(${ql("big_n")} - ${ql("cn")} AS DOUBLE)) AS BIGINT))
+         |    AS BIGINT) AS h_cn FROM cm, t)
+         |SELECT big_n AS n_obs, mi_micros,
+         |  h_rn AS h_seg_micros, h_cn AS h_prio_micros,
+         |  CASE WHEN least(h_rn, h_cn) > 0
+         |       THEN mi_micros * 1000000 // least(h_rn, h_cn) ELSE 0 END
+         |    AS nmi_ppm
+         |FROM mi, hr, hc, t""".stripMargin,
+    // Same N·x − T scaled CUSUM, earliest-argmax tie, sign readout.
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |        CAST(sum(x) AS BIGINT) AS tt FROM daily),
+        |c AS (SELECT day,
+        |        CAST(sum(nd * x - tt) OVER (ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS s
+        |      FROM daily, t),
+        |m AS (SELECT max(abs(s)) AS s_abs_max FROM c),
+        |f AS (SELECT c.day, c.s, m.s_abs_max FROM c, m
+        |      WHERE abs(c.s) = m.s_abs_max)
+        |SELECT min(day) AS cp_day,
+        |  CAST(max(s_abs_max) AS BIGINT) AS s_abs_max,
+        |  CASE WHEN arg_min(s, day) < 0 THEN 'up' ELSE 'down' END AS shift
+        |FROM f""".stripMargin,
     // Same first-week cohorts, weekly rollup, cumulative window, DIV.
     "q_cohort_ltv" ->
       """WITH f AS (

@@ -456,7 +456,47 @@ object Corpus {
       .orderBy("bin")
   }
 
+  /** Slot budget for [[qQuotaAlloc]]. */
+  private val QuotaSlots = 10000L
+
+  /** Exact proportional quota allocation (largest-remainder method):
+    * split a fixed budget of [[QuotaSlots]] training-doc slots across
+    * languages proportional to token mass, with the leftover slots from
+    * floor rounding handed out by LARGEST REMAINDER (tie → lang asc) so
+    * the allocations sum to the budget EXACTLY — the integer-exact
+    * version of what q_domain_mix's ppm weights approximate, and the
+    * actual contract a sampling job needs (ppm weights × N drift by
+    * rounding; quotas must not).
+    *
+    * All-integer: base = S·mₗ DIV M, remainder = S·mₗ − base·M compared
+    * exactly (no fractions), one rank window over the LANGUAGE-
+    * cardinality relation. Spec pins Σ alloc == S and the hand-computed
+    * Hamilton example. */
+  def qQuotaAlloc(s: SparkSession, dir: String): DataFrame =
+    quotaAlloc(Tables.documents(s, dir)
+      .select(col("lang"), size(toks).cast("long").as("ntok"))
+      .groupBy("lang").agg(sum(col("ntok")).as("n_tokens")))
+
+  /** Core of [[qQuotaAlloc]] over any (lang, n_tokens) relation. */
+  private[graft] def quotaAlloc(m0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = m0.localCheckpoint() // 2 consumers: totals + the allocation
+    val tot = m.agg(sum(col("n_tokens")).as("mm"))
+    val based = m.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"$QuotaSlots * n_tokens div mm"))
+      .withColumn("rem", expr(s"$QuotaSlots * n_tokens - base * mm"))
+    val leftover = based.agg((lit(QuotaSlots) - sum(col("base"))).as("lo"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col("lang").asc)))
+      .select(col("lang"), col("n_tokens"), col("base"),
+        (col("base") + when(col("rk") <= col("lo"), 1L).otherwise(0L))
+          .as("alloc_slots"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quota_alloc" -> (qQuotaAlloc _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_domain_mix" -> (qDomainMix _),
     "q_bpe_merges" -> (qBpeMerges _),
@@ -521,6 +561,23 @@ object Corpus {
   }
 
   val oracle: Map[String, String] = Map(
+    // Same floor base, exact integer remainders, largest-remainder rank.
+    "q_quota_alloc" ->
+      s"""WITH m AS (
+         |  SELECT lang, CAST(sum(len($duckToks)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS mm FROM m),
+         |b AS (SELECT lang, n_tokens,
+         |        10000 * n_tokens // mm AS base,
+         |        10000 * n_tokens - (10000 * n_tokens // mm) * mm AS rem
+         |      FROM m, t),
+         |lo AS (SELECT 10000 - CAST(sum(base) AS BIGINT) AS lo FROM b),
+         |r AS (SELECT lang, n_tokens, base, rem,
+         |        row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
+         |      FROM b)
+         |SELECT lang, n_tokens, base,
+         |  base + CASE WHEN rk <= lo THEN 1 ELSE 0 END AS alloc_slots
+         |FROM r, lo ORDER BY lang""".stripMargin,
     // Naive single-window prefix sum — proves the two-phase block
     // decomposition equals the textbook offset stream.
     "q_pack_sequences" ->

@@ -574,6 +574,56 @@ class AnalyticsSpec extends SparkSpec {
       s"disjunct rows ${q19.getLong(0)} must sit inside the brand superset $superset")
   }
 
+  test("mutual information equals a driver-side grid recompute; bounded by min marginal entropy") {
+    val r = Analytics.qMutualInfo(spark, sf).collect()(0)
+    val cells = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority").count().collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    // StrictMath.log, not math.log — Spark's Log2 (and DuckDB's libm)
+    // sit on StrictMath's ulp; the grid recompute must share it
+    def qlog(x: Long): Long =
+      math.round(StrictMath.log(x.toDouble) / StrictMath.log(2.0) * 1e6)
+    val n = cells.map(_._3).sum
+    val rm = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val cm = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // Spark's round() is HALF_UP (away from zero); math.round rounds
+    // toward +inf — they differ on negative cell terms
+    def rnd(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val mi = cells.map { case (s0, p, c) =>
+      rnd((c.toDouble / n) *
+        (qlog(c) + qlog(n) - qlog(rm(s0)) - qlog(cm(p))).toDouble)
+    }.sum
+    def h(m: Map[String, Long]): Long = m.values.map(v =>
+      rnd((v.toDouble / n) * (qlog(n) - qlog(v)).toDouble)).sum
+    assert(r.getLong(0) == n && r.getLong(1) == mi,
+      s"MI ${r.getLong(1)} != recompute $mi")
+    assert(r.getLong(2) == h(rm) && r.getLong(3) == h(cm))
+    // information inequalities (up to grid quantization wobble)
+    assert(r.getLong(1) >= -10L && r.getLong(1) <= math.min(r.getLong(2),
+      r.getLong(3)) + 10L, s"0 <= MI <= min(H): $r")
+    assert(r.getLong(4) == r.getLong(1) * 1000000L
+      / math.min(r.getLong(2), r.getLong(3)))
+  }
+
+  test("changepoint equals an exact BigInt CUSUM recompute with earliest-argmax tie") {
+    val r = Analytics.qChangepoint(spark, sf).collect()(0)
+    val daily = Tables.orders(spark, sf)
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .groupBy("day").agg(sum(col("c")).as("x")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    val n = BigInt(daily.length); val t = daily.map(d => BigInt(d._2)).sum
+    var s = BigInt(0)
+    val cusum = daily.map { case (d, x) => s += n * x - t; (d, s) }
+    val mx = cusum.map(_._2.abs).max
+    val (cpDay, sAt) = cusum.filter(_._2.abs == mx).minBy(_._1)
+    assert(r.getLong(0) == cpDay && BigInt(r.getLong(1)) == mx,
+      s"cusum: $r vs ($cpDay, $mx)")
+    assert(r.getString(2) == (if (sAt < 0) "up" else "down"))
+  }
+
   test("cohort LTV: revenue conserved, cumulative monotone, per-user DIV exact") {
     val rows = Analytics.qCohortLtv(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

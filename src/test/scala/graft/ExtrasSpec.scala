@@ -505,6 +505,23 @@ class ExtrasSpec extends SparkSpec {
     assert(got.getLong(6) >= 1L, "salt factor is at least 1")
   }
 
+  test("quota allocation: Hamilton closed form, budget conserved exactly") {
+    import spark.implicits._
+    // masses 3:3:1 over 10000 slots — bases 4285/4285/1428 leave 2
+    // slots; remainders 5/5/4 hand them to A and B (tie by lang asc)
+    val got = graft.queries.Corpus.quotaAlloc(
+        Seq(("A", 3L), ("B", 3L), ("C", 1L)).toDF("lang", "n_tokens"))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map("A" -> ((4285L, 4286L)), "B" -> ((4285L, 4286L)),
+      "C" -> ((1428L, 1428L))), s"Hamilton: $got")
+    // fixture: the budget is conserved to the slot
+    val fx = graft.queries.Corpus.qQuotaAlloc(spark, sf).collect()
+    assert(fx.map(_.getLong(3)).sum == 10000L,
+      "largest-remainder must allocate exactly the budget")
+    fx.foreach(r => assert(r.getLong(3) - r.getLong(2) <= 1L))
+  }
+
   test("sequence packing: exact bin boundaries for straddlers, exact fits, and multi-bin spans") {
     import spark.implicits._
     // PackLen = 256. Stream: 100 + 156 (exact fit at bin 0 boundary),
