@@ -162,6 +162,167 @@ object Relational {
           .cast("double").as("revenue"))
   }
 
+  /** TPC-H Q7 shape — volume shipping between two nations: the
+    * join-order stress test (lineitem⨝orders⨝supplier⨝customer plus TWO
+    * aliases of the nation dim) with a symmetric pair predicate that
+    * CANNOT be pushed to either dim alone — it relates the two alias
+    * sides, so it must survive to the post-join filter while each
+    * alias's IN(N1,N2) superset DOES push into its broadcast. Both
+    * nation copies are 25-row broadcasts at every scale; the fact
+    * side shuffles only on its join keys. */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val n1 = "NATION_1"; val n2 = "NATION_2"
+    val sn = broadcast(Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      .filter(col("supp_nation").isin(n1, n2)))
+    val cn = broadcast(Tables.nation(s, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      .filter(col("cust_nation").isin(n1, n2)))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(sn, col("s_nationkey") === col("sn_key"))
+      .join(cn, col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+              (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dMoney(col("l_extendedprice"))
+            * (lit(1).cast(DecimalType(4, 2)) - dRate(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 shape — national market share: one nation's slice of a
+    * region's spend on a part type, per year. The share is a
+    * conditional-aggregate ratio (Q14's doctrine) but reported as an
+    * INTEGER ppm: both volumes leave the aggregate as exact
+    * hundredth-cent DECIMAL(38,0) counts (the ×10000 clears the
+    * 4-decimal price×discount scale), and one integral DIV — Spark's
+    * decimal `div` and DuckDB's `//` both floor — yields a ratio no
+    * double rounding can wobble. DECIMAL(38,0) headroom holds to
+    * ~sf 1e9; region and both nation aliases broadcast. */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val vol = dMoney(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(4, 2)) - dRate(col("l_discount")))
+    val euroNations = broadcast(Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("n_nationkey").as("cn_key")))
+    val sn = broadcast(Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir).filter(col("p_type") === "ECONOMY"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(euroNations, col("c_nationkey") === col("cn_key"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(sn, col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0).cast(DecimalType(14, 2)))) * 10000)
+          .cast(DecimalType(38, 0)).as("nation_hc"),
+        (sum(vol) * 10000).cast(DecimalType(38, 0)).as("total_hc"))
+      .select(col("o_year"),
+        (col("nation_hc").cast("double") / 10000.0).as("nation_volume"),
+        (col("total_hc").cast("double") / 10000.0).as("total_volume"),
+        // NOT `div`: Spark's IntegralDivide on decimals rounds the
+        // quotient HALF_UP before truncating (measured off-by-one vs
+        // the exact floor when the fraction is ...99966). Decimal `%`
+        // is exact, so (a − a % b) / b divides without remainder and
+        // any rounding mode returns the true floor.
+        expr("""CAST((nation_hc * 1000000 - (nation_hc * 1000000) % total_hc)
+                / total_hc AS BIGINT)""").as("share_ppm"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q15 shape — top supplier(s): the max-over-an-aggregated-view
+    * equality. The quarter's per-supplier revenue aggregates ONCE (the
+    * view), the max reduces it to a broadcast scalar, and the equality
+    * filter compares exact DECIMALs — no double wobble deciding a tie,
+    * so every co-leader surfaces (TPC-H's stated tie semantics).
+    * Supplier-cardinality relation after the first shuffle. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dMoney(col("l_extendedprice"))
+          * (lit(1).cast(DecimalType(4, 2)) - dRate(col("l_discount"))))
+        .as("rev"))
+    val mx = rev.agg(max(col("rev")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev") === col("mx"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Grace period for [[q21SoleLateSupplier]] / [[q4LateOrders]]. */
+  private val LateDays = 60
+
+  /** TPC-H Q21 shape — suppliers who were the SOLE late shipper on a
+    * multi-supplier finished order. The textbook spelling is
+    * EXISTS(other supplier) AND NOT EXISTS(other LATE supplier) — two
+    * more scans of lineitem; the ORACLE keeps that spelling, so every
+    * verify re-proves the rewrite. Shipped plan is the hand-decorrelated
+    * one-pass form Catalyst cannot reach on its own: ONE lineitem⨝orders
+    * pass groups per order (distinct suppliers, distinct LATE suppliers,
+    * the late supplier's key, the late-line count that keeps Q21's
+    * per-line numwait semantics), and the sole-blame predicate becomes
+    * a HAVING over those counts — the per-order state is four counters
+    * regardless of scale. (Fixture has no commit/receipt dates; late =
+    * shipped > [[LateDays]] days after order date, the q4 equivalence.) */
+  def q21SoleLateSupplier(s: SparkSession, dir: String): DataFrame = {
+    val late = col("l_shipdate") > date_add(col("o_orderdate"), LateDays)
+    val blamed = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
+        min(when(late, col("l_suppkey"))).as("late_supp"),
+        count(when(late, lit(1))).as("n_late_lines"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+    blamed
+      .join(Tables.supplier(s, dir), col("late_supp") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(sum(col("n_late_lines")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey").asc)
+      .limit(25)
+  }
+
+  /** TPC-H Q22 shape — idle rich customers: above-average balance
+    * (uncorrelated scalar subquery over the POSITIVE balances, a
+    * broadcast scalar) with no recent order (LEFT ANTI against the
+    * date-pruned order scan — the NOT EXISTS face). Customer-cardinality
+    * everywhere after the two filters; grouped to one row per nation.
+    * (Fixture has no phone country codes; the nation key plays the
+    * country-code role.) */
+  def q22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    val avgBal = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    Tables.customer(s, dir)
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dMoney(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   /** TPC-H Q13 shape — customer order-count distribution: LEFT OUTER join
     * preserving order-less customers, then aggregate TWICE (per customer,
     * then per count). Both aggregations partial-agg before their shuffle;
@@ -624,6 +785,11 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q4_late_orders" -> (q4LateOrders _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q21_sole_late_supplier" -> (q21SoleLateSupplier _),
+    "q22_idle_customers" -> (q22IdleCustomers _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q19_disjunctive" -> (q19Disjunctive _),
@@ -868,6 +1034,85 @@ object Relational {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Same alias pair, symmetric post-join predicate, decimal revenue.
+    "q7_volume_shipping" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  year(l_shipdate) AS l_year, count(*) AS n_lines,
+         |  CAST(sum($price * $disc) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+         |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // Same hundredth-cent integers and floor division for the share.
+    "q8_market_share" ->
+      s"""WITH base AS (
+         |  SELECT year(o_orderdate) AS o_year,
+         |    CAST(sum(CASE WHEN sn.n_name = 'NATION_3' THEN $price * $disc
+         |             ELSE CAST(0 AS DECIMAL(14,2)) END) * 10000
+         |      AS DECIMAL(38,0)) AS nation_hc,
+         |    CAST(sum($price * $disc) * 10000 AS DECIMAL(38,0)) AS total_hc
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |  JOIN region ON cn.n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+         |  GROUP BY 1)
+         |SELECT o_year,
+         |  CAST(nation_hc AS DOUBLE) / 10000.0 AS nation_volume,
+         |  CAST(total_hc AS DOUBLE) / 10000.0 AS total_volume,
+         |  CAST(CAST(nation_hc AS HUGEINT) * 1000000
+         |       // CAST(total_hc AS HUGEINT) AS BIGINT) AS share_ppm
+         |FROM base ORDER BY o_year""".stripMargin,
+    // Same aggregated view; the max comparison stays in DECIMAL.
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, sum($price * $disc) AS rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE rev = (SELECT max(rev) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    // The textbook EXISTS / NOT-EXISTS spelling — every verify re-proves
+    // the shipped one-pass decorrelation against it.
+    "q21_sole_late_supplier" ->
+      """SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey ASC LIMIT 25""".stripMargin,
+    // NOT EXISTS face of the shipped LEFT ANTI; same scalar average.
+    "q22_idle_customers" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c.c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q10_returned_items" ->
       s"""SELECT c_custkey, c_name, n_name,
          |  CAST(CAST(c_acctbal AS DECIMAL(14,2)) AS DOUBLE) AS acctbal,

@@ -574,6 +574,54 @@ class AnalyticsSpec extends SparkSpec {
       s"disjunct rows ${q19.getLong(0)} must sit inside the brand superset $superset")
   }
 
+  test("TPC-H shapes q7/q8/q15/q21/q22: symmetry, share bounds, max ties, EXISTS re-derivation") {
+    // q7: only the two requested nation pairings appear, both directions
+    val q7 = Relational.q7VolumeShipping(spark, sf).collect()
+    val pairs = q7.map(r => (r.getString(0), r.getString(1))).distinct.toSet
+    assert(pairs.subsetOf(Set(("NATION_1", "NATION_2"), ("NATION_2", "NATION_1"))))
+    assert(q7.forall(r => r.getDouble(4) > 0))
+    // q8: share is a floor ppm of the two reported volumes
+    val q8 = Relational.q8MarketShare(spark, sf).collect()
+    q8.foreach { r =>
+      val (nv, tv, ppm) = (r.getDouble(1), r.getDouble(2), r.getLong(3))
+      assert(nv >= 0 && nv <= tv && ppm >= 0 && ppm <= 1000000L)
+      assert(math.abs(ppm - math.floor(nv * 1e6 / tv)) <= 1,
+        s"share_ppm $ppm vs volumes $nv/$tv")
+    }
+    // q15: every surfaced supplier carries the SAME (max) revenue
+    val q15 = Relational.q15TopSupplier(spark, sf).collect()
+    assert(q15.nonEmpty && q15.map(_.getDouble(2)).distinct.length == 1)
+    // q21: the one-pass aggregate equals the textbook EXISTS/NOT-EXISTS
+    // spelling run through Spark SQL itself (engine-internal re-derivation;
+    // the DuckDB oracle re-proves it cross-engine every verify)
+    Tables.lineitem(spark, sf).createOrReplaceTempView("t21_l")
+    Tables.orders(spark, sf).createOrReplaceTempView("t21_o")
+    Tables.supplier(spark, sf).createOrReplaceTempView("t21_s")
+    val sql21 = spark.sql("""
+      SELECT s_suppkey, s_name, count(*) AS numwait
+      FROM t21_l l1 JOIN t21_o ON l1.l_orderkey = o_orderkey
+      JOIN t21_s ON l1.l_suppkey = s_suppkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM t21_l l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM t21_l l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey ASC LIMIT 25""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val q21 = Relational.q21SoleLateSupplier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(q21 == sql21, s"decorrelated $q21 != EXISTS $sql21")
+    // q22: nobody in the idle set placed a recent order; balances above avg
+    val q22 = Relational.q22IdleCustomers(spark, sf).collect()
+    assert(q22.map(_.getLong(1)).sum > 0)
+    q22.foreach(r => assert(r.getDouble(2) / r.getLong(1) > 4000.0,
+      "per-customer average balance must sit above the global positive mean"))
+  }
+
   test("mutual information equals a driver-side grid recompute; bounded by min marginal entropy") {
     val r = Analytics.qMutualInfo(spark, sf).collect()(0)
     val cells = Tables.orders(spark, sf)
