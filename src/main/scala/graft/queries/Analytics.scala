@@ -1371,7 +1371,112 @@ object Analytics {
           .as("shift"))
   }
 
+  /** Exact ROC-AUC of "order value predicts urgency" via the
+    * Mann-Whitney rank-sum identity — the classifier-quality readout
+    * every model-eval pipeline needs, computed WITHOUT sorting
+    * individual rows: AUC = P(score⁺ > score⁻) + ½P(tie). Positives are
+    * urgent/high-priority orders, the score is the cent price.
+    *
+    * Exactness: per-score counts collapse first; u2 = Σ np·(2·negs_below
+    * + ties) counts every (pos, neg) pair twice (ties once each way) in
+    * DECIMAL(38,0); auc_ppm = u2·5e5/(n⁺·n⁻) floored via the exact
+    * decimal remainder identity (Spark's decimal `div` HALF_UP-rounds —
+    * the q8_market_share finding — and DuckDB's side runs in HUGEINT).
+    * u2's BIGINT output column wraps at n⁺·n⁻ ≈ 4.6e18 (~sf 3e4).
+    *
+    * Scale stance (100 TB): one scan partial-aggregates to per-cent
+    * counts; the cumulative window runs over the VALUE-RESOLUTION
+    * relation (the q_ks_test stance — an unbounded score domain takes
+    * the q_peak_concurrency two-phase prefix sum); epilogue is 1-row. */
+  def qAuc(s: SparkSession, dir: String): DataFrame =
+    auc(Tables.orders(s, dir).select(
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_pos"),
+      round(col("o_totalprice") * 100).cast("long").as("cents")))
+
+  /** Core of [[qAuc]] over any (is_pos, cents) relation — exposed for
+    * AnalyticsSpec's closed forms (separated → 1e6, swapped → 0,
+    * identical distributions → 5e5, the tied textbook 3-row case). */
+  private[graft] def auc(sc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sc.groupBy(col("cents"))
+      .agg(sum(when(col("is_pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("is_pos"), 0L).otherwise(1L)).as("nn"))
+      .withColumn("cn", sum(col("nn")).over(w))
+      .localCheckpoint() // 2 consumers: sample totals + the pair sum
+    val tot = cum.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_pos"), col("n_neg"),
+        (col("np").cast(DecimalType(38, 0))
+          * (lit(2) * (col("cn") - col("nn")) + col("nn"))).as("contrib"))
+      .groupBy(col("n_pos"), col("n_neg"))
+      .agg(sum(col("contrib")).as("u2d"))
+      .select(col("n_pos"), col("n_neg"),
+        col("u2d").cast("long").as("u2"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("""CAST((u2d * 500000 - (u2d * 500000)
+                        % (CAST(n_pos AS DECIMAL(38,0)) * n_neg))
+                      / (CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")).as("auc_ppm"))
+  }
+
+  /** Rank cutoff for [[qNdcg]]. */
+  private val NdcgK = 10
+
+  /** nDCG@10 of the behavioral ranking "items by view count" scored
+    * against purchase counts as graded relevance — the search/recsys
+    * quality metric completing the ranking tier (q_bm25_top produces a
+    * ranking; q_hybrid_rrf fuses two; this GRADES one). Discounts live
+    * on the verified 1e-6 BIGINT log2 grid (positions 2..11 are integer
+    * arguments), each DCG term is rel·1e12 DIV qlog2micros(pos+1), and
+    * ndcg_ppm is one BIGINT DIV of the two grid sums — no libm on
+    * non-integer input anywhere.
+    *
+    * Scale stance (100 TB): the event scan partial-aggregates to the
+    * ITEM-cardinality relation; both rank windows (predicted and ideal)
+    * and the k-truncated sums run over that bounded relation — the
+    * q_ewma epilogue argument. */
+  def qNdcg(s: SparkSession, dir: String): DataFrame =
+    ndcg(Tables.events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+        col("event_type"))
+      .groupBy(col("item"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("views"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("rel")))
+
+  /** Core of [[qNdcg]] over any (item, views, rel) relation — exposed
+    * for AnalyticsSpec's closed forms (aligned ranking → 1e6, and a
+    * hand-computed inversion). */
+  private[graft] def ndcg(items0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = items0.localCheckpoint() // 2 consumers: both rankings
+    val pred = items
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("views").desc, col("item").asc)))
+      .filter(col("rk") <= NdcgK)
+      .select(expr(s"sum(rel * 1000000000000 div " +
+        s"CAST(round(log2(CAST(rk + 1 AS DOUBLE)) * 1000000) AS BIGINT))")
+        .as("dcg_scaled"))
+    val ideal = items
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rel").desc, col("item").asc)))
+      .filter(col("rk") <= NdcgK)
+      .select(expr(s"sum(rel * 1000000000000 div " +
+        s"CAST(round(log2(CAST(rk + 1 AS DOUBLE)) * 1000000) AS BIGINT))")
+        .as("idcg_scaled"))
+    pred.crossJoin(broadcast(ideal))
+      .select(col("dcg_scaled"), col("idcg_scaled"),
+        when(col("idcg_scaled") > 0,
+          expr("dcg_scaled * 1000000 div idcg_scaled"))
+          .otherwise(lit(null).cast("long")).as("ndcg_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_auc" -> (qAuc _),
+    "q_ndcg" -> (qNdcg _),
     "q_mutual_info" -> (qMutualInfo _),
     "q_changepoint" -> (qChangepoint _),
     "q_cohort_ltv" -> (qCohortLtv _),
@@ -1408,6 +1513,59 @@ object Analytics {
     s"CAST(round(log2(CAST($e AS DOUBLE)) * 1000000.0) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // Same per-cent collapse, doubled pair count, HUGEINT floor ppm.
+    "q_auc" ->
+      """WITH sc AS (
+        |  SELECT o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_pos,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |cum AS (
+        |  SELECT cents,
+        |    CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM sc GROUP BY 1),
+        |c2 AS (
+        |  SELECT np, nn, sum(nn) OVER (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+        |  FROM cum),
+        |t AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |        CAST(sum(nn) AS BIGINT) AS n_neg FROM cum),
+        |u AS (SELECT CAST(sum(CAST(np AS HUGEINT)
+        |        * (2 * (cn - nn) + nn)) AS HUGEINT) AS u2d FROM c2)
+        |SELECT n_pos, n_neg, CAST(u2d AS BIGINT) AS u2,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |       THEN CAST(u2d * 500000
+        |                 // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+        |       ELSE NULL END AS auc_ppm
+        |FROM u, t""".stripMargin,
+    // Same item rollup, both rank windows, grid discounts, final DIV.
+    "q_ndcg" ->
+      """WITH it AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS views,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS rel
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(sum(rel * 1000000000000
+        |      // CAST(round(log2(CAST(rk + 1 AS DOUBLE)) * 1000000)
+        |         AS BIGINT)) AS BIGINT) AS dcg_scaled
+        |  FROM (SELECT rel, row_number()
+        |          OVER (ORDER BY views DESC, item ASC) AS rk FROM it)
+        |  WHERE rk <= 10),
+        |i AS (
+        |  SELECT CAST(sum(rel * 1000000000000
+        |      // CAST(round(log2(CAST(rk + 1 AS DOUBLE)) * 1000000)
+        |         AS BIGINT)) AS BIGINT) AS idcg_scaled
+        |  FROM (SELECT rel, row_number()
+        |          OVER (ORDER BY rel DESC, item ASC) AS rk FROM it)
+        |  WHERE rk <= 10)
+        |SELECT dcg_scaled, idcg_scaled,
+        |  CASE WHEN idcg_scaled > 0
+        |       THEN dcg_scaled * 1000000 // idcg_scaled
+        |       ELSE NULL END AS ndcg_ppm
+        |FROM p, i""".stripMargin,
     // Identical cell table, integer-count log grid, micro-quantized
     // terms, and one ppm DIV.
     "q_mutual_info" ->

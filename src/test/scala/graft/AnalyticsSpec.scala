@@ -622,6 +622,43 @@ class AnalyticsSpec extends SparkSpec {
       "per-customer average balance must sit above the global positive mean"))
   }
 
+  test("AUC closed forms: separation, inversion, ties, and fixture bounds") {
+    import spark.implicits._
+    def run(rows: Seq[(Boolean, Long)]): Long =
+      Analytics.auc(rows.toDF("is_pos", "cents")).collect()(0).getLong(3)
+    assert(run(Seq((true, 3L), (true, 4L), (false, 1L), (false, 2L))) == 1000000L,
+      "perfect separation")
+    assert(run(Seq((false, 3L), (false, 4L), (true, 1L), (true, 2L))) == 0L,
+      "perfectly wrong")
+    assert(run(Seq((true, 1L), (true, 2L), (false, 1L), (false, 2L))) == 500000L,
+      "identical distributions")
+    // pos {2,3} vs neg {1,2}: pairs 1 + ½ + 1 + 1 = 3.5 of 4 → 0.875
+    assert(run(Seq((true, 2L), (true, 3L), (false, 1L), (false, 2L))) == 875000L)
+    val fx = Analytics.qAuc(spark, sf).collect()(0)
+    assert(fx.getLong(0) + fx.getLong(1) ==
+      Tables.orders(spark, sf).count())
+    assert(fx.getLong(3) >= 0L && fx.getLong(3) <= 1000000L)
+  }
+
+  test("nDCG: aligned ranking scores exactly 1e6; inversion matches a BigInt grid recompute") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long, Long)]) =
+      Analytics.ndcg(rows.toDF("item", "views", "rel")).collect()(0)
+    val aligned = run(Seq((1L, 30L, 9L), (2L, 20L, 5L), (3L, 10L, 2L)))
+    assert(aligned.getLong(2) == 1000000L, s"aligned: $aligned")
+    // views rank B, A; relevance says A ≫ B — recompute the grid sums
+    val inv = run(Seq((1L, 5L, 3L), (2L, 9L, 1L)))
+    def qlog(x: Long): Long =
+      math.round(StrictMath.log(x.toDouble) / StrictMath.log(2.0) * 1e6)
+    val dcg = 1L * 1000000000000L / qlog(2) + 3L * 1000000000000L / qlog(3)
+    val idcg = 3L * 1000000000000L / qlog(2) + 1L * 1000000000000L / qlog(3)
+    assert(inv.getLong(0) == dcg && inv.getLong(1) == idcg,
+      s"grid sums: $inv vs ($dcg, $idcg)")
+    assert(inv.getLong(2) == dcg * 1000000L / idcg)
+    val fx = Analytics.qNdcg(spark, sf).collect()(0)
+    assert(fx.getLong(2) > 0L && fx.getLong(2) <= 1000000L)
+  }
+
   test("mutual information equals a driver-side grid recompute; bounded by min marginal entropy") {
     val r = Analytics.qMutualInfo(spark, sf).collect()(0)
     val cells = Tables.orders(spark, sf)
