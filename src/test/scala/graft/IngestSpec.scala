@@ -163,4 +163,42 @@ class IngestSpec extends SparkSpec {
       s0 == e0 && n == 1L && s0 % 997 == 13
     }, s"planted damage only: ${fx.take(3).toSeq}")
   }
+
+  test("bucketed join plans ZERO exchanges below the join; the raw twin shuffles both sides") {
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect() // finalize the adaptive plan
+        // count only the AQE final plan, not the echoed initial plan
+        val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        "Exchange hashpartitioning".r.findAllIn(plan).length
+      }
+      val bucketed = Ingest.qBucketedJoin(spark, sf)
+      val raw = graft.io.Tables.lineitem(spark, sf)
+        .join(graft.io.Tables.orders(spark, sf),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"))
+      val nb = exchanges(bucketed)
+      val nr = exchanges(raw)
+      // bucketed: only the final groupBy exchanges; join sides read
+      // pre-clustered from the bucket layout. raw: both join inputs
+      // shuffle on orderkey plus the same groupBy.
+      assert(nb == 1, s"bucketed plan must carry exactly the agg exchange, got $nb:\n${bucketed.queryExecution.executedPlan}")
+      assert(nr == 3, s"raw twin must shuffle both join sides + agg, got $nr")
+      // and the exchange-free plan returns the same aggregate
+      val viaRaw = graft.io.Tables.lineitem(spark, sf)
+        .join(graft.io.Tables.orders(spark, sf),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val viaBkt = bucketed.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(viaBkt == viaRaw)
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
