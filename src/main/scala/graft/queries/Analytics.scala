@@ -1474,7 +1474,53 @@ object Analytics {
           .otherwise(lit(null).cast("long")).as("ndcg_ppm"))
   }
 
+  /** Day-of-week seasonality index of order revenue: mean revenue on
+    * each weekday relative to the overall daily mean, the multiplicative
+    * seasonal profile behind staffing curves and anomaly baselines
+    * (an observed Monday is judged against ×index_Monday, not the flat
+    * mean). Weekday derives from pure epoch arithmetic — (day+4) mod 7,
+    * 0=Sunday, anchored on epoch day 0 being a Thursday — identical in
+    * both engines with no calendar/locale surface at all.
+    *
+    * Exactness: the index mean_dow/mean_all = sum_dow·n_all /
+    * (n_dow·total) is ONE floored division of exact DECIMAL(38,0)
+    * products (the q8_market_share remainder identity; HUGEINT on the
+    * oracle side) — never a double, never two stacked floors.
+    *
+    * Scale stance: one rollup shuffle to the DATE-cardinality relation,
+    * a 7-row partial agg over it, and constant-size arithmetic — the
+    * q_ewma bounded epilogue. */
+  def qSeasonality(s: SparkSession, dir: String): DataFrame =
+    seasonality(Tables.orders(s, dir)
+      .select(
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("day").agg(sum(col("cents")).as("x")))
+
+  /** Core of [[qSeasonality]] over any (day, x) daily relation — exposed
+    * for AnalyticsSpec's closed forms (uniform series → every index
+    * exactly 1e6; a doubled weekday → exact rational indices). */
+  private[graft] def seasonality(daily0: DataFrame): DataFrame = {
+    val daily = daily0.localCheckpoint() // 2 consumers: per-dow + totals
+    val byDow = daily
+      .groupBy(expr("(day + 4) % 7").as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sum_cents"))
+    val tot = daily.agg(count(lit(1)).as("n_all"), sum(col("x")).as("total"))
+    byDow.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_days"), col("sum_cents"),
+        when(col("total") > 0,
+          expr("""CAST((CAST(sum_cents AS DECIMAL(38,0)) * n_all * 1000000
+                        - (CAST(sum_cents AS DECIMAL(38,0)) * n_all * 1000000)
+                          % (CAST(n_days AS DECIMAL(38,0)) * total))
+                      / (CAST(n_days AS DECIMAL(38,0)) * total)
+                      AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")).as("index_ppm"))
+      .orderBy("dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonality" -> (qSeasonality _),
     "q_auc" -> (qAuc _),
     "q_ndcg" -> (qNdcg _),
     "q_mutual_info" -> (qMutualInfo _),
@@ -1513,6 +1559,25 @@ object Analytics {
     s"CAST(round(log2(CAST($e AS DOUBLE)) * 1000000.0) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // Same epoch-day weekday, daily rollup, HUGEINT floor index.
+    "q_seasonality" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT (day + 4) % 7 AS dow,
+        |        CAST(count(*) AS BIGINT) AS n_days,
+        |        CAST(sum(x) AS BIGINT) AS sum_cents
+        |      FROM daily GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+        |        CAST(sum(x) AS BIGINT) AS total FROM daily)
+        |SELECT dow, n_days, sum_cents,
+        |  CASE WHEN total > 0
+        |       THEN CAST(CAST(sum_cents AS HUGEINT) * n_all * 1000000
+        |                 // (CAST(n_days AS HUGEINT) * total) AS BIGINT)
+        |       ELSE NULL END AS index_ppm
+        |FROM d, t ORDER BY dow""".stripMargin,
     // Same per-cent collapse, doubled pair count, HUGEINT floor ppm.
     "q_auc" ->
       """WITH sc AS (

@@ -495,7 +495,58 @@ object Corpus {
       .orderBy("lang")
   }
 
+  /** Cross-source contamination matrix: 3-shingle Jaccard between every
+    * SOURCE pair — the provenance diagnostic run before mixing corpora
+    * ("is src7 just a re-crawl of src3?"), one level up from the
+    * document-pair dedup family (q_ngram_jaccard compares documents;
+    * this compares the collections themselves).
+    *
+    * Plan: one pass projects the corpus to DISTINCT (source, shingle-
+    * hash) rows — 8-byte hashes shuffle, never shingle text; per-source
+    * set sizes are a |sources|-row aggregate; the intersection counts
+    * come from the shingle-keyed postings (collect_set of sources per
+    * shingle, pairs exploded inside each posting — bounded by
+    * |sources|², not corpus size), partial-agg'd down to the
+    * |sources|²/2-row pair relation before any join. Jaccard is one
+    * BIGINT DIV via |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * Scale stance (100 TB): every shuffle after the first is bounded by
+    * source-pair cardinality; the hot-shingle explode is |sources|² per
+    * shingle worst-case — at 20 sources, 190 pairs; a 10⁴-source lake
+    * runs the same plan with the pair explode capped by frequent-
+    * shingle filtering (the q_ngram_jaccard_prefix doctrine). */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlap(Tables.documents(s, dir)
+      .select(col("source"),
+        explode(TextPipeline.shinglesOf(toks)).as("g"))
+      .select(col("source"), TextPipeline.h32(col("g")).as("h")))
+
+  /** Core of [[qSourceOverlap]] over any (source, h) element relation —
+    * exposed for ExtrasSpec's closed forms (known set intersections;
+    * disjoint sources absent from the pair list). */
+  private[graft] def sourceOverlap(el: DataFrame): DataFrame = {
+    val sh = el.distinct()
+      .localCheckpoint() // 2 consumers: sizes + postings
+    val sz = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sh.groupBy(col("h"))
+      .agg(collect_set(col("source")).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sz.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("inter"),
+        expr("inter * 1000000 div (n_a + n_b - inter)").as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("src_a").asc, col("src_b").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_overlap" -> (qSourceOverlap _),
     "q_quota_alloc" -> (qQuotaAlloc _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_domain_mix" -> (qDomainMix _),
@@ -561,6 +612,30 @@ object Corpus {
   }
 
   val oracle: Map[String, String] = Map(
+    // Quadratic self-join spelling of the postings pair count — proves
+    // the explode-within-posting plan equals the textbook intersection.
+    "q_source_overlap" -> {
+      import TextPipeline.{duckH32, duckShingles}
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT source, $duckToks AS w FROM documents),
+         |sh AS MATERIALIZED (
+         |  SELECT DISTINCT source, ${duckH32("g")} AS h
+         |  FROM (SELECT source, unnest(${duckShingles("w")}) AS g
+         |        FROM toks)),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |       FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, inter,
+         |  inter * 1000000 // (sa.n + sb.n - inter) AS jaccard_ppm
+         |FROM inter
+         |JOIN sz sa ON sa.source = src_a
+         |JOIN sz sb ON sb.source = src_b
+         |ORDER BY jaccard_ppm DESC, src_a ASC, src_b ASC""".stripMargin
+    },
     // Same floor base, exact integer remainders, largest-remainder rank.
     "q_quota_alloc" ->
       s"""WITH m AS (

@@ -622,6 +622,24 @@ class AnalyticsSpec extends SparkSpec {
       "per-customer average balance must sit above the global positive mean"))
   }
 
+  test("seasonality: uniform series indexes exactly 1e6; doubled weekday hits the closed form") {
+    import spark.implicits._
+    // 28 uniform days: every weekday index is exactly 1,000,000
+    val uni = Analytics.seasonality(
+      (0L until 28L).map(d => (d, 100L)).toDF("day", "x")).collect()
+    assert(uni.length == 7 && uni.forall(_.getLong(3) == 1000000L))
+    // double revenue on dow 0 (days ≡ 3 mod 7 since (3+4)%7 == 0):
+    // index_0 = 200·28e6/(4·3200) = floor(1750000), others 875000
+    val skew = Analytics.seasonality(
+      (0L until 28L).map(d => (d, if ((d + 4) % 7 == 0) 200L else 100L))
+        .toDF("day", "x")).collect()
+    val byDow = skew.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(byDow(0L) == 1750000L && (1L to 6L).forall(byDow(_) == 875000L),
+      s"closed form: $byDow")
+    val fx = Analytics.qSeasonality(spark, sf).collect()
+    assert(fx.length == 7 && fx.forall(_.getLong(3) > 0L))
+  }
+
   test("AUC closed forms: separation, inversion, ties, and fixture bounds") {
     import spark.implicits._
     def run(rows: Seq[(Boolean, Long)]): Long =

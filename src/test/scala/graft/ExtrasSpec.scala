@@ -505,6 +505,27 @@ class ExtrasSpec extends SparkSpec {
     assert(got.getLong(6) >= 1L, "salt factor is at least 1")
   }
 
+  test("source overlap: known set intersections exact; disjoint source forms no pair") {
+    import spark.implicits._
+    // A={1,2,3}, B={2,3,4}, C={9}: only (A,B) pairs, |∩|=2, J=2/4
+    val el = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 2L), ("B", 3L),
+      ("B", 4L), ("C", 9L)).toDF("source", "h")
+    val got = graft.queries.Corpus.sourceOverlap(el).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == (("A", "B", 3L, 3L, 2L, 500000L)))
+    // fixture: pair list bounded by C(sources,2); ppm within [0, 1e6];
+    // and every pair's intersection respects both set sizes
+    val fx = graft.queries.Corpus.qSourceOverlap(spark, sf).collect()
+    assert(fx.length <= 190 && fx.nonEmpty)
+    fx.foreach { x =>
+      assert(x.getLong(4) <= math.min(x.getLong(2), x.getLong(3)))
+      assert(x.getLong(5) >= 0L && x.getLong(5) <= 1000000L)
+      assert(x.getString(0) < x.getString(1))
+    }
+  }
+
   test("quota allocation: Hamilton closed form, budget conserved exactly") {
     import spark.implicits._
     // masses 3:3:1 over 10000 slots — bases 4285/4285/1428 leave 2
