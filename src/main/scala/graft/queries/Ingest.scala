@@ -403,7 +403,51 @@ object Ingest {
       .orderBy("o_orderpriority")
   }
 
+  /** One-time-per-JVM partitioned-layout write for [[qDppPrune]]:
+    * customer clustered into one directory per c_nationkey. Layout
+    * preparation, memoized like [[bucketedPair]]. */
+  private val dppRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def partitionedCustomer(s: SparkSession, dir: String): String =
+    dppRoots.computeIfAbsent(dir, { _ =>
+      val path = s"${scratchDir("dpp", dir)}/customer"
+      Tables.customer(s, dir).write.mode("overwrite")
+        .partitionBy("c_nationkey").parquet(path)
+      path
+    })
+
+  /** Dynamic partition pruning over a star join: customer laid out
+    * one-directory-per-nation, joined to the nation⨝region dim filtered
+    * to EUROPE — a filter the optimizer CANNOT push statically because
+    * it lives on the other side of the join. Spark's DPP turns the
+    * broadcast dim into a runtime IN-subquery on the fact's partition
+    * column, so only the 5 European nations' directories are read
+    * (IngestSpec pins `dynamicpruning` inside the scan's
+    * PartitionFilters and that pruned ≠ static-full). At 100 TB this is
+    * the difference between scanning a 25th of the fact and all of it —
+    * the second-highest-leverage layout decision after bucketing
+    * ([[qBucketedJoin]]), and the two compose.
+    *
+    * The oracle computes the identical aggregate from the RAW tables:
+    * the hash match proves the partitioned rewrite + runtime pruning
+    * dropped and invented nothing. */
+  def qDppPrune(s: SparkSession, dir: String): DataFrame = {
+    val cust = s.read.parquet(partitionedCustomer(s, dir))
+    val dim = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+    cust.join(broadcast(dim), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast(DecimalType(14, 2)))
+          .cast("double").as("total_bal"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dpp_prune" -> (qDppPrune _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_csv_ingest" -> (qCsvIngest _),
     "q_csv_ingest_glob" -> (qCsvIngestGlob _),
@@ -437,6 +481,17 @@ object Ingest {
   }
 
   val oracle: Map[String, String] = Map(
+    // Identical aggregate from the RAW tables: the partitioned layout +
+    // runtime pruning must lose and invent nothing.
+    "q_dpp_prune" ->
+      """SELECT n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+        |    AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Identical aggregate from the RAW tables: a hash match proves the
     // bucketed write + exchange-free join changed no value.
     "q_bucketed_join" ->

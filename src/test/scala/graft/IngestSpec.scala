@@ -164,6 +164,29 @@ class IngestSpec extends SparkSpec {
     }, s"planted damage only: ${fx.take(3).toSeq}")
   }
 
+  test("DPP: the customer scan carries a runtime dynamicpruning partition filter; values match the raw star join") {
+    val df = Ingest.qDppPrune(spark, sf)
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"scan must be dynamically pruned:\n$plan")
+    val raw = graft.io.Tables.customer(spark, sf)
+      .join(graft.io.Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(graft.io.Tables.region(spark, sf),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(14, 2)))
+          .cast("double").as("total_bal"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got == raw)
+    assert(got.length == 5, "EUROPE holds 5 of the 25 nations")
+  }
+
   test("bucketed join plans ZERO exchanges below the join; the raw twin shuffles both sides") {
     val conf = spark.conf
     val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
