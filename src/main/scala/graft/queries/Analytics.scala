@@ -574,6 +574,73 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** Incremental JOIN-view maintenance — the two-sided-delta algebra a
+    * warehouse uses to keep a materialized join aggregate current
+    * without rescanning history: with L = L_old ∪ ΔL and
+    * O = O_old ∪ ΔO,
+    *   Q(L, O) = Q(L_old, O_old)  [the stored MV]
+    *           + Q(ΔL,  O_old)    [new lines against old orders]
+    *           + Q(L,   ΔO)       [everything against new orders]
+    * — two DELTA-KEYED joins instead of an old⨝old recompute. The
+    * companion of q_incremental_agg (one-sided, aggregate-only); deltas
+    * are carved deterministically by modular arithmetic so both engines
+    * see the identical split (ΔL: (orderkey·31+linenumber) ≡ 0 mod 10,
+    * ΔO: orderkey ≡ 0 mod 7).
+    *
+    * The MAINTAINED total is what ships (n_lines, rev_hc as exact
+    * hundredth-cent BIGINTs) — and the ORACLE computes those columns
+    * from the direct full join, so every verify re-proves the delta
+    * algebra itself, not just the arithmetic. The MV term is computed
+    * inline here for self-containedness; in production it is a stored
+    * table and only the two delta joins run per batch.
+    *
+    * Scale stance (100 TB): each delta join shuffles one delta-sized
+    * side against a key-pruned slice of the other; on the
+    * q_bucketed_join layout all three joins are exchange-free. The
+    * final combine is a |priorities|-row full-outer merge — the
+    * q_incremental_agg snapshot+delta shape. */
+  def qIncrementalJoin(s: SparkSession, dir: String): DataFrame = {
+    val hc = (col("l_extendedprice").cast(DecimalType(14, 2))
+      * (lit(1).cast(DecimalType(4, 2))
+        - col("l_discount").cast(DecimalType(4, 2)))
+      * 10000).cast("long")
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), hc.as("hc"),
+        ((col("l_orderkey") * 31 + col("l_linenumber")) % 10 === 0)
+          .as("is_dl"))
+      .localCheckpoint() // 3 consumers: MV, ΔL⨝O_old, L⨝ΔO
+    val or = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("o_orderkey") % 7 === 0).as("is_do"))
+      .localCheckpoint() // same 3 consumers
+    def agg(pairs: DataFrame, n: String, c: String): DataFrame =
+      pairs.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as(n), sum(col("hc")).as(c))
+    val mv = agg(li.filter(!col("is_dl"))
+      .join(or.filter(!col("is_do")),
+        col("l_orderkey") === col("o_orderkey")), "mv_n", "mv_hc")
+    val d1 = agg(li.filter(col("is_dl"))
+      .join(or.filter(!col("is_do")),
+        col("l_orderkey") === col("o_orderkey")), "d1_n", "d1_hc")
+    val d2 = agg(li
+      .join(or.filter(col("is_do")),
+        col("l_orderkey") === col("o_orderkey")), "d2_n", "d2_hc")
+    mv.join(d1, Seq("o_orderpriority"), "full_outer")
+      .join(d2, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        coalesce(col("mv_n"), lit(0L)).as("mv_n"),
+        coalesce(col("mv_hc"), lit(0L)).as("mv_hc"),
+        (coalesce(col("d1_n"), lit(0L)) + coalesce(col("d2_n"), lit(0L)))
+          .as("delta_n"),
+        (coalesce(col("d1_hc"), lit(0L)) + coalesce(col("d2_hc"), lit(0L)))
+          .as("delta_hc"))
+      .select(col("o_orderpriority"), col("mv_n"), col("mv_hc"),
+        col("delta_n"), col("delta_hc"),
+        (col("mv_n") + col("delta_n")).as("n_lines"),
+        (col("mv_hc") + col("delta_hc")).as("rev_hc"))
+      .orderBy("o_orderpriority")
+  }
+
   /** EWMA lag horizon: weights halve per day of age and 2^-21 of the
     * signal is far below the cents resolution, so truncating at 20 days
     * (≤ 21 terms) changes nothing observable while keeping the
@@ -1521,6 +1588,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seasonality" -> (qSeasonality _),
+    "q_incremental_join" -> (qIncrementalJoin _),
     "q_auc" -> (qAuc _),
     "q_ndcg" -> (qNdcg _),
     "q_mutual_info" -> (qMutualInfo _),
@@ -1559,6 +1627,42 @@ object Analytics {
     s"CAST(round(log2(CAST($e AS DOUBLE)) * 1000000.0) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // Components from the same modular split — but n_lines/rev_hc from
+    // the DIRECT full join, so the delta algebra itself is re-proven
+    // against a recompute every verify.
+    "q_incremental_join" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000
+        |      AS BIGINT) AS hc,
+        |    (l_orderkey * 31 + l_linenumber) % 10 = 0 AS is_dl
+        |  FROM lineitem),
+        |o AS (SELECT o_orderkey, o_orderpriority,
+        |        o_orderkey % 7 = 0 AS is_do FROM orders),
+        |mv AS (SELECT o_orderpriority, count(*) AS n, sum(hc) AS s
+        |       FROM li JOIN o ON l_orderkey = o_orderkey
+        |       WHERE NOT is_dl AND NOT is_do GROUP BY 1),
+        |d1 AS (SELECT o_orderpriority, count(*) AS n, sum(hc) AS s
+        |       FROM li JOIN o ON l_orderkey = o_orderkey
+        |       WHERE is_dl AND NOT is_do GROUP BY 1),
+        |d2 AS (SELECT o_orderpriority, count(*) AS n, sum(hc) AS s
+        |       FROM li JOIN o ON l_orderkey = o_orderkey
+        |       WHERE is_do GROUP BY 1),
+        |f AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(hc) AS BIGINT) AS s
+        |      FROM li JOIN o ON l_orderkey = o_orderkey GROUP BY 1)
+        |SELECT f.o_orderpriority,
+        |  CAST(coalesce(mv.n, 0) AS BIGINT) AS mv_n,
+        |  CAST(coalesce(mv.s, 0) AS BIGINT) AS mv_hc,
+        |  CAST(coalesce(d1.n, 0) + coalesce(d2.n, 0) AS BIGINT) AS delta_n,
+        |  CAST(coalesce(d1.s, 0) + coalesce(d2.s, 0) AS BIGINT) AS delta_hc,
+        |  f.n AS n_lines, f.s AS rev_hc
+        |FROM f
+        |LEFT JOIN mv USING (o_orderpriority)
+        |LEFT JOIN d1 USING (o_orderpriority)
+        |LEFT JOIN d2 USING (o_orderpriority)
+        |ORDER BY 1""".stripMargin,
     // Same epoch-day weekday, daily rollup, HUGEINT floor index.
     "q_seasonality" ->
       """WITH daily AS (

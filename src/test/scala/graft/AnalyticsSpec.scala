@@ -622,6 +622,22 @@ class AnalyticsSpec extends SparkSpec {
       "per-customer average balance must sit above the global positive mean"))
   }
 
+  test("incremental join maintenance: components conserve the direct join exactly") {
+    val rows = Analytics.qIncrementalJoin(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(3) == r.getLong(5), "line conservation")
+      assert(r.getLong(2) + r.getLong(4) == r.getLong(6), "revenue conservation")
+      assert(r.getLong(3) > 0L, "both modular deltas are non-empty at sf0.001")
+    }
+    // the maintained totals equal a direct single-join recompute
+    val direct = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getString(0) -> r.getLong(5)).toMap == direct)
+  }
+
   test("seasonality: uniform series indexes exactly 1e6; doubled weekday hits the closed form") {
     import spark.implicits._
     // 28 uniform days: every weekday index is exactly 1,000,000
