@@ -1586,7 +1586,71 @@ object Analytics {
       .orderBy("dow")
   }
 
+  /** Journey-path truncation depth for [[qTopPaths]]. */
+  private val PathDepth = 8
+
+  /** Top user journeys: each user's chronological event-type sequence
+    * (ties broken by event_id — a total order), truncated to the first
+    * [[PathDepth]] steps, aggregated to the most common paths — the
+    * Sankey/user-flow readout product analytics builds on top of
+    * q_markov_transition's edge view (this is the PATH view: which
+    * whole journeys dominate).
+    *
+    * Determinism: per-user ordering is done by sorting the collected
+    * (ts, event_id, type) structs INSIDE the row (array_sort on a
+    * struct sorts lexicographically by field order) — no window, no
+    * reliance on shuffle order; the same total order is spelled
+    * ORDER BY ts, event_id in the oracle's string_agg.
+    *
+    * Scale stance (100 TB): one user-keyed shuffle collects each
+    * user's events (bounded by per-user activity, the q_sessionize
+    * argument); paths then partial-agg map-side to the path-cardinality
+    * relation, and TakeOrdered caps the output at 20 without a global
+    * sort. */
+  def qTopPaths(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type"))).as("evs"))
+      .select(array_join(
+        slice(transform(array_sort(col("evs")), e => e("event_type")),
+          1, PathDepth), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(20)
+
+  /** Anonymity threshold for [[qKAnonymity]]. */
+  private val AnonK = 5
+
+  /** k-anonymity audit of the customer table under the quasi-identifier
+    * (market segment, nation, $1000-balance-bucket): how many QI
+    * equivalence classes are re-identifiable (size < k), and how many
+    * rows they expose — the governance gate run before any customer
+    * extract leaves the warehouse. The balance bucket floors
+    * NEGATIVES toward −∞ (integer `div` truncates toward zero, so the
+    * bucket uses floor() on the exact cent value — spelled identically
+    * in both engines).
+    *
+    * Scale stance: one partial-agg shuffle to QI-class cardinality,
+    * then a 1-row summary — nothing else touches the data. */
+  def qKAnonymity(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"),
+        floor(round(col("c_acctbal") * 100).cast("long") / 100000.0)
+          .cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < AnonK, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("n") < AnonK, col("n")).otherwise(0L))
+          .as("rows_at_risk"),
+        min(col("n")).as("min_group"))
+      .select(lit(AnonK.toLong).as("k"), col("n_groups"),
+        col("n_violating"), col("rows_at_risk"), col("min_group"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_top_paths" -> (qTopPaths _),
+    "q_k_anonymity" -> (qKAnonymity _),
     "q_seasonality" -> (qSeasonality _),
     "q_incremental_join" -> (qIncrementalJoin _),
     "q_auc" -> (qAuc _),
@@ -1627,6 +1691,32 @@ object Analytics {
     s"CAST(round(log2(CAST($e AS DOUBLE)) * 1000000.0) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // ORDER BY inside list() spells the same (ts, event_id) total order
+    // the struct sort imposes; same 8-step truncation and top-20.
+    "q_top_paths" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    array_to_string(
+        |      (list(event_type ORDER BY ts, event_id))[1:8], '>') AS path
+        |  FROM events GROUP BY 1)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY 1
+        |ORDER BY n_users DESC, path ASC LIMIT 20""".stripMargin,
+    // Same QI classes, threshold, and floor-bucketed balances.
+    "q_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 100000.0)
+        |      AS BIGINT) AS bal_bucket,
+        |    count(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT CAST(5 AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(min(n) AS BIGINT) AS min_group
+        |FROM g""".stripMargin,
     // Components from the same modular split — but n_lines/rev_hc from
     // the DIRECT full join, so the delta algebra itself is re-proven
     // against a recompute every verify.

@@ -622,6 +622,39 @@ class AnalyticsSpec extends SparkSpec {
       "per-customer average balance must sit above the global positive mean"))
   }
 
+  test("top paths: arrival order cannot leak into the path; truncation and caps hold") {
+    val rows = Analytics.qTopPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    // counts descend; path ascends within equal counts
+    assert(rows.sliding(2).forall { case Array((pa, na), (pb, nb)) =>
+      na > nb || (na == nb && pa < pb); case _ => true })
+    // every path is ≤ 8 steps drawn from the event vocabulary
+    val vocab = Set("view", "click", "purchase", "signup", "error")
+    rows.foreach { case (p, _) =>
+      val steps = p.split(">")
+      assert(steps.length <= 8 && steps.forall(vocab))
+    }
+    // determinism under repartition: shuffling input order changes nothing
+    val again = Analytics.qTopPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("k-anonymity audit: summary is consistent with its own group table") {
+    val r = Analytics.qKAnonymity(spark, sf).collect()(0)
+    val groups = Tables.customer(spark, sf)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"),
+        floor(round(col("c_acctbal") * 100).cast("long") / 100000.0)
+          .cast("long"))
+      .agg(count(lit(1)).as("n")).collect().map(_.getLong(3))
+    assert(r.getLong(0) == 5L)
+    assert(r.getLong(1) == groups.length)
+    assert(r.getLong(2) == groups.count(_ < 5L))
+    assert(r.getLong(3) == groups.filter(_ < 5L).sum)
+    assert(r.getLong(4) == groups.min)
+  }
+
   test("incremental join maintenance: components conserve the direct join exactly") {
     val rows = Analytics.qIncrementalJoin(spark, sf).collect()
     assert(rows.length == 5)
