@@ -1648,7 +1648,48 @@ object Analytics {
       .select(lit(AnonK.toLong).as("k"), col("n_groups"),
         col("n_violating"), col("rows_at_risk"), col("min_group"))
 
+  /** Seasonally-adjusted anomaly days: daily revenue judged against its
+    * WEEKDAY median (a Saturday against Saturdays), residuals screened
+    * by the global median/MAD gate — the composition of q_seasonality's
+    * weekly profile with q_robust_outliers' heavy-tail-safe flag, and
+    * the difference between "weekends look like incidents" and a usable
+    * alert stream. Output is the top-20 days by |residual| with the
+    * flag, so quiet fixtures still verify non-vacuously.
+    *
+    * Cross-engine exactness: daily cents are BIGINT; both medians are
+    * the exact interpolating percentile (quantile_cont parity proven by
+    * q_median_price) over integer inputs, so every residual and the
+    * 4.4478·MAD boundary are bit-identical IEEE ops on identical
+    * values; ordering ties break by day.
+    *
+    * Scale stance: one rollup shuffle to the DATE-cardinality relation;
+    * everything after (7 weekday medians broadcast back, one global
+    * MAD, top-20) is the q_ewma bounded epilogue. */
+  def qSeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .select(
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("day").agg(sum(col("cents")).as("x"))
+      .withColumn("dow", expr("(day + 4) % 7"))
+      .localCheckpoint() // 3 consumers: dow medians, MAD, the screen
+    val med = daily.groupBy("dow")
+      .agg(expr("percentile(x, 0.5)").as("med"))
+    val resid = daily.join(broadcast(med), "dow")
+      .withColumn("resid", col("x") - col("med"))
+    val mad = resid.agg(expr("percentile(abs(resid), 0.5)").as("mad"))
+    resid.crossJoin(broadcast(mad))
+      .select(col("day"), col("dow"), col("x").as("cents"),
+        round(col("med"), 4).as("dow_median"),
+        round(col("resid"), 4).as("resid"),
+        (abs(col("resid")) > col("mad") * 4.4478).as("is_anomaly"))
+      .orderBy(abs(col("resid")).desc, col("day").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_anomaly" -> (qSeasonalAnomaly _),
     "q_top_paths" -> (qTopPaths _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_seasonality" -> (qSeasonality _),
@@ -1691,6 +1732,24 @@ object Analytics {
     s"CAST(round(log2(CAST($e AS DOUBLE)) * 1000000.0) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // Same daily rollup, weekday medians, global MAD, 4.4478 gate.
+    "q_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY 1),
+        |d2 AS (SELECT day, (day + 4) % 7 AS dow, x FROM daily),
+        |med AS (SELECT dow, quantile_cont(x, 0.5) AS med
+        |        FROM d2 GROUP BY 1),
+        |r AS (SELECT day, d2.dow, x, med, x - med AS resid
+        |      FROM d2 JOIN med ON d2.dow = med.dow),
+        |m AS (SELECT quantile_cont(abs(resid), 0.5) AS mad FROM r)
+        |SELECT day, dow, x AS cents, round(med, 4) AS dow_median,
+        |  round(resid, 4) AS resid,
+        |  abs(resid) > mad * 4.4478 AS is_anomaly
+        |FROM r, m
+        |ORDER BY abs(resid) DESC, day ASC LIMIT 20""".stripMargin,
     // ORDER BY inside list() spells the same (ts, event_id) total order
     // the struct sort imposes; same 8-step truncation and top-20.
     "q_top_paths" ->

@@ -622,6 +622,22 @@ class AnalyticsSpec extends SparkSpec {
       "per-customer average balance must sit above the global positive mean"))
   }
 
+  test("seasonal anomaly: residuals are vs the weekday median, flag matches the MAD gate") {
+    val rows = Analytics.qSeasonalAnomaly(spark, sf).collect()
+    assert(rows.length == 20)
+    // |resid| descends with day tie-break ascending
+    val absR = rows.map(r => math.abs(r.getDouble(4)))
+    assert(absR.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    // each row's residual is exactly cents − dow_median
+    rows.foreach { r =>
+      assert(r.getDouble(4) == r.getLong(2) - r.getDouble(3))
+      assert(r.getLong(0) % 7L == ((r.getLong(1) - 4 + 7) % 7))
+    }
+    // flags are monotone in |resid|: once below the gate, never flagged
+    val flags = rows.map(_.getBoolean(5))
+    assert(flags.zip(flags.tail).forall { case (a, b) => a || !b })
+  }
+
   test("top paths: arrival order cannot leak into the path; truncation and caps hold") {
     val rows = Analytics.qTopPaths(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)))
