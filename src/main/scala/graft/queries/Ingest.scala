@@ -433,7 +433,10 @@ object Ingest {
     * the hash match proves the partitioned rewrite + runtime pruning
     * dropped and invented nothing. */
   def qDppPrune(s: SparkSession, dir: String): DataFrame = {
-    val cust = s.read.parquet(partitionedCustomer(s, dir))
+    // explicit schema: an EMPTY corpus writes a file-less partitioned
+    // dir, and schema inference on it throws (EmptyInputSpec totality)
+    val cust = s.read.schema(Tables.customer(s, dir).schema)
+      .parquet(partitionedCustomer(s, dir))
     val dim = Tables.nation(s, dir)
       .join(broadcast(Tables.region(s, dir)),
         col("n_regionkey") === col("r_regionkey"))
