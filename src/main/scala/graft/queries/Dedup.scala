@@ -152,6 +152,80 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Exact-Jaccard threshold for [[qDedupEval]]'s ground truth — matches
+    * the est ≥ 0.5 operating point q_dedup_minhash ships. */
+  private val EvalT = 0.5
+
+  /** Dedup-quality dashboard: precision/recall of the MinHash-LSH
+    * candidate generator against EXACT shingle-Jaccard ground truth at
+    * the same 0.5 threshold — the quantified answer to "what does the
+    * sketch miss, and what does it waste verification on", one query
+    * instead of a spec assertion so the operating point is monitored
+    * per corpus (DedupSimilaritySpec pins recall once; a distribution
+    * shift shows up HERE).
+    *
+    * Truth = pairs with exact J ≥ [[EvalT]] over distinct h32-hashed
+    * shingles (unblocked — LSH itself is unblocked); candidates = ANY
+    * band collision (the raw generator, before estimate filtering).
+    * TP/FP/FN via one full-outer pair merge; precision/recall as
+    * integer ppm DIV.
+    *
+    * Scale stance: truth reuses the postings-join shape (8-byte hashes
+    * shuffle, Σ df² bounded as in q_ngram_jaccard); candidates reuse
+    * the banded bucket join; the confusion merge is pair-cardinality.
+    * The quadratic truth side is the price of EVALUATION, run on a
+    * sampled slice at 100 TB (the q_dedup_semantic subset doctrine). */
+  def qDedupEval(s: SparkSession, dir: String): DataFrame = {
+    val shd = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.shinglePosting(col("w"), 3))
+      .select(col("doc_id"), TextPipeline.h32(col("shingle")).as("h"))
+      .distinct()
+      .localCheckpoint() // 3 consumers: sizes + both join sides
+    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = shd.join(sizes, "doc_id")
+      .select(col("h"), col("doc_id").as("a_id"), col("n").as("a_n"))
+    val b = shd.join(sizes, "doc_id")
+      .select(col("h"), col("doc_id").as("b_id"), col("n").as("b_n"))
+    val truth = a.join(b, "h").filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "a_n", "b_n").agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double")
+        / (col("a_n") + col("b_n") - col("inter")) >= EvalT)
+      .select(col("a_id"), col("b_id"))
+    val bands = sigsOf(s, dir).select(col("doc_id"),
+        explode(sequence(lit(0), lit(Bands - 1))).as("band_id"), col("sig"))
+      .select(col("doc_id"), col("band_id"),
+        md5(concat_ws(",", transform(
+          slice(col("sig"), col("band_id") * RowsPerBand + 1,
+            lit(RowsPerBand)),
+          x => x.cast("string")))).as("band_key"))
+      .localCheckpoint() // 2 consumers: both bucket-join sides
+    val cand = bands.select(col("band_id"), col("band_key"),
+        col("doc_id").as("a_id"))
+      .join(bands.select(col("band_id"), col("band_key"),
+        col("doc_id").as("b_id")), Seq("band_id", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    truth.withColumn("t", lit(1L))
+      .join(cand.withColumn("c", lit(1L)), Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        sum(when(col("t").isNotNull && col("c").isNotNull, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("t").isNull && col("c").isNotNull, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("t").isNotNull && col("c").isNull, 1L)
+          .otherwise(0L)).as("fn"))
+      .select(lit(500000L).as("t_ppm"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          expr("tp * 1000000 div (tp + fp)"))
+          .otherwise(lit(null).cast("long")).as("precision_ppm"),
+        when(col("tp") + col("fn") > 0,
+          expr("tp * 1000000 div (tp + fn)"))
+          .otherwise(lit(null).cast("long")).as("recall_ppm"))
+  }
+
   /** Iteration cap for [[components]] — a safety net only: alternating
     * star contraction converges in O(log² n) rounds on ANY graph shape
     * (near-dup pair graphs settle in 2-3), and each iteration ends with
@@ -742,6 +816,7 @@ object Dedup {
     "q_dedup_exact" -> (qDedupExact _),
     "q_minhash_signature" -> (qMinhashSignature _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_eval" -> (qDedupEval _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_edit_distance" -> (qEditDistance _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -877,6 +952,31 @@ object Dedup {
       s"""WITH $minhashCandCte
          |SELECT a_id, b_id, est_jaccard FROM cand
          |WHERE est_jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+    // Same banded candidates (raw, pre-estimate) vs the exact hashed-
+    // shingle truth; confusion counts via SEMI/ANTI joins.
+    "q_dedup_eval" ->
+      s"""WITH $minhashCandCte,
+         |cp AS (SELECT a_id, b_id FROM cand),
+         |hh AS (SELECT doc_id,
+         |    list_distinct(list_transform(sh, s -> ${duckH32("s")})) AS h
+         |  FROM shing WHERE len(sh) > 0),
+         |truth AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.h, b.h)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.h, b.h))) >= $EvalT),
+         |tp AS (SELECT CAST(count(*) AS BIGINT) AS tp FROM truth t
+         |       SEMI JOIN cp ON t.a_id = cp.a_id AND t.b_id = cp.b_id),
+         |fp AS (SELECT CAST(count(*) AS BIGINT) AS fp FROM cp
+         |       ANTI JOIN truth t ON t.a_id = cp.a_id AND t.b_id = cp.b_id),
+         |fn AS (SELECT CAST(count(*) AS BIGINT) AS fn FROM truth t
+         |       ANTI JOIN cp ON t.a_id = cp.a_id AND t.b_id = cp.b_id)
+         |SELECT CAST(500000 AS BIGINT) AS t_ppm, tp, fp, fn,
+         |  CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp)
+         |       ELSE NULL END AS precision_ppm,
+         |  CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn)
+         |       ELSE NULL END AS recall_ppm
+         |FROM tp, fp, fn""".stripMargin,
     "q_edit_distance" ->
       s"""WITH $minhashCandCte,
          |pairs AS (SELECT a_id, b_id FROM cand WHERE est_jaccard >= 0.5),

@@ -100,6 +100,23 @@ class DedupSimilaritySpec extends SparkSpec {
       s"high-jaccard pairs ${exact -- lsh} missed by LSH (b=8, r=4 ⇒ ~certain at j≥0.8)")
   }
 
+  test("dedup eval: confusion counts internally consistent; recall above the band-collision floor") {
+    val r = Dedup.qDedupEval(spark, sf).collect()(0)
+    val (tp, fp, fn) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(r.getLong(0) == 500000L)
+    assert(tp > 0L, "the fixture's planted clones must produce true positives")
+    assert(r.getLong(4) == tp * 1000000L / (tp + fp))
+    assert(r.getLong(5) == tp * 1000000L / (tp + fn))
+    // b=8 bands of r=4 ⇒ collision ≥ 1−(1−0.5⁴)⁸ ≈ 0.40 AT the 0.5
+    // boundary, and near 1 for the clone mass at j≥0.8 — the aggregate
+    // recall must clear the boundary floor
+    assert(r.getLong(5) >= 400000L, s"recall ${r.getLong(5)} below LSH floor")
+    // every pair q_dedup_minhash ships (est ≥ 0.5) is by construction a
+    // candidate here, so the candidate count bounds it
+    val shipped = Dedup.qDedupMinhash(spark, sf).count()
+    assert(tp + fp >= shipped)
+  }
+
   test("simhash: near-dup docs are closer in hamming distance than a random pair") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val sims = Dedup.qDedupSimhash(spark, sf).collect()
