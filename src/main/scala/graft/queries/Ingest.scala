@@ -449,7 +449,125 @@ object Ingest {
       .orderBy("n_name")
   }
 
+  /** The schema's FK edges, child (table, key) → parent (table, key) —
+    * one entry per arrow of the TPC-H-ish star plus the events stream's
+    * user link. Shared by [[qRefIntegrity]] and its oracle so the edge
+    * list can't drift between engines. */
+  private val FkEdges: Seq[(String, String, String, String, String)] = Seq(
+    ("customer.c_nationkey->nation.n_nationkey",
+      "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events.user_id->customer.c_custkey",
+      "events", "user_id", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders.o_orderkey",
+      "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey",
+      "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey",
+      "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region.r_regionkey",
+      "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_custkey->customer.c_custkey",
+      "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation.n_nationkey",
+      "supplier", "s_nationkey", "nation", "n_nationkey"))
+
+  private def tableOf(s: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "customer" => Tables.customer(s, dir)
+      case "orders"   => Tables.orders(s, dir)
+      case "lineitem" => Tables.lineitem(s, dir)
+      case "part"     => Tables.part(s, dir)
+      case "supplier" => Tables.supplier(s, dir)
+      case "nation"   => Tables.nation(s, dir)
+      case "region"   => Tables.region(s, dir)
+      case "events"   => Tables.events(s, dir)
+    }
+
+  /** Whole-schema referential-integrity audit: for every FK edge, the
+    * distinct child keys vs distinct parent keys in BOTH directions —
+    * orphan child keys (FK violations: would break every join that
+    * assumes the arrow) and unreferenced parent keys (dead dimension
+    * rows: the retention/idle-entity signal q22 asks for one table).
+    * One row per edge with a referenced-share ppm. The "is the nightly
+    * load internally consistent" gate that runs before anything joins.
+    *
+    * Scale stance (100 TB): each edge partial-aggs its child side to
+    * DISTINCT KEYS map-side (the shuffle carries key cardinality, not
+    * table rows), full-outer merges with the parent key set on the key,
+    * and collapses to one row — per-edge network is O(|keys|); the
+    * 8 edges are independent branches of one union (schedulable
+    * concurrently; each fact table is scanned once per edge it heads,
+    * column-pruned to the key). NULL FKs are counted as neither orphan
+    * nor match (SQL join semantics), mirrored in both engines. */
+  def qRefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val audits = FkEdges.map { case (edge, ct, ck, pt, pk) =>
+      val c = tableOf(s, dir, ct).select(col(ck).cast("long").as("k"))
+        .filter(col("k").isNotNull).distinct().withColumn("cm", lit(1))
+      val p = tableOf(s, dir, pt).select(col(pk).cast("long").as("k"))
+        .distinct().withColumn("pm", lit(1))
+      c.join(p, Seq("k"), "full_outer")
+        .agg(
+          count(col("cm")).as("child_keys"),
+          count(col("pm")).as("parent_keys"),
+          sum(when(col("cm").isNotNull && col("pm").isNull, 1L)
+            .otherwise(0L)).as("orphan_keys"),
+          sum(when(col("pm").isNotNull && col("cm").isNull, 1L)
+            .otherwise(0L)).as("unreferenced_keys"))
+        .select(lit(edge).as("edge"), col("child_keys"), col("parent_keys"),
+          col("orphan_keys"), col("unreferenced_keys"),
+          when(col("parent_keys") > 0,
+            expr("(parent_keys - unreferenced_keys) * 1000000 div parent_keys"))
+            .otherwise(lit(null).cast("long")).as("referenced_ppm"))
+    }
+    audits.reduce(_.unionAll(_)).orderBy("edge")
+  }
+
+  /** Candidate functional dependencies to audit: (label, table, lhs,
+    * rhs) — a mix the fixture genuinely decides both ways (keys hold;
+    * the non-key candidates are violated), shared with the oracle. */
+  private val FdCandidates: Seq[(String, String, String, String)] = Seq(
+    ("customer: c_nationkey -> c_mktsegment",
+      "customer", "c_nationkey", "c_mktsegment"),
+    ("lineitem: l_orderkey -> l_shipdate",
+      "lineitem", "l_orderkey", "l_shipdate"),
+    ("orders: o_custkey -> o_orderpriority",
+      "orders", "o_custkey", "o_orderpriority"),
+    ("part: p_brand -> p_type", "part", "p_brand", "p_type"),
+    ("part: p_partkey -> p_name", "part", "p_partkey", "p_name"))
+
+  /** Functional-dependency audit: for each candidate FD A → B, how many
+    * A-groups exist, how many are VIOLATED (more than one distinct B),
+    * the worst group's distinct-B count, and a violation ppm — the
+    * schema-discovery / data-contract check ("is brand really a
+    * function of the key?") that decides whether a column is safe to
+    * denormalize or use as a dedup survivor-pick key.
+    *
+    * Scale stance (100 TB): each FD is one partial-agg
+    * `groupBy(lhs).agg(countDistinct(rhs))` — the distinct collapses
+    * map-side, the shuffle carries (lhs, rhs)-pair cardinality — then a
+    * 1-row summary; FDs are independent union branches, column-pruned
+    * scans. No candidate enumeration (TANE-style lattice search) — the
+    * audit VERIFIES declared contracts, it doesn't mine them. */
+  def qFdAudit(s: SparkSession, dir: String): DataFrame = {
+    val audits = FdCandidates.map { case (fd, t, lhs, rhs) =>
+      tableOf(s, dir, t).groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("nd"))
+        .agg(count(lit(1)).as("lhs_groups"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("violating_groups"),
+          max(col("nd")).as("max_rhs_per_lhs"))
+        .select(lit(fd).as("fd"), col("lhs_groups"), col("violating_groups"),
+          coalesce(col("max_rhs_per_lhs"), lit(0L)).as("max_rhs_per_lhs"),
+          when(col("violating_groups") === 0, 1L).otherwise(0L).as("holds"),
+          when(col("lhs_groups") > 0,
+            expr("violating_groups * 1000000 div lhs_groups"))
+            .otherwise(lit(null).cast("long")).as("violation_ppm"))
+    }
+    audits.reduce(_.unionAll(_)).orderBy("fd")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ref_integrity" -> (qRefIntegrity _),
+    "q_fd_audit" -> (qFdAudit _),
     "q_dpp_prune" -> (qDppPrune _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_csv_ingest" -> (qCsvIngest _),
@@ -483,7 +601,55 @@ object Ingest {
        |FROM $rel""".stripMargin
   }
 
+  /** DuckDB spelling of one [[qRefIntegrity]] edge audit (same FULL
+    * OUTER distinct-key merge; sums CAST from HUGEINT to BIGINT). */
+  private def duckEdgeAudit(edge: String, ct: String, ck: String,
+      pt: String, pk: String): String =
+    s"""SELECT '$edge' AS edge, child_keys, parent_keys, orphan_keys,
+       |  unreferenced_keys,
+       |  CASE WHEN parent_keys > 0
+       |       THEN (parent_keys - unreferenced_keys) * 1000000 // parent_keys
+       |       ELSE NULL END AS referenced_ppm
+       |FROM (
+       |  SELECT CAST(count(c.cm) AS BIGINT) AS child_keys,
+       |    CAST(count(p.pm) AS BIGINT) AS parent_keys,
+       |    CAST(sum(CASE WHEN c.cm IS NOT NULL AND p.pm IS NULL
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS orphan_keys,
+       |    CAST(sum(CASE WHEN p.pm IS NOT NULL AND c.cm IS NULL
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS unreferenced_keys
+       |  FROM (SELECT DISTINCT $ck AS k, 1 AS cm FROM $ct
+       |        WHERE $ck IS NOT NULL) c
+       |  FULL OUTER JOIN (SELECT DISTINCT $pk AS k, 1 AS pm FROM $pt) p
+       |    ON c.k = p.k)""".stripMargin
+
+  /** DuckDB spelling of one [[qFdAudit]] candidate. */
+  private def duckFdAudit(fd: String, t: String, lhs: String,
+      rhs: String): String =
+    s"""SELECT '$fd' AS fd,
+       |  CAST(count(*) AS BIGINT) AS lhs_groups,
+       |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS violating_groups,
+       |  CAST(coalesce(max(nd), 0) AS BIGINT) AS max_rhs_per_lhs,
+       |  CAST(CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+       |       THEN 1 ELSE 0 END AS BIGINT) AS holds,
+       |  CASE WHEN count(*) > 0
+       |       THEN CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000
+       |                 AS BIGINT) // count(*)
+       |       ELSE NULL END AS violation_ppm
+       |FROM (SELECT $lhs, count(DISTINCT $rhs) AS nd FROM $t
+       |      GROUP BY 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // Same FULL OUTER distinct-key merge per FK edge, built from the
+    // SAME FkEdges list the Spark side unions over.
+    "q_ref_integrity" ->
+      (FkEdges.map { case (e, ct, ck, pt, pk) =>
+        duckEdgeAudit(e, ct, ck, pt, pk) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY edge")),
+    // Same per-FD countDistinct summary, built from FdCandidates.
+    "q_fd_audit" ->
+      (FdCandidates.map { case (fd, t, l, r) => duckFdAudit(fd, t, l, r) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fd")),
     // Identical aggregate from the RAW tables: the partitioned layout +
     // runtime pruning must lose and invent nothing.
     "q_dpp_prune" ->

@@ -700,7 +700,41 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Per-language readability via the FORCAST formula — chosen over
+    * Flesch-Kincaid deliberately: FK needs sentence boundaries and this
+    * corpus has NO terminal punctuation (every doc would clamp to one
+    * "sentence", reducing FK to noise), while FORCAST was designed for
+    * exactly such non-prose text and uses only the monosyllabic-word
+    * rate: grade = 20 − 15·(mono/words). Syllables are estimated as
+    * vowel-group runs (`[aeiouy]+`), the standard heuristic; mono =
+    * tokens with ≤ 1 run. All integer: per-doc centigrade
+    * 2000 − (1500·mono) DIV w, per-language mean by integer DIV —
+    * zero float, so the oracle is bit-exact.
+    *
+    * Scale stance (100 TB): one narrow codegen pass computes (w, mono)
+    * per document — the regexp runs inside `filter(transform(...))` on
+    * the token array, no explode, no shuffle of text — then a partial
+    * agg on the handful of language keys. The shuffle carries five
+    * 4-long rows per partition. */
+  def qReadability(s: SparkSession, dir: String): DataFrame = {
+    val w = size(toks).cast("long")
+    val mono = size(filter(toks, t =>
+      size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))) <= 1)).cast("long")
+    Tables.documents(s, dir)
+      .select(col("lang"), w.as("w"), mono.as("mono"))
+      .filter(col("w") >= 1)
+      .withColumn("gc", lit(2000L) - expr("(1500 * mono) div w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(gc) div count(1)").as("avg_grade_centi"),
+        min(col("gc")).as("min_grade_centi"),
+        max(col("gc")).as("max_grade_centi"),
+        expr("sum(mono) * 1000000 div sum(w)").as("mono_ppm"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_readability" -> (qReadability _),
     "q_kl_drift" -> (qKlDrift _),
     "q_token_entropy" -> (qTokenEntropy _),
     "q_phrase_search" -> (qPhraseSearch _),
@@ -725,6 +759,23 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same FORCAST integer grid: mono = tokens with ≤ 1 vowel-group
+    // run; all divisions integer (// on positives == Spark div).
+    "q_readability" ->
+      s"""WITH d AS (SELECT lang, $duckToks AS t FROM documents),
+         |per AS (SELECT lang, CAST(len(t) AS BIGINT) AS w,
+         |    CAST(len(list_filter(t,
+         |      x -> len(regexp_extract_all(x, '[aeiouy]+')) <= 1))
+         |      AS BIGINT) AS mono
+         |  FROM d WHERE len(t) >= 1),
+         |g AS (SELECT lang, w, mono,
+         |    2000 - (1500 * mono) // w AS gc FROM per)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(gc) // count(*) AS BIGINT) AS avg_grade_centi,
+         |  CAST(min(gc) AS BIGINT) AS min_grade_centi,
+         |  CAST(max(gc) AS BIGINT) AS max_grade_centi,
+         |  CAST(sum(mono) * 1000000 // sum(w) AS BIGINT) AS mono_ppm
+         |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
     "q_kl_drift" ->
       s"""WITH w AS (SELECT source, unnest($duckToks) AS word FROM documents),
          |sw AS (SELECT source, word, count(*) AS c_sw FROM w GROUP BY 1, 2),

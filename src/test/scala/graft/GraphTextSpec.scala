@@ -468,4 +468,36 @@ class GraphTextSpec extends SparkSpec {
       s"Bellman-Ford 6-round unroll diverges from Dijkstra on ${
         (got.toSet diff dist.toSet).take(5)}")
   }
+
+  test("readability: FORCAST grade bounded, language means consistent, recompute matches") {
+    val rows = TextAnalysis.qReadability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (avg, lo, hi) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      // grade = 20 - 15*(mono/w) in centi: mono/w in [0,1] => [500, 2000]
+      assert(lo >= 500L && hi <= 2000L && lo <= avg && avg <= hi)
+      assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000000L)
+    }
+    // independent per-doc recompute of one language on the raw text
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vg = "[aeiouy]+".r
+    val perDoc = docs.map { case (lang, text) =>
+      val toks = text.split(" ", -1)
+        .map(_.toLowerCase.replaceAll("[^a-z]", "")).filter(_.nonEmpty)
+      val mono = toks.count(t => vg.findAllIn(t).length <= 1)
+      (lang, toks.length.toLong, mono.toLong)
+    }.filter(_._2 >= 1)
+    val expect = perDoc.groupBy(_._1).map { case (lang, ds) =>
+      val gcs = ds.map { case (_, w, m) => 2000L - (1500L * m) / w }
+      lang -> (ds.length.toLong, gcs.sum / ds.length,
+        ds.map(_._3).sum * 1000000L / ds.map(_._2).sum)
+    }
+    rows.foreach { r =>
+      val (n, avg, ppm) = expect(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == avg && r.getLong(5) == ppm,
+        s"lang ${r.getString(0)}: got (${r.getLong(1)}, ${r.getLong(2)}, ${r.getLong(5)}) want ($n, $avg, $ppm)")
+    }
+  }
 }

@@ -224,4 +224,41 @@ class IngestSpec extends SparkSpec {
       assert(viaBkt == viaRaw)
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("ref integrity: TPC-H arrows hold (0 orphans) and idle parents are counted") {
+    val rows = Ingest.qRefIntegrity(spark, sf).collect()
+    assert(rows.length == 8)
+    // every FK arrow of the fixture holds: no child key lacks its parent
+    rows.foreach { r =>
+      assert(r.getLong(3) == 0L, s"edge ${r.getString(0)} has orphans") }
+    val byEdge = rows.map(r => r.getString(0) -> r).toMap
+    // idle entities exist: some customers never produced an event, so
+    // the events->customer edge leaves parents unreferenced (< 1e6 ppm)
+    val oc = byEdge("events.user_id->customer.c_custkey")
+    assert(oc.getLong(4) > 0L, "fixture has customers without events")
+    assert(oc.getLong(5) < 1000000L && oc.getLong(5) > 0L)
+    // nation->region is fully covered both ways at any sf
+    val nr = byEdge("nation.n_regionkey->region.r_regionkey")
+    assert(nr.getLong(4) == 0L && nr.getLong(5) == 1000000L)
+    // ppm is internally consistent on every edge
+    rows.filter(_.getLong(2) > 0).foreach { r =>
+      assert(r.getLong(5) ==
+        (r.getLong(2) - r.getLong(4)) * 1000000L / r.getLong(2)) }
+  }
+
+  test("fd audit: key FDs hold, non-key candidates are violated, ppm consistent") {
+    val rows = Ingest.qFdAudit(spark, sf).collect()
+    assert(rows.length == 5)
+    val byFd = rows.map(r => r.getString(0) -> r).toMap
+    // a key determines everything: p_partkey -> p_name must hold
+    val key = byFd("part: p_partkey -> p_name")
+    assert(key.getLong(4) == 1L && key.getLong(2) == 0L
+      && key.getLong(3) == 1L)
+    // brand does NOT determine type (TPC-H assigns them independently)
+    val brand = byFd("part: p_brand -> p_type")
+    assert(brand.getLong(4) == 0L && brand.getLong(2) > 0L
+      && brand.getLong(3) > 1L)
+    rows.foreach { r =>
+      assert(r.getLong(5) == r.getLong(2) * 1000000L / r.getLong(1)) }
+  }
 }
