@@ -394,7 +394,60 @@ object Graph {
     r.orderBy("node")
   }
 
+  /** Top hubs and authorities per HITS (Kleinberg) on the natural
+    * BIPARTITE trading graph — customers are pure hubs, suppliers pure
+    * authorities — so the mutual-reinforcement recursion ("a good hub
+    * points at good authorities; a good authority is pointed at by good
+    * hubs") is exactly the alternating matrix products a₁ = Aᵀh₀,
+    * h₁ = Aa₁, a₂ = Aᵀh₁, h₂ = Aa₂ from all-ones h₀. The complement of
+    * [[qPagerank]]: PageRank scores GLOBAL random-walk centrality with
+    * damping; HITS separates the two bipartite roles, and on this graph
+    * the recursion is INTEGER-EXACT — unnormalized scores are sums of
+    * products of degrees, bounded by max_deg⁴ (degrees in TPC-H are
+    * sf-independent ratios, so BIGINT holds at any sf), so no float
+    * normalization enters until the final display ppm (score·1e6 DIV
+    * max — integer both engines).
+    *
+    * Output: top [[HitsTopK]] per side by score (ties to the lower id),
+    * with rank and share-of-max ppm.
+    *
+    * Scale stance (100 TB): the distinct edge list shuffles once; each
+    * half-step is edges⨝scores on the step's key then a partial agg —
+    * narrow (node, long) rows, never adjacency lists, identical cost
+    * shape to one PageRank iteration; the two 1-row maxes broadcast into
+    * the final projection; TakeOrderedAndProject caps the output. */
+  def qHits(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+      .distinct()
+      .localCheckpoint() // 5 consumers: 4 half-steps + the hub base set
+    val a1 = e.groupBy("p").agg(count(lit(1)).as("a1")) // Aᵀ·1 = in-degree
+    val h1 = e.join(a1, "p").groupBy("c").agg(sum(col("a1")).as("h1"))
+    val a2 = e.join(h1, "c").groupBy("p").agg(sum(col("h1")).as("a2"))
+    val h2 = e.join(a2, "p").groupBy("c").agg(sum(col("a2")).as("h2"))
+    def side(df: DataFrame, id: String, score: String, tag: String) = {
+      val mx = df.agg(max(col(score)).as("mx"))
+      // TakeOrderedAndProject caps the corpus-cardinality score table to
+      // HitsTopK rows BEFORE the rank window runs (over ≤ K rows) — no
+      // global single-partition window over all nodes.
+      df.orderBy(col(score).desc, col(id).asc).limit(HitsTopK)
+        .crossJoin(broadcast(mx))
+        .select(lit(tag).as("side"), col(id).cast("long").as("node"),
+          col(score).as("score"),
+          expr(s"$score * 1000000 div mx").as("share_ppm"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col(score).desc, col(id).asc)).as("rank"))
+    }
+    side(a2, "p", "a2", "authority")
+      .unionAll(side(h2, "c", "h2", "hub"))
+      .orderBy("side", "rank")
+  }
+
+  private val HitsTopK = 10
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hits" -> (qHits _),
     "q_pagerank" -> (qPagerank _),
     "q_triangles" -> (qTriangles _),
     "q_clustering_coeff" -> (qClusteringCoeff _),
@@ -441,6 +494,33 @@ object Graph {
        |  GROUP BY node)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same unrolled a₁/h₁/a₂/h₂ alternation over the distinct bipartite
+    // edge list; all-integer, ppm by integer division.
+    "q_hits" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |a1 AS (SELECT p, CAST(count(*) AS BIGINT) AS a1 FROM e GROUP BY p),
+         |h1 AS (SELECT c, CAST(sum(a1) AS BIGINT) AS h1
+         |       FROM e JOIN a1 USING (p) GROUP BY c),
+         |a2 AS (SELECT p, CAST(sum(h1) AS BIGINT) AS a2
+         |       FROM e JOIN h1 USING (c) GROUP BY p),
+         |h2 AS (SELECT c, CAST(sum(a2) AS BIGINT) AS h2
+         |       FROM e JOIN a2 USING (p) GROUP BY c),
+         |auth AS (SELECT 'authority' AS side, CAST(p AS BIGINT) AS node,
+         |    a2 AS score, row_number() OVER (ORDER BY a2 DESC, p ASC) AS rank
+         |  FROM a2),
+         |hub AS (SELECT 'hub' AS side, CAST(c AS BIGINT) AS node,
+         |    h2 AS score, row_number() OVER (ORDER BY h2 DESC, c ASC) AS rank
+         |  FROM h2),
+         |am AS (SELECT max(score) AS mx FROM auth),
+         |hm AS (SELECT max(score) AS mx FROM hub)
+         |SELECT side, node, score, score * 1000000 // mx AS share_ppm,
+         |  CAST(rank AS INT) AS rank
+         |FROM (SELECT auth.*, mx FROM auth, am WHERE rank <= $HitsTopK
+         |      UNION ALL
+         |      SELECT hub.*, mx FROM hub, hm WHERE rank <= $HitsTopK) t
+         |ORDER BY side, rank""".stripMargin,
     "q_kcore" ->
       s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
          |            FROM lineitem),

@@ -618,7 +618,34 @@ object Similarity {
     pqRerank(ix.raw, shortlist)
   }
 
+  /** ANN-quality dashboard: recall@k of the IVF index ([[qAnnIvf]],
+    * nprobe=2) against the exact brute-force top-k ([[qAnnBruteforce]])
+    * — the [[graft.queries.Dedup.qDedupEval]] doctrine applied to
+    * similarity search: the approximate operator's loss is MEASURED as
+    * a query, per query vector, not asserted once in a spec, so a
+    * corpus-geometry shift (clusters that straddle IVF cells) shows up
+    * in the verify gate. Both sides are the exact DataFrames the
+    * standalone queries ship; recall is integer ppm.
+    *
+    * Scale stance (100 TB): the truth side is the brute-force scan —
+    * the price of EVALUATION, run over a sampled query set (here: the
+    * same 10 probe vectors both queries use; at scale the sample stays
+    * O(queries), never O(corpus²)); the approx side is the production
+    * index path; the confusion join is k·|queries| rows. */
+  def qAnnRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val truth = qAnnBruteforce(s, dir).select(col("q_id"), col("neighbor_id"))
+    val approx = qAnnIvf(s, dir).select(col("q_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1))
+    truth.join(approx, Seq("q_id", "neighbor_id"), "left_outer")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("hits"))
+      .select(col("q_id"), col("k"), col("hits"),
+        expr("hits * 1000000 div k").as("recall_ppm"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_recall_eval" -> (qAnnRecallEval _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -759,6 +786,49 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The q_ann_ivf chain and the q_ann_bruteforce chain side by side,
+    // merged by a LEFT JOIN per (query, neighbor); recall in integer ppm.
+    "q_ann_recall_eval" ->
+      s"""WITH $duckVecs,
+         |seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell,
+         |    v AS cv
+         |  FROM (SELECT vec_id, v,
+         |          ${TextPipeline.duckH32("CAST(vec_id AS VARCHAR)")} AS h FROM e)
+         |  ORDER BY h, vec_id LIMIT $KCells),
+         |a0 AS (${duckAssign("seeds")}),
+         |c1 AS (${duckUpdate("a0")}),
+         |a1 AS (${duckAssign("c1")}),
+         |c2 AS (${duckUpdate("a1")}),
+         |idx AS (${duckAssign("c2")}),
+         |q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT q_id, q_v, cell FROM (
+         |    SELECT q.q_id, q.q_v, c.cell,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        list_sum(list_transform(c.cv, (x,i) -> x * q.q_v[i])) /
+         |          (sqrt(list_sum(list_transform(c.cv, x -> x*x)))
+         |           * sqrt(list_sum(list_transform(q.q_v, x -> x*x)))) DESC,
+         |        c.cell ASC) AS pr
+         |    FROM q, c2 c) WHERE pr <= $NProbe),
+         |iscored AS (
+         |  SELECT q.q_id, a.vec_id AS neighbor_id, $duckCos AS cos_raw
+         |  FROM idx a JOIN probes q ON a.cell = q.cell AND a.vec_id <> q.q_id),
+         |iranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos_raw DESC, neighbor_id ASC) AS rank FROM iscored),
+         |tscored AS (
+         |  SELECT q.q_id, a.vec_id AS neighbor_id, $duckCos AS cos_raw
+         |  FROM e a, q WHERE a.vec_id <> q.q_id),
+         |tranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos_raw DESC, neighbor_id ASC) AS rank FROM tscored)
+         |SELECT t.q_id, CAST(count(*) AS BIGINT) AS k,
+         |  CAST(count(i.neighbor_id) AS BIGINT) AS hits,
+         |  CAST(count(i.neighbor_id) AS BIGINT) * 1000000
+         |    // CAST(count(*) AS BIGINT) AS recall_ppm
+         |FROM (SELECT q_id, neighbor_id FROM tranked WHERE rank <= $TopK) t
+         |LEFT JOIN (SELECT q_id, neighbor_id FROM iranked WHERE rank <= $TopK) i
+         |  ON t.q_id = i.q_id AND t.neighbor_id = i.neighbor_id
+         |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin,
     "q_ann_bruteforce" ->
       s"""WITH $duckVecs,
          |q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),

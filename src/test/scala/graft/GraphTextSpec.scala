@@ -500,4 +500,38 @@ class GraphTextSpec extends SparkSpec {
         s"lang ${r.getString(0)}: got (${r.getLong(1)}, ${r.getLong(2)}, ${r.getLong(5)}) want ($n, $avg, $ppm)")
     }
   }
+
+  test("hits: scores equal a local matrix recompute; ranks and ppm consistent") {
+    val rows = Graph.qHits(spark, sf).collect()
+    val (auth, hub) = rows.partition(_.getString(0) == "authority")
+    assert(auth.length == 10 && hub.length == 10)
+    // rank 1 holds the max => share_ppm exactly 1e6; ppm non-increasing
+    for (side <- Seq(auth, hub)) {
+      val byRank = side.sortBy(_.getInt(4))
+      assert(byRank.head.getLong(3) == 1000000L)
+      assert(byRank.sliding(2).forall(p => p(0).getLong(3) >= p(1).getLong(3)))
+      assert(byRank.sliding(2).forall(p => p(0).getLong(2) >= p(1).getLong(2)))
+    }
+    // local recompute of the unrolled alternation from the raw edge list
+    val e = graft.io.Tables.orders(spark, sf)
+      .join(graft.io.Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a1 = e.groupBy(_._2).map { case (p, es) => p -> es.length.toLong }
+    val h1 = e.groupBy(_._1).map { case (c, es) =>
+      c -> es.map(x => a1(x._2)).sum }
+    val a2 = e.groupBy(_._2).map { case (p, es) =>
+      p -> es.map(x => h1(x._1)).sum }
+    val h2 = e.groupBy(_._1).map { case (c, es) =>
+      c -> es.map(x => a2(x._2)).sum }
+    auth.foreach { r => assert(a2(r.getLong(1)) == r.getLong(2),
+      s"authority ${r.getLong(1)}") }
+    hub.foreach { r => assert(h2(r.getLong(1)) == r.getLong(2),
+      s"hub ${r.getLong(1)}") }
+    // and the shipped top-10 IS the top-10 of the local recompute
+    val topAuth = a2.toSeq.sortBy { case (p, sc) => (-sc, p) }.take(10)
+    assert(auth.sortBy(_.getInt(4)).map(r => (r.getLong(1), r.getLong(2)))
+      .toSeq == topAuth)
+  }
 }
