@@ -545,7 +545,40 @@ object Corpus {
       .orderBy(col("jaccard_ppm").desc, col("src_a").asc, col("src_b").asc)
   }
 
+  /** Tokenizer fertility by language: average BPE pieces per word after
+    * the [[qBpeMerges]] training run — THE comparative-tokenizer metric
+    * an LLM data team reads before fixing a vocabulary (high-fertility
+    * languages pay more context-window per word; the number drives
+    * per-language token budgets and sampling weights). Fertility is
+    * occurrence-weighted (Σ n·pieces / Σ n over the corpus word
+    * stream), reported in exact integer milli-units.
+    *
+    * Scale stance (100 TB): the trained segmentation state is
+    * VOCABULARY-sized — the word is recovered from the segmented form
+    * (remove separators) and the pieces table broadcasts; the corpus
+    * contributes one (lang, word) wordcount-shaped partial agg (the
+    * only data-bound stage, shuffle bounded by per-partition distinct
+    * words), then a per-language rollup of a vocabulary-sized join. */
+  def qTokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val (_, fin) = bpeTrain(s, dir)
+    val vocab = fin.select(
+      regexp_replace(col("st"), " ", "").as("word"),
+      size(split(col("st"), " ")).cast("long").as("pieces"))
+    val lw = Tables.documents(s, dir)
+      .select(col("lang"), explode(toks).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+    lw.join(broadcast(vocab), "word")
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("pieces")).as("n_pieces"))
+      .select(col("lang"), col("n_words"), col("n_pieces"),
+        expr("n_pieces * 1000 div n_words").as("fertility_milli"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tokenizer_fertility" -> (qTokenizerFertility _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_quota_alloc" -> (qQuotaAlloc _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -612,6 +645,22 @@ object Corpus {
   }
 
   val oracle: Map[String, String] = Map(
+    // The same BPE chain, final segmentation joined back to the
+    // per-language word stream by the de-segmented word.
+    "q_tokenizer_fertility" ->
+      s"""WITH $bpeCtes,
+         |vocab AS (SELECT replace(st, ' ', '') AS word,
+         |    CAST(len(string_split(st, ' ')) AS BIGINT) AS pieces
+         |  FROM s$BpeRounds),
+         |lw AS (SELECT lang, word, count(*) AS n FROM (
+         |    SELECT lang, unnest($duckToks) AS word FROM documents) q
+         |  GROUP BY 1, 2)
+         |SELECT lang, CAST(sum(n) AS BIGINT) AS n_words,
+         |  CAST(sum(n * pieces) AS BIGINT) AS n_pieces,
+         |  CAST(sum(n * pieces) * 1000 AS BIGINT)
+         |    // CAST(sum(n) AS BIGINT) AS fertility_milli
+         |FROM lw JOIN vocab USING (word)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     // Quadratic self-join spelling of the postings pair count — proves
     // the explode-within-posting plan equals the textbook intersection.
     "q_source_overlap" -> {

@@ -733,7 +733,43 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Classifier-quality dashboard for [[qLangId]]: the predicted-label
+    * distribution against the fixture's labeled `lang` column, per true
+    * language plus an `__all__` total row — the eval-doctrine
+    * (q_dedup_eval / q_ann_recall_eval) applied to the language-ID
+    * heuristic. `correct` is per-row consistent: docs predicted 'en'
+    * when lang = 'en', docs predicted 'unk' otherwise (the rule only
+    * claims to DETECT English); accuracy is integer ppm. A corpus-mix
+    * shift that breaks the stopword threshold shows up here, in the
+    * verify gate, not in production.
+    *
+    * Scale stance (100 TB): evaluates the SHIPPED [[qLangId]] output —
+    * one narrow pass over documents, partial agg on the handful of
+    * language keys, a 1-row total; nothing beyond the base query's
+    * cost. */
+  def qLangIdEval(s: SparkSession, dir: String): DataFrame = {
+    val per = qLangId(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predicted") === "en", 1L).otherwise(0L)).as("pred_en"),
+        sum(when(col("predicted") === "unk", 1L).otherwise(0L)).as("pred_unk"))
+      .withColumn("correct",
+        when(col("lang") === "en", col("pred_en")).otherwise(col("pred_unk")))
+    val total = per.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("pred_en")).as("pred_en"),
+        sum(col("pred_unk")).as("pred_unk"),
+        sum(col("correct")).as("correct"))
+      .select(lit("__all__").as("lang"), col("n_docs"), col("pred_en"),
+        col("pred_unk"), col("correct"))
+    per.select(col("lang"), col("n_docs"), col("pred_en"),
+        col("pred_unk"), col("correct"))
+      .unionAll(total)
+      .withColumn("accuracy_ppm", expr("correct * 1000000 div n_docs"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_id_eval" -> (qLangIdEval _),
     "q_readability" -> (qReadability _),
     "q_kl_drift" -> (qKlDrift _),
     "q_token_entropy" -> (qTokenEntropy _),
@@ -759,6 +795,31 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    // The q_lang_id rule re-applied, then the same per-lang + __all__
+    // confusion rollup; accuracy by integer division.
+    "q_lang_id_eval" ->
+      s"""WITH p AS (SELECT lang,
+         |    CASE WHEN CAST(len(list_filter($duckToks, x -> x IN $duckStop))
+         |              AS DOUBLE) / len($duckToks) > 0.05
+         |         THEN 'en' ELSE 'unk' END AS predicted
+         |  FROM documents),
+         |per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN predicted = 'en' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS pred_en,
+         |    CAST(sum(CASE WHEN predicted = 'unk' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS pred_unk
+         |  FROM p GROUP BY lang),
+         |per2 AS (SELECT *, CASE WHEN lang = 'en' THEN pred_en
+         |                        ELSE pred_unk END AS correct FROM per),
+         |tot AS (SELECT '__all__' AS lang,
+         |    CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |    CAST(sum(pred_en) AS BIGINT) AS pred_en,
+         |    CAST(sum(pred_unk) AS BIGINT) AS pred_unk,
+         |    CAST(sum(correct) AS BIGINT) AS correct FROM per2)
+         |SELECT lang, n_docs, pred_en, pred_unk, correct,
+         |  correct * 1000000 // n_docs AS accuracy_ppm
+         |FROM (SELECT * FROM per2 UNION ALL SELECT * FROM tot) u
+         |ORDER BY lang""".stripMargin,
     // Same FORCAST integer grid: mono = tokens with ≤ 1 vowel-group
     // run; all divisions integer (// on positives == Spark div).
     "q_readability" ->

@@ -577,4 +577,42 @@ class ExtrasSpec extends SparkSpec {
           org.apache.spark.sql.functions.col("text"))) > 0).count()
     assert(rows.map(_._3).sum == nDocs, "each doc starts in exactly one bin")
   }
+
+  test("tokenizer fertility: weighted mean of per-word pieces; segmentation covers every corpus word") {
+    val rows = graft.queries.Corpus.qTokenizerFertility(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, p, f) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // chars-per-word bounds: 1 <= pieces <= word length, so
+      // fertility in [1000, max-word-len * 1000]; and exact integer DIV
+      assert(p >= w && f == p * 1000L / w && f >= 1000L)
+    }
+    // every (lang, word) occurrence must find its vocab row: the summed
+    // word counts equal the corpus token counts per language
+    val tokCounts = graft.io.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.explode(
+          graft.core.TextPipeline.normalizedTokens(
+            org.apache.spark.sql.functions.col("text"))).as("w"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == tokCounts(r.getString(0)),
+        s"lang ${r.getString(0)} dropped words in the vocab join") }
+  }
+
+  test("lang id eval: total row sums the per-lang rows; correct matches the rule") {
+    val rows = graft.queries.TextAnalysis.qLangIdEval(spark, sf).collect()
+    val (tot, per) = rows.partition(_.getString(0) == "__all__")
+    assert(tot.length == 1 && per.nonEmpty)
+    val t = tot.head
+    assert(t.getLong(1) == per.map(_.getLong(1)).sum)
+    assert(t.getLong(4) == per.map(_.getLong(4)).sum)
+    per.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1)) // en + unk = n
+      val want = if (r.getString(0) == "en") r.getLong(2) else r.getLong(3)
+      assert(r.getLong(4) == want)
+      assert(r.getLong(5) == r.getLong(4) * 1000000L / r.getLong(1))
+    }
+  }
 }
