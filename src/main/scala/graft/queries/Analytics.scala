@@ -1688,7 +1688,65 @@ object Analytics {
       .limit(20)
   }
 
+  /** Incremental maintenance of a NON-INVERTIBLE aggregate (per-customer
+    * max + count) under retractions — the case [[qIncrementalAgg]]'s
+    * snapshot+delta fold cannot handle: sums subtract, maxes don't. A
+    * deterministic delete batch retracts orders with
+    * o_orderkey ≡ 13 (mod 31) — denser than the q_sequence_gaps
+    * convention so ALL THREE paths fire at every shipped fixture scale;
+    * the view then splits three ways, and each row is TAGGED with the
+    * maintenance path it took:
+    *  - `untouched`: no deletes hit the group — snapshot row survives;
+    *  - `folded`: deletes hit, but all below the stored max — count
+    *    folds arithmetically, max provably unchanged (delete-max <
+    *    view-max), NO base access;
+    *  - `repaired`: a delete carried the group max — the only case
+    *    that re-reads the group's surviving base rows (semi-join-pruned
+    *    to exactly the affected groups).
+    * The ORACLE recomputes the view from the surviving rows from
+    * scratch AND re-derives the path labels from first principles, so
+    * the hash match proves both the values and the case analysis.
+    *
+    * Scale stance (100 TB): view0 and the delete rollup are partial
+    * aggs; the repair scan is base-pruned by a semi join on the
+    * affected-group keys — its cost is proportional to the DAMAGED
+    * groups, not the table (with the base clustered by the group key it
+    * prunes at the storage layer too, the q_table_diff drill-down
+    * doctrine); fully-deleted groups drop via the dn = n0 filter. */
+  def qIncrementalMinmax(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 31 === 13).as("del"))
+      .localCheckpoint() // 3 consumers: snapshot, deletes, repair scan
+    val view0 = base.groupBy("c")
+      .agg(max(col("cents")).as("m0"), count(lit(1)).as("n0"))
+    val dels = base.filter(col("del")).groupBy("c")
+      .agg(max(col("cents")).as("dmax"), count(lit(1)).as("dn"))
+    val j = view0.join(dels, Seq("c"), "left_outer")
+      .localCheckpoint() // 3 consumers: the three path branches
+    val untouched = j.filter(col("dn").isNull)
+      .select(col("c"), col("n0").as("n"), col("m0").as("max_cents"),
+        lit("untouched").as("path"))
+    val folded = j.filter(col("dn").isNotNull && col("dn") < col("n0")
+        && col("dmax") < col("m0"))
+      .select(col("c"), (col("n0") - col("dn")).as("n"),
+        col("m0").as("max_cents"), lit("folded").as("path"))
+    val affected = j.filter(col("dn").isNotNull && col("dn") < col("n0")
+        && col("dmax") === col("m0")).select(col("c"))
+    val repaired = base.filter(!col("del"))
+      .join(broadcast(affected), Seq("c"), "left_semi")
+      .groupBy("c")
+      .agg(count(lit(1)).as("n"), max(col("cents")).as("max_cents"))
+      .select(col("c"), col("n"), col("max_cents"),
+        lit("repaired").as("path"))
+    untouched.unionAll(folded).unionAll(repaired)
+      .withColumnRenamed("c", "o_custkey")
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incremental_minmax" -> (qIncrementalMinmax _),
     "q_seasonal_anomaly" -> (qSeasonalAnomaly _),
     "q_top_paths" -> (qTopPaths _),
     "q_k_anonymity" -> (qKAnonymity _),
@@ -2289,6 +2347,23 @@ object Analytics {
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Full recompute over the surviving rows, with the path labels
+    // re-derived from first principles — proves values AND case split.
+    "q_incremental_minmax" ->
+      """WITH base AS (SELECT o_custkey AS c,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey % 31 = 13 AS del FROM orders),
+        |agg AS (SELECT c, CAST(count(*) AS BIGINT) AS n,
+        |    max(cents) AS max_cents FROM base WHERE NOT del GROUP BY c),
+        |info AS (SELECT c, max(cents) AS m0,
+        |    max(CASE WHEN del THEN cents END) AS dmax,
+        |    CAST(sum(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) AS dn
+        |  FROM base GROUP BY c)
+        |SELECT agg.c AS o_custkey, n, max_cents,
+        |  CASE WHEN dn = 0 THEN 'untouched'
+        |       WHEN dmax = m0 THEN 'repaired'
+        |       ELSE 'folded' END AS path
+        |FROM agg JOIN info USING (c) ORDER BY o_custkey""".stripMargin,
     "q_ab_test" ->
       """WITH pu AS (
         |  SELECT user_id % 2 AS arm,

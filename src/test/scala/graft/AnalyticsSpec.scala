@@ -975,4 +975,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("click") == ((1L, 4000L)), s"click: $got")   // user 4
     assert(got("direct") == ((2L, 5000L)), s"direct: $got") // users 2, 3
   }
+
+  test("incremental minmax: all three maintenance paths fire and agree with a full recompute") {
+    val rows = Analytics.qIncrementalMinmax(spark, sf).collect()
+    val paths = rows.groupBy(_.getString(3)).map { case (k, v) => k -> v.length }
+    assert(paths.keySet == Set("untouched", "folded", "repaired"),
+      s"paths seen: $paths — the delete batch must exercise every case")
+    // full recompute from the surviving base rows
+    val surviving = graft.io.Tables.orders(spark, sf)
+      .filter(!(col("o_orderkey") % 31 === 13))
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = surviving.groupBy(_._1).map { case (c, xs) =>
+      c -> (xs.length.toLong, xs.map(_._2).max) }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (n, m) = expect(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == m, s"cust ${r.getLong(0)}")
+    }
+    // folded rows never touched base: their max must equal the
+    // PRE-delete group max (provably unchanged)
+    val preMax = graft.io.Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (c, xs) => c -> xs.map(_.getLong(1)).max }
+    rows.filter(_.getString(3) == "folded").foreach { r =>
+      assert(r.getLong(2) == preMax(r.getLong(0))) }
+  }
 }
