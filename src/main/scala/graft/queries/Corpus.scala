@@ -577,7 +577,64 @@ object Corpus {
       .orderBy("lang")
   }
 
+  /** The corpus datasheet in one query — the (metric, value) card a
+    * data team publishes with a training corpus (Gebru et al.,
+    * "Datasheets for Datasets"): volume (docs/tokens/chars), diversity
+    * (vocabulary, languages, sources), contamination (exact-dup count
+    * via the q_dedup_exact md5 convention), and shape (token-length
+    * p50/p90/mean). Every number integer-exact.
+    *
+    * Scale stance (100 TB): ONE corpus scan feeds a single multi-
+    * distinct aggregate (Spark plans count(DISTINCT x) columns via
+    * expand — the q_multi_distinct shape) plus a doc-length histogram;
+    * the percentiles run the q_ks_test VALUE-RESOLUTION cumsum — the
+    * window sorts the distinct-length relation (bounded by max doc
+    * length, NOT corpus cardinality); the vocabulary count is the
+    * wordcount partial-agg shape. No full-relation sort anywhere. */
+  def qDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.documents(s, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(toks).cast("long").as("nt"), md5(col("text")).as("sig"))
+      .localCheckpoint() // 2 consumers: the stats agg + the histogram
+    val stats = per.agg(count(lit(1)).as("n"), sum(col("nt")).as("toks"),
+        sum(col("n_chars")).as("chars"),
+        countDistinct(col("lang")).as("nl"),
+        countDistinct(col("source")).as("ns"),
+        countDistinct(col("sig")).as("nd"))
+      .localCheckpoint() // 1 row; consumed by 6 metric rows + percentiles
+    val vocab = TextPipeline.words(Tables.documents(s, dir), "text")
+      .agg(countDistinct(col("word")).as("v"))
+    val cum = per.groupBy(col("nt")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("nt")).rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .localCheckpoint() // distinct-length cardinality; 2 percentile cuts
+    def pct(num: Int, den: Int, name: String): DataFrame =
+      cum.crossJoin(broadcast(stats))
+        .filter(col("cum") * den >= col("n") * num)
+        .agg(min(col("nt")).as("value"))
+        .select(lit(name).as("metric"), col("value"))
+    def stat(c: Column, name: String): DataFrame =
+      stats.select(lit(name).as("metric"), c.cast("long").as("value"))
+    stat(col("n"), "docs_total")
+      .unionAll(stat(col("n") - col("nd"), "docs_exact_dup"))
+      .unionAll(stat(col("toks"), "tokens_total"))
+      .unionAll(stat(col("chars"), "chars_total"))
+      .unionAll(vocab.select(lit("vocab_size").as("metric"),
+        col("v").cast("long").as("value")))
+      .unionAll(stat(col("nl"), "langs_distinct"))
+      .unionAll(stat(col("ns"), "sources_distinct"))
+      .unionAll(pct(1, 2, "tokens_per_doc_p50"))
+      .unionAll(pct(9, 10, "tokens_per_doc_p90"))
+      .unionAll(stats.select(lit("tokens_per_doc_mean_milli").as("metric"),
+        when(col("n") > 0, expr("toks * 1000 div n"))
+          .otherwise(lit(null).cast("long")).as("value")))
+      .orderBy("metric")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dataset_card" -> (qDatasetCard _),
     "q_tokenizer_fertility" -> (qTokenizerFertility _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_quota_alloc" -> (qQuotaAlloc _),
@@ -645,6 +702,40 @@ object Corpus {
   }
 
   val oracle: Map[String, String] = Map(
+    // One scan + multi-distinct + value-resolution cumsum percentiles,
+    // spelled naively.
+    "q_dataset_card" ->
+      s"""WITH per AS (SELECT lang, source, n_chars,
+         |    CAST(len($duckToks) AS BIGINT) AS nt, md5(text) AS sig
+         |  FROM documents),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(nt) AS BIGINT) AS toks,
+         |    CAST(sum(n_chars) AS BIGINT) AS chars,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS ns,
+         |    CAST(count(DISTINCT sig) AS BIGINT) AS nd FROM per),
+         |vocab AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v
+         |  FROM (SELECT unnest($duckToks) AS word FROM documents) w),
+         |hist AS (SELECT nt, count(*) AS c FROM per GROUP BY nt),
+         |cum AS (SELECT nt, sum(c) OVER (ORDER BY nt) AS cum FROM hist)
+         |SELECT metric, value FROM (
+         |  SELECT 'docs_total' AS metric, n AS value FROM stats
+         |  UNION ALL SELECT 'docs_exact_dup', n - nd FROM stats
+         |  UNION ALL SELECT 'tokens_total', toks FROM stats
+         |  UNION ALL SELECT 'chars_total', chars FROM stats
+         |  UNION ALL SELECT 'vocab_size', v FROM vocab
+         |  UNION ALL SELECT 'langs_distinct', nl FROM stats
+         |  UNION ALL SELECT 'sources_distinct', ns FROM stats
+         |  UNION ALL SELECT 'tokens_per_doc_p50',
+         |    (SELECT CAST(min(nt) AS BIGINT) FROM cum, stats
+         |     WHERE cum * 2 >= n)
+         |  UNION ALL SELECT 'tokens_per_doc_p90',
+         |    (SELECT CAST(min(nt) AS BIGINT) FROM cum, stats
+         |     WHERE cum * 10 >= 9 * n)
+         |  UNION ALL SELECT 'tokens_per_doc_mean_milli',
+         |    CASE WHEN n > 0 THEN toks * 1000 // n ELSE NULL END
+         |  FROM stats) card
+         |ORDER BY metric""".stripMargin,
     // The same BPE chain, final segmentation joined back to the
     // per-language word stream by the de-segmented word.
     "q_tokenizer_fertility" ->

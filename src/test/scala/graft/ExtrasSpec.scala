@@ -615,4 +615,26 @@ class ExtrasSpec extends SparkSpec {
       assert(r.getLong(5) == r.getLong(4) * 1000000L / r.getLong(1))
     }
   }
+
+  test("dataset card: metrics agree with independent recomputes") {
+    val card = graft.queries.Corpus.qDatasetCard(spark, sf).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .map(_.getString(0))
+    assert(card("docs_total") == docs.length.toLong)
+    assert(card("docs_exact_dup") ==
+      (docs.length - docs.distinct.length).toLong)
+    val lens = docs.map(_.split(" ", -1)
+      .map(_.toLowerCase.replaceAll("[^a-z]", "")).count(_.nonEmpty).toLong)
+      .sorted
+    assert(card("tokens_total") == lens.sum)
+    val n = lens.length
+    assert(card("tokens_per_doc_p50") == lens((n + 1) / 2 - 1))
+    assert(card("tokens_per_doc_p90") == lens((9 * n + 9) / 10 - 1))
+    assert(card("tokens_per_doc_mean_milli") == lens.sum * 1000L / n)
+    assert(card("tokens_per_doc_p50") <= card("tokens_per_doc_p90"))
+    assert(card("langs_distinct") >= 1L && card("sources_distinct") >= 1L)
+  }
 }
