@@ -141,6 +141,51 @@ object Relational {
         col("dt").cast("double").as("total_revenue"))
   }
 
+  /** TPC-H Q6 shape — the forecasting-revenue-change scan: a pure
+    * filter-aggregate with NO join, the canonical predicate-pushdown /
+    * vectorized-scan microbenchmark (every predicate — ship year,
+    * discount band, quantity cap — reaches the parquet scan's
+    * PushedFilters; the aggregate is one map-side partial sum). Revenue
+    * accumulates price × discount in DECIMAL (exact, commutative). */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dMoney(col("l_extendedprice")) * dRate(col("l_discount")))
+          .cast("double").as("revenue"))
+
+  /** TPC-H Q17 shape — small-quantity-order revenue: the correlated
+    * scalar-subquery pattern ("lines whose quantity is under 20% of the
+    * part's own average"), decorrelated Spark-first into one per-part
+    * aggregate joined back to the line stream. The avg comparison is
+    * CROSS-MULTIPLIED integer (5·qty·n < Σqty — quantities are integral
+    * in the fixture, so no float average enters the predicate) and the
+    * yearly average is cents DIV 7 — both engines exact.
+    *
+    * Scale stance (100 TB): the brand filter prunes the part side
+    * before anything touches lineitem (broadcast semi join), so the
+    * per-part stats aggregate runs over ONLY the brand's lines — the
+    * decorrelation every optimizer aims for, spelled declaratively. */
+  def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val bp = Tables.part(s, dir).filter(col("p_brand") === "Brand#4")
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(bp), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        round(col("l_quantity")).cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val stats = li.groupBy(col("l_partkey"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("nq"))
+    li.join(stats, "l_partkey")
+      .filter(col("q") * 5 * col("nq") < col("sq"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("revenue_cents"))
+      .select(col("n_lines"), col("revenue_cents"),
+        expr("revenue_cents div 7").as("avg_yearly_cents"))
+  }
+
   /** TPC-H Q19 shape — disjunctive predicate revenue (OR of brand ×
     * size × quantity conjunctions): the optimizer test case where the
     * common `p_brand IN (...)` / size bounds must be EXTRACTED from the
@@ -792,6 +837,8 @@ object Relational {
     "q22_idle_customers" -> (q22IdleCustomers _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q19_disjunctive" -> (q19Disjunctive _),
     "q_filter_project" -> (qFilterProject _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -1084,6 +1131,33 @@ object Relational {
          |FROM rev JOIN supplier ON l_suppkey = s_suppkey
          |WHERE rev = (SELECT max(rev) FROM rev)
          |ORDER BY s_suppkey""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+        |      * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // The textbook correlated scalar-subquery spelling — every verify
+    // re-proves the shipped decorrelated join against it.
+    "q17_small_qty_revenue" ->
+      """WITH cents AS (
+        |  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#4'),
+        |picked AS (
+        |  SELECT c.cents FROM cents c
+        |  WHERE c.q * 5 * (SELECT count(*) FROM cents c2
+        |                   WHERE c2.l_partkey = c.l_partkey)
+        |      < (SELECT sum(q) FROM cents c3
+        |         WHERE c3.l_partkey = c.l_partkey))
+        |SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |  CAST(sum(cents) AS BIGINT) // 7 AS avg_yearly_cents
+        |FROM picked""".stripMargin,
     // The textbook EXISTS / NOT-EXISTS spelling — every verify re-proves
     // the shipped one-pass decorrelation against it.
     "q21_sole_late_supplier" ->

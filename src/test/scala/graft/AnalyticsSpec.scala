@@ -1004,4 +1004,31 @@ class AnalyticsSpec extends SparkSpec {
     rows.filter(_.getString(3) == "folded").foreach { r =>
       assert(r.getLong(2) == preMax(r.getLong(0))) }
   }
+
+  test("q6: every predicate reaches the lineitem scan; q17 cut matches a local recompute") {
+    val plan = Relational.q6ForecastRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    // ship-year bounds, discount band, and quantity cap all push into
+    // the parquet scan — the Q6 claim, pinned on the executed plan
+    assert(plan.contains("PushedFilters:"))
+    val pushed = plan.split("PushedFilters: \\[")(1).split("]")(0)
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"$c not pushed: [$pushed]")
+    // q17: local recompute of the cross-multiplied 20%-of-part-average cut
+    val rows = graft.io.Tables.lineitem(spark, sf)
+      .join(graft.io.Tables.part(spark, sf)
+          .filter(col("p_brand") === "Brand#4"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), round(col("l_quantity")).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val st = rows.groupBy(_._1).map { case (k, xs) =>
+      k -> (xs.map(_._2).sum, xs.length.toLong) }
+    val picked = rows.filter { case (k, q, _) =>
+      val (sq, nq) = st(k); q * 5 * nq < sq }
+    val got = Relational.q17SmallQtyRevenue(spark, sf).collect()(0)
+    assert(got.getLong(0) == picked.length.toLong)
+    assert(got.getLong(1) == picked.map(_._3).sum)
+    assert(got.getLong(2) == picked.map(_._3).sum / 7)
+  }
 }
