@@ -595,7 +595,11 @@ object Corpus {
     import org.apache.spark.sql.expressions.Window
     val per = Tables.documents(s, dir)
       .select(col("lang"), col("source"), col("n_chars"),
-        size(toks).cast("long").as("nt"), md5(col("text")).as("sig"))
+        size(toks).cast("long").as("nt"),
+        // the q_dedup_exact fingerprint (normalized tokens, not raw
+        // text) so the contamination number matches what the dedup
+        // tier would actually remove
+        md5(concat_ws(" ", toks)).as("sig"))
       .localCheckpoint() // 2 consumers: the stats agg + the histogram
     val stats = per.agg(count(lit(1)).as("n"), sum(col("nt")).as("toks"),
         sum(col("n_chars")).as("chars"),
@@ -706,7 +710,9 @@ object Corpus {
     // spelled naively.
     "q_dataset_card" ->
       s"""WITH per AS (SELECT lang, source, n_chars,
-         |    CAST(len($duckToks) AS BIGINT) AS nt, md5(text) AS sig
+         |    CAST(len($duckToks) AS BIGINT) AS nt,
+         |    md5(coalesce(list_aggr($duckToks, 'string_agg', ' '), ''))
+         |      AS sig
          |  FROM documents),
          |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
          |    CAST(sum(nt) AS BIGINT) AS toks,

@@ -211,12 +211,15 @@ object Dedup {
     truth.withColumn("t", lit(1L))
       .join(cand.withColumn("c", lit(1L)), Seq("a_id", "b_id"), "full_outer")
       .agg(
-        sum(when(col("t").isNotNull && col("c").isNotNull, 1L)
-          .otherwise(0L)).as("tp"),
-        sum(when(col("t").isNull && col("c").isNotNull, 1L)
-          .otherwise(0L)).as("fp"),
-        sum(when(col("t").isNotNull && col("c").isNull, 1L)
-          .otherwise(0L)).as("fn"))
+        // coalesce: an EMPTY confusion input (no truth pairs, no band
+        // collisions) must read 0/0/0 like the oracle's count(*) CTEs,
+        // not the NULLs a sum-over-zero-rows would produce
+        coalesce(sum(when(col("t").isNotNull && col("c").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(col("t").isNull && col("c").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("fp"),
+        coalesce(sum(when(col("t").isNotNull && col("c").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("fn"))
       .select(lit(500000L).as("t_ppm"), col("tp"), col("fp"), col("fn"),
         when(col("tp") + col("fp") > 0,
           expr("tp * 1000000 div (tp + fp)"))

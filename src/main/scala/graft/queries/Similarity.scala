@@ -785,32 +785,40 @@ object Similarity {
        |  round(cos_raw, 6) AS cosine
        |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
+  /** The q_ann_ivf oracle's training + probe CTE chain (seeds → two
+    * Lloyd rounds → idx, the probe-vector set `q`, and the nprobe cell
+    * cut), defined ONCE so `q_ann_recall_eval` provably evaluates the
+    * SAME index `q_ann_ivf` ships — the minhashCandCte anti-drift
+    * convention. */
+  private lazy val duckIvfCtes: String =
+    s"""seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell,
+       |    v AS cv
+       |  FROM (SELECT vec_id, v,
+       |          ${TextPipeline.duckH32("CAST(vec_id AS VARCHAR)")} AS h FROM e)
+       |  ORDER BY h, vec_id LIMIT $KCells),
+       |a0 AS (${duckAssign("seeds")}),
+       |c1 AS (${duckUpdate("a0")}),
+       |a1 AS (${duckAssign("c1")}),
+       |c2 AS (${duckUpdate("a1")}),
+       |idx AS (${duckAssign("c2")}),
+       |q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT q_id, q_v, cell FROM (
+       |    SELECT q.q_id, q.q_v, c.cell,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        list_sum(list_transform(c.cv, (x,i) -> x * q.q_v[i])) /
+       |          (sqrt(list_sum(list_transform(c.cv, x -> x*x)))
+       |           * sqrt(list_sum(list_transform(q.q_v, x -> x*x)))) DESC,
+       |        c.cell ASC) AS pr
+       |    FROM q, c2 c) WHERE pr <= $NProbe)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // The q_ann_ivf chain and the q_ann_bruteforce chain side by side,
     // merged by a LEFT JOIN per (query, neighbor); recall in integer ppm.
     "q_ann_recall_eval" ->
       s"""WITH $duckVecs,
-         |seeds AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell,
-         |    v AS cv
-         |  FROM (SELECT vec_id, v,
-         |          ${TextPipeline.duckH32("CAST(vec_id AS VARCHAR)")} AS h FROM e)
-         |  ORDER BY h, vec_id LIMIT $KCells),
-         |a0 AS (${duckAssign("seeds")}),
-         |c1 AS (${duckUpdate("a0")}),
-         |a1 AS (${duckAssign("c1")}),
-         |c2 AS (${duckUpdate("a1")}),
-         |idx AS (${duckAssign("c2")}),
-         |q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
-         |probes AS (
-         |  SELECT q_id, q_v, cell FROM (
-         |    SELECT q.q_id, q.q_v, c.cell,
-         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
-         |        list_sum(list_transform(c.cv, (x,i) -> x * q.q_v[i])) /
-         |          (sqrt(list_sum(list_transform(c.cv, x -> x*x)))
-         |           * sqrt(list_sum(list_transform(q.q_v, x -> x*x)))) DESC,
-         |        c.cell ASC) AS pr
-         |    FROM q, c2 c) WHERE pr <= $NProbe),
+         |$duckIvfCtes,
          |iscored AS (
          |  SELECT q.q_id, a.vec_id AS neighbor_id, $duckCos AS cos_raw
          |  FROM idx a JOIN probes q ON a.cell = q.cell AND a.vec_id <> q.q_id),
@@ -866,27 +874,7 @@ object Similarity {
          |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH $duckVecs,
-         |seeds AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell,
-         |    v AS cv
-         |  FROM (SELECT vec_id, v,
-         |          ${TextPipeline.duckH32("CAST(vec_id AS VARCHAR)")} AS h FROM e)
-         |  ORDER BY h, vec_id LIMIT $KCells),
-         |a0 AS (${duckAssign("seeds")}),
-         |c1 AS (${duckUpdate("a0")}),
-         |a1 AS (${duckAssign("c1")}),
-         |c2 AS (${duckUpdate("a1")}),
-         |idx AS (${duckAssign("c2")}),
-         |q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
-         |probes AS (
-         |  SELECT q_id, q_v, cell FROM (
-         |    SELECT q.q_id, q.q_v, c.cell,
-         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
-         |        list_sum(list_transform(c.cv, (x,i) -> x * q.q_v[i])) /
-         |          (sqrt(list_sum(list_transform(c.cv, x -> x*x)))
-         |           * sqrt(list_sum(list_transform(q.q_v, x -> x*x)))) DESC,
-         |        c.cell ASC) AS pr
-         |    FROM q, c2 c) WHERE pr <= $NProbe),
+         |$duckIvfCtes,
          |scored AS (
          |  SELECT q.q_id, a.vec_id AS neighbor_id, $duckCos AS cos_raw
          |  FROM idx a JOIN probes q ON a.cell = q.cell AND a.vec_id <> q.q_id),

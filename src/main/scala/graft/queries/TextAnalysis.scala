@@ -755,6 +755,7 @@ object TextAnalysis {
         sum(when(col("predicted") === "unk", 1L).otherwise(0L)).as("pred_unk"))
       .withColumn("correct",
         when(col("lang") === "en", col("pred_en")).otherwise(col("pred_unk")))
+      .localCheckpoint() // 2 consumers: per-lang rows + the __all__ total
     val total = per.agg(sum(col("n_docs")).as("n_docs"),
         sum(col("pred_en")).as("pred_en"),
         sum(col("pred_unk")).as("pred_unk"),

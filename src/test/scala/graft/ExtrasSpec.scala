@@ -624,8 +624,12 @@ class ExtrasSpec extends SparkSpec {
       .select(org.apache.spark.sql.functions.col("text")).collect()
       .map(_.getString(0))
     assert(card("docs_total") == docs.length.toLong)
+    // exact-dup uses the q_dedup_exact normalized-token fingerprint
+    val norm = docs.map(_.split(" ", -1)
+      .map(_.toLowerCase.replaceAll("[^a-z]", "")).filter(_.nonEmpty)
+      .mkString(" "))
     assert(card("docs_exact_dup") ==
-      (docs.length - docs.distinct.length).toLong)
+      (norm.length - norm.distinct.length).toLong)
     val lens = docs.map(_.split(" ", -1)
       .map(_.toLowerCase.replaceAll("[^a-z]", "")).count(_.nonEmpty).toLong)
       .sorted
