@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.TextPipeline
@@ -1745,7 +1746,162 @@ object Analytics {
       .orderBy("o_custkey")
   }
 
+  /** Theil–Sen robust trend + Kendall rank correlation of daily revenue,
+    * in one pass over the pairwise day grid.
+    *
+    * The OLS slope (q_regression) is wrecked by a single outlier day; the
+    * Theil–Sen estimator — the MEDIAN of all pairwise slopes
+    * (cents_j − cents_i)/(day_j − day_i), i < j — has a 29% breakdown
+    * point and is the standard robust trend test (Sen 1968). The same
+    * pair relation yields Kendall's τ (concordant minus discordant pairs)
+    * for free, so one query answers both "how fast is revenue trending"
+    * and "how monotone is the trend".
+    *
+    * Exactness: slopes are computed in integer micro-units/day with an
+    * explicitly sign-safe floor division — slope = (dy·1e6 − pmod(dy·1e6,
+    * dx))/dx, spelled `pmod` on Spark and ((a % b) + b) % b in DuckDB, so
+    * negative dy floors identically in both engines (bare `div`/`//`
+    * truncate toward zero and would disagree with floor on negatives).
+    * The median is read off as the two central order statistics (equal
+    * when n_pairs is odd), so no averaging of two slopes ever leaves the
+    * integer grid. τ is reported as a ppm ratio by the same floor rule.
+    *
+    * Scale stance (100 TB): the pair set is CALENDAR-bounded — the daily
+    * rollup has at most ~2,500 rows at ANY corpus scale (TPC-H's 7-year
+    * span), so the self-join is ≤ ~3.1M pairs whether the fact table is
+    * 60k rows or 100 TB; the one corpus-sized operation is the initial
+    * partial-agg rollup. The global median sort runs over that bounded
+    * pair relation (the q_ks_test value-resolution doctrine), never over
+    * corpus cardinality. */
+  def qTheilSen(s: SparkSession, dir: String): DataFrame =
+    theilSen(Tables.orders(s, dir)
+      .select(
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("day").agg(sum(col("cents")).as("cents")))
+
+  /** Core of [[qTheilSen]] over any (day, cents) daily relation — exposed
+    * for AnalyticsSpec's closed forms (pure linear series → slope exactly
+    * k·1e6 and τ = 1e6; one outlier day → median slope unmoved while the
+    * OLS slope is dragged). */
+  private[graft] def theilSen(daily0: DataFrame): DataFrame = {
+    val daily = daily0
+      .localCheckpoint() // 2 consumers: both sides of the pair self-join
+    val a = daily.select(col("day").as("da"), col("cents").as("ca"))
+    val b = daily.select(col("day").as("db"), col("cents").as("cb"))
+    val pairs = a.join(b, col("da") < col("db"))
+      .select(((col("cb") - col("ca")) * 1000000L).as("num"),
+        (col("db") - col("da")).as("dx"))
+      .select(expr("(num - pmod(num, dx)) div dx").as("slope_uppm"),
+        signum(col("num")).cast("long").as("sgn"))
+    val ranked = pairs.select(col("slope_uppm"), col("sgn"),
+      row_number().over(Window.orderBy(col("slope_uppm"))).as("rn"),
+      count(lit(1)).over(Window.partitionBy()).as("np"))
+    val nDays = daily.agg(count(lit(1)).as("n_days"))
+    val agg = ranked.agg(
+      coalesce(max(col("np")), lit(0L)).as("n_pairs"),
+      min(when(col("rn") === expr("(np + 1) div 2"), col("slope_uppm")))
+        .as("slope_lo_uppm"),
+      min(when(col("rn") === expr("(np + 2) div 2"), col("slope_uppm")))
+        .as("slope_hi_uppm"),
+      count(when(col("sgn") === 1, lit(1))).as("n_concordant"),
+      count(when(col("sgn") === -1, lit(1))).as("n_discordant"),
+      count(when(col("sgn") === 0, lit(1))).as("n_ties"))
+    nDays.crossJoin(agg)
+      .select(col("n_days"), col("n_pairs"), col("slope_lo_uppm"),
+        col("slope_hi_uppm"), col("n_concordant"), col("n_discordant"),
+        col("n_ties"),
+        when(col("n_pairs") > 0,
+          expr("""(((n_concordant - n_discordant) * 1000000
+                   - pmod((n_concordant - n_discordant) * 1000000, n_pairs))
+                  div n_pairs)""")).as("tau_ppm"))
+  }
+
+  /** Decile gains/lift curve of a behavioural score — "if we contact the
+    * top-k% of users by engagement, what share of buyers do we reach?" —
+    * the standard targeting-model readout (cumulative gains + per-decile
+    * lift).
+    *
+    * Score = count of pre-purchase engagement events (view/click);
+    * outcome = the user ever purchased. Deciles are ntile(10) over the
+    * TOTAL order (score desc, user_id), so tied scores split
+    * deterministically and both engines agree row-for-row. capture_ppm is
+    * the cumulative share of all buyers reached through that decile;
+    * lift_ppm is the decile's buyer rate over the global rate, both exact
+    * integer ratios (non-negative, so plain floor DIV is engine-safe).
+    *
+    * Scale stance (100 TB): one user-keyed partial agg reduces the event
+    * stream to user cardinality; the ntile window sorts that user-level
+    * relation (the q_rfm shape); the decile rollup and its cumulative
+    * window are 10 rows. */
+  def qLiftCurve(s: SparkSession, dir: String): DataFrame =
+    liftCurve(Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(when(col("event_type").isin("view", "click"), lit(1)))
+        .as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("buyer")))
+
+  /** Core of [[qLiftCurve]] over any (user_id, score, buyer) relation —
+    * exposed for AnalyticsSpec's closed forms (buyers exactly the top
+    * scorers → deciles 1..k capture everything at maximal lift; uniform
+    * buyer rate → every lift_ppm exactly 1e6). */
+  private[graft] def liftCurve(perUser: DataFrame): DataFrame = {
+    val decile = perUser
+      .select(col("buyer"),
+        ntile(10).over(Window.orderBy(col("score").desc, col("user_id")))
+          .as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum(col("buyer")).as("n_buyers"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    decile
+      .select(col("decile"), col("n_users"), col("n_buyers"),
+        sum(col("n_buyers")).over(w).as("cum_buyers"),
+        sum(col("n_buyers")).over(tot).as("tb"),
+        sum(col("n_users")).over(tot).as("tu"))
+      .select(col("decile"), col("n_users"), col("n_buyers"),
+        col("cum_buyers"),
+        when(col("tb") > 0, expr("(cum_buyers * 1000000) div tb"))
+          .as("capture_ppm"),
+        when(col("tb") > 0,
+          expr("(n_buyers * tu * 1000000) div (n_users * tb)"))
+          .as("lift_ppm"))
+      .orderBy("decile")
+  }
+
+  /** Effect-size readout over the q_chi_square contingency table:
+    * Cramér's V, the φ coefficient, and Pearson's contingency C — the
+    * "is this association MEANINGFUL, not just significant" numbers a
+    * 100 TB chi-square always needs next (at large N everything is
+    * significant; V is N-free).
+    *
+    * Built ON the shipped q_chi_square output (the eval-doctrine stance:
+    * derived metrics consume the query they grade), so the integer
+    * chi2_micros, n_obs and dof arrive exact; only the final constant-size
+    * sqrt arithmetic runs in double, from identical BIGINT inputs in both
+    * engines (IEEE-correctly-rounded sqrt — the q_regression precedent).
+    * Degenerate tables (empty corpus → dof NULL, or a single row/column →
+    * dof 0) CASE-guard to NULL rather than divide by zero. */
+  def qCramersV(s: SparkSession, dir: String): DataFrame = {
+    val chi = qChiSquare(s, dir)
+    val chi2 = col("chi2_micros").cast("double") / lit(1e6)
+    val n = col("n_obs").cast("double")
+    val k = least(col("n_segs"), col("n_prios")) - lit(1L)
+    chi.select(col("n_obs"), col("dof"), col("chi2_micros"),
+      when(col("n_obs") > 0 && col("dof") > 0,
+        round(sqrt(chi2 / (n * k.cast("double"))), 6)).as("cramers_v"),
+      when(col("n_obs") > 0, round(sqrt(chi2 / n), 6)).as("phi"),
+      when(col("n_obs") > 0, round(sqrt(chi2 / (chi2 + n)), 6))
+        .as("contingency_c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theil_sen" -> (qTheilSen _),
+    "q_lift_curve" -> (qLiftCurve _),
+    "q_cramers_v" -> (qCramersV _),
     "q_incremental_minmax" -> (qIncrementalMinmax _),
     "q_seasonal_anomaly" -> (qSeasonalAnomaly _),
     "q_top_paths" -> (qTopPaths _),
@@ -1789,7 +1945,111 @@ object Analytics {
   private def ql(e: String): String =
     s"CAST(round(log2(CAST($e AS DOUBLE)) * 1000000.0) AS BIGINT)"
 
+  /** Shared q_chi_square oracle body — also the CTE base of
+    * q_cramers_v's effect-size readout. */
+  private val chiSquareSql: String =
+    """WITH j AS (
+      |  SELECT c_mktsegment AS seg, o_orderpriority AS prio
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cells AS (SELECT seg, prio, count(*) AS n FROM j GROUP BY 1, 2),
+      |rm AS (SELECT seg, CAST(sum(n) AS BIGINT) AS rn FROM cells GROUP BY 1),
+      |cm AS (SELECT prio, CAST(sum(n) AS BIGINT) AS cn FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells),
+      |terms AS (
+      |  SELECT seg, prio, total,
+      |    CAST(round((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e * 1e6)
+      |      AS BIGINT) AS term_micros
+      |  FROM (SELECT cells.*, rn, cn, total,
+      |          CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(total AS DOUBLE) AS e
+      |        FROM cells JOIN rm USING (seg) JOIN cm USING (prio), t) x)
+      |SELECT max(total) AS n_obs, count(*) AS n_cells,
+      |  CAST(count(DISTINCT seg) AS BIGINT) AS n_segs,
+      |  CAST(count(DISTINCT prio) AS BIGINT) AS n_prios,
+      |  CAST((count(DISTINCT seg) - 1) * (count(DISTINCT prio) - 1) AS BIGINT)
+      |    AS dof,
+      |  CAST(sum(term_micros) AS BIGINT) AS chi2_micros
+      |FROM terms""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // Same calendar-bounded pair grid; floor division spelled
+    // ((a % b) + b) % b == Spark's pmod so negative dy floors identically.
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT (b.cents - a.cents) * 1000000 AS num,
+        |         b.day - a.day AS dx
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |slopes AS (
+        |  SELECT CAST((num - ((num % dx) + dx) % dx) // dx AS BIGINT)
+        |           AS slope_uppm,
+        |         CAST(sign(num) AS BIGINT) AS sgn
+        |  FROM pairs),
+        |ranked AS (
+        |  SELECT slope_uppm, sgn,
+        |    row_number() OVER (ORDER BY slope_uppm) AS rn,
+        |    count(*) OVER () AS np
+        |  FROM slopes),
+        |agg AS (
+        |  SELECT coalesce(max(np), 0) AS n_pairs,
+        |    min(CASE WHEN rn = (np + 1) // 2 THEN slope_uppm END)
+        |      AS slope_lo_uppm,
+        |    min(CASE WHEN rn = (np + 2) // 2 THEN slope_uppm END)
+        |      AS slope_hi_uppm,
+        |    count(CASE WHEN sgn = 1 THEN 1 END) AS n_concordant,
+        |    count(CASE WHEN sgn = -1 THEN 1 END) AS n_discordant,
+        |    count(CASE WHEN sgn = 0 THEN 1 END) AS n_ties
+        |  FROM ranked),
+        |nd AS (SELECT count(*) AS n_days FROM daily)
+        |SELECT CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  slope_lo_uppm, slope_hi_uppm,
+        |  CAST(n_concordant AS BIGINT) AS n_concordant,
+        |  CAST(n_discordant AS BIGINT) AS n_discordant,
+        |  CAST(n_ties AS BIGINT) AS n_ties,
+        |  CASE WHEN n_pairs > 0 THEN CAST(
+        |    ((n_concordant - n_discordant) * 1000000
+        |     - (((n_concordant - n_discordant) * 1000000 % n_pairs)
+        |        + n_pairs) % n_pairs) // n_pairs AS BIGINT)
+        |  END AS tau_ppm
+        |FROM nd, agg""".stripMargin,
+    // Same total order (score desc, user_id), same 10-row epilogue.
+    "q_lift_curve" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    count(CASE WHEN event_type IN ('view', 'click') THEN 1 END)
+        |      AS score,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS buyer
+        |  FROM events GROUP BY user_id),
+        |deciled AS (
+        |  SELECT CAST(buyer AS BIGINT) AS buyer,
+        |    CAST(ntile(10) OVER (ORDER BY score DESC, user_id) AS INT)
+        |      AS decile
+        |  FROM per_user),
+        |d AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(buyer) AS BIGINT) AS n_buyers
+        |  FROM deciled GROUP BY decile),
+        |c AS (
+        |  SELECT decile, n_users, n_buyers,
+        |    CAST(sum(n_buyers) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_buyers,
+        |    CAST(sum(n_buyers) OVER () AS BIGINT) AS tb,
+        |    CAST(sum(n_users) OVER () AS BIGINT) AS tu
+        |  FROM d)
+        |SELECT decile, n_users, n_buyers, cum_buyers,
+        |  CASE WHEN tb > 0
+        |    THEN CAST((cum_buyers * 1000000) // tb AS BIGINT) END
+        |    AS capture_ppm,
+        |  CASE WHEN tb > 0
+        |    THEN CAST((n_buyers * tu * 1000000) // (n_users * tb) AS BIGINT)
+        |    END AS lift_ppm
+        |FROM c ORDER BY decile""".stripMargin,
     // Same daily rollup, weekday medians, global MAD, 4.4478 gate.
     "q_seasonal_anomaly" ->
       """WITH daily AS (
@@ -2283,28 +2543,25 @@ object Analytics {
          |JOIN items ia ON r.a = ia.p JOIN items ib ON r.b = ib.p, n
          |ORDER BY a, b""".stripMargin,
     // Identical expected-value expression tree and 1e-6 term grid.
-    "q_chi_square" ->
-      """WITH j AS (
-        |  SELECT c_mktsegment AS seg, o_orderpriority AS prio
-        |  FROM orders JOIN customer ON o_custkey = c_custkey),
-        |cells AS (SELECT seg, prio, count(*) AS n FROM j GROUP BY 1, 2),
-        |rm AS (SELECT seg, CAST(sum(n) AS BIGINT) AS rn FROM cells GROUP BY 1),
-        |cm AS (SELECT prio, CAST(sum(n) AS BIGINT) AS cn FROM cells GROUP BY 1),
-        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells),
-        |terms AS (
-        |  SELECT seg, prio, total,
-        |    CAST(round((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e * 1e6)
-        |      AS BIGINT) AS term_micros
-        |  FROM (SELECT cells.*, rn, cn, total,
-        |          CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(total AS DOUBLE) AS e
-        |        FROM cells JOIN rm USING (seg) JOIN cm USING (prio), t) x)
-        |SELECT max(total) AS n_obs, count(*) AS n_cells,
-        |  CAST(count(DISTINCT seg) AS BIGINT) AS n_segs,
-        |  CAST(count(DISTINCT prio) AS BIGINT) AS n_prios,
-        |  CAST((count(DISTINCT seg) - 1) * (count(DISTINCT prio) - 1) AS BIGINT)
-        |    AS dof,
-        |  CAST(sum(term_micros) AS BIGINT) AS chi2_micros
-        |FROM terms""".stripMargin,
+    "q_chi_square" -> chiSquareSql,
+    // Same BIGINT chi-square inputs; the constant-size sqrt epilogue is
+    // the q_regression identical-expression-tree doctrine.
+    "q_cramers_v" ->
+      s"""WITH chi AS ($chiSquareSql)
+         |SELECT n_obs, dof, chi2_micros,
+         |  CASE WHEN n_obs > 0 AND dof > 0 THEN
+         |    round(sqrt((CAST(chi2_micros AS DOUBLE) / 1e6)
+         |      / (CAST(n_obs AS DOUBLE)
+         |         * CAST(least(n_segs, n_prios) - 1 AS DOUBLE))), 6)
+         |  END AS cramers_v,
+         |  CASE WHEN n_obs > 0 THEN
+         |    round(sqrt((CAST(chi2_micros AS DOUBLE) / 1e6)
+         |      / CAST(n_obs AS DOUBLE)), 6) END AS phi,
+         |  CASE WHEN n_obs > 0 THEN
+         |    round(sqrt((CAST(chi2_micros AS DOUBLE) / 1e6)
+         |      / ((CAST(chi2_micros AS DOUBLE) / 1e6)
+         |         + CAST(n_obs AS DOUBLE))), 6) END AS contingency_c
+         |FROM chi""".stripMargin,
     // Same day-delta integer-shift numerator / realized-weight-mass
     // denominator; list() over the identical RANGE frame on day.
     "q_ewma" ->

@@ -1031,4 +1031,83 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.getLong(1) == picked.map(_._3).sum)
     assert(got.getLong(2) == picked.map(_._3).sum / 7)
   }
+
+  test("Theil-Sen: linear closed form, outlier immunity, negative floor division") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long)]) =
+      Analytics.theilSen(rows.toDF("day", "cents")).collect()(0)
+    // pure linear series: every pairwise slope is exactly 3 cents/day
+    val lin = run((0L until 10L).map(d => (d, 5L + 3L * d)))
+    assert(lin.getLong(1) == 45L && lin.getLong(2) == 3000000L
+      && lin.getLong(3) == 3000000L, s"linear: $lin")
+    assert(lin.getLong(4) == 45L && lin.getLong(5) == 0L
+      && lin.getLong(7) == 1000000L, s"tau on monotone series: $lin")
+    // one crashed day drags OLS but not the median slope: 36 clean pairs
+    // at 10e6 uppm vs 9 outlier pairs, both central order stats clean
+    val out = run((0L until 9L).map(d => (d, 10L * d)) :+ (9L, -1000000L))
+    assert(out.getLong(2) == 10000000L && out.getLong(3) == 10000000L,
+      s"median slope must shrug off the outlier: $out")
+    assert(out.getLong(4) == 36L && out.getLong(5) == 9L
+      && out.getLong(7) == 600000L, s"tau: $out")
+    // negative non-divisible slope must FLOOR identically to the oracle:
+    // dy=-7 cents over dx=3 days -> floor(-7e6/3) = -2333334, not -2333333
+    val neg = run(Seq((0L, 10L), (3L, 3L)))
+    assert(neg.getLong(2) == -2333334L && neg.getLong(3) == -2333334L,
+      s"sign-safe floor: $neg")
+    // fixture invariants: pair count is n(n-1)/2, orientation conserves
+    val fx = Analytics.qTheilSen(spark, sf).collect()(0)
+    val (nd, np) = (fx.getLong(0), fx.getLong(1))
+    assert(np == nd * (nd - 1) / 2, s"pair grid: $fx")
+    assert(fx.getLong(4) + fx.getLong(5) + fx.getLong(6) == np)
+    assert(math.abs(fx.getLong(7)) <= 1000000L)
+    assert(fx.getLong(2) <= fx.getLong(3))
+  }
+
+  test("lift curve: top-scorer buyers hit max lift; uniform rate flattens to 1e6") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long, Long)]) =
+      Analytics.liftCurve(rows.toDF("user_id", "score", "buyer"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+    // 20 users, distinct scores, buyers = the 4 best-scored users:
+    // deciles 1-2 capture everything at 5x lift, the rest add nothing
+    val top = run((1L to 20L).map(u => (u, 21L - u, if (u <= 4) 1L else 0L)))
+    assert(top.length == 10)
+    assert(top(0) == (1, 2L, 2L, 2L, 500000L, 5000000L), s"d1: ${top(0)}")
+    assert(top(1) == (2, 2L, 2L, 4L, 1000000L, 5000000L), s"d2: ${top(1)}")
+    top.drop(2).foreach { d =>
+      assert(d._3 == 0L && d._4 == 4L && d._5 == 1000000L && d._6 == 0L,
+        s"tail decile: $d")
+    }
+    // uniform buyer rate: every decile reads lift exactly 1e6
+    val uni = run((1L to 20L).map(u => (u, 21L - u, 1L)))
+    assert(uni.forall(_._6 == 1000000L), s"uniform lift: ${uni.toSeq}")
+    assert(uni.map(_._5).toSeq == (1L to 10L).map(_ * 100000L).toSeq)
+    // fixture: buyer mass conserved, capture monotone to exactly 1e6
+    val fx = Analytics.qLiftCurve(spark, sf).collect()
+    val buyers = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    assert(fx.map(_.getLong(2)).sum == buyers, "buyer mass must conserve")
+    val caps = fx.map(_.getLong(4))
+    assert(caps.zip(caps.drop(1)).forall { case (a, b) => a <= b })
+    if (buyers > 0) assert(caps.last == 1000000L)
+  }
+
+  test("Cramer's V: matches a driver-side recompute from the chi-square row; bounded") {
+    val chi = Analytics.qChiSquare(spark, sf).collect()(0)
+    val (nObs, chi2m) = (chi.getLong(0), chi.getLong(5))
+    val k = math.min(chi.getLong(2), chi.getLong(3)) - 1
+    val v = Analytics.qCramersV(spark, sf).collect()(0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(v.getLong(0) == nObs && v.getLong(2) == chi2m)
+    assert(v.getDouble(3) ==
+      r6(math.sqrt((chi2m / 1e6) / (nObs.toDouble * k))),
+      "V must equal the recompute from the shipped chi-square row")
+    assert(v.getDouble(4) ==
+      r6(math.sqrt((chi2m / 1e6) / nObs.toDouble)))
+    assert(v.getDouble(3) >= 0 && v.getDouble(3) <= 1.000001)
+    assert(v.getDouble(5) < 1.0, "contingency C is bounded below 1")
+  }
 }
