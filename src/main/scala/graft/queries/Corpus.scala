@@ -637,7 +637,71 @@ object Corpus {
       .orderBy("metric")
   }
 
+  /** Heaps-law vocabulary-growth curve: cumulative vocabulary size vs
+    * cumulative token count across ten hash-random corpus slices — the
+    * measurement behind "how much NEW vocabulary does the next 10 TB
+    * buy", which sizes tokenizer vocab and dedup value. Slice order is
+    * h32(doc_id) mod 10 (a reproducible random permutation — the standard
+    * presentation order for growth curves), so NO global sort or
+    * row_number over the corpus exists anywhere in the plan.
+    *
+    * Scale stance (100 TB): tokens-per-slice is one wordcount-shaped
+    * partial agg; vocabulary-first-slice is `groupBy(word).agg(min(b))` —
+    * vocabulary-cardinality shuffle; both collapse to a 10-row relation
+    * joined on a literal spine, and the cumulative window orders 10 rows
+    * (single tiny partition by construction, not by accident). */
+  def qHeapsLaw(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(s, dir).select(
+      (TextPipeline.h32(col("doc_id").cast("string")) % 10).as("b"),
+      explode(toks).as("word"))
+    val tokPerB = words.groupBy("b").agg(count(lit(1)).as("toks"))
+    val vocabPerB = words.groupBy("word").agg(min(col("b")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("nv"))
+    val spine = s.range(10).select(col("id").as("b"))
+    val w = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(tokPerB, Seq("b"), "left").join(vocabPerB, Seq("b"), "left")
+      .select(col("b"), coalesce(col("toks"), lit(0L)).as("toks"),
+        coalesce(col("nv"), lit(0L)).as("nv"))
+      .select(col("b").as("slice"),
+        sum(col("toks")).over(w).as("cum_tokens"),
+        sum(col("nv")).over(w).as("cum_vocab"))
+      .withColumn("vocab_per_mtoken",
+        when(col("cum_tokens") > 0,
+          expr("cum_vocab * 1000000 div cum_tokens")))
+      .orderBy("slice")
+  }
+
+  /** Context-window truncation budget: for the candidate context lengths
+    * {64, 128, 256, 512}, how many documents overflow and what fraction
+    * of corpus tokens a truncate-at-budget policy discards (integer
+    * ppm) — the table a pretraining run consults before picking sequence
+    * length vs paying for [[qPackSequences]]-style packing.
+    *
+    * Scale stance (100 TB): one narrow scan computes each doc's token
+    * count; the 4-budget explode multiplies ROWS (of one bigint), not
+    * text bytes, and the partial aggregate collapses everything to 4
+    * groups map-side — shuffle traffic is constant. */
+  def qContextTruncation(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(size(toks).cast("long").as("nt"))
+      .select(col("nt"),
+        explode(lit(Array(64L, 128L, 256L, 512L))).as("budget"))
+      .groupBy("budget")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nt") > col("budget"), 1L).otherwise(0L))
+          .as("docs_truncated"),
+        sum(col("nt")).as("tokens_total"),
+        sum(least(col("nt"), col("budget"))).as("tokens_kept"))
+      .withColumn("tokens_lost_ppm",
+        when(col("tokens_total") > 0,
+          expr("(tokens_total - tokens_kept) * 1000000 div tokens_total")))
+      .orderBy("budget")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heaps_law" -> (qHeapsLaw _),
+    "q_context_truncation" -> (qContextTruncation _),
     "q_dataset_card" -> (qDatasetCard _),
     "q_tokenizer_fertility" -> (qTokenizerFertility _),
     "q_source_overlap" -> (qSourceOverlap _),
@@ -706,6 +770,42 @@ object Corpus {
   }
 
   val oracle: Map[String, String] = Map(
+    // Same hash-random slices, same min-slice vocabulary attribution,
+    // cumulative window over the 10-row spine.
+    "q_heaps_law" ->
+      s"""WITH w AS (SELECT
+         |    ${TextPipeline.duckH32("CAST(doc_id AS VARCHAR)")} % 10 AS b,
+         |    unnest($duckToks) AS word
+         |  FROM documents),
+         |tb AS (SELECT b, CAST(count(*) AS BIGINT) AS toks FROM w GROUP BY b),
+         |fb AS (SELECT b, CAST(count(*) AS BIGINT) AS nv FROM
+         |    (SELECT word, min(b) AS b FROM w GROUP BY word) GROUP BY b),
+         |sp AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS b),
+         |j AS (SELECT sp.b, coalesce(toks, 0) AS toks, coalesce(nv, 0) AS nv
+         |      FROM sp LEFT JOIN tb USING (b) LEFT JOIN fb USING (b)),
+         |c AS (SELECT b AS slice,
+         |    CAST(sum(toks) OVER (ORDER BY b) AS BIGINT) AS cum_tokens,
+         |    CAST(sum(nv) OVER (ORDER BY b) AS BIGINT) AS cum_vocab
+         |  FROM j)
+         |SELECT slice, cum_tokens, cum_vocab,
+         |  CASE WHEN cum_tokens > 0
+         |       THEN cum_vocab * 1000000 // cum_tokens END AS vocab_per_mtoken
+         |FROM c ORDER BY slice""".stripMargin,
+    // Same per-doc token count crossed with the 4-budget spine.
+    "q_context_truncation" ->
+      s"""WITH per AS (SELECT CAST(len($duckToks) AS BIGINT) AS nt
+         |             FROM documents),
+         |b AS (SELECT CAST(unnest([64, 128, 256, 512]) AS BIGINT) AS budget)
+         |SELECT budget, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN nt > budget THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_truncated,
+         |  CAST(sum(nt) AS BIGINT) AS tokens_total,
+         |  CAST(sum(least(nt, budget)) AS BIGINT) AS tokens_kept,
+         |  CASE WHEN CAST(sum(nt) AS BIGINT) > 0
+         |       THEN CAST(sum(nt) - sum(least(nt, budget)) AS BIGINT)
+         |              * 1000000 // CAST(sum(nt) AS BIGINT)
+         |  END AS tokens_lost_ppm
+         |FROM per, b GROUP BY budget ORDER BY budget""".stripMargin,
     // One scan + multi-distinct + value-resolution cumsum percentiles,
     // spelled naively.
     "q_dataset_card" ->

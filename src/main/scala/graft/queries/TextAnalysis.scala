@@ -769,7 +769,47 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Corpus diversity (distinct-n): per source, the distinct/total ratio
+    * of unigrams and word-trigrams in integer ppm — the standard
+    * self-repetition diagnostic for generated or templated text (a source
+    * whose distinct-3 ratio collapses is recycling phrasing even when
+    * exact dedup finds nothing). Complements [[qRepetition]] (per-doc
+    * repetition) with the corpus-level view per source.
+    *
+    * Scale stance (100 TB): both streams are wordcount-shaped — explode,
+    * then partial-aggregate map-side; the distinct side shuffles
+    * (source, gram) pairs, i.e. vocabulary/shingle-type cardinality,
+    * never corpus token cardinality. The two aggregates join on the tiny
+    * source dimension (full-outer so a short-doc-only source that emits
+    * zero trigrams still reports, with tri counts 0). */
+  def qDistinctNgrams(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("source"), toks.as("w"))
+    val uni = base.select(col("source"), explode(col("w")).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("uni_total"),
+        countDistinct(col("g")).as("uni_distinct"))
+    val tri = base
+      .select(col("source"), explode(TextPipeline.trigrams(col("w"))).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("tri_total"),
+        countDistinct(col("g")).as("tri_distinct"))
+    uni.join(tri, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("uni_total"), lit(0L)).as("uni_total"),
+        coalesce(col("uni_distinct"), lit(0L)).as("uni_distinct"),
+        coalesce(col("tri_total"), lit(0L)).as("tri_total"),
+        coalesce(col("tri_distinct"), lit(0L)).as("tri_distinct"))
+      .withColumn("uni_distinct_ppm",
+        when(col("uni_total") > 0,
+          expr("uni_distinct * 1000000 div uni_total")))
+      .withColumn("tri_distinct_ppm",
+        when(col("tri_total") > 0,
+          expr("tri_distinct * 1000000 div tri_total")))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_distinct_ngrams" -> (qDistinctNgrams _),
     "q_lang_id_eval" -> (qLangIdEval _),
     "q_readability" -> (qReadability _),
     "q_kl_drift" -> (qKlDrift _),
@@ -796,6 +836,30 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same two wordcount-shaped streams, same full-outer source join,
+    // integer-ppm ratios.
+    "q_distinct_ngrams" ->
+      s"""WITH d AS (SELECT source, $duckToks AS w FROM documents),
+         |uni AS (SELECT source, CAST(count(*) AS BIGINT) AS uni_total,
+         |    CAST(count(DISTINCT g) AS BIGINT) AS uni_distinct
+         |  FROM (SELECT source, unnest(w) AS g FROM d) GROUP BY source),
+         |tri AS (SELECT source, CAST(count(*) AS BIGINT) AS tri_total,
+         |    CAST(count(DISTINCT g) AS BIGINT) AS tri_distinct
+         |  FROM (SELECT source, unnest(${TextPipeline.duckTrigrams("w")}) AS g
+         |        FROM d) GROUP BY source)
+         |SELECT source,
+         |  coalesce(uni_total, 0) AS uni_total,
+         |  coalesce(uni_distinct, 0) AS uni_distinct,
+         |  coalesce(tri_total, 0) AS tri_total,
+         |  coalesce(tri_distinct, 0) AS tri_distinct,
+         |  CASE WHEN coalesce(uni_total, 0) > 0
+         |       THEN coalesce(uni_distinct, 0) * 1000000
+         |              // coalesce(uni_total, 0) END AS uni_distinct_ppm,
+         |  CASE WHEN coalesce(tri_total, 0) > 0
+         |       THEN coalesce(tri_distinct, 0) * 1000000
+         |              // coalesce(tri_total, 0) END AS tri_distinct_ppm
+         |FROM uni FULL OUTER JOIN tri USING (source)
+         |ORDER BY source""".stripMargin,
     // The q_lang_id rule re-applied, then the same per-lang + __all__
     // confusion rollup; accuracy by integer division.
     "q_lang_id_eval" ->

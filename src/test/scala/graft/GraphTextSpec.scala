@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.{Graph, Similarity, TextAnalysis}
+import graft.queries.{Corpus, Graph, Similarity, TextAnalysis}
 
 /** Engine-side contracts for the round-4 additions that the DuckDB oracle
   * can't express directly: PageRank's conservation law, semantic dedup's
@@ -498,6 +498,87 @@ class GraphTextSpec extends SparkSpec {
       val (n, avg, ppm) = expect(r.getString(0))
       assert(r.getLong(1) == n && r.getLong(2) == avg && r.getLong(5) == ppm,
         s"lang ${r.getString(0)}: got (${r.getLong(1)}, ${r.getLong(2)}, ${r.getLong(5)}) want ($n, $avg, $ppm)")
+    }
+  }
+
+  test("distinct-ngrams diversity equals a full driver-side recompute per source") {
+    val rows = TextAnalysis.qDistinctNgrams(spark, sf).collect()
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val toksPerDoc = ds.map(_._2.split(" ", -1)
+        .map(_.toLowerCase.replaceAll("[^a-z]", "")).filter(_.nonEmpty))
+      val unis = toksPerDoc.flatten
+      val tris = toksPerDoc.flatMap(w => w.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSeq)
+      src -> (unis.length.toLong, unis.distinct.length.toLong,
+        tris.length.toLong, tris.distinct.length.toLong)
+    }
+    assert(rows.map(_.getString(0)).toSet == expect.keySet)
+    rows.foreach { r =>
+      val (ut, ud, tt, td) = expect(r.getString(0))
+      assert(r.getLong(1) == ut && r.getLong(2) == ud &&
+        r.getLong(3) == tt && r.getLong(4) == td,
+        s"source ${r.getString(0)}")
+      assert(r.getLong(5) == ud * 1000000L / ut)
+      if (tt > 0) assert(r.getLong(6) == td * 1000000L / tt)
+    }
+    // diversity axiom: distinct-3 ratio strictly above distinct-1 ratio on
+    // natural text (trigram types outnumber word types proportionally)
+    rows.foreach(r => assert(r.getLong(6) > r.getLong(5), r.getString(0)))
+  }
+
+  test("heaps-law curve: monotone, endpoint-exact, and slice-recomputable") {
+    val rows = Corpus.qHeapsLaw(spark, sf).collect().sortBy(_.getLong(0))
+    assert(rows.length == 10 && rows.map(_.getLong(0)).toSeq == (0L to 9L))
+    // both curves monotone non-decreasing
+    for (i <- 1 until 10) {
+      assert(rows(i).getLong(1) >= rows(i - 1).getLong(1))
+      assert(rows(i).getLong(2) >= rows(i - 1).getLong(2))
+    }
+    // the final point IS the whole corpus: total tokens and full vocab
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)
+        .map(_.toLowerCase.replaceAll("[^a-z]", "")).filter(_.nonEmpty)))
+    assert(rows(9).getLong(1) == docs.map(_._2.length.toLong).sum)
+    assert(rows(9).getLong(2) == docs.flatMap(_._2).distinct.length.toLong)
+    // slice assignment recompute via the same md5-prefix hash: the first
+    // point equals the slice-0 sub-corpus measured directly
+    def h32(sv: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(sv.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val slice0 = docs.filter { case (id, _) => h32(id.toString) % 10 == 0 }
+    assert(rows(0).getLong(1) == slice0.map(_._2.length.toLong).sum)
+    assert(rows(0).getLong(2) == slice0.flatMap(_._2).distinct.length.toLong)
+    // heaps-law shape: vocab-per-token density falls as the corpus grows
+    assert(rows(9).getLong(3) < rows(0).getLong(3),
+      "marginal vocabulary density must decline across the corpus")
+  }
+
+  test("context-truncation budget: exact at 128 and monotone in the budget") {
+    val rows = Corpus.qContextTruncation(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(64L, 128L, 256L, 512L))
+    val nt = graft.io.Tables.documents(spark, sf).select(col("text")).collect()
+      .map(_.getString(0).split(" ", -1)
+        .map(_.toLowerCase.replaceAll("[^a-z]", "")).count(_.nonEmpty).toLong)
+    val r128 = rows(1)
+    assert(r128.getLong(1) == nt.length.toLong)
+    assert(r128.getLong(2) == nt.count(_ > 128).toLong)
+    assert(r128.getLong(3) == nt.sum)
+    assert(r128.getLong(4) == nt.map(math.min(_, 128L)).sum)
+    assert(r128.getLong(5) == (nt.sum - nt.map(math.min(_, 128L)).sum)
+      * 1000000L / nt.sum)
+    // larger budget never truncates more docs or loses more tokens
+    for (i <- 1 until 4) {
+      assert(rows(i).getLong(2) <= rows(i - 1).getLong(2))
+      assert(rows(i).getLong(4) >= rows(i - 1).getLong(4))
+      assert(rows(i).getLong(5) <= rows(i - 1).getLong(5))
     }
   }
 
