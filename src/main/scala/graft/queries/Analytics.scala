@@ -1898,7 +1898,146 @@ object Analytics {
         .as("contingency_c"))
   }
 
+  /** CEP pattern window: 1 hour in epoch micros (shared with the
+    * streaming twin, Windows.patternStream). */
+  private[graft] val PatternWindowUs = 3600000000L
+
+  /** Complex-event pattern matching (the MATCH_RECOGNIZE / Flink-CEP
+    * tier): per user, count purchases that complete the pattern
+    * `view  (anything but error)*  purchase` within [[PatternWindowUs]] —
+    * i.e. a purchase attributable to a recent view with no error event
+    * between them. AFTER MATCH SKIP TO NEXT ROW semantics: one view may
+    * anchor several purchases; every purchase is evaluated once.
+    *
+    * Plan: the standard relational unrolling of a CEP automaton — ONE
+    * user-keyed window pass computes, for every event, the running
+    * "latest prior view" and "latest prior error" timestamps (conditional
+    * MAX over ROWS UNBOUNDED PRECEDING..1 PRECEDING); a purchase matches
+    * iff last_view exists, is newer than last_error, and is within the
+    * hour. No per-row rescans, no state machine fold, no regex.
+    *
+    * Scale stance (100 TB): one shuffle on user_id; window state is two
+    * running maxima (O(1) per partition, any frame length); output is
+    * purchase-active user cardinality. The streaming tier's
+    * mapGroupsWithState handles the online twin of the same automaton. */
+  def qEventPattern(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("t_us"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val matched = e
+      .withColumn("last_v",
+        max(when(col("event_type") === "view", col("t_us"))).over(w))
+      .withColumn("last_e",
+        max(when(col("event_type") === "error", col("t_us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("m",
+        (col("last_v").isNotNull &&
+          (col("last_e").isNull || col("last_e") < col("last_v")) &&
+          col("t_us") - col("last_v") <= PatternWindowUs).cast("long"))
+    matched.groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("m")).as("n_matched"),
+        coalesce(min(when(col("m") === 1L, col("t_us"))), lit(-1L))
+          .as("first_match_us"))
+      .orderBy("user_id")
+  }
+
+  /** Poisson(1) CDF in ppm — the shared resample-weight thresholds of
+    * [[qBootstrapCi]] (identical literals in the oracle, so the weight
+    * function is engine-independent by construction). */
+  private val PoissonCdfPpm =
+    Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L)
+  private val BootstrapB = 64
+
+  /** Poisson-bootstrap confidence interval for the mean purchase value —
+    * the resampling scheme that actually runs at 100 TB (Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams", 2012): instead of
+    * drawing n rows with replacement (which needs global coordination),
+    * each row independently contributes to resample b with weight
+    * ~ Poisson(1), derived here deterministically from
+    * h32(event_id ':' b) so both engines draw the SAME resamples. Emits
+    * the [[BootstrapB]] per-resample means plus point estimate and the
+    * nearest-rank 2.5%/97.5% percentile interval (ranks 2 and 63 of 64).
+    *
+    * Scale stance: the only corpus-touching work is one narrow scan
+    * exploded ×B rows of (b, weight, cents) that partial-aggregate
+    * map-side into B groups — shuffle traffic is B rows per task
+    * regardless of data size; the rank window orders a 64-row relation. */
+  def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val purch = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+    val weight = PoissonCdfPpm.zipWithIndex
+      .foldRight(lit(PoissonCdfPpm.length.toLong)) { case ((thr, k), rest) =>
+        when(col("u") < thr, k.toLong).otherwise(rest)
+      }
+    val means = purch
+      .select(col("cents"),
+        explode(sequence(lit(0L), lit(BootstrapB - 1L))).as("b"),
+        col("event_id"))
+      .withColumn("u", TextPipeline.h32(concat(col("event_id").cast("string"),
+        lit(":"), col("b").cast("string"))) % 1000000L)
+      .withColumn("w", weight)
+      .groupBy("b")
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("cents")).as("sum_cents"))
+      .withColumn("mean_milli",
+        when(col("n_eff") > 0, expr("sum_cents * 1000 div n_eff")))
+    val resamples = means.select(lit("resample").as("row_kind"), col("b"),
+      col("n_eff"), col("sum_cents"), col("mean_milli"))
+    val point = purch
+      .agg(count(lit(1)).as("n_eff"), sum(col("cents")).as("sum_cents"))
+      .select(lit("point").as("row_kind"), lit(-1L).as("b"),
+        col("n_eff"), col("sum_cents"),
+        when(col("n_eff") > 0, expr("sum_cents * 1000 div n_eff"))
+          .as("mean_milli"))
+    val rk = means.withColumn("rn",
+      row_number().over(Window.orderBy(col("mean_milli"), col("b"))))
+    val ci = rk.filter(col("rn") === 2 || col("rn") === BootstrapB - 1)
+      .select(when(col("rn") === 2, "ci_lo").otherwise("ci_hi").as("row_kind"),
+        lit(-1L).as("b"), lit(-1L).as("n_eff"),
+        lit(-1L).as("sum_cents"), col("mean_milli"))
+    resamples.unionAll(point).unionAll(ci).orderBy("row_kind", "b")
+  }
+
+  /** Point-in-time table reconstruction ("time travel"): treat the event
+    * stream as a per-user upsert log and rebuild the table state AS OF
+    * three cut timestamps (¼, ½, ¾ of the observed time range), then
+    * summarize each snapshot per state type — the lakehouse
+    * `VERSION AS OF` semantic expressed over a raw CDC feed, and the
+    * audit for "what did the table say when the model trained".
+    *
+    * Plan: ONE user-keyed window turns every event into a validity
+    * interval [t, next_t) (the qScd2 interval algebra, un-deduplicated —
+    * every upsert is a version); the 3-row cut spine is BROADCAST so the
+    * interval-containment join is a map-side nested-loop against 3
+    * literals, never a shuffle; each snapshot partial-aggregates to
+    * ≤ |cuts|·|types| groups. At 100 TB: the window inherits the CDC
+    * feed's user partitioning, snapshots cost zero extra passes. */
+  def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        unix_micros(col("ts")).as("t"))
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val v = e.withColumn("nxt",
+      coalesce(lead(col("t"), 1).over(w), lit(Scd2HighDateUs)))
+    val cuts = e.agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+      .crossJoin(s.range(1, 4).select(col("id").as("k")))
+      .select(col("k").as("cut_idx"),
+        expr("lo + (hi - lo) * k div 4").as("cut_us"))
+    v.join(broadcast(cuts),
+        col("t") <= col("cut_us") && col("cut_us") < col("nxt"))
+      .groupBy("cut_idx", "cut_us", "event_type")
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("sum_cents"))
+      .orderBy("cut_idx", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_travel" -> (qTimeTravel _),
+    "q_event_pattern" -> (qEventPattern _),
+    "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_theil_sen" -> (qTheilSen _),
     "q_lift_curve" -> (qLiftCurve _),
     "q_cramers_v" -> (qCramersV _),
@@ -1971,6 +2110,86 @@ object Analytics {
       |FROM terms""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same validity intervals (lead over the user timeline), same
+    // integer cut arithmetic, same interval-containment snapshot.
+    "q_time_travel" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS cents,
+         |    epoch_us(ts) AS t FROM events),
+         |b AS (SELECT min(t) AS lo, max(t) AS hi FROM e),
+         |cuts AS (SELECT CAST(k AS BIGINT) AS cut_idx,
+         |    lo + (hi - lo) * k // 4 AS cut_us
+         |  FROM b, (SELECT unnest([1, 2, 3]) AS k)),
+         |v AS (SELECT user_id, event_type, cents, t AS f,
+         |    coalesce(lead(t) OVER (PARTITION BY user_id
+         |      ORDER BY t, event_id), $Scd2HighDateUs) AS nxt
+         |  FROM e)
+         |SELECT cut_idx, cut_us, event_type,
+         |  CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM cuts JOIN v ON v.f <= cut_us AND cut_us < v.nxt
+         |GROUP BY 1, 2, 3 ORDER BY cut_idx, event_type""".stripMargin,
+    // Same CEP unrolling: conditional running maxima over the identically
+    // ordered user window, purchase rows classified by the same predicate.
+    "q_event_pattern" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t_us,
+         |             event_id FROM events),
+         |f AS (SELECT user_id, event_type, t_us,
+         |    max(CASE WHEN event_type = 'view' THEN t_us END) OVER
+         |      (PARTITION BY user_id ORDER BY t_us, event_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_v,
+         |    max(CASE WHEN event_type = 'error' THEN t_us END) OVER
+         |      (PARTITION BY user_id ORDER BY t_us, event_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_e
+         |  FROM e),
+         |p AS (SELECT user_id, t_us,
+         |    CASE WHEN last_v IS NOT NULL
+         |              AND (last_e IS NULL OR last_e < last_v)
+         |              AND t_us - last_v <= $PatternWindowUs
+         |         THEN 1 ELSE 0 END AS m
+         |  FROM f WHERE event_type = 'purchase')
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+         |  CAST(sum(m) AS BIGINT) AS n_matched,
+         |  coalesce(min(CASE WHEN m = 1 THEN t_us END), -1) AS first_match_us
+         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Same md5-derived uniform, same Poisson(1) CDF literals, same
+    // nearest-rank percentile cut over the 64-resample relation.
+    "q_bootstrap_ci" -> {
+      val caseW = PoissonCdfPpm.zipWithIndex
+        .map { case (thr, k) => s"WHEN u < $thr THEN $k" }
+        .mkString("CASE ", " ", s" ELSE ${PoissonCdfPpm.length} END")
+      s"""WITH p AS (SELECT event_id, CAST(round(value * 100) AS BIGINT)
+         |             AS cents FROM events WHERE event_type = 'purchase'),
+         |r AS (SELECT cents, event_id,
+         |        CAST(unnest(range(0, $BootstrapB)) AS BIGINT) AS b FROM p),
+         |u AS (SELECT b, cents,
+         |        ${TextPipeline.duckH32(
+                    "CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")}
+         |          % 1000000 AS u FROM r),
+         |w AS (SELECT b, cents, $caseW AS w FROM u),
+         |agg AS (SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+         |          CAST(sum(w * cents) AS BIGINT) AS sum_cents
+         |        FROM w GROUP BY b),
+         |m AS (SELECT b, n_eff, sum_cents,
+         |        CASE WHEN n_eff > 0 THEN sum_cents * 1000 // n_eff END
+         |          AS mean_milli FROM agg),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY mean_milli, b) AS rn
+         |       FROM m)
+         |SELECT * FROM (
+         |  SELECT 'resample' AS row_kind, b, n_eff, sum_cents, mean_milli
+         |  FROM m
+         |  UNION ALL
+         |  SELECT 'point', -1, CAST(count(*) AS BIGINT),
+         |    CAST(sum(cents) AS BIGINT),
+         |    CASE WHEN count(*) > 0
+         |         THEN CAST(sum(cents) AS BIGINT) * 1000 // count(*) END
+         |  FROM p
+         |  UNION ALL
+         |  SELECT CASE WHEN rn = 2 THEN 'ci_lo' ELSE 'ci_hi' END, -1,
+         |    -1, -1, mean_milli
+         |  FROM rk WHERE rn IN (2, ${BootstrapB - 1})) out
+         |ORDER BY row_kind, b""".stripMargin
+    },
     // Same calendar-bounded pair grid; floor division spelled
     // ((a % b) + b) % b == Spark's pmod so negative dy floors identically.
     "q_theil_sen" ->

@@ -243,6 +243,50 @@ object Windows {
       }
   }
 
+  /** Per-user CEP snapshot emitted by [[patternStream]]. */
+  case class PatternSnap(user_id: Long, n_purchases: Long, n_matched: Long,
+                         first_match_us: Long)
+
+  /** STREAMING twin of `Analytics.qEventPattern` — the CEP automaton
+    * (`view (anything but error)* purchase` within the hour, AFTER MATCH
+    * SKIP TO NEXT ROW) evaluated online. State per user is the ordered
+    * (t_us, code) event history; every batch REPLAYS the automaton over
+    * the sorted history, so the snapshot is arrival-order-independent —
+    * a late error that lands between an already-matched view→purchase
+    * pair DEMOTES the match on the next snapshot, and a late view can
+    * create one. An O(1) running-state machine (just last_v/last_e
+    * carried forward) gets both late cases wrong; `.distinct` keeps
+    * at-least-once redelivery idempotent, as in [[funnelStream]]. */
+  def patternStream(events: Dataset[FunnelEvent]): Dataset[PatternSnap] = {
+    import events.sparkSession.implicits._
+    val W = graft.queries.Analytics.PatternWindowUs
+    val code = Map("view" -> 1, "error" -> 2, "purchase" -> 3)
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Seq[(Long, Int)], PatternSnap](
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[FunnelEvent],
+         state: GroupState[Seq[(Long, Int)]]) =>
+          val buf = (state.getOption.getOrElse(Seq.empty) ++
+            batch.flatMap(e =>
+              code.get(e.event_type).map(c => (tsMicros(e.ts), c))))
+            .distinct.sorted
+          state.update(buf)
+          var lastV = -1L; var lastE = -1L
+          var nP = 0L; var nM = 0L; var firstM = -1L
+          buf.foreach { case (t, c) =>
+            if (c == 3) {
+              nP += 1
+              if (lastV >= 0 && lastE < lastV && t - lastV <= W) {
+                nM += 1; if (firstM < 0) firstM = t
+              }
+            }
+            if (c == 1) lastV = t
+            if (c == 2) lastE = t
+          }
+          PatternSnap(uid, nP, nM, firstM)
+      }
+  }
+
   /** Open-session accumulator carried in the state store (one per user). */
   case class SessionBuf(start_us: Long, last_us: Long, n: Long, sum: Double)
   /** A completed session, session_window-compatible (end = last + gap). */

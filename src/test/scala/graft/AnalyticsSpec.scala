@@ -14,6 +14,112 @@ class AnalyticsSpec extends SparkSpec {
   private def totalUsers: Long =
     Tables.events(spark, sf).select(col("user_id")).distinct().count()
 
+  test("time travel: each snapshot equals a latest-event-as-of replay; users conserved") {
+    val rows = Analytics.qTimeTravel(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long"),
+        unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val (lo, hi) = (ev.map(_._5).min, ev.map(_._5).max)
+    val cuts = (1L to 3L).map(k => k -> (lo + (hi - lo) * k / 4)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (k, snap) =>
+      val cut = cuts(k)
+      assert(snap.head.getLong(1) == cut, s"cut_us for $k")
+      // driver replay: per user, the latest (t, event_id)-ordered event
+      // at or before the cut defines the state
+      val state = ev.filter(_._5 <= cut).groupBy(_._1).toSeq.map {
+        case (_, es) =>
+          val last = es.maxBy(e => (e._5, e._2)); (last._3, last._4)
+      }
+      val expect = state.groupBy(_._1).map { case (t, xs) =>
+        t -> (xs.size.toLong, xs.map(_._2).sum) }
+      val got = snap.map(r => r.getString(2) -> (r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(got == expect, s"snapshot $k")
+      // conservation: every user seen by the cut is in exactly one state
+      assert(snap.map(_.getLong(3)).sum ==
+        ev.filter(_._5 <= cut).map(_._1).distinct.length.toLong)
+    }
+    // snapshots are cumulative in population: later cuts see >= users
+    val perCut = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(3)).sum)
+    assert(perCut(1L) <= perCut(2L) && perCut(2L) <= perCut(3L))
+  }
+
+  test("event-pattern CEP equals a driver-side automaton replay per user") {
+    val rows = Analytics.qEventPattern(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expect = ev.groupBy(_._1).flatMap { case (u, es) =>
+      var lastV = Option.empty[Long]
+      var lastE = Option.empty[Long]
+      var nP = 0L; var nM = 0L; var firstM = -1L
+      es.sortBy(e => (e._3, e._4)).foreach { case (_, typ, t, _) =>
+        if (typ == "purchase") {
+          nP += 1
+          val ok = lastV.exists(v => lastE.forall(_ < v) &&
+            t - v <= 3600000000L)
+          if (ok) { nM += 1; if (firstM < 0) firstM = t }
+        }
+        // state update AFTER classification: the window frame is strictly
+        // 1 PRECEDING, so an event never matches itself
+        if (typ == "view") lastV = Some(t)
+        if (typ == "error") lastE = Some(t)
+      }
+      if (nP > 0) Some(u -> (nP, nM, firstM)) else None
+    }
+    assert(rows.keySet == expect.keySet)
+    expect.foreach { case (u, t) => assert(rows(u) == t, s"user $u") }
+    // the fixture exercises both outcomes
+    assert(rows.values.exists(_._2 > 0) && rows.values.exists(v => v._2 < v._1),
+      "need at least one matched and one unmatched purchase")
+  }
+
+  test("poisson bootstrap: resamples replay exactly and the CI brackets the point") {
+    val rows = Analytics.qBootstrapCi(spark, sf).collect()
+    val res = rows.filter(_.getString(0) == "resample")
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(res.size == 64)
+    val purch = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), round(col("value") * 100).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val thr = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L)
+    def h32(sv: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16)
+    val expMeans = (0L until 64L).map { b =>
+      var n = 0L; var sc = 0L
+      purch.foreach { case (id, cents) =>
+        val u = h32(s"$id:$b") % 1000000L
+        val w = thr.count(u >= _).toLong
+        n += w; sc += w * cents
+      }
+      b -> (n, sc, if (n > 0) sc * 1000 / n else -1L)
+    }.toMap
+    expMeans.foreach { case (b, t) => assert(res(b) == t, s"resample $b") }
+    // poisson concentration: every resample size within 25% of n
+    val n = purch.length.toLong
+    res.values.foreach { case (ne, _, _) =>
+      assert(math.abs(ne - n) <= n / 4, s"n_eff $ne vs n $n") }
+    // nearest-rank CI rows are ranks 2 and 63 of the sorted means and
+    // bracket the full-sample point estimate on this fixture
+    val sortedMeans = expMeans.toSeq.map { case (b, (_, _, m)) => (m, b) }
+      .sorted.map(_._1)
+    val lo = rows.find(_.getString(0) == "ci_lo").get.getLong(4)
+    val hi = rows.find(_.getString(0) == "ci_hi").get.getLong(4)
+    assert(lo == sortedMeans(1) && hi == sortedMeans(62))
+    val point = rows.find(_.getString(0) == "point").get.getLong(4)
+    assert(point == purch.map(_._2).sum * 1000 / n)
+    assert(lo <= point && point <= hi)
+  }
+
   test("funnel stages are monotone and bounded by the user population") {
     val stages = Relational.qFunnel(spark, sf).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap

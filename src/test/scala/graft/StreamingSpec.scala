@@ -203,6 +203,72 @@ class StreamingSpec extends SparkSpec {
     assert(s2(1L)._1 == 3, "unrelated users unchanged")
   }
 
+  test("streaming CEP pattern: replay matches the batch automaton; late events demote and create matches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Windows.FunnelEvent
+    val M = 60L * 1000L // ms per minute
+    def at(m: Long) = new Timestamp(1700000000000L + m * M)
+    def us(m: Long) = at(m).getTime * 1000L
+    val mem = MemoryStream[FunnelEvent]
+    val q = Windows.patternStream(mem.toDS()).writeStream.format("memory")
+      .queryName("t_cep").outputMode(OutputMode.Update()).start()
+    // u1: clean view→purchase within the hour, delivered REVERSED;
+    // u2: error between view and purchase — blocked;
+    // u3: view at 0, purchase at 70 min — outside the 1 h window;
+    // u4: purchase with no view at all
+    mem.addData(Seq(
+      FunnelEvent(1L, at(30), "purchase"), FunnelEvent(1L, at(0), "view"),
+      FunnelEvent(2L, at(0), "view"), FunnelEvent(2L, at(10), "error"),
+      FunnelEvent(2L, at(20), "purchase"),
+      FunnelEvent(3L, at(0), "view"), FunnelEvent(3L, at(70), "purchase"),
+      FunnelEvent(4L, at(5), "purchase")))
+    q.processAllAvailable()
+    def snaps() = spark.table("t_cep").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.last._2).toMap
+    val s1 = snaps()
+    assert(s1(1L) == ((1L, 1L, us(30))), s"u1 must match out-of-order: $s1")
+    assert(s1(2L) == ((1L, 0L, -1L)), s"u2's error must block: $s1")
+    assert(s1(3L) == ((1L, 0L, -1L)), s"u3 outside the hour: $s1")
+    assert(s1(4L) == ((1L, 0L, -1L)), s"u4 has no anchoring view: $s1")
+    // late DEMOTION: an error at 15 min lands between u1's view and
+    // purchase — the replayed automaton must withdraw the match
+    mem.addData(Seq(FunnelEvent(1L, at(15), "error")))
+    q.processAllAvailable()
+    assert(snaps()(1L) == ((1L, 0L, -1L)), "late error must demote u1")
+    // late CREATION: a view at 15 min for u2 arrives AFTER its error —
+    // the purchase at 20 min now has an un-errored anchor and matches
+    mem.addData(Seq(FunnelEvent(2L, at(15), "view")))
+    q.processAllAvailable()
+    assert(snaps()(2L) == ((1L, 1L, us(20))), "late view must create u2's match")
+    // cross-check the final state against the batch window spelling on
+    // the SAME event set (the automaton and the window unrolling agree)
+    val all = Seq(
+      (1L, us(30), "purchase"), (1L, us(0), "view"), (1L, us(15), "error"),
+      (2L, us(0), "view"), (2L, us(10), "error"), (2L, us(20), "purchase"),
+      (2L, us(15), "view"),
+      (3L, us(0), "view"), (3L, us(70), "purchase"), (4L, us(5), "purchase"))
+    val expect = all.groupBy(_._1).map { case (u, es) =>
+      var lastV = -1L; var lastE = -1L
+      var nP = 0L; var nM = 0L; var firstM = -1L
+      es.sortBy(_._2).foreach { case (_, t, typ) =>
+        if (typ == "purchase") {
+          nP += 1
+          if (lastV >= 0 && lastE < lastV && t - lastV <= 3600000000L) {
+            nM += 1; if (firstM < 0) firstM = t
+          }
+        }
+        if (typ == "view") lastV = t
+        if (typ == "error") lastE = t
+      }
+      u -> ((nP, nM, firstM))
+    }
+    val fin = snaps()
+    q.stop()
+    expect.foreach { case (u, t) => assert(fin(u) == t, s"user $u") }
+  }
+
   test("the reference's flagship as a stream: incremental word count == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
