@@ -229,6 +229,70 @@ object Dedup {
           .otherwise(lit(null).cast("long")).as("recall_ppm"))
   }
 
+  /** LSH operating curve — [[qDedupEval]] generalized from one threshold
+    * to the whole jaccard spectrum: per exact-jaccard decile band, how
+    * many true shingle-sharing pairs exist and how many the banded
+    * MinHash candidate generator catches. This is the measured S-curve
+    * that the 1−(1−j^r)^b collision formula predicts, i.e. the table you
+    * consult to MOVE the operating point (bands/rows) instead of
+    * re-guessing it; the `-1` row counts candidates with zero shared
+    * shingles (pure band-collision noise).
+    *
+    * Scale stance (100 TB): truth = the postings self-join (Σ df²
+    * bounded, the declared evaluation cost — run on a sampled slice at
+    * scale, the q_dedup_semantic subset doctrine); candidates = the same
+    * banded bucket join q_dedup_minhash ships; the full-outer merge
+    * shuffles pair keys once and collapses to ≤11 rows map-side. */
+  def qDedupOperatingCurve(s: SparkSession, dir: String): DataFrame = {
+    val shd = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.shinglePosting(col("w"), 3))
+      .select(col("doc_id"), TextPipeline.h32(col("shingle")).as("h"))
+      .distinct()
+      .localCheckpoint() // 3 consumers: sizes + both join sides
+    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = shd.join(sizes, "doc_id")
+      .select(col("h"), col("doc_id").as("a_id"), col("n").as("a_n"))
+    val b = shd.join(sizes, "doc_id")
+      .select(col("h"), col("doc_id").as("b_id"), col("n").as("b_n"))
+    val truth = a.join(b, "h").filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "a_n", "b_n").agg(count(lit(1)).as("inter"))
+      .select(col("a_id"), col("b_id"),
+        least(floor(col("inter").cast("double")
+          / (col("a_n") + col("b_n") - col("inter")) * 10), lit(9.0))
+          .cast("long").as("j_band"))
+    val bands = sigsOf(s, dir).select(col("doc_id"),
+        explode(sequence(lit(0), lit(Bands - 1))).as("band_id"), col("sig"))
+      .select(col("doc_id"), col("band_id"),
+        md5(concat_ws(",", transform(
+          slice(col("sig"), col("band_id") * RowsPerBand + 1,
+            lit(RowsPerBand)),
+          x => x.cast("string")))).as("band_key"))
+      .localCheckpoint() // 2 consumers: both bucket-join sides
+    val cand = bands.select(col("band_id"), col("band_key"),
+        col("doc_id").as("a_id"))
+      .join(bands.select(col("band_id"), col("band_key"),
+        col("doc_id").as("b_id")), Seq("band_id", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    truth.withColumn("t", lit(1L))
+      .join(cand.withColumn("c", lit(1L)), Seq("a_id", "b_id"), "full_outer")
+      .select(when(col("t").isNotNull, col("j_band")).otherwise(lit(-1L))
+        .as("j_band"), col("t"), col("c"))
+      .groupBy("j_band")
+      .agg(coalesce(sum(col("t")), lit(0L)).as("n_true"),
+        coalesce(sum(when(col("t").isNotNull && col("c").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_caught"),
+        coalesce(sum(when(col("t").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_false_cand"))
+      .withColumn("recall_ppm",
+        when(col("n_true") > 0, expr("n_caught * 1000000 div n_true"))
+          .otherwise(lit(-1L)))
+      .orderBy("j_band")
+  }
+
   /** Iteration cap for [[components]] — a safety net only: alternating
     * star contraction converges in O(log² n) rounds on ANY graph shape
     * (near-dup pair graphs settle in 2-3), and each iteration ends with
@@ -820,6 +884,7 @@ object Dedup {
     "q_minhash_signature" -> (qMinhashSignature _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_eval" -> (qDedupEval _),
+    "q_dedup_operating_curve" -> (qDedupOperatingCurve _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_edit_distance" -> (qEditDistance _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -980,6 +1045,36 @@ object Dedup {
          |  CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn)
          |       ELSE NULL END AS recall_ppm
          |FROM tp, fp, fn""".stripMargin,
+    // Same banded candidates vs the UNTHRESHOLDED hashed-shingle truth,
+    // binned by exact-jaccard decile; -1 collects zero-overlap collisions.
+    "q_dedup_operating_curve" ->
+      s"""WITH $minhashCandCte,
+         |cp AS (SELECT a_id, b_id FROM cand),
+         |hh AS (SELECT doc_id,
+         |    list_distinct(list_transform(sh, s -> ${duckH32("s")})) AS h
+         |  FROM shing WHERE len(sh) > 0),
+         |truth AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    least(CAST(floor(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.h, b.h))) * 10) AS BIGINT),
+         |      9) AS j_band
+         |  FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.h, b.h)) > 0),
+         |m AS (SELECT coalesce(t.j_band, -1) AS j_band,
+         |    CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END AS t,
+         |    CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END AS c
+         |  FROM truth t FULL OUTER JOIN cp c
+         |    ON t.a_id = c.a_id AND t.b_id = c.b_id)
+         |SELECT j_band, CAST(sum(t) AS BIGINT) AS n_true,
+         |  CAST(sum(CASE WHEN t = 1 AND c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_caught,
+         |  CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_false_cand,
+         |  CASE WHEN sum(t) > 0
+         |       THEN CAST(sum(CASE WHEN t = 1 AND c = 1 THEN 1 ELSE 0 END)
+         |              AS BIGINT) * 1000000 // CAST(sum(t) AS BIGINT)
+         |       ELSE -1 END AS recall_ppm
+         |FROM m GROUP BY j_band ORDER BY j_band""".stripMargin,
     "q_edit_distance" ->
       s"""WITH $minhashCandCte,
          |pairs AS (SELECT a_id, b_id FROM cand WHERE est_jaccard >= 0.5),

@@ -644,7 +644,47 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** Embedding drift monitor: per label, the squared L2 distance between
+    * the even-id and odd-id sub-corpus centroids — the embedding-space
+    * twin of q_psi/q_kl_drift, the check an ML-ops pipeline runs when a
+    * re-crawl or encoder upgrade may have moved the representation of a
+    * class. A label whose two halves disagree is drifting; at ingest time
+    * the halves become "yesterday's batch" vs "today's".
+    *
+    * Determinism: components quantize to the 1e-6 BIGINT grid before the
+    * per-(label, half, dim) sums (commutative, any partitioning); the
+    * centroid mean uses explicitly sign-safe FLOOR division (`pmod`
+    * spelling here, `((a%b)+b)%b` in the oracle — both engines' native
+    * integer division truncates toward zero, which would round negative
+    * components the other way), landing on a 1e-8 grid; the drift sum is
+    * exact BIGINT (≤ (1e8)²·64 ≪ 2⁶³).
+    *
+    * Scale stance (100 TB): one melt of (label, half, dim, q) rows
+    * partial-aggregates map-side to |labels|·2·Dim groups — the shuffle
+    * carries per-task group counts, never vector rows; the half-vs-half
+    * join runs on that tiny centroid relation. */
+  def qEmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val sums = vecs(s, dir)
+      .select(col("label"), (col("vec_id") % 2).as("half"), posexplode(col("v")))
+      .select(col("label"), col("half"), col("pos"),
+        round(col("col") * QScale).cast("long").as("q"))
+      .groupBy("label", "half", "pos")
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("m", expr("(sq * 100 - pmod(sq * 100, n)) div n"))
+    val a = sums.filter(col("half") === 0).select(col("label"), col("pos"),
+      col("m").as("m0"), col("n").as("n0"))
+    val b = sums.filter(col("half") === 1).select(col("label"), col("pos"),
+      col("m").as("m1"), col("n").as("n1"))
+    a.join(b, Seq("label", "pos"))
+      .groupBy("label")
+      .agg(min(col("n0")).as("n_a"), min(col("n1")).as("n_b"),
+        sum((col("m0") - col("m1")) * (col("m0") - col("m1")))
+          .as("drift_l2sq_e16"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_drift" -> (qEmbeddingDrift _),
     "q_ann_recall_eval" -> (qAnnRecallEval _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
@@ -814,6 +854,28 @@ object Similarity {
        |    FROM q, c2 c) WHERE pr <= $NProbe)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same 1e-6 quantized per-(label, half, dim) sums, same sign-safe
+    // floor-division centroid grid, same exact BIGINT drift sum.
+    "q_embedding_drift" ->
+      s"""WITH e AS (SELECT label, vec_id % 2 AS half,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |m AS (SELECT label, half, pos,
+         |    CAST(sum(CAST(round(v[pos] * ${QScale}) AS BIGINT)) AS BIGINT)
+         |      AS sq,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM e, (SELECT unnest(range(1, ${Dim + 1})) AS pos)
+         |  GROUP BY 1, 2, 3),
+         |c AS (SELECT label, half, pos, n,
+         |    (sq * 100 - ((sq * 100 % n) + n) % n) // n AS ctr FROM m),
+         |j AS (SELECT a.label, a.pos, a.ctr AS m0, b.ctr AS m1,
+         |        a.n AS n0, b.n AS n1
+         |      FROM c a JOIN c b ON a.label = b.label AND a.pos = b.pos
+         |      WHERE a.half = 0 AND b.half = 1)
+         |SELECT label, CAST(min(n0) AS BIGINT) AS n_a,
+         |  CAST(min(n1) AS BIGINT) AS n_b,
+         |  CAST(sum((m0 - m1) * (m0 - m1)) AS BIGINT) AS drift_l2sq_e16
+         |FROM j GROUP BY label ORDER BY label""".stripMargin,
     // The q_ann_ivf chain and the q_ann_bruteforce chain side by side,
     // merged by a LEFT JOIN per (query, neighbor); recall in integer ppm.
     "q_ann_recall_eval" ->

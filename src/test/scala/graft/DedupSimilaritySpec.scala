@@ -668,4 +668,62 @@ class DedupSimilaritySpec extends SparkSpec {
       eval.map(_.getLong(1)).sum
     assert(total >= 350000L, s"aggregate recall $total not above random")
   }
+
+  test("operating curve: bands >= 5 reconcile exactly with q_dedup_eval; S-shape holds") {
+    val curve = Dedup.qDedupOperatingCurve(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // conservation law: the deciles at/above the 0.5 threshold must sum
+    // to q_dedup_eval's truth-side confusion counts (same hashed-shingle
+    // truth, same banded candidates — floor(j*10) >= 5 iff j >= 0.5)
+    val ev = Dedup.qDedupEval(spark, sf).collect()(0)
+    val (tp, fn) = (ev.getLong(1), ev.getLong(3))
+    val hi = curve.filter(_._1 >= 5).values
+    assert(hi.map(_._1).sum == tp + fn, "n_true above 0.5 must equal tp+fn")
+    assert(hi.map(_._2).sum == tp, "n_caught above 0.5 must equal tp")
+    // S-shape: pooled recall at the top of the curve beats the bottom
+    val top = curve.filter(_._1 >= 8).values
+    val bot = curve.filter(k => k._1 >= 0 && k._1 <= 2).values
+    assert(top.map(_._1).sum > 0 && bot.map(_._1).sum > 0,
+      "fixture must populate both ends of the curve")
+    val topR = top.map(_._2).sum * 1000000L / top.map(_._1).sum
+    val botR = bot.map(_._2).sum * 1000000L / bot.map(_._1).sum
+    assert(topR >= 800000L, s"near-clone recall $topR below the LSH design point")
+    assert(topR > botR, "collision probability must rise with jaccard")
+    // bands 0..9 never contain a zero-overlap candidate by construction
+    curve.filter(_._1 >= 0).foreach { case (b, (_, _, f)) =>
+      assert(f == 0L, s"band $b leaked a zero-overlap candidate") }
+  }
+
+  test("embedding drift equals a driver-side centroid recompute per label") {
+    val rows = Similarity.qEmbeddingDrift(spark, sf).collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val vecs = graft.io.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+        r.getSeq[Float](2).map(x => BigDecimal(x.toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray))
+    def floorDiv(a: Long, b: Long): Long = Math.floorDiv(a, b)
+    val expect = vecs.groupBy(_._2).collect {
+      case (label, vs) if vs.exists(_._1 % 2 == 0) && vs.exists(_._1 % 2 == 1) =>
+        val halves = Seq(0L, 1L).map { h =>
+          val sel = vs.filter(_._1 % 2 == h)
+          val ctr = (0 until 64).map { d =>
+            floorDiv(sel.map(_._3(d)).sum * 100, sel.length.toLong)
+          }
+          (sel.length.toLong, ctr)
+        }
+        val drift = (0 until 64).map { d =>
+          val diff = halves(0)._2(d) - halves(1)._2(d); diff * diff
+        }.sum
+        label -> (halves(0)._1, halves(1)._1, drift)
+    }
+    assert(rows.keySet == expect.keySet && rows.keySet.nonEmpty)
+    expect.foreach { case (l, t) => assert(rows(l) == t, s"label $l") }
+    // same-generator halves: drift must be far below the grid's full
+    // scale (a real shift would be ~1e16 per dimension)
+    rows.values.foreach { case (_, _, d) => assert(d < 64L * 1000000000000000L) }
+  }
 }
