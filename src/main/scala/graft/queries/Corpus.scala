@@ -699,7 +699,53 @@ object Corpus {
           expr("(tokens_total - tokens_kept) * 1000000 div tokens_total")))
       .orderBy("budget")
 
+  /** The corpus-prep pipeline END TO END as ONE declarative DAG —
+    * redaction (qRedact's scrubbers) → distribution quality gate
+    * (qQualityGate's [p10, p90] token bounds, measured on the REDACTED
+    * text) → exact dedup (qDedupExact's min-id-per-fingerprint rule) →
+    * deterministic split (qTrainSplit's h32 mod 100) → per (split, lang)
+    * doc/token counts. This is the composition a user actually ships:
+    * one plan, one lineage, stage rules identical to the individually
+    * verified queries so the capstone can't drift from its parts.
+    *
+    * Scale stance (100 TB): the text is scanned ONCE (scrub + tokenize
+    * fused in the scan projection); the gate is a broadcast 1-row
+    * percentile pair; dedup shuffles a 16-byte fingerprint per survivor
+    * (never text); the split is a pure hash projection; the final
+    * partial agg collapses to |splits|·|langs| groups map-side. */
+  def qCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cleaned = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+            "[0-9]{6,}", "<NUM>"),
+          "https?://[^ ]+", "<URL>").as("clean_text"))
+      .select(col("doc_id"), col("lang"),
+        TextPipeline.normalizedTokens(col("clean_text")).as("w"))
+      .select(col("doc_id"), col("lang"), col("w"),
+        size(col("w")).cast("long").as("nt"))
+    val bounds = cleaned.agg(expr("percentile(nt, 0.1)").as("p10"),
+      expr("percentile(nt, 0.9)").as("p90"))
+    cleaned.crossJoin(broadcast(bounds))
+      .filter(col("nt") >= col("p10") && col("nt") <= col("p90"))
+      .withColumn("fp", md5(concat_ws(" ", col("w"))))
+      .withColumn("canon", min(col("doc_id")).over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("canon"))
+      .select(col("lang"), col("nt"),
+        pmod(TextPipeline.h32(col("doc_id").cast("string")), lit(100)).as("b"))
+      .select(col("lang"), col("nt"),
+        when(col("b") < 80, "train").when(col("b") < 90, "val")
+          .otherwise("test").as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .orderBy("split", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_pipeline" -> (qCorpusPipeline _),
     "q_heaps_law" -> (qHeapsLaw _),
     "q_context_truncation" -> (qContextTruncation _),
     "q_dataset_card" -> (qDatasetCard _),
@@ -770,6 +816,37 @@ object Corpus {
   }
 
   val oracle: Map[String, String] = Map(
+    // The same four stage rules as the component oracles, chained:
+    // scrub regexes, quantile_cont gate, min-id fingerprint dedup,
+    // h32 mod 100 split.
+    "q_corpus_pipeline" ->
+      s"""WITH scrubbed AS (SELECT doc_id, lang,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+         |      '[0-9]{6,}', '<NUM>', 'g'),
+         |      'https?://[^ ]+', '<URL>', 'g') AS text
+         |  FROM documents),
+         |counted AS (SELECT doc_id, lang, $duckToks AS w,
+         |    CAST(len($duckToks) AS BIGINT) AS nt FROM scrubbed),
+         |bounds AS (SELECT quantile_cont(nt, 0.1) AS p10,
+         |                  quantile_cont(nt, 0.9) AS p90 FROM counted),
+         |gated AS (SELECT * FROM counted, bounds
+         |          WHERE nt >= p10 AND nt <= p90),
+         |fps AS (SELECT doc_id, lang, nt,
+         |    md5(coalesce(list_aggr(w, 'string_agg', ' '), '')) AS fp
+         |  FROM gated),
+         |deduped AS (SELECT doc_id, lang, nt FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS canon FROM fps)
+         |  WHERE doc_id = canon),
+         |labeled AS (SELECT lang, nt,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT lang, nt,
+         |          ${TextPipeline.duckH32("CAST(doc_id AS VARCHAR)")} % 100
+         |            AS b FROM deduped))
+         |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens
+         |FROM labeled GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     // Same hash-random slices, same min-slice vocabulary attribution,
     // cumulative window over the 10-row spine.
     "q_heaps_law" ->

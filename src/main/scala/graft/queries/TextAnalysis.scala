@@ -808,7 +808,38 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Vocabulary coverage@k: the share of corpus TOKENS covered by the
+    * top-k frequency-ranked word types, for k ∈ {1,2,4,8,16} — the other
+    * axis of tokenizer sizing next to Corpus.qHeapsLaw (growth says how
+    * many types exist; coverage says how few you can keep). Zipf's law
+    * makes this curve steep; the measured table replaces the guess.
+    *
+    * Scale stance (100 TB): one wordcount partial agg, then a rank
+    * window over the VOCABULARY-cardinality relation (the q_tail_index
+    * doctrine — types, never tokens), a broadcast 5-row k-spine and a
+    * broadcast 1-row total. */
+  def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = TextPipeline.words(Tables.documents(s, dir), "text")
+      .groupBy("word").agg(count(lit(1)).as("f"))
+    val tot = wc.agg(sum(col("f")).as("total_tokens"))
+    val ranked = wc.withColumn("rank",
+      row_number().over(Window.orderBy(col("f").desc, col("word"))))
+    val spine = s.range(5).select(expr("shiftleft(1L, cast(id AS int))")
+      .as("k"))
+    ranked.crossJoin(broadcast(spine))
+      .filter(col("rank") <= col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_types"), sum(col("f")).as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .withColumn("coverage_ppm",
+        when(col("total_tokens") > 0,
+          expr("covered_tokens * 1000000 div total_tokens")))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_coverage" -> (qVocabCoverage _),
     "q_distinct_ngrams" -> (qDistinctNgrams _),
     "q_lang_id_eval" -> (qLangIdEval _),
     "q_readability" -> (qReadability _),
@@ -836,6 +867,22 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same wordcount, same (f DESC, word) rank, same k-spine coverage.
+    "q_vocab_coverage" ->
+      s"""WITH wc AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS f
+         |  FROM (SELECT unnest($duckToks) AS w FROM documents) GROUP BY 1),
+         |r AS (SELECT word, f,
+         |        row_number() OVER (ORDER BY f DESC, word ASC) AS rank
+         |      FROM wc),
+         |tot AS (SELECT CAST(sum(f) AS BIGINT) AS total_tokens FROM wc),
+         |sp AS (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS k)
+         |SELECT k, CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(f) AS BIGINT) AS covered_tokens, total_tokens,
+         |  CASE WHEN total_tokens > 0
+         |       THEN CAST(sum(f) AS BIGINT) * 1000000 // total_tokens END
+         |    AS coverage_ppm
+         |FROM r, sp, tot WHERE rank <= k
+         |GROUP BY k, total_tokens ORDER BY k""".stripMargin,
     // Same two wordcount-shaped streams, same full-outer source join,
     // integer-ppm ratios.
     "q_distinct_ngrams" ->

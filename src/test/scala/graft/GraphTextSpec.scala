@@ -529,6 +529,79 @@ class GraphTextSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(6) > r.getLong(5), r.getString(0)))
   }
 
+  test("corpus pipeline capstone equals a driver-side four-stage replay") {
+    val rows = Corpus.qCorpusPipeline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // stage 1+2: scrub (same Java regexes the plan runs) and tokenize
+    val toks = docs.map { case (id, lang, text) =>
+      val clean = text
+        .replaceAll("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>")
+        .replaceAll("[0-9]{6,}", "<NUM>")
+        .replaceAll("https?://[^ ]+", "<URL>")
+      (id, lang, clean.split(" ", -1)
+        .map(_.toLowerCase.replaceAll("[^a-z]", "")).filter(_.nonEmpty))
+    }
+    // stage 2: exact-interpolation percentile gate (Spark `percentile`)
+    val sorted = toks.map(_._3.length.toLong).sorted
+    def pct(q: Double): Double = {
+      val pos = q * (sorted.length - 1)
+      val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
+    }
+    val (p10, p90) = (pct(0.1), pct(0.9))
+    val gated = toks.filter(t =>
+      t._3.length >= p10 && t._3.length <= p90)
+    // stage 3: min-id-per-fingerprint exact dedup
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val survivors = gated.groupBy(t => md5hex(t._3.mkString(" ")))
+      .values.map(_.minBy(_._1)).toSeq
+    // stage 4: h32 mod 100 split, then the final rollup
+    def h32(sv: String): Long = java.lang.Long.parseLong(
+      md5hex(sv).take(8), 16)
+    val expect = survivors.map { case (id, lang, w) =>
+      val b = h32(id.toString) % 100
+      val split = if (b < 80) "train" else if (b < 90) "val" else "test"
+      ((split, lang), w.length.toLong)
+    }.groupBy(_._1).map { case (k, xs) =>
+      k -> (xs.size.toLong, xs.map(_._2).sum) }
+    assert(rows == expect)
+    // and the pipeline must actually do work on this fixture: the gate
+    // and the dedup each remove someone
+    assert(survivors.size < gated.size || gated.size < docs.length)
+    assert(rows.values.map(_._1).sum == survivors.size.toLong)
+  }
+
+  test("vocab coverage@k equals the driver-side Zipf-ranked recompute") {
+    val rows = TextAnalysis.qVocabCoverage(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    val freq = graft.io.Tables.documents(spark, sf).select(col("text"))
+      .collect().flatMap(_.getString(0).split(" ", -1)
+        .map(_.toLowerCase.replaceAll("[^a-z]", "")).filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }.toSeq
+    val byRank = freq.sortBy { case (w, f) => (-f, w) }
+    val total = freq.map(_._2).sum
+    rows.foreach { r =>
+      val k = r.getLong(0).toInt
+      val top = byRank.take(k)
+      assert(r.getLong(1) == math.min(k, byRank.size).toLong, s"n_types@$k")
+      assert(r.getLong(2) == top.map(_._2).sum, s"covered@$k")
+      assert(r.getLong(3) == total)
+      assert(r.getLong(4) == top.map(_._2).sum * 1000000L / total)
+    }
+    // coverage is strictly monotone while k stays below the vocab size
+    rows.sliding(2).foreach { p =>
+      if (p(1).getLong(1) > p(0).getLong(1))
+        assert(p(1).getLong(4) > p(0).getLong(4), "coverage must grow with k")
+    }
+  }
+
   test("heaps-law curve: monotone, endpoint-exact, and slice-recomputable") {
     val rows = Corpus.qHeapsLaw(spark, sf).collect().sortBy(_.getLong(0))
     assert(rows.length == 10 && rows.map(_.getLong(0)).toSeq == (0L to 9L))
