@@ -1965,21 +1965,32 @@ object Analytics {
     * exploded ×B rows of (b, weight, cents) that partial-aggregate
     * map-side into B groups — shuffle traffic is B rows per task
     * regardless of data size; the rank window orders a 64-row relation. */
-  def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
-    val purch = Tables.events(s, dir)
+  /** Purchase rows as (event_id, cents) — the bootstrap population. */
+  private def purchases(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+
+  /** The shared Poisson-resample stream (b, cents, w) of [[qBootstrapCi]]
+    * and [[qBootstrapMedian]] — one weight rule, both statistics. */
+  private def poissonResamples(s: SparkSession, dir: String): DataFrame = {
     val weight = PoissonCdfPpm.zipWithIndex
       .foldRight(lit(PoissonCdfPpm.length.toLong)) { case ((thr, k), rest) =>
         when(col("u") < thr, k.toLong).otherwise(rest)
       }
-    val means = purch
+    purchases(s, dir)
       .select(col("cents"),
         explode(sequence(lit(0L), lit(BootstrapB - 1L))).as("b"),
         col("event_id"))
       .withColumn("u", TextPipeline.h32(concat(col("event_id").cast("string"),
         lit(":"), col("b").cast("string"))) % 1000000L)
       .withColumn("w", weight)
+      .select(col("b"), col("cents"), col("w"))
+  }
+
+  def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val purch = purchases(s, dir)
+    val means = poissonResamples(s, dir)
       .groupBy("b")
       .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("cents")).as("sum_cents"))
       .withColumn("mean_milli",
@@ -1998,6 +2009,50 @@ object Analytics {
       .select(when(col("rn") === 2, "ci_lo").otherwise("ci_hi").as("row_kind"),
         lit(-1L).as("b"), lit(-1L).as("n_eff"),
         lit(-1L).as("sum_cents"), col("mean_milli"))
+    resamples.unionAll(point).unionAll(ci).orderBy("row_kind", "b")
+  }
+
+  /** Poisson-bootstrap CI for the MEDIAN purchase value — the statistic
+    * with no closed-form standard error, i.e. the case the bootstrap
+    * exists for. Per resample the weighted lower median (smallest value
+    * whose doubled cumulative weight reaches the total) comes from the
+    * VALUE-RESOLUTION cumsum doctrine (q_ks_test): the window runs over
+    * distinct (resample, value) pairs, never corpus rows. Same
+    * deterministic Poisson weights as [[qBootstrapCi]]; interval =
+    * nearest-rank 2.5%/97.5% of the 64 resample medians.
+    *
+    * Scale stance: the only corpus pass is the shared resample stream,
+    * partial-aggregated map-side to B × value-resolution groups; every
+    * window downstream orders those bounded relations. */
+  def qBootstrapMedian(s: SparkSession, dir: String): DataFrame = {
+    val grouped = poissonResamples(s, dir)
+      .groupBy("b", "cents").agg(sum(col("w")).as("wv"))
+    val wCum = Window.partitionBy("b").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val meds = grouped
+      .withColumn("cw", sum(col("wv")).over(wCum))
+      .withColumn("tot", sum(col("wv")).over(Window.partitionBy("b")))
+      .filter(col("cw") * 2 >= col("tot"))
+      .groupBy("b").agg(min(col("cents")).as("median_cents"),
+        min(col("tot")).as("n_eff"))
+    val resamples = meds.select(lit("resample").as("row_kind"), col("b"),
+      col("n_eff"), col("median_cents"))
+    // point estimate: the same lower-median rule at weight 1
+    val pg = purchases(s, dir).groupBy("cents").agg(count(lit(1)).as("wv"))
+    val pCum = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val point = pg
+      .withColumn("cw", sum(col("wv")).over(pCum))
+      .crossJoin(broadcast(pg.agg(sum(col("wv")).as("tot"))))
+      .filter(col("cw") * 2 >= col("tot"))
+      .agg(min(col("cents")).as("median_cents"), min(col("tot")).as("n_eff"))
+      .select(lit("point").as("row_kind"), lit(-1L).as("b"),
+        col("n_eff"), col("median_cents"))
+    val rk = meds.withColumn("rn",
+      row_number().over(Window.orderBy(col("median_cents"), col("b"))))
+    val ci = rk.filter(col("rn") === 2 || col("rn") === BootstrapB - 1)
+      .select(when(col("rn") === 2, "ci_lo").otherwise("ci_hi").as("row_kind"),
+        lit(-1L).as("b"), lit(-1L).as("n_eff"), col("median_cents"))
     resamples.unionAll(point).unionAll(ci).orderBy("row_kind", "b")
   }
 
@@ -2034,7 +2089,83 @@ object Analytics {
       .orderBy("cut_idx", "event_type")
   }
 
+  /** Change-data-feed between two table versions — the diff twin of
+    * [[qTimeTravel]] (Delta CDF / `table_changes` semantics): reconstruct
+    * the per-user state at the ¼ and ¾ cuts of the observed range and
+    * classify every key as `added` (absent → present), `changed`
+    * (state differs) or `unchanged`, rolled up as a state-transition
+    * matrix (from_type → to_type) with before/after value mass. The
+    * audit for "what moved between the snapshot the model trained on and
+    * today's".
+    *
+    * Plan: the SAME validity-interval window as qTimeTravel feeds ONE
+    * broadcast 2-cut containment join; the two snapshots split from that
+    * result and full-outer-merge on user_id — so the whole diff costs
+    * one window pass plus one key-cardinality shuffle; the transition
+    * rollup collapses to ≤ (|types|+1)² groups map-side. */
+  def qCdcNetChanges(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        unix_micros(col("ts")).as("t"))
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val v = e.withColumn("nxt",
+      coalesce(lead(col("t"), 1).over(w), lit(Scd2HighDateUs)))
+    val cuts = e.agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+      .crossJoin(s.range(1, 4, 2).select(col("id").as("k")))
+      .select(col("k").as("cut_idx"),
+        expr("lo + (hi - lo) * k div 4").as("cut_us"))
+    val st = v.join(broadcast(cuts),
+        col("t") <= col("cut_us") && col("cut_us") < col("nxt"))
+      .select(col("cut_idx"), col("user_id"), col("event_type"), col("cents"))
+      // 2 consumers (before/after snapshots): without this the window +
+      // interval join replays per branch — 2 full event scans; the
+      // materialized relation is only 2 rows per live key
+      .localCheckpoint()
+    val before = st.filter(col("cut_idx") === 1)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        col("cents").as("cents_from"))
+    val after = st.filter(col("cut_idx") === 3)
+      .select(col("user_id"), col("event_type").as("to_type"),
+        col("cents").as("cents_to"))
+    before.join(after, Seq("user_id"), "full_outer")
+      .select(
+        when(col("from_type").isNull, "added")
+          .when(col("from_type") === col("to_type") &&
+            col("cents_from") === col("cents_to"), "unchanged")
+          .otherwise("changed").as("kind"),
+        coalesce(col("from_type"), lit("__none__")).as("from_type"),
+        // the event log never deletes a key, so to_type is always present
+        col("to_type"),
+        coalesce(col("cents_from"), lit(0L)).as("cf"),
+        col("cents_to").as("ct"))
+      .groupBy("kind", "from_type", "to_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("cf")).as("sum_cents_from"),
+        sum(col("ct")).as("sum_cents_to"))
+      .orderBy("kind", "from_type", "to_type")
+  }
+
+  /** Shared resample CTE chain of the two bootstrap oracles — ends in
+    * `p(event_id, cents)` and `w(b, cents, w)`. */
+  private lazy val bootstrapResampleCtes: String = {
+    val caseW = PoissonCdfPpm.zipWithIndex
+      .map { case (thr, k) => s"WHEN u < $thr THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${PoissonCdfPpm.length} END")
+    s"""p AS (SELECT event_id, CAST(round(value * 100) AS BIGINT)
+       |        AS cents FROM events WHERE event_type = 'purchase'),
+       |r AS (SELECT cents, event_id,
+       |        CAST(unnest(range(0, $BootstrapB)) AS BIGINT) AS b FROM p),
+       |u AS (SELECT b, cents,
+       |        ${TextPipeline.duckH32(
+                  "CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")}
+       |          % 1000000 AS u FROM r),
+       |w AS (SELECT b, cents, $caseW AS w FROM u)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_net_changes" -> (qCdcNetChanges _),
+    "q_bootstrap_median" -> (qBootstrapMedian _),
     "q_time_travel" -> (qTimeTravel _),
     "q_event_pattern" -> (qEventPattern _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
@@ -2110,6 +2241,40 @@ object Analytics {
       |FROM terms""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same intervals and cut arithmetic as q_time_travel (cuts 1 and 3),
+    // same full-outer key merge and transition classification.
+    "q_cdc_net_changes" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS cents,
+         |    epoch_us(ts) AS t FROM events),
+         |b AS (SELECT min(t) AS lo, max(t) AS hi FROM e),
+         |cuts AS (SELECT CAST(k AS BIGINT) AS cut_idx,
+         |    lo + (hi - lo) * k // 4 AS cut_us
+         |  FROM b, (SELECT unnest([1, 3]) AS k)),
+         |v AS (SELECT user_id, event_type, cents, t AS f,
+         |    coalesce(lead(t) OVER (PARTITION BY user_id
+         |      ORDER BY t, event_id), $Scd2HighDateUs) AS nxt
+         |  FROM e),
+         |st AS (SELECT cut_idx, user_id, event_type, cents
+         |       FROM cuts JOIN v ON v.f <= cut_us AND cut_us < v.nxt),
+         |bf AS (SELECT user_id, event_type AS from_type,
+         |         cents AS cents_from FROM st WHERE cut_idx = 1),
+         |af AS (SELECT user_id, event_type AS to_type,
+         |         cents AS cents_to FROM st WHERE cut_idx = 3),
+         |d AS (SELECT
+         |    CASE WHEN bf.from_type IS NULL THEN 'added'
+         |         WHEN bf.from_type = af.to_type
+         |              AND bf.cents_from = af.cents_to THEN 'unchanged'
+         |         ELSE 'changed' END AS kind,
+         |    coalesce(bf.from_type, '__none__') AS from_type,
+         |    af.to_type,
+         |    coalesce(bf.cents_from, 0) AS cf, af.cents_to AS ct
+         |  FROM bf FULL OUTER JOIN af ON bf.user_id = af.user_id)
+         |SELECT kind, from_type, to_type,
+         |  CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(sum(cf) AS BIGINT) AS sum_cents_from,
+         |  CAST(sum(ct) AS BIGINT) AS sum_cents_to
+         |FROM d GROUP BY 1, 2, 3 ORDER BY kind, from_type, to_type""".stripMargin,
     // Same validity intervals (lead over the user timeline), same
     // integer cut arithmetic, same interval-containment snapshot.
     "q_time_travel" ->
@@ -2154,19 +2319,8 @@ object Analytics {
          |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Same md5-derived uniform, same Poisson(1) CDF literals, same
     // nearest-rank percentile cut over the 64-resample relation.
-    "q_bootstrap_ci" -> {
-      val caseW = PoissonCdfPpm.zipWithIndex
-        .map { case (thr, k) => s"WHEN u < $thr THEN $k" }
-        .mkString("CASE ", " ", s" ELSE ${PoissonCdfPpm.length} END")
-      s"""WITH p AS (SELECT event_id, CAST(round(value * 100) AS BIGINT)
-         |             AS cents FROM events WHERE event_type = 'purchase'),
-         |r AS (SELECT cents, event_id,
-         |        CAST(unnest(range(0, $BootstrapB)) AS BIGINT) AS b FROM p),
-         |u AS (SELECT b, cents,
-         |        ${TextPipeline.duckH32(
-                    "CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")}
-         |          % 1000000 AS u FROM r),
-         |w AS (SELECT b, cents, $caseW AS w FROM u),
+    "q_bootstrap_ci" ->
+      s"""WITH $bootstrapResampleCtes,
          |agg AS (SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
          |          CAST(sum(w * cents) AS BIGINT) AS sum_cents
          |        FROM w GROUP BY b),
@@ -2188,8 +2342,36 @@ object Analytics {
          |  SELECT CASE WHEN rn = 2 THEN 'ci_lo' ELSE 'ci_hi' END, -1,
          |    -1, -1, mean_milli
          |  FROM rk WHERE rn IN (2, ${BootstrapB - 1})) out
-         |ORDER BY row_kind, b""".stripMargin
-    },
+         |ORDER BY row_kind, b""".stripMargin,
+    // Same resample stream, same weighted lower-median rule over the
+    // per-resample value-resolution cumsum, same nearest-rank interval.
+    "q_bootstrap_median" ->
+      s"""WITH $bootstrapResampleCtes,
+         |g AS (SELECT b, cents, CAST(sum(w) AS BIGINT) AS wv
+         |      FROM w GROUP BY b, cents),
+         |c AS (SELECT b, cents,
+         |        sum(wv) OVER (PARTITION BY b ORDER BY cents) AS cw,
+         |        sum(wv) OVER (PARTITION BY b) AS tot FROM g),
+         |meds AS (SELECT b, CAST(min(cents) AS BIGINT) AS median_cents,
+         |           CAST(min(tot) AS BIGINT) AS n_eff
+         |         FROM c WHERE cw * 2 >= tot GROUP BY b),
+         |pg AS (SELECT cents, CAST(count(*) AS BIGINT) AS wv
+         |       FROM p GROUP BY cents),
+         |pc AS (SELECT cents, sum(wv) OVER (ORDER BY cents) AS cw,
+         |         (SELECT sum(wv) FROM pg) AS tot FROM pg),
+         |pt AS (SELECT CAST(min(cents) AS BIGINT) AS median_cents,
+         |         CAST(min(tot) AS BIGINT) AS n_eff
+         |       FROM pc WHERE cw * 2 >= tot),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY median_cents, b) AS rn
+         |       FROM meds)
+         |SELECT * FROM (
+         |  SELECT 'resample' AS row_kind, b, n_eff, median_cents FROM meds
+         |  UNION ALL SELECT 'point', -1, n_eff, median_cents FROM pt
+         |  UNION ALL
+         |  SELECT CASE WHEN rn = 2 THEN 'ci_lo' ELSE 'ci_hi' END, -1, -1,
+         |    median_cents
+         |  FROM rk WHERE rn IN (2, ${BootstrapB - 1})) out
+         |ORDER BY row_kind, b""".stripMargin,
     // Same calendar-bounded pair grid; floor division spelled
     // ((a % b) + b) % b == Spark's pmod so negative dy floors identically.
     "q_theil_sen" ->

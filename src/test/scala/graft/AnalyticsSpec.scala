@@ -48,6 +48,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(perCut(1L) <= perCut(2L) && perCut(2L) <= perCut(3L))
   }
 
+  test("cdc net changes equal a two-snapshot replay and conserve the time-travel totals") {
+    val rows = Analytics.qCdcNetChanges(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long"),
+        unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val (lo, hi) = (ev.map(_._5).min, ev.map(_._5).max)
+    def stateAt(cut: Long): Map[Long, (String, Long)] =
+      ev.filter(_._5 <= cut).groupBy(_._1).map { case (u, es) =>
+        val last = es.maxBy(e => (e._5, e._2)); u -> (last._3, last._4)
+      }
+    val (s1, s2) = (stateAt(lo + (hi - lo) / 4), stateAt(lo + (hi - lo) * 3 / 4))
+    val expect = s2.toSeq.map { case (u, (t2, c2)) =>
+      s1.get(u) match {
+        case None => ("added", "__none__", t2, 0L, c2)
+        case Some((t1, c1)) if t1 == t2 && c1 == c2 =>
+          ("unchanged", t1, t2, c1, c2)
+        case Some((t1, c1)) => ("changed", t1, t2, c1, c2)
+      }
+    }.groupBy(x => (x._1, x._2, x._3)).map { case (k, xs) =>
+      k -> (xs.size.toLong, xs.map(_._4).sum, xs.map(_._5).sum) }
+    val got = rows.map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+      (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == expect)
+    // conservation vs q_time_travel: the after-side mass per to_type at
+    // cut 3 must equal the snapshot query's per-type rollup
+    val tt = Analytics.qTimeTravel(spark, sf).collect()
+      .filter(_.getLong(0) == 3L)
+      .map(r => r.getString(2) -> (r.getLong(3), r.getLong(4))).toMap
+    val byTo = rows.groupBy(_.getString(2)).view.mapValues(rs =>
+      (rs.map(_.getLong(3)).sum, rs.map(_.getLong(5)).sum))
+    byTo.foreach { case (t, v) => assert(tt(t) == v, s"to_type $t") }
+  }
+
   test("event-pattern CEP equals a driver-side automaton replay per user") {
     val rows = Analytics.qEventPattern(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -118,6 +154,49 @@ class AnalyticsSpec extends SparkSpec {
     val point = rows.find(_.getString(0) == "point").get.getLong(4)
     assert(point == purch.map(_._2).sum * 1000 / n)
     assert(lo <= point && point <= hi)
+  }
+
+  test("bootstrap median: weighted lower medians replay exactly; CI brackets the point") {
+    val rows = Analytics.qBootstrapMedian(spark, sf).collect()
+    val res = rows.filter(_.getString(0) == "resample")
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(res.size == 64)
+    val purch = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val thr = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L)
+    def h32(sv: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16)
+    def lowerMedian(weighted: Seq[(Long, Long)]): (Long, Long) = {
+      val tot = weighted.map(_._2).sum
+      var cw = 0L
+      val m = weighted.sortBy(_._1).collectFirst {
+        case (c, w) if { cw += w; cw * 2 >= tot } => c
+      }.get
+      (m, tot)
+    }
+    (0L until 64L).foreach { b =>
+      val weighted = purch.map { case (id, c) =>
+        (c, thr.count(h32(s"$id:$b") % 1000000L >= _).toLong)
+      }.filter(_._2 > 0).groupBy(_._1).toSeq
+        .map { case (c, xs) => (c, xs.map(_._2).sum) }
+      val (m, tot) = lowerMedian(weighted)
+      assert(res(b) == ((tot, m)), s"resample $b")
+    }
+    // point row is the exact lower median at weight 1
+    val point = rows.find(_.getString(0) == "point").get
+    val (pm, pn) = lowerMedian(purch.map(p => (p._2, 1L))
+      .groupBy(_._1).toSeq.map { case (c, xs) => (c, xs.size.toLong) })
+      match { case (m, t) => (m, t) }
+    assert(point.getLong(3) == pm && point.getLong(2) == pn)
+    // nearest-rank CI rows bracket the point on this fixture
+    val sortedMeds = res.toSeq.map { case (b, (_, m)) => (m, b) }.sorted.map(_._1)
+    val lo = rows.find(_.getString(0) == "ci_lo").get.getLong(3)
+    val hi = rows.find(_.getString(0) == "ci_hi").get.getLong(3)
+    assert(lo == sortedMeds(1) && hi == sortedMeds(62))
+    assert(lo <= pm && pm <= hi)
   }
 
   test("funnel stages are monotone and bounded by the user population") {
