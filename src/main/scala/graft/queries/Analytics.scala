@@ -1024,6 +1024,55 @@ object Analytics {
   def qAttribution(s: SparkSession, dir: String): DataFrame =
     attribution(Tables.events(s, dir))
 
+  /** MULTI-TOUCH linear attribution — the equal-split twin of the
+    * last-touch [[qAttribution]] (same 7-day strict lookback, same
+    * channels, same direct fallback), the other credit model every
+    * marketing warehouse reports side by side. Each conversion's cents
+    * split EXACTLY across its N qualifying touches by largest remainder
+    * (`cents div N` each, +1 cent to the first `cents mod N` touches in
+    * (t_us, touch_id) order) — integer-exact, so per-channel credit sums
+    * to total revenue to the cent, the conservation law the spec pins
+    * against q_attribution's total.
+    *
+    * Scale stance: identical single user-keyed join shuffle as
+    * q_attribution; both windows partition per conversion id (bounded by
+    * one user's touches-in-window, never corpus size); channel rollup is
+    * a ≤3-group partial agg. */
+  def qAttributionLinear(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        unix_micros(col("ts")).as("p_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val touch = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("event_id").as("touch_id"), unix_micros(col("ts")).as("t_us"))
+    val wCnt = Window.partitionBy(col("conv_id"))
+    val wRank = Window.partitionBy(col("conv_id"))
+      .orderBy(col("t_us").asc_nulls_last, col("touch_id").asc_nulls_last)
+    conv
+      .join(touch,
+        conv("user_id") === touch("user_id")
+          && col("t_us") <= col("p_us")
+          && col("t_us") > col("p_us") - AttribWindowUs,
+        "left")
+      .withColumn("n", count(col("touch_id")).over(wCnt))
+      .withColumn("rn", row_number().over(wRank))
+      .select(
+        when(col("touch_id").isNull, "direct").otherwise(col("channel"))
+          .as("channel"),
+        col("conv_id"),
+        when(col("touch_id").isNull, col("cents"))
+          .otherwise(expr("cents div n")
+            + when(col("rn") <= col("cents") % col("n"), 1L).otherwise(0L))
+          .as("attributed"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        countDistinct(col("conv_id")).as("n_conversions"),
+        sum(col("attributed")).as("attributed_cents"))
+      .orderBy("channel")
+  }
+
   /** Core of [[qAttribution]] over any (event_id, ts, user_id,
     * event_type, value) relation — exposed for AnalyticsSpec's
     * hand-built journeys (window edge, tie at the same instant,
@@ -2164,6 +2213,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution_linear" -> (qAttributionLinear _),
     "q_cdc_net_changes" -> (qCdcNetChanges _),
     "q_bootstrap_median" -> (qBootstrapMedian _),
     "q_time_travel" -> (qTimeTravel _),
@@ -2241,6 +2291,38 @@ object Analytics {
       |FROM terms""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same lookback join as q_attribution, equal split with the same
+    // largest-remainder rule over the identically ordered touches.
+    "q_attribution_linear" ->
+      s"""WITH conv AS (SELECT user_id, event_id AS conv_id,
+         |    epoch_us(ts) AS p_us,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |touch AS (SELECT user_id, event_type AS channel,
+         |    event_id AS touch_id, epoch_us(ts) AS t_us
+         |  FROM events WHERE event_type IN ('click', 'view')),
+         |j AS (SELECT c.conv_id, c.cents, t.channel, t.touch_id, t.t_us
+         |      FROM conv c LEFT JOIN touch t ON c.user_id = t.user_id
+         |        AND t.t_us <= c.p_us
+         |        AND t.t_us > c.p_us - $AttribWindowUs),
+         |x AS (SELECT *,
+         |        count(touch_id) OVER (PARTITION BY conv_id) AS n,
+         |        row_number() OVER (PARTITION BY conv_id
+         |          ORDER BY t_us ASC NULLS LAST, touch_id ASC NULLS LAST)
+         |          AS rn
+         |      FROM j),
+         |a AS (SELECT conv_id,
+         |        CASE WHEN touch_id IS NULL THEN 'direct'
+         |             ELSE channel END AS channel,
+         |        CASE WHEN touch_id IS NULL THEN cents
+         |             ELSE cents // n
+         |               + (CASE WHEN rn <= cents % n THEN 1 ELSE 0 END)
+         |        END AS attributed
+         |      FROM x)
+         |SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+         |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+         |  CAST(sum(attributed) AS BIGINT) AS attributed_cents
+         |FROM a GROUP BY channel ORDER BY channel""".stripMargin,
     // Same intervals and cut arithmetic as q_time_travel (cuts 1 and 3),
     // same full-outer key merge and transition classification.
     "q_cdc_net_changes" ->

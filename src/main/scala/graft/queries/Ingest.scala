@@ -565,7 +565,60 @@ object Ingest {
     audits.reduce(_.unionAll(_)).orderBy("fd")
   }
 
+  /** Erasure-request subject rule: user/customer keys ≡ 0 (mod 17) —
+    * a deterministic stand-in for a GDPR deletion list. */
+  private val ErasureMod = 17L
+
+  /** Right-to-be-forgotten SCOPE audit: before (or after) executing an
+    * erasure batch, report how many rows in each table still reference
+    * the requested subjects — including the 2-hop cascade
+    * (subject → orders → lineitem) that a naive per-table key scan
+    * misses. Per table: referencing rows, distinct subjects touched,
+    * table size, and the share in ppm — the blast-radius report a
+    * governance pipeline attaches to every deletion batch.
+    *
+    * Scale stance (100 TB): the subject rule is a pure PREDICATE, so the
+    * 1-hop audits are pushdown-friendly single scans with 1-row partial
+    * aggs (no join, no subject list materialized anywhere); the 2-hop
+    * lineitem audit joins against the flagged orders' (orderkey,
+    * custkey) projection — a key-width shuffle proportional to the
+    * subjects' order count, never the fact table. */
+  def qErasureAudit(s: SparkSession, dir: String): DataFrame = {
+    def hop1(table: String, df: DataFrame, key: String): DataFrame = {
+      val flagged = col(key) % ErasureMod === 0
+      df.agg(
+        sum(when(flagged, 1L).otherwise(0L)).as("rows_referencing"),
+        countDistinct(when(flagged, col(key))).as("distinct_subjects"),
+        count(lit(1)).as("total_rows"))
+        .select(lit(table).as("table"),
+          coalesce(col("rows_referencing"), lit(0L)).as("rows_referencing"),
+          col("distinct_subjects"), col("total_rows"),
+          when(col("total_rows") > 0,
+            expr("rows_referencing * 1000000 div total_rows"))
+            .as("share_ppm"))
+    }
+    val events = hop1("events", Tables.events(s, dir), "user_id")
+    val customer = hop1("customer", Tables.customer(s, dir), "c_custkey")
+    val orders = hop1("orders", Tables.orders(s, dir), "o_custkey")
+    val flaggedOrders = Tables.orders(s, dir)
+      .filter(col("o_custkey") % ErasureMod === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val liRef = Tables.lineitem(s, dir)
+      .join(flaggedOrders, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("rows_referencing"),
+        countDistinct(col("o_custkey")).as("distinct_subjects"))
+    val lineitem = liRef
+      .crossJoin(Tables.lineitem(s, dir).agg(count(lit(1)).as("total_rows")))
+      .select(lit("lineitem").as("table"), col("rows_referencing"),
+        col("distinct_subjects"), col("total_rows"),
+        when(col("total_rows") > 0,
+          expr("rows_referencing * 1000000 div total_rows")).as("share_ppm"))
+    events.unionAll(customer).unionAll(orders).unionAll(lineitem)
+      .orderBy("table")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_erasure_audit" -> (qErasureAudit _),
     "q_ref_integrity" -> (qRefIntegrity _),
     "q_fd_audit" -> (qFdAudit _),
     "q_dpp_prune" -> (qDppPrune _),
@@ -640,6 +693,41 @@ object Ingest {
        |      GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same mod-17 subject predicate per table, same 2-hop cascade join.
+    "q_erasure_audit" ->
+      s"""WITH ev AS (SELECT 'events' AS "table",
+         |    CAST(sum(CASE WHEN user_id % 17 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS rows_referencing,
+         |    CAST(count(DISTINCT CASE WHEN user_id % 17 = 0
+         |      THEN user_id END) AS BIGINT) AS distinct_subjects,
+         |    CAST(count(*) AS BIGINT) AS total_rows FROM events),
+         |cu AS (SELECT 'customer',
+         |    CAST(sum(CASE WHEN c_custkey % 17 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT),
+         |    CAST(count(DISTINCT CASE WHEN c_custkey % 17 = 0
+         |      THEN c_custkey END) AS BIGINT),
+         |    CAST(count(*) AS BIGINT) FROM customer),
+         |od AS (SELECT 'orders',
+         |    CAST(sum(CASE WHEN o_custkey % 17 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT),
+         |    CAST(count(DISTINCT CASE WHEN o_custkey % 17 = 0
+         |      THEN o_custkey END) AS BIGINT),
+         |    CAST(count(*) AS BIGINT) FROM orders),
+         |li AS (SELECT 'lineitem',
+         |    CAST((SELECT count(*) FROM lineitem l
+         |          JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |          WHERE o.o_custkey % 17 = 0) AS BIGINT),
+         |    CAST((SELECT count(DISTINCT o.o_custkey) FROM lineitem l
+         |          JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |          WHERE o.o_custkey % 17 = 0) AS BIGINT),
+         |    CAST((SELECT count(*) FROM lineitem) AS BIGINT)),
+         |u AS (SELECT * FROM ev UNION ALL SELECT * FROM cu
+         |      UNION ALL SELECT * FROM od UNION ALL SELECT * FROM li)
+         |SELECT "table", rows_referencing, distinct_subjects, total_rows,
+         |  CASE WHEN total_rows > 0
+         |       THEN rows_referencing * 1000000 // total_rows END
+         |    AS share_ppm
+         |FROM u ORDER BY "table"""".stripMargin,
     // Same FULL OUTER distinct-key merge per FK edge, built from the
     // SAME FkEdges list the Spark side unions over.
     "q_ref_integrity" ->

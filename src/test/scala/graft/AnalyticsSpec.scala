@@ -14,6 +14,42 @@ class AnalyticsSpec extends SparkSpec {
   private def totalUsers: Long =
     Tables.events(spark, sf).select(col("user_id")).distinct().count()
 
+  test("linear attribution: exact split replay; credit conserves revenue to the cent") {
+    val rows = Analytics.qAttributionLinear(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long"), unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val touches = ev.filter(e => e._3 == "click" || e._3 == "view")
+    val W = 7L * 86400000000L
+    val credits = ev.filter(_._3 == "purchase").flatMap {
+      case (convId, u, _, cents, p) =>
+        val qual = touches.filter(t => t._2 == u && t._5 <= p &&
+          t._5 > p - W).sortBy(t => (t._5, t._1))
+        if (qual.isEmpty) Seq(("direct", convId, cents))
+        else {
+          val n = qual.length
+          qual.zipWithIndex.toSeq.map { case (t, i) =>
+            (t._3, convId, cents / n + (if (i < cents % n) 1L else 0L)) }
+        }
+    }
+    val expect = credits.groupBy(_._1).map { case (ch, xs) =>
+      ch -> (xs.length.toLong, xs.map(_._2).distinct.length.toLong,
+        xs.map(_._3).sum) }
+    assert(rows == expect)
+    // conservation to the cent: split credit sums to total purchase value,
+    // which is also what last-touch attribution hands out
+    val totalCents = ev.filter(_._3 == "purchase").map(_._4).sum
+    assert(rows.values.map(_._3).sum == totalCents)
+    val lastTouch = Analytics.qAttribution(spark, sf).collect()
+      .map(_.getLong(2)).sum
+    assert(lastTouch == totalCents)
+  }
+
   test("time travel: each snapshot equals a latest-event-as-of replay; users conserved") {
     val rows = Analytics.qTimeTravel(spark, sf).collect()
     val ev = Tables.events(spark, sf)

@@ -261,4 +261,38 @@ class IngestSpec extends SparkSpec {
     rows.foreach { r =>
       assert(r.getLong(5) == r.getLong(2) * 1000000L / r.getLong(1)) }
   }
+
+  test("erasure audit equals a driver-side cascade replay across all four tables") {
+    val rows = graft.queries.Ingest.qErasureAudit(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set("events", "customer", "orders", "lineitem"))
+    import org.apache.spark.sql.functions._
+    val ev = graft.io.Tables.events(spark, sf)
+      .select(col("user_id")).collect().map(_.getLong(0))
+    val cu = graft.io.Tables.customer(spark, sf)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val od = graft.io.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val li = graft.io.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey")).collect().map(_.getLong(0))
+    def audit(keys: Seq[Long]): (Long, Long, Long) = {
+      val f = keys.filter(_ % 17 == 0)
+      (f.length.toLong, f.distinct.length.toLong, keys.length.toLong)
+    }
+    for ((name, keys) <- Seq("events" -> ev.toSeq, "customer" -> cu.toSeq,
+      "orders" -> od.map(_._2).toSeq)) {
+      val (n, d, t) = audit(keys)
+      assert(rows(name) == ((n, d, t, n * 1000000L / t)), name)
+    }
+    // 2-hop cascade: lineitems of flagged customers' orders
+    val flagged = od.filter(_._2 % 17 == 0).toMap
+    val hits = li.filter(flagged.contains)
+    val subj = hits.map(flagged).distinct.length.toLong
+    assert(rows("lineitem") == ((hits.length.toLong, subj,
+      li.length.toLong, hits.length * 1000000L / li.length)))
+    // cascade can never touch more subjects than the order table shows
+    assert(rows("lineitem")._2 <= rows("orders")._2)
+  }
 }
