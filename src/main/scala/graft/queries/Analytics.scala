@@ -2052,8 +2052,12 @@ object Analytics {
         col("n_eff"), col("sum_cents"),
         when(col("n_eff") > 0, expr("sum_cents * 1000 div n_eff"))
           .as("mean_milli"))
+    // asc_nulls_last: Spark defaults NULLS FIRST, DuckDB's plain ORDER BY
+    // defaults NULLS LAST — a degenerate n_eff = 0 resample (null mean)
+    // would otherwise rank first here and last in the oracle
     val rk = means.withColumn("rn",
-      row_number().over(Window.orderBy(col("mean_milli"), col("b"))))
+      row_number().over(Window.orderBy(
+        col("mean_milli").asc_nulls_last, col("b"))))
     val ci = rk.filter(col("rn") === 2 || col("rn") === BootstrapB - 1)
       .select(when(col("rn") === 2, "ci_lo").otherwise("ci_hi").as("row_kind"),
         lit(-1L).as("b"), lit(-1L).as("n_eff"),
@@ -2184,10 +2188,13 @@ object Analytics {
             col("cents_from") === col("cents_to"), "unchanged")
           .otherwise("changed").as("kind"),
         coalesce(col("from_type"), lit("__none__")).as("from_type"),
-        // the event log never deletes a key, so to_type is always present
-        col("to_type"),
+        // the event log never deletes a key (cut1 <= cut3 makes before-keys
+        // a subset of after-keys), so '__gone__' is unreachable TODAY — the
+        // guard keeps a future feed-semantics change (key deletion) from
+        // silently producing null-group 'changed' rows
+        coalesce(col("to_type"), lit("__gone__")).as("to_type"),
         coalesce(col("cents_from"), lit(0L)).as("cf"),
-        col("cents_to").as("ct"))
+        coalesce(col("cents_to"), lit(0L)).as("ct"))
       .groupBy("kind", "from_type", "to_type")
       .agg(count(lit(1)).as("n_users"),
         sum(col("cf")).as("sum_cents_from"),
@@ -2349,8 +2356,8 @@ object Analytics {
          |              AND bf.cents_from = af.cents_to THEN 'unchanged'
          |         ELSE 'changed' END AS kind,
          |    coalesce(bf.from_type, '__none__') AS from_type,
-         |    af.to_type,
-         |    coalesce(bf.cents_from, 0) AS cf, af.cents_to AS ct
+         |    coalesce(af.to_type, '__gone__') AS to_type,
+         |    coalesce(bf.cents_from, 0) AS cf, coalesce(af.cents_to, 0) AS ct
          |  FROM bf FULL OUTER JOIN af ON bf.user_id = af.user_id)
          |SELECT kind, from_type, to_type,
          |  CAST(count(*) AS BIGINT) AS n_users,
@@ -2409,7 +2416,8 @@ object Analytics {
          |m AS (SELECT b, n_eff, sum_cents,
          |        CASE WHEN n_eff > 0 THEN sum_cents * 1000 // n_eff END
          |          AS mean_milli FROM agg),
-         |rk AS (SELECT *, row_number() OVER (ORDER BY mean_milli, b) AS rn
+         |rk AS (SELECT *, row_number()
+         |         OVER (ORDER BY mean_milli NULLS LAST, b) AS rn
          |       FROM m)
          |SELECT * FROM (
          |  SELECT 'resample' AS row_kind, b, n_eff, sum_cents, mean_milli

@@ -196,9 +196,13 @@ object Windows {
       }
   }
 
-  /** A funnel-relevant event (the q_window_funnel input shape). */
+  /** A funnel-relevant event (the q_window_funnel input shape).
+    * `event_id` makes replay order total and dedup exact: the batch twins
+    * order by (t_us, event_id), so two distinct same-type events in one
+    * microsecond stay distinct here too, and same-timestamp ties across
+    * types break by id — not by an arbitrary type code. */
   case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
-                         event_type: String)
+                         event_type: String, event_id: Long)
   /** A user's current funnel position; absent stages read −1. */
   case class FunnelSnap(user_id: Long, stage: Int, t1: Long, t2: Long,
                         t3: Long)
@@ -221,20 +225,22 @@ object Windows {
     val W = graft.queries.Relational.FunnelWindowUs
     val code = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[Seq[(Long, Int)], FunnelSnap](
+      .mapGroupsWithState[Seq[(Long, Long, Int)], FunnelSnap](
         GroupStateTimeout.NoTimeout()) {
         (uid: Long, batch: Iterator[FunnelEvent],
-         state: GroupState[Seq[(Long, Int)]]) =>
+         state: GroupState[Seq[(Long, Long, Int)]]) =>
+          // buffer rows are (t_us, event_id, code): dedup on the event id —
+          // redelivery collapses, two distinct same-µs events do NOT
           val buf = (state.getOption.getOrElse(Seq.empty) ++
             batch.flatMap(e =>
-              code.get(e.event_type).map(c => (tsMicros(e.ts), c))))
+              code.get(e.event_type).map(c => (tsMicros(e.ts), e.event_id, c))))
             .distinct.sorted
           state.update(buf)
-          val t1 = buf.collectFirst { case (t, 1) => t }
+          val t1 = buf.collectFirst { case (t, _, 1) => t }
           val t2 = t1.flatMap(a =>
-            buf.collectFirst { case (t, 2) if t > a && t <= a + W => t })
+            buf.collectFirst { case (t, _, 2) if t > a && t <= a + W => t })
           val t3 = t2.flatMap(b =>
-            buf.collectFirst { case (t, 3) if t > b && t <= t1.get + W => t })
+            buf.collectFirst { case (t, _, 3) if t > b && t <= t1.get + W => t })
           val stage =
             if (t3.isDefined) 3 else if (t2.isDefined) 2
             else if (t1.isDefined) 1 else 0
@@ -247,43 +253,87 @@ object Windows {
   case class PatternSnap(user_id: Long, n_purchases: Long, n_matched: Long,
                          first_match_us: Long)
 
+  /** [[patternStream]] state: the automaton's fold over the FROZEN prefix
+    * (counts + last view/error timestamps) plus the still-mutable
+    * `pending` suffix of (t_us, event_id, code) rows. */
+  case class PatternState(n_purchases: Long, n_matched: Long,
+                          first_match_us: Long, last_v: Long, last_e: Long,
+                          pending: Seq[(Long, Long, Int)])
+
+  /** The CEP automaton of `Analytics.qEventPattern` as a left fold:
+    * events MUST arrive sorted by (t_us, event_id) — the batch twin's
+    * window order. Returns the summary after consuming `es`. */
+  private def foldPattern(s0: PatternState, es: Seq[(Long, Long, Int)],
+                          w: Long): PatternState = {
+    var lastV = s0.last_v; var lastE = s0.last_e
+    var nP = s0.n_purchases; var nM = s0.n_matched
+    var firstM = s0.first_match_us
+    es.foreach { case (t, _, c) =>
+      if (c == 3) {
+        nP += 1
+        if (lastV >= 0 && lastE < lastV && t - lastV <= w) {
+          nM += 1; if (firstM < 0) firstM = t
+        }
+      }
+      if (c == 1) lastV = t
+      if (c == 2) lastE = t
+    }
+    PatternState(nP, nM, firstM, lastV, lastE, Seq.empty)
+  }
+
   /** STREAMING twin of `Analytics.qEventPattern` — the CEP automaton
     * (`view (anything but error)* purchase` within the hour, AFTER MATCH
-    * SKIP TO NEXT ROW) evaluated online. State per user is the ordered
-    * (t_us, code) event history; every batch REPLAYS the automaton over
-    * the sorted history, so the snapshot is arrival-order-independent —
-    * a late error that lands between an already-matched view→purchase
-    * pair DEMOTES the match on the next snapshot, and a late view can
-    * create one. An O(1) running-state machine (just last_v/last_e
-    * carried forward) gets both late cases wrong; `.distinct` keeps
-    * at-least-once redelivery idempotent, as in [[funnelStream]]. */
+    * SKIP TO NEXT ROW) evaluated online. The mutable state is the user's
+    * pending (t_us, event_id, code) suffix, REPLAYED sorted by
+    * (t_us, event_id) — the batch twin's exact window order — per batch,
+    * so the snapshot is arrival-order-independent: a late error landing
+    * between an already-matched view→purchase pair DEMOTES the match on
+    * the next snapshot, and a late view can create one. Dedup is on the
+    * event id (`.distinct` over (t, id, code)), so at-least-once
+    * redelivery is idempotent while two distinct same-type events in the
+    * same microsecond both count — exactly the batch semantics.
+    *
+    * State is BOUNDED when the input carries an event-time watermark:
+    * every event at t ≤ watermark − W is folded into the frozen
+    * [[PatternState]] summary (fold composition is exact — replay(all) ≡
+    * fold(prefix) then replay(suffix)), and only the trailing window
+    * stays materialized. Safe because Spark drops input older than the
+    * watermark before this operator, so nothing can ever land inside the
+    * frozen prefix; an event at t > watermark − W can still interact with
+    * future purchases (t − lastV ≤ W), so it stays pending. Without a
+    * watermark (`getCurrentWatermarkMs` = 0) no pruning happens and the
+    * full-history replay contract holds verbatim. */
   def patternStream(events: Dataset[FunnelEvent]): Dataset[PatternSnap] = {
     import events.sparkSession.implicits._
     val W = graft.queries.Analytics.PatternWindowUs
     val code = Map("view" -> 1, "error" -> 2, "purchase" -> 3)
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[Seq[(Long, Int)], PatternSnap](
+      .mapGroupsWithState[PatternState, PatternSnap](
         GroupStateTimeout.NoTimeout()) {
         (uid: Long, batch: Iterator[FunnelEvent],
-         state: GroupState[Seq[(Long, Int)]]) =>
-          val buf = (state.getOption.getOrElse(Seq.empty) ++
+         state: GroupState[PatternState]) =>
+          val prev = state.getOption
+            .getOrElse(PatternState(0L, 0L, -1L, -1L, -1L, Seq.empty))
+          // getCurrentWatermarkMs THROWS (not 0) when the input stream has
+          // no watermark — that's the full-replay mode
+          val wmUs = try state.getCurrentWatermarkMs() * 1000L
+            catch { case _: UnsupportedOperationException => 0L }
+          val cutoff = if (wmUs > 0L) wmUs - W else Long.MinValue
+          // drop stragglers already inside the frozen prefix ourselves:
+          // they are older than the watermark (cutoff = wm − W < wm), so
+          // discarding them is the declared watermark contract — and Spark
+          // only pre-filters late rows under EventTimeTimeout
+          val pending = (prev.pending ++
             batch.flatMap(e =>
-              code.get(e.event_type).map(c => (tsMicros(e.ts), c))))
+              code.get(e.event_type).map(c => (tsMicros(e.ts), e.event_id, c)))
+              .filter(_._1 > cutoff))
             .distinct.sorted
-          state.update(buf)
-          var lastV = -1L; var lastE = -1L
-          var nP = 0L; var nM = 0L; var firstM = -1L
-          buf.foreach { case (t, c) =>
-            if (c == 3) {
-              nP += 1
-              if (lastV >= 0 && lastE < lastV && t - lastV <= W) {
-                nM += 1; if (firstM < 0) firstM = t
-              }
-            }
-            if (c == 1) lastV = t
-            if (c == 2) lastE = t
-          }
-          PatternSnap(uid, nP, nM, firstM)
+          val (prefix, suffix) = pending.partition(_._1 <= cutoff)
+          val frozen = foldPattern(prev, prefix, W)
+          state.update(frozen.copy(pending = suffix))
+          val snap = foldPattern(frozen, suffix, W)
+          PatternSnap(uid, snap.n_purchases, snap.n_matched,
+            snap.first_match_us)
       }
   }
 

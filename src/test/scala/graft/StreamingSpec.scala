@@ -178,12 +178,13 @@ class StreamingSpec extends SparkSpec {
     // batch 1 delivers u1's chain REVERSED (purchase, click, view) plus
     // u2 (click before view) and u3 (click at +25 h, outside 24 h)
     mem.addData(Seq(
-      FunnelEvent(1L, at(20), "purchase"), FunnelEvent(1L, at(10), "click"),
-      FunnelEvent(1L, at(0), "view"),
-      FunnelEvent(2L, at(1), "click"), FunnelEvent(2L, at(2), "view"),
-      FunnelEvent(3L, at(0), "view"), FunnelEvent(3L, at(25), "click"),
+      FunnelEvent(1L, at(20), "purchase", 103L),
+      FunnelEvent(1L, at(10), "click", 102L),
+      FunnelEvent(1L, at(0), "view", 101L),
+      FunnelEvent(2L, at(1), "click", 201L), FunnelEvent(2L, at(2), "view", 202L),
+      FunnelEvent(3L, at(0), "view", 301L), FunnelEvent(3L, at(25), "click", 302L),
       // u4: view at 20 h, click at 30 h — qualifies against THIS anchor
-      FunnelEvent(4L, at(20), "view"), FunnelEvent(4L, at(30), "click")))
+      FunnelEvent(4L, at(20), "view", 401L), FunnelEvent(4L, at(30), "click", 402L)))
     q.processAllAvailable()
     def snaps() = spark.table("t_funnel").collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3)))
@@ -194,7 +195,7 @@ class StreamingSpec extends SparkSpec {
     assert(s1(4L)._1 == 2, s"u4 qualifies against the 20 h anchor: $s1")
     // batch 2: a LATE, EARLIER view for u4 re-anchors the window at 0 h —
     // the 30 h click now falls OUTSIDE (0, 24] and the stage must DROP
-    mem.addData(Seq(FunnelEvent(4L, at(0), "view")))
+    mem.addData(Seq(FunnelEvent(4L, at(0), "view", 403L)))
     q.processAllAvailable()
     val s2 = snaps()
     q.stop()
@@ -218,11 +219,11 @@ class StreamingSpec extends SparkSpec {
     // u3: view at 0, purchase at 70 min — outside the 1 h window;
     // u4: purchase with no view at all
     mem.addData(Seq(
-      FunnelEvent(1L, at(30), "purchase"), FunnelEvent(1L, at(0), "view"),
-      FunnelEvent(2L, at(0), "view"), FunnelEvent(2L, at(10), "error"),
-      FunnelEvent(2L, at(20), "purchase"),
-      FunnelEvent(3L, at(0), "view"), FunnelEvent(3L, at(70), "purchase"),
-      FunnelEvent(4L, at(5), "purchase")))
+      FunnelEvent(1L, at(30), "purchase", 102L), FunnelEvent(1L, at(0), "view", 101L),
+      FunnelEvent(2L, at(0), "view", 201L), FunnelEvent(2L, at(10), "error", 202L),
+      FunnelEvent(2L, at(20), "purchase", 203L),
+      FunnelEvent(3L, at(0), "view", 301L), FunnelEvent(3L, at(70), "purchase", 302L),
+      FunnelEvent(4L, at(5), "purchase", 401L)))
     q.processAllAvailable()
     def snaps() = spark.table("t_cep").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -234,12 +235,12 @@ class StreamingSpec extends SparkSpec {
     assert(s1(4L) == ((1L, 0L, -1L)), s"u4 has no anchoring view: $s1")
     // late DEMOTION: an error at 15 min lands between u1's view and
     // purchase — the replayed automaton must withdraw the match
-    mem.addData(Seq(FunnelEvent(1L, at(15), "error")))
+    mem.addData(Seq(FunnelEvent(1L, at(15), "error", 103L)))
     q.processAllAvailable()
     assert(snaps()(1L) == ((1L, 0L, -1L)), "late error must demote u1")
     // late CREATION: a view at 15 min for u2 arrives AFTER its error —
     // the purchase at 20 min now has an un-errored anchor and matches
-    mem.addData(Seq(FunnelEvent(2L, at(15), "view")))
+    mem.addData(Seq(FunnelEvent(2L, at(15), "view", 204L)))
     q.processAllAvailable()
     assert(snaps()(2L) == ((1L, 1L, us(20))), "late view must create u2's match")
     // cross-check the final state against the batch window spelling on
@@ -267,6 +268,74 @@ class StreamingSpec extends SparkSpec {
     val fin = snaps()
     q.stop()
     expect.foreach { case (u, t) => assert(fin(u) == t, s"user $u") }
+  }
+
+  test("streaming CEP pattern: same-microsecond events keep batch-twin id order and distinct duplicates both count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Windows.FunnelEvent
+    val M = 60L * 1000L
+    def at(m: Long) = new Timestamp(1700000000000L + m * M)
+    def us(m: Long) = at(m).getTime * 1000L
+    val mem = MemoryStream[FunnelEvent]
+    val q = Windows.patternStream(mem.toDS()).writeStream.format("memory")
+      .queryName("t_cep_ties").outputMode(OutputMode.Update()).start()
+    mem.addData(Seq(
+      // u1: view and purchase in the SAME microsecond — event_id order
+      // (view id 1 < purchase id 2) makes the view "1 PRECEDING", so the
+      // purchase matches, exactly as qEventPattern's (t_us, event_id) sort
+      FunnelEvent(1L, at(0), "view", 1L), FunnelEvent(1L, at(0), "purchase", 2L),
+      // u2: the REVERSED id order — purchase sorts before its view → no match
+      FunnelEvent(2L, at(0), "view", 12L), FunnelEvent(2L, at(0), "purchase", 11L),
+      // u3: two DISTINCT purchases in one microsecond — both must count
+      // (the old (t, code) state collapsed them into one)
+      FunnelEvent(3L, at(0), "view", 21L),
+      FunnelEvent(3L, at(5), "purchase", 22L),
+      FunnelEvent(3L, at(5), "purchase", 23L),
+      // u3 redelivery of event 22 — idempotent, must NOT triple-count
+      FunnelEvent(3L, at(5), "purchase", 22L)))
+    q.processAllAvailable()
+    val fin = spark.table("t_cep_ties").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.last._2).toMap
+    q.stop()
+    assert(fin(1L) == ((1L, 1L, us(0))), s"same-µs view<purchase by id: $fin")
+    assert(fin(2L) == ((1L, 0L, -1L)), s"purchase before its same-µs view: $fin")
+    assert(fin(3L) == ((2L, 2L, us(5))),
+      s"distinct same-µs purchases both count once each: $fin")
+  }
+
+  test("streaming CEP pattern: watermark prunes history by exact prefix folding") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Windows.FunnelEvent
+    val M = 60L * 1000L
+    def at(m: Long) = new Timestamp(1700000000000L + m * M)
+    def us(m: Long) = at(m).getTime * 1000L
+    val mem = MemoryStream[FunnelEvent]
+    // 0-second watermark: after each batch the watermark is that batch's
+    // max event time, so the 1 h cutoff advances past batch 1's events by
+    // batch 3 and they are folded into the frozen summary
+    val q = Windows.patternStream(
+        mem.toDS().withWatermark("ts", "0 seconds").as[FunnelEvent])
+      .writeStream.format("memory").queryName("t_cep_wm")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(Seq(FunnelEvent(1L, at(0), "view", 1L),
+      FunnelEvent(1L, at(30), "purchase", 2L))) // match #1
+    q.processAllAvailable()
+    mem.addData(Seq(FunnelEvent(1L, at(300), "view", 3L)))
+    q.processAllAvailable()
+    // during this batch the watermark is 300 min → cutoff 240 min: the
+    // first pair is now FROZEN state, not pending history — the final
+    // counts can only be right if the prefix fold preserved them
+    mem.addData(Seq(FunnelEvent(1L, at(320), "purchase", 4L))) // match #2
+    q.processAllAvailable()
+    val fin = spark.table("t_cep_wm").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.last._2).toMap
+    q.stop()
+    assert(fin(1L) == ((2L, 2L, us(30))),
+      s"frozen-prefix counts must survive pruning: $fin")
   }
 
   test("the reference's flagship as a stream: incremental word count == batch") {
