@@ -156,6 +156,31 @@ object Dedup {
     * the est ≥ 0.5 operating point q_dedup_minhash ships. */
   private val EvalT = 0.5
 
+  /** Doc-space sampling modulus for the eval tier ([[qDedupEval]] /
+    * [[qDedupOperatingCurve]]): both the exact-truth postings join AND
+    * the banded candidate generator restrict to documents with
+    * pmod(h32(doc_id), M) == 0 BEFORE any pair is formed — the in-plan
+    * spelling of the "run the exact truth on a sampled slice at 100 TB"
+    * contract (evaluation is legitimately quadratic in shared-shingle
+    * postings — Σ df² — and the doc-space sample bounds it by ~1/M²;
+    * precision/recall are ratio statistics, so a uniform pair subsample
+    * estimates them unbiasedly). The hash is the h32 both engines already
+    * share, so Spark and DuckDB measure the SAME sampled sub-corpus.
+    * Default 1 = non-binding (every document passes; CORRECTNESS stays
+    * hash-exact on the full fixture); GRAFT_EVAL_SAMPLE_MOD overrides for
+    * scale measurements, and DedupSimilaritySpec pins sampled ≈ full at
+    * fixture scale via the injectable impls. */
+  private[graft] val EvalSampleMod: Long =
+    sys.env.get("GRAFT_EVAL_SAMPLE_MOD").map(_.toLong).getOrElse(1L)
+
+  /** The eval-tier doc-space sample predicate (Spark side). */
+  private def evalSampled(mod: Long): Column =
+    pmod(h32(col("doc_id").cast("string")), lit(mod)) === 0L
+
+  /** DuckDB spelling of [[evalSampled]] over an id expression. */
+  private def duckEvalSampled(mod: Long, idExpr: String): String =
+    s"${duckH32(s"CAST($idExpr AS VARCHAR)")} % $mod = 0"
+
   /** Dedup-quality dashboard: precision/recall of the MinHash-LSH
     * candidate generator against EXACT shingle-Jaccard ground truth at
     * the same 0.5 threshold — the quantified answer to "what does the
@@ -173,10 +198,22 @@ object Dedup {
     * Scale stance: truth reuses the postings-join shape (8-byte hashes
     * shuffle, Σ df² bounded as in q_ngram_jaccard); candidates reuse
     * the banded bucket join; the confusion merge is pair-cardinality.
-    * The quadratic truth side is the price of EVALUATION, run on a
-    * sampled slice at 100 TB (the q_dedup_semantic subset doctrine). */
-  def qDedupEval(s: SparkSession, dir: String): DataFrame = {
+    * The quadratic truth side is the price of EVALUATION, and the
+    * sampled-slice contract is IN THE PLAN: both the truth postings and
+    * the candidate bands build only on the [[EvalSampleMod]]-sampled
+    * document slice (the predicate sits directly on the scan, before any
+    * join), so at 100 TB the evaluation runs on 1/M of the corpus and
+    * ~1/M² of the pair work while the production q_dedup_minhash path
+    * stays full. */
+  def qDedupEval(s: SparkSession, dir: String): DataFrame =
+    qDedupEvalImpl(s, dir, EvalSampleMod)
+
+  /** [[qDedupEval]] core with the sample modulus injectable so
+    * DedupSimilaritySpec can pin sampled (M>1) ≈ full (M=1) metrics. */
+  private[graft] def qDedupEvalImpl(s: SparkSession, dir: String,
+      mod: Long): DataFrame = {
     val shd = Tables.documents(s, dir)
+      .filter(evalSampled(mod))
       .select(col("doc_id"), toks.as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
@@ -194,7 +231,8 @@ object Dedup {
       .filter(col("inter").cast("double")
         / (col("a_n") + col("b_n") - col("inter")) >= EvalT)
       .select(col("a_id"), col("b_id"))
-    val bands = sigsOf(s, dir).select(col("doc_id"),
+    val bands = sigsOf(s, dir).filter(evalSampled(mod))
+      .select(col("doc_id"),
         explode(sequence(lit(0), lit(Bands - 1))).as("band_id"), col("sig"))
       .select(col("doc_id"), col("band_id"),
         md5(concat_ws(",", transform(
@@ -239,12 +277,21 @@ object Dedup {
     * shingles (pure band-collision noise).
     *
     * Scale stance (100 TB): truth = the postings self-join (Σ df²
-    * bounded, the declared evaluation cost — run on a sampled slice at
-    * scale, the q_dedup_semantic subset doctrine); candidates = the same
-    * banded bucket join q_dedup_minhash ships; the full-outer merge
-    * shuffles pair keys once and collapses to ≤11 rows map-side. */
-  def qDedupOperatingCurve(s: SparkSession, dir: String): DataFrame = {
+    * bounded — the declared evaluation cost), and the sampled-slice
+    * contract is IN THE PLAN: both truth and candidates build only on
+    * the [[EvalSampleMod]]-sampled document slice, so the curve is
+    * measured on 1/M of the corpus (~1/M² of the pair work) while the
+    * production generator stays full; the full-outer merge shuffles
+    * pair keys once and collapses to ≤11 rows map-side. */
+  def qDedupOperatingCurve(s: SparkSession, dir: String): DataFrame =
+    qDedupOperatingCurveImpl(s, dir, EvalSampleMod)
+
+  /** [[qDedupOperatingCurve]] core with the sample modulus injectable
+    * (spec pins sampled ≈ full, mirroring [[qDedupEvalImpl]]). */
+  private[graft] def qDedupOperatingCurveImpl(s: SparkSession, dir: String,
+      mod: Long): DataFrame = {
     val shd = Tables.documents(s, dir)
+      .filter(evalSampled(mod))
       .select(col("doc_id"), toks.as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
@@ -263,7 +310,8 @@ object Dedup {
         least(floor(col("inter").cast("double")
           / (col("a_n") + col("b_n") - col("inter")) * 10), lit(9.0))
           .cast("long").as("j_band"))
-    val bands = sigsOf(s, dir).select(col("doc_id"),
+    val bands = sigsOf(s, dir).filter(evalSampled(mod))
+      .select(col("doc_id"),
         explode(sequence(lit(0), lit(Bands - 1))).as("band_id"), col("sig"))
       .select(col("doc_id"), col("band_id"),
         md5(concat_ws(",", transform(
@@ -1024,10 +1072,13 @@ object Dedup {
     // shingle truth; confusion counts via SEMI/ANTI joins.
     "q_dedup_eval" ->
       s"""WITH $minhashCandCte,
-         |cp AS (SELECT a_id, b_id FROM cand),
+         |cp AS (SELECT a_id, b_id FROM cand
+         |       WHERE ${duckEvalSampled(EvalSampleMod, "a_id")}
+         |         AND ${duckEvalSampled(EvalSampleMod, "b_id")}),
          |hh AS (SELECT doc_id,
          |    list_distinct(list_transform(sh, s -> ${duckH32("s")})) AS h
-         |  FROM shing WHERE len(sh) > 0),
+         |  FROM shing WHERE len(sh) > 0
+         |    AND ${duckEvalSampled(EvalSampleMod, "doc_id")}),
          |truth AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM hh a JOIN hh b ON a.doc_id < b.doc_id
@@ -1049,10 +1100,13 @@ object Dedup {
     // binned by exact-jaccard decile; -1 collects zero-overlap collisions.
     "q_dedup_operating_curve" ->
       s"""WITH $minhashCandCte,
-         |cp AS (SELECT a_id, b_id FROM cand),
+         |cp AS (SELECT a_id, b_id FROM cand
+         |       WHERE ${duckEvalSampled(EvalSampleMod, "a_id")}
+         |         AND ${duckEvalSampled(EvalSampleMod, "b_id")}),
          |hh AS (SELECT doc_id,
          |    list_distinct(list_transform(sh, s -> ${duckH32("s")})) AS h
-         |  FROM shing WHERE len(sh) > 0),
+         |  FROM shing WHERE len(sh) > 0
+         |    AND ${duckEvalSampled(EvalSampleMod, "doc_id")}),
          |truth AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |    least(CAST(floor(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE)
