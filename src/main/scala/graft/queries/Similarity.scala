@@ -397,10 +397,39 @@ object Similarity {
     qAnnPqImpl(s, dir, PqTrainMin)
 
   /** The PQ build shared by [[qAnnPq]] and [[qAnnIvfPq]]: `raw` vectors,
-    * the `e` normalized store, the 16 B/vec `codes` table and the
-    * per-query flattened dense distance tables `dtab`. */
+    * the `e` normalized store, the 16 B/vec `codes` table, the `cb`
+    * trained codebook (persisted by [[qAnnPersisted]]'s build step) and
+    * the per-query flattened dense distance tables `dtab`. */
   private case class PqIndex(raw: DataFrame, e: DataFrame,
-      codes: DataFrame, dtab: DataFrame)
+      codes: DataFrame, cb: DataFrame, dtab: DataFrame)
+
+  /** Per-query flattened dense ADC distance tables from a trained
+    * codebook — the PROBE-time half of the PQ pipeline, shared by the
+    * in-plan builds and the persisted-index probe ([[qAnnPersisted]]) so
+    * the two spellings cannot drift. `qe` is the normalized QUERY vector
+    * relation (vec_id, v); output is one (q_id, tab) row per query.
+    * Densification rationale (spine LEFT JOIN, not element_at probes)
+    * lives in the [[qAnnPq]] scaladoc. */
+  private def pqDtab(s: SparkSession, qe: DataFrame, cb: DataFrame): DataFrame = {
+    val qsub = pqMelt(qe)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("q_sv"))
+    val d2 = aggregate(
+      zip_with(col("q_sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val dt = qsub.join(cb, "m")
+      .select(col("q_id"), col("m"), col("cell"),
+        round(d2 * QScale).cast("long").as("qd2"))
+    val spine = s.range(0, PqM.toLong * PqK)
+      .select(col("id").cast("long").as("k"))
+    qe.select(col("vec_id").as("q_id"))
+      .crossJoin(broadcast(spine))
+      .join(dt.select(col("q_id"),
+        (col("m") * PqK + col("cell")).as("k"), col("qd2")),
+        Seq("q_id", "k"), "left")
+      .groupBy(col("q_id"))
+      .agg(transform(sort_array(collect_list(struct(col("k"), col("qd2")))),
+        t => t.getField("qd2")).as("tab"))
+  }
 
   /** [[qAnnPq]] core with the train-sample gate injectable so the spec
     * can pin BOTH branches at sf0.001 (full-corpus training under the
@@ -436,32 +465,13 @@ object Similarity {
       .agg(transform(sort_array(collect_list(struct(col("m"), col("cell")))),
         t => t.getField("cell")).as("codes"))
 
-    // per-query distance table as one flat map (m·PqK + cell) -> qd2
-    val qsub = sub.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("q_sv"))
-    val d2 = aggregate(
-      zip_with(col("q_sv"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-    val dt = qsub.join(c2, "m")
-      .select(col("q_id"), col("m"), col("cell"),
-        round(d2 * QScale).cast("long").as("qd2"))
-    // flattened DENSE table per query (slot m·PqK + cell; dropped Lloyd
-    // cells leave null slots no code ever indexes) — the adc_sum kernel
-    // then scores each corpus row with one allocation-free codegen loop.
-    // Densification is a spine LEFT JOIN (queries × all slots, ≈ q·M·K
-    // tiny rows), NOT an element_at probe per slot: Spark's map lookup
-    // on ArrayBasedMapData is LINEAR, so the probe spelling is O(M²K²)
-    // interpreted per query — measured 3.4 s of this query's 7 s.
-    val spine = s.range(0, PqM.toLong * PqK)
-      .select(col("id").cast("long").as("k"))
-    val dtab = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
-      .crossJoin(broadcast(spine))
-      .join(dt.select(col("q_id"),
-        (col("m") * PqK + col("cell")).as("k"), col("qd2")), Seq("q_id", "k"), "left")
-      .groupBy(col("q_id"))
-      .agg(transform(sort_array(collect_list(struct(col("k"), col("qd2")))),
-        t => t.getField("qd2")).as("tab"))
-    PqIndex(raw, e, codes, dtab)
+    // per-query distance tables: flattened DENSE (slot m·PqK + cell;
+    // dropped Lloyd cells leave null slots no code ever indexes) — the
+    // adc_sum kernel then scores each corpus row with one
+    // allocation-free codegen loop. Construction shared with the
+    // persisted-index probe (see pqDtab).
+    val dtab = pqDtab(s, e.filter(col("vec_id") < 10), c2)
+    PqIndex(raw, e, codes, c2, dtab)
   }
 
   private[graft] def qAnnPqImpl(s: SparkSession, dir: String,
@@ -618,6 +628,84 @@ object Similarity {
     pqRerank(ix.raw, shortlist)
   }
 
+  /** Persisted-index roots, one BUILD per (JVM, fixture dir). The build
+    * trains the same IVFADC index as [[qAnnIvfPq]] and writes its three
+    * artifacts as parquet: `ivf_centroids` (KCells rows), `pq_codebook`
+    * (M·PqK rows) and `pq_codes` (vec_id, codes, ivf_cell — 16 B/vec plus
+    * the cell id). Cached so every later probe (and every bench
+    * iteration after the first) reads the index instead of re-training —
+    * the FAISS train/add/search lifecycle. */
+  private val indexRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def persistedIndexDir(s: SparkSession, dir: String): String =
+    indexRoots.computeIfAbsent(dir, { d =>
+      val root = Ingest.scratchDir("annindex", d)
+      val ix = buildPqIndex(s, d, PqTrainMin)
+      val coarse = kmeansCentroids(ix.e)
+      val inv = ix.codes.join(
+        kmeansAssign(ix.e, coarse)
+          .select(col("vec_id"), col("cell").as("ivf_cell")), "vec_id")
+      coarse.write.mode("overwrite").parquet(s"$root/ivf_centroids.parquet")
+      ix.cb.write.mode("overwrite").parquet(s"$root/pq_codebook.parquet")
+      inv.write.mode("overwrite").parquet(s"$root/pq_codes.parquet")
+      root
+    })
+
+  /** Probe-only IVFADC over the PERSISTED index — the production query
+    * shape the in-plan [[qAnnIvfPq]] deliberately isn't: at 100 TB you
+    * train the quantizers and encode the corpus ONCE (the build step
+    * behind [[persistedIndexDir]], amortized over every query ever run),
+    * and each query's plan touches ONLY the index tables plus the query
+    * vectors. This plan contains zero k-means stages and zero corpus
+    * encodes — no `argmin_cell` anywhere (the spec greps the physical
+    * plan for exactly that) — just: read centroids → rank NProbe cells
+    * per query, read codes → ADC-score the probed cells' rows against
+    * the broadcast distance tables, bounded `topk_min` shortlist, exact
+    * re-rank fetching raw vectors by id.
+    *
+    * Results are bit-identical to [[qAnnIvfPq]] (spec-pinned): the
+    * parquet round trip preserves doubles and longs exactly, and the
+    * query-side normalization/distance-table expressions are the same
+    * code ([[pqDtab]]). The oracle is the full train+probe CTE chain —
+    * re-proving on every verify run that the persisted artifacts equal
+    * what training computes. */
+  def qAnnPersisted(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = persistedIndexDir(s, dir)
+    val coarse = s.read.parquet(s"$root/ivf_centroids.parquet")
+    val cb = s.read.parquet(s"$root/pq_codebook.parquet")
+    val inv = s.read.parquet(s"$root/pq_codes.parquet")
+    val raw = vecs(s, dir).select(col("vec_id"), col("v"))
+    // normalize the QUERY vectors only (the corpus normalization is baked
+    // into the index) — the expression is bit-identical to the build's
+    val nrm = sqrt(aggregate(transform(col("v"), x => x * x),
+      lit(0.0), (acc, x) => acc + x))
+    val qe = raw.filter(col("vec_id") < 10)
+      .select(col("vec_id"), transform(col("v"), x => x / nrm).as("v"))
+    val dtab = pqDtab(s, qe, cb)
+    val q = qe.select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("ivf_cell").asc)
+    val probes = q.crossJoin(broadcast(coarse))
+      .select(col("q_id"), col("cell").as("ivf_cell"),
+        cosine(col("q_v"), col("cv")).as("ccos"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= NProbe)
+      .select(col("q_id"), col("ivf_cell"))
+    val shortlist = inv.join(broadcast(probes), "ivf_cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(dtab), "q_id")
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.VectorFunctions.adcSum(
+          col("codes"), col("tab"), PqK).as("adc_d2"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.VectorFunctions.topkMin(
+        col("adc_d2"), col("neighbor_id"), PqShortlist).as("top"))
+      .select(col("q_id"), explode(col("top").getField("id")).as("neighbor_id"))
+    pqRerank(raw, shortlist)
+  }
+
   /** ANN-quality dashboard: recall@k of the IVF index ([[qAnnIvf]],
     * nprobe=2) against the exact brute-force top-k ([[qAnnBruteforce]])
     * — the [[graft.queries.Dedup.qDedupEval]] doctrine applied to
@@ -691,6 +779,7 @@ object Similarity {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
+    "q_ann_persisted" -> (qAnnPersisted _),
     "q_ann_filtered" -> (qAnnFiltered _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_embed_quantize" -> (qEmbedQuantize _),
@@ -853,6 +942,43 @@ object Similarity {
        |        c.cell ASC) AS pr
        |    FROM q, c2 c) WHERE pr <= $NProbe)""".stripMargin
 
+  /** The IVFADC train+probe CTE chain — the oracle of BOTH
+    * [[qAnnIvfPq]] (in-plan training) and [[qAnnPersisted]] (probe over
+    * the persisted artifacts): the two queries must return identical
+    * rows, so they share one spelling and cannot drift. */
+  private lazy val ivfPqOracleSql: String =
+    s"""WITH $duckPqChain,
+       |iseeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell,
+       |    v AS cv
+       |  FROM (SELECT vec_id, v,
+       |          ${TextPipeline.duckH32("CAST(vec_id AS VARCHAR)")} AS h FROM e)
+       |  ORDER BY h, vec_id LIMIT $KCells),
+       |ia0 AS (${duckAssign("iseeds")}),
+       |ic1 AS (${duckUpdate("ia0")}),
+       |ia1 AS (${duckAssign("ic1")}),
+       |ic2 AS (${duckUpdate("ia1")}),
+       |iidx AS (${duckAssign("ic2")}),
+       |qn AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT qn.q_id, c.cell,
+       |      row_number() OVER (PARTITION BY qn.q_id ORDER BY
+       |        list_sum(list_transform(c.cv, (x,i) -> x * qn.q_v[i])) /
+       |          (sqrt(list_sum(list_transform(c.cv, x -> x*x)))
+       |           * sqrt(list_sum(list_transform(qn.q_v, x -> x*x)))) DESC,
+       |        c.cell ASC) AS pr
+       |    FROM qn, ic2 c) WHERE pr <= $NProbe),
+       |scored AS (SELECT d.q_id, s.vec_id AS neighbor_id,
+       |             CAST(sum(d.qd2) AS BIGINT) AS adc_d2
+       |           FROM codes s
+       |           JOIN iidx f ON f.vec_id = s.vec_id
+       |           JOIN probes p ON p.cell = f.cell
+       |           JOIN dt d ON s.m = d.m AND s.cell = d.cell
+       |             AND d.q_id = p.q_id AND s.vec_id <> d.q_id
+       |           GROUP BY d.q_id, s.vec_id),
+       |$duckPqTail""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // Same 1e-6 quantized per-(label, half, dim) sums, same sign-safe
     // floor-division centroid grid, same exact BIGINT drift sum.
@@ -953,38 +1079,12 @@ object Similarity {
          |             AND s.vec_id <> d.q_id
          |           GROUP BY d.q_id, s.vec_id),
          |$duckPqTail""".stripMargin,
-    "q_ann_ivfpq" ->
-      s"""WITH $duckPqChain,
-         |iseeds AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell,
-         |    v AS cv
-         |  FROM (SELECT vec_id, v,
-         |          ${TextPipeline.duckH32("CAST(vec_id AS VARCHAR)")} AS h FROM e)
-         |  ORDER BY h, vec_id LIMIT $KCells),
-         |ia0 AS (${duckAssign("iseeds")}),
-         |ic1 AS (${duckUpdate("ia0")}),
-         |ia1 AS (${duckAssign("ic1")}),
-         |ic2 AS (${duckUpdate("ia1")}),
-         |iidx AS (${duckAssign("ic2")}),
-         |qn AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
-         |probes AS (
-         |  SELECT q_id, cell FROM (
-         |    SELECT qn.q_id, c.cell,
-         |      row_number() OVER (PARTITION BY qn.q_id ORDER BY
-         |        list_sum(list_transform(c.cv, (x,i) -> x * qn.q_v[i])) /
-         |          (sqrt(list_sum(list_transform(c.cv, x -> x*x)))
-         |           * sqrt(list_sum(list_transform(qn.q_v, x -> x*x)))) DESC,
-         |        c.cell ASC) AS pr
-         |    FROM qn, ic2 c) WHERE pr <= $NProbe),
-         |scored AS (SELECT d.q_id, s.vec_id AS neighbor_id,
-         |             CAST(sum(d.qd2) AS BIGINT) AS adc_d2
-         |           FROM codes s
-         |           JOIN iidx f ON f.vec_id = s.vec_id
-         |           JOIN probes p ON p.cell = f.cell
-         |           JOIN dt d ON s.m = d.m AND s.cell = d.cell
-         |             AND d.q_id = p.q_id AND s.vec_id <> d.q_id
-         |           GROUP BY d.q_id, s.vec_id),
-         |$duckPqTail""".stripMargin,
+    "q_ann_ivfpq" -> ivfPqOracleSql,
+    // The persisted-index probe must return EXACTLY what the in-plan
+    // train+probe returns, so its oracle IS the train+probe chain — every
+    // verify run re-proves the persisted artifacts equal what training
+    // computes.
+    "q_ann_persisted" -> ivfPqOracleSql,
     "q_dedup_semantic" ->
       s"""WITH $duckVecs,
          |seeds AS (

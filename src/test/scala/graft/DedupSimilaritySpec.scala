@@ -763,4 +763,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(curveS == curveP,
       s"curve sampled-in-plan $curveS != physically-subsampled $curveP")
   }
+
+  test("persisted ANN index: the probe-only plan matches the in-plan IVFADC and contains no training stage") {
+    val d = "/root/testdata/sf0.01"
+    val probe = Similarity.qAnnPersisted(spark, d)
+    val inPlan = Similarity.qAnnIvfPq(spark, d)
+    val got = probe.collect().map(_.toString).toSeq
+    val want = inPlan.collect().map(_.toString).toSeq
+    assert(got == want,
+      s"persisted probe diverged from in-plan IVFADC: got=${got.take(3)} want=${want.take(3)}")
+    // training-free probe: k-means assignment (the argmin_cell kernel) is
+    // the signature of every Lloyd pass and of the corpus encode — the
+    // probe plan must not contain it, and must read the persisted index
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("argmin_cell"),
+      "probe plan re-trains/re-encodes: argmin_cell found")
+    val files = probe.inputFiles
+    val root = Similarity.persistedIndexDir(spark, d)
+    Seq("pq_codes", "ivf_centroids", "pq_codebook").foreach { t =>
+      assert(files.exists(f => f.contains(root) && f.contains(t)),
+        s"probe plan must scan the persisted $t table under $root")
+    }
+  }
 }
