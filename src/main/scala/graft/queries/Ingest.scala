@@ -617,7 +617,80 @@ object Ingest {
       .orderBy("table")
   }
 
+  /** Per-key latest-wins reduction of a flat CDC relation — max_by over
+    * the lexicographic (us, event_id) version key, the same one-shuffle
+    * spelling as `Dedup.qDedupLatest`. */
+  private def latestOf(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("us"), col("event_type"), col("value")),
+        struct(col("us"), col("event_id"))).as("r"))
+      .select(col("user_id"), col("r.event_id").as("event_id"),
+        col("r.us").as("us"), col("r.event_type").as("event_type"),
+        col("r.value").as("value"))
+
+  /** The WRITE-side CDC merge — the compaction a CDC lake actually
+    * executes, closing the loop the read-side reconstructions
+    * (q_incremental_*, q_time_travel, q_cdc_net_changes, q_dedup_latest)
+    * leave open: not "what would the current state be" but "produce the
+    * next snapshot FILE".
+    *
+    *  1. base: latest-wins state of the first half of the event log,
+    *     written to scratch as `snap_v0.parquet` (the existing lake
+    *     table);
+    *  2. MERGE: the second half's per-key latest upserts into the read-
+    *     back v0 snapshot — WHEN MATCHED take the greater (us, event_id)
+    *     version (the general merge rule, NOT "delta always wins": it
+    *     stays correct if the feed ever delivers out-of-order deltas),
+    *     WHEN NOT MATCHED insert — written as `snap_v1.parquet`;
+    *  3. result: the v1 snapshot READ BACK from parquet, so the round
+    *     trip through the sink is part of what the oracle checks.
+    *
+    * The oracle is the plain full-log latest-wins view (q_dedup_latest's
+    * SQL): base ∪ delta per-key maxima compose to the global maximum, so
+    * the merged snapshot must hash-match the read-side view exactly.
+    *
+    * Scale stance (100 TB): each phase is one user-keyed partial-agg
+    * shuffle; the merge join is key-cardinality (two compacted snapshots,
+    * never raw log rows); the cut boundary is a 1-row broadcast, and the
+    * log is scanned once per half plus once for the boundary — never
+    * materialized. A lakehouse MERGE additionally prunes untouched FILES
+    * via delta-key min/max stats; the per-key rule is this one. */
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val root = scratchDir("mergeupsert", dir)
+    val e = graft.io.Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+    val cutDf = e.agg(
+      expr("min(us) + (max(us) - min(us)) div 2").as("cut_us"))
+    val withCut = e.crossJoin(broadcast(cutDf))
+    latestOf(withCut.filter(col("us") <= col("cut_us")))
+      .write.mode("overwrite").parquet(s"$root/snap_v0.parquet")
+    val cur = s.read.parquet(s"$root/snap_v0.parquet")
+      .select(col("user_id"), struct(col("event_id"), col("us"),
+        col("event_type"), col("value")).as("rb"))
+    val delta = latestOf(withCut.filter(col("us") > col("cut_us")))
+      .select(col("user_id"), struct(col("event_id"), col("us"),
+        col("event_type"), col("value")).as("rd"))
+    cur.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("rd").isNull, col("rb"))
+          .when(col("rb").isNull, col("rd"))
+          .when(struct(col("rd.us"), col("rd.event_id"))
+            >= struct(col("rb.us"), col("rb.event_id")), col("rd"))
+          .otherwise(col("rb")).as("r"))
+      .select(col("user_id"), col("r.event_id").as("event_id"),
+        col("r.us").as("us"), col("r.event_type").as("event_type"),
+        col("r.value").as("value"))
+      .write.mode("overwrite").parquet(s"$root/snap_v1.parquet")
+    s.read.parquet(s"$root/snap_v1.parquet")
+      .select(col("user_id"), col("event_id"), col("us"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_upsert" -> (qMergeUpsert _),
     "q_erasure_audit" -> (qErasureAudit _),
     "q_ref_integrity" -> (qRefIntegrity _),
     "q_fd_audit" -> (qFdAudit _),
@@ -693,6 +766,15 @@ object Ingest {
        |      GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The write path must land exactly on the read-side latest-wins view
+    // (q_dedup_latest's spelling): the merged snapshot IS the current
+    // state, however it was produced.
+    "q_merge_upsert" ->
+      """SELECT user_id, event_id, us, event_type, value FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // Same mod-17 subject predicate per table, same 2-hop cascade join.
     "q_erasure_audit" ->
       s"""WITH ev AS (SELECT 'events' AS "table",

@@ -295,4 +295,36 @@ class IngestSpec extends SparkSpec {
     // cascade can never touch more subjects than the order table shows
     assert(rows("lineitem")._2 <= rows("orders")._2)
   }
+
+  test("merge upsert: the written snapshot round-trips to the read-side latest-wins view, with all three merge classes live") {
+    val d = "/root/testdata/sf0.01"
+    val written = Ingest.qMergeUpsert(spark, d).collect().map(_.toString).toSeq
+    val view = graft.queries.Dedup.qDedupLatest(spark, d)
+      .collect().map(_.toString).toSeq
+    assert(written.nonEmpty && written == view,
+      "merged snapshot must equal the read-side latest-wins view")
+    // the driver fixture's users are all long-lived (every user appears
+    // in both halves at any interior cut), so the fixture run only
+    // exercises the matched-UPDATE branch. Exercise all three MERGE
+    // branches on an engineered log: u1 only before the midpoint
+    // (carry-over), u2 in both halves with the newer version winning
+    // (matched update) — including an out-of-order same-user pair —
+    // u3 only after (NOT MATCHED insert)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mergeupsert").toString
+    def ts(h: Int) = new java.sql.Timestamp(1700000000000L + h * 3600000L)
+    Seq(
+      (1L, 10L, ts(0), "view", 1.0),     // u1: carry-over from the base
+      (2L, 20L, ts(1), "view", 2.0),     // u2: base version...
+      (2L, 21L, ts(9), "purchase", 3.0), // ...updated by the delta
+      (2L, 22L, ts(8), "click", 4.0),    // out-of-order older delta loses
+      (3L, 30L, ts(7), "view", 5.0))     // u3: pure insert
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Ingest.qMergeUpsert(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSeq
+    assert(got == Seq((1L, 10L, "view"), (2L, 21L, "purchase"),
+      (3L, 30L, "view")),
+      s"merge branches (carry-over / update / insert) broken: $got")
+  }
 }
