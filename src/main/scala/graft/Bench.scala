@@ -16,8 +16,11 @@ import org.apache.spark.sql.SparkSession
   * Each query executes through the `noop` sink — unlike `count()`, this
   * runs the COMPLETE physical plan (Catalyst legally elides final sorts
   * and projects under a count, which would under-report), with zero sink
-  * I/O cost. One warm-up pass of the flagship query absorbs first-job
-  * session setup so per-query numbers measure the plans, not the JVM.
+  * I/O cost. An untimed warm-up pass over one query per broad plan class
+  * absorbs session/JIT setup, and queries execute in a deterministic
+  * murmur3(name) order (not alphabetical) so residual warm-up cost can't
+  * correlate with query names round over round — see SURVEY §8.11 for
+  * the three-run adjudication that motivated both.
   *
   * Methodology: 3 timed iterations per query, MEDIAN reported (JIT and
   * scheduler noise would otherwise land directly in round-over-round
@@ -59,8 +62,15 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
             dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
-    // warm-up: session/codegen/scan setup paid once, not by the first query
-    try run(SparkEntry.queries("wordcount"), sfDir) catch { case _: Throwable => () }
+    // Warm-up: session/codegen/scan/shuffle setup paid once, not by the
+    // first queries. One query per broad plan class (scan+agg+sort,
+    // window+join, HOF-array/hash, stateful exchange-heavy) — the
+    // round-10 three-run adjudication showed the suite's FIRST queries
+    // absorbing JVM/JIT warm-up regardless of which they were, so the
+    // warm-up must touch each execution framework, not just one plan.
+    Seq("wordcount", "q_topk_orders", "q_dedup_minhash", "q_sessionize")
+      .foreach { w => SparkEntry.queries.get(w)
+        .foreach(fn => try run(fn, sfDir) catch { case _: Throwable => () }) }
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
@@ -97,7 +107,15 @@ object Bench {
     // the driver's full run)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Execution order: deterministic but NOT alphabetical. Alphabetical
+    // order made residual warm-up cost land on the same early-alphabet
+    // queries every run, so min-rule flags correlated with suite position
+    // (SURVEY §8.11). Ordering by murmur3(name) keeps runs byte-identical
+    // across invocations (flag sets stay comparable run-to-run) while
+    // decorrelating position from name; (hash, name) breaks hash ties.
+    val benchOrder: ((String, Any)) => (Int, String) = { case (name, _) =>
+      (scala.util.hashing.MurmurHash3.stringHash(name, 0x5bd1e995), name) }
+    val results = SparkEntry.queries.toSeq.sortBy(benchOrder)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       val primary = (1 to iters).map(_ => timeOnce(fn))
@@ -149,7 +167,7 @@ object Bench {
         val pdir = graft.io.PartitionedFixture.prepare(spark, sfDir)
         try run(SparkEntry.queries("wordcount"), pdir) catch { case _: Throwable => () }
         val medians = results.map { case (k, m, _, _, _, _) => k -> m }.toMap
-        val pres = SparkEntry.queries.toSeq.sortBy(_._1)
+        val pres = SparkEntry.queries.toSeq.sortBy(benchOrder)
           .filter { case (name, _) => only.isEmpty || only(name) }
           .map { case (name, fn) =>
             val first = timeOnce(fn, pdir)
