@@ -814,11 +814,43 @@ object TextAnalysis {
     * many types exist; coverage says how few you can keep). Zipf's law
     * makes this curve steep; the measured table replaces the guess.
     *
-    * Scale stance (100 TB): one wordcount partial agg, then a rank
-    * window over the VOCABULARY-cardinality relation (the q_tail_index
-    * doctrine — types, never tokens), a broadcast 5-row k-spine and a
-    * broadcast 1-row total. */
+    * Scale stance (100 TB): one wordcount partial agg; then — because
+    * only ranks ≤ [[VocabKMax]] can ever contribute — the top types come
+    * from a BOUNDED `orderBy.limit` (TakeOrderedAndProject: per-partition
+    * top-16, O(partitions·16) merge), never an unpartitioned rank window
+    * over the V-row vocabulary (the round-10 watch item: at V ~ 1e9 that
+    * single-partition sort is the one stage that doesn't scale; measured
+    * against the window spelling at the sf1 decade and on the 10×-
+    * vocabulary open-vocab control, SURVEY §8.12). The residual rank
+    * window orders 16 rows; the k-spine and total stay broadcast. */
+  private val VocabKMax = 16
+
   def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = TextPipeline.words(Tables.documents(s, dir), "text")
+      .groupBy("word").agg(count(lit(1)).as("f"))
+    val tot = wc.agg(sum(col("f")).as("total_tokens"))
+    val ranked = wc.orderBy(col("f").desc, col("word")).limit(VocabKMax)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("f").desc, col("word"))))
+    val spine = s.range(5).select(expr("shiftleft(1L, cast(id AS int))")
+      .as("k"))
+    ranked.crossJoin(broadcast(spine))
+      .filter(col("rank") <= col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_types"), sum(col("f")).as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .withColumn("coverage_ppm",
+        when(col("total_tokens") > 0,
+          expr("covered_tokens * 1000000 div total_tokens")))
+      .orderBy("k")
+  }
+
+  /** The pre-round-11 spelling of [[qVocabCoverage]] — a global rank
+    * window over the full vocabulary — kept (not registered) as the
+    * measurement baseline for the bounded TakeOrdered replacement and
+    * spec-pinned result-identical to it. */
+  private[graft] def qVocabCoverageWindow(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wc = TextPipeline.words(Tables.documents(s, dir), "text")
       .groupBy("word").agg(count(lit(1)).as("f"))

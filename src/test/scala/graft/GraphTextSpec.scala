@@ -688,4 +688,20 @@ class GraphTextSpec extends SparkSpec {
     assert(auth.sortBy(_.getInt(4)).map(r => (r.getLong(1), r.getLong(2)))
       .toSeq == topAuth)
   }
+
+  test("vocab coverage: bounded TakeOrdered selection == the global rank window, and the bound is in the plan") {
+    // the respelling may only change the PLAN (per-partition top-16 merge
+    // instead of a single-partition sort of the whole vocabulary) — never
+    // the answer; VocabRankBench re-proves this at the sf1 decade and on
+    // the 10x-vocabulary open-vocab control
+    for (d <- Seq(sf, "/root/testdata/sf0.01")) {
+      val bounded = TextAnalysis.qVocabCoverage(spark, d)
+      assert(bounded.collect().map(_.toString).toSeq ==
+        TextAnalysis.qVocabCoverageWindow(spark, d)
+          .collect().map(_.toString).toSeq, s"diverged at $d")
+      assert(bounded.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"),
+        "the bounded selection must compile to TakeOrderedAndProject")
+    }
+  }
 }
