@@ -713,20 +713,39 @@ object Corpus {
     * percentile pair; dedup shuffles a 16-byte fingerprint per survivor
     * (never text); the split is a pure hash projection; the final
     * partial agg collapses to |splits|·|langs| groups map-side. */
-  def qCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cleaned = Tables.documents(s, dir)
+  /** The capstone's redaction pass over a text column — shared verbatim
+    * with the STREAMING twin (`Windows.corpusPipelineStream`) so the two
+    * spellings cannot drift. */
+  private[graft] def pipelineRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+        "[0-9]{6,}", "<NUM>"),
+      "https?://[^ ]+", "<URL>")
+
+  /** The capstone's deterministic hash split of a doc id — shared with
+    * the streaming twin. */
+  private[graft] def pipelineSplit(docId: Column): Column = {
+    val b = pmod(TextPipeline.h32(docId.cast("string")), lit(100))
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
+  /** Cleaned capstone input (doc_id, lang, w, nt) — exposed so the
+    * streaming twin's spec derives the SAME quality-gate bounds the
+    * batch plan computes (the profiling side input of an online run). */
+  private[graft] def pipelineCleaned(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"),
-              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
-            "[0-9]{6,}", "<NUM>"),
-          "https?://[^ ]+", "<URL>").as("clean_text"))
+        pipelineRedact(col("text")).as("clean_text"))
       .select(col("doc_id"), col("lang"),
         TextPipeline.normalizedTokens(col("clean_text")).as("w"))
       .select(col("doc_id"), col("lang"), col("w"),
         size(col("w")).cast("long").as("nt"))
+
+  def qCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cleaned = pipelineCleaned(s, dir)
     val bounds = cleaned.agg(expr("percentile(nt, 0.1)").as("p10"),
       expr("percentile(nt, 0.9)").as("p90"))
     cleaned.crossJoin(broadcast(bounds))
@@ -734,11 +753,7 @@ object Corpus {
       .withColumn("fp", md5(concat_ws(" ", col("w"))))
       .withColumn("canon", min(col("doc_id")).over(Window.partitionBy("fp")))
       .filter(col("doc_id") === col("canon"))
-      .select(col("lang"), col("nt"),
-        pmod(TextPipeline.h32(col("doc_id").cast("string")), lit(100)).as("b"))
-      .select(col("lang"), col("nt"),
-        when(col("b") < 80, "train").when(col("b") < 90, "val")
-          .otherwise("test").as("split"))
+      .select(col("lang"), col("nt"), pipelineSplit(col("doc_id")).as("split"))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
       .orderBy("split", "lang")

@@ -430,6 +430,60 @@ object Windows {
   def winnowNovel(docs: DataFrame): DataFrame =
     winnowFingerprints(docs).dropDuplicates("fingerprint")
 
+  /** The current per-fingerprint SURVIVOR emitted by
+    * [[corpusPipelineStream]] — min-doc_id-wins, the batch capstone's
+    * canonical-document rule. */
+  case class CorpusSurvivor(fp: String, doc_id: Long, lang: String,
+                            n_tokens: Long, split: String)
+
+  /** STREAMING twin of `Corpus.qCorpusPipeline` — the corpus-prep
+    * capstone run online over a document-arrival stream: the SAME
+    * redaction, tokenizer, token-length quality gate and deterministic
+    * hash split as the batch plan (shared Column expressions —
+    * `Corpus.pipelineRedact` / `pipelineSplit` — so the spellings cannot
+    * drift), then exact-fingerprint dedup as stateful min-doc_id
+    * survivor selection per fingerprint. Emits the fingerprint's current
+    * survivor on every update: a late-arriving LOWER doc_id replaces the
+    * survivor (its lang/split/token count swap in), exactly like the
+    * batch window's min(doc_id) canon — `dropDuplicates` (first-arrival
+    * wins) would get this wrong under out-of-order delivery. The final
+    * (split, lang) rollup is the stateless aggregation a deployment runs
+    * downstream of the survivor feed; FileStreamSpec performs it on the
+    * snapshot and pins streaming == batch.
+    *
+    * The quality-gate bounds arrive as parameters — the profiling-pass
+    * side input of an online run (a stream cannot take its own global
+    * percentiles); the spec derives them from the same percentile
+    * expressions the batch plan uses. State is O(distinct fingerprints)
+    * × one row. */
+  def corpusPipelineStream(docs: DataFrame, p10: Double,
+      p90: Double): Dataset[CorpusSurvivor] = {
+    import docs.sparkSession.implicits._
+    val cleaned = docs
+      .select(col("doc_id"), col("lang"),
+        graft.queries.Corpus.pipelineRedact(col("text")).as("clean_text"))
+      .select(col("doc_id"), col("lang"),
+        graft.core.TextPipeline.normalizedTokens(col("clean_text")).as("w"))
+      .select(col("doc_id"), col("lang"),
+        size(col("w")).cast("long").as("nt"),
+        md5(concat_ws(" ", col("w"))).as("fp"))
+      .filter(col("nt") >= p10 && col("nt") <= p90)
+      .select(col("fp"), col("doc_id"), col("lang"),
+        col("nt").as("n_tokens"),
+        graft.queries.Corpus.pipelineSplit(col("doc_id")).as("split"))
+      .as[CorpusSurvivor]
+    cleaned.groupByKey(_.fp)
+      .mapGroupsWithState[CorpusSurvivor, CorpusSurvivor](
+        GroupStateTimeout.NoTimeout()) {
+        (fp: String, batch: Iterator[CorpusSurvivor],
+         state: GroupState[CorpusSurvivor]) =>
+          val best = (state.getOption.iterator ++ batch)
+            .minBy(_.doc_id)
+          state.update(best)
+          best
+      }
+  }
+
   /** Convenience: run a streaming DataFrame to an in-memory table and block
     * until all available input is processed (test/dev harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

@@ -120,4 +120,66 @@ class FileStreamSpec extends SparkSpec {
     }
     assert(got.nonEmpty)
   }
+
+  test("file-source streaming corpus pipeline == batch capstone, incl. a late lower-id duplicate replacing its survivor") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_corpus_src").toString
+    val corpusDir = Files.createTempDirectory("graft_corpus_fx").toString
+
+    // augmented corpus: the sf docs plus an engineered EXACT duplicate of
+    // a mid-length doc under a LOWER doc_id (-1), arriving LAST — the
+    // min-doc_id canon rule must hand the survivorship (and the rollup
+    // row, via its 'zz' lang) to the late arrival
+    val base = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val mid = graft.queries.Corpus.pipelineCleaned(spark, sf)
+      .orderBy(abs(col("nt") - lit(50L)), col("doc_id")).limit(1)
+      .select("doc_id").collect()(0).getLong(0)
+    val cloneText = base.filter(col("doc_id") === mid)
+      .select("text").collect()(0).getString(0)
+    val clone = Seq((-1L, cloneText, "zz")).toDF("doc_id", "text", "lang")
+    val all = base.unionAll(clone)
+    all.write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+
+    // the profiling side input: the same percentile bounds the batch plan
+    // computes over the same corpus
+    val b = graft.queries.Corpus.pipelineCleaned(spark, corpusDir)
+      .agg(expr("percentile(nt, 0.1)"), expr("percentile(nt, 0.9)"))
+      .collect()(0)
+    val (p10, p90) = (b.getDouble(0), b.getDouble(1))
+
+    base.write.mode("overwrite").parquet(s"$srcDir/batch1")
+    val stream = spark.readStream.schema(all.schema)
+      .option("pathGlobFilter", "*.parquet").parquet(s"$srcDir/*")
+    val q = Windows.corpusPipelineStream(stream.toDF(), p10, p90)
+      .writeStream.format("memory").queryName("t_corpus_pipe")
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable()
+    def survivors() = spark.table("t_corpus_pipe").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getString(2), r.getLong(3),
+        r.getString(4))))
+      .groupBy(_._1).view.mapValues(_.last._2).toMap
+    val s1 = survivors()
+    // batch 2: the duplicate arrives late with the lower id
+    clone.write.mode("overwrite").parquet(s"$srcDir/batch2")
+    q.processAllAvailable()
+    val s2 = survivors()
+    q.stop()
+
+    val cloneFp = s2.collectFirst { case (fp, (-1L, _, _, _)) => fp }
+    assert(cloneFp.isDefined, "the late duplicate must take over survivorship")
+    assert(s1(cloneFp.get)._1 == mid && s2(cloneFp.get)._2 == "zz",
+      s"survivor must flip $mid -> -1 (lang zz): ${s1(cloneFp.get)} -> ${s2(cloneFp.get)}")
+
+    // the downstream stateless rollup over the final survivor snapshot
+    // must equal the batch capstone on the identical corpus
+    val got = s2.values.toSeq.groupBy(v => (v._4, v._2))
+      .map { case ((split, lang), vs) =>
+        (split, lang, vs.size.toLong, vs.map(_._3).sum) }.toSet
+    val want = graft.queries.Corpus.qCorpusPipeline(spark, corpusDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want,
+      s"streaming rollup diverged: extra=${got -- want} missing=${want -- got}")
+  }
 }
