@@ -344,11 +344,15 @@ object Analytics {
     * the only pass over the data); (2) lag alignment as an equi-join of
     * the tiny daily series against itself shifted by k — no window over
     * a single global partition, so nothing here ever concentrates in one
-    * task. Pearson r comes from exact integer moments (daily counts are
-    * integers, sums of products stay BIGINT-exact); the one double
-    * division is spelled identically in the oracle. The daily series is
-    * materialized once and feeds both sides of every lag join. */
+    * task. Pearson r comes from exact integer moments in DECIMAL(38,0)
+    * (daily counts are integers; the round-11 sweep found the BIGINT
+    * spelling's n·sxx and sx·sy epilogue products hitting their ceiling
+    * near sf ≈ 5e3 — DuckDB's HUGEINT promotion hid it on the oracle
+    * side); the one double division is spelled identically in the
+    * oracle. The daily series is materialized once and feeds both sides
+    * of every lag join. */
   def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
     val daily = Tables.events(s, dir)
       .select(expr("unix_micros(ts) div 86400000000").as("day"))
       .groupBy("day").agg(count(lit(1)).as("x"))
@@ -356,12 +360,12 @@ object Analytics {
     Seq(1, 7).map { k =>
       val shifted = daily.select((col("day") + k).as("day"), col("x").as("y"))
       daily.join(shifted, "day")
-        .agg(count(lit(1)).as("n"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"),
-          sum(col("x") * col("y")).as("sxy"))
-        .select(lit(k).as("lag"), col("n").as("n_pairs"),
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+          sum(col("x").cast(dec) * col("x")).as("sxx"),
+          sum(col("y").cast(dec) * col("y")).as("syy"),
+          sum(col("x").cast(dec) * col("y")).as("sxy"))
+        .select(lit(k).as("lag"), col("n").cast("long").as("n_pairs"),
           round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
             / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
               * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
@@ -1458,11 +1462,16 @@ object Analytics {
     * after the changepoint). The standard "when did the metric move"
     * monitoring readout behind alert timelines.
     *
-    * All-integer: cents revenue, N·x − T products (≤ ~1e16 at sf10 —
-    * DECIMAL territory beyond, same note as q_gini), argmax tie broken
-    * toward the earliest day via min-over-argmax. Scale stance: one
-    * rollup shuffle to the DATE-cardinality relation; prefix sum +
-    * argmax over it (the q_ewma bounded epilogue). */
+    * All-integer: cents revenue; the N·x − T products and their prefix
+    * sums accumulate in DECIMAL(38,0) (|S| is bounded by nd·T ≈
+    * 5.4e16·sf on TPC-H's fixed ~2,400-day calendar, so a BIGINT
+    * accumulator would hit its ceiling near sf ≈ 170 — the q_gini
+    * promotion; DuckDB's sum promotes to HUGEINT silently). The OUTPUT
+    * column stays BIGINT: the final cast is the fail-loud ANSI boundary
+    * at the same ~sf 170, past which the column itself needs widening.
+    * Argmax tie broken toward the earliest day via min-over-argmax.
+    * Scale stance: one rollup shuffle to the DATE-cardinality relation;
+    * prefix sum + argmax over it (the q_ewma bounded epilogue). */
   def qChangepoint(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = Tables.orders(s, dir)
@@ -1473,7 +1482,8 @@ object Analytics {
       .groupBy("day").agg(sum(col("cents")).as("x"))
     val tot = daily.agg(count(lit(1)).as("nd"), sum(col("x")).as("t"))
     val cum = daily.crossJoin(broadcast(tot))
-      .withColumn("s", sum(col("nd") * col("x") - col("t"))
+      .withColumn("s", sum(col("nd").cast(DecimalType(38, 0)) * col("x")
+          - col("t"))
         .over(Window.orderBy(col("day"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .localCheckpoint() // 2 consumers: the max and the argmax row
@@ -1483,7 +1493,7 @@ object Analytics {
       .groupBy(col("s_abs_max"))
       .agg(min(col("day")).as("cp_day"),
         min(struct(col("day"), col("s"))).as("_first"))
-      .select(col("cp_day"), col("s_abs_max"),
+      .select(col("cp_day"), col("s_abs_max").cast("long").as("s_abs_max"),
         when(col("_first.s") < 0, lit("up")).otherwise(lit("down"))
           .as("shift"))
   }
@@ -1814,6 +1824,13 @@ object Analytics {
     * The median is read off as the two central order statistics (equal
     * when n_pairs is odd), so no averaging of two slopes ever leaves the
     * integer grid. τ is reported as a ppm ratio by the same floor rule.
+    *
+    * Ceilings (round-11 sweep): num = dy·1e6 is BIGINT-exact while a
+    * daily revenue DELTA stays < 9.2e12 cents — ~sf 900 on TPC-H's
+    * fixed calendar (ANSI makes the breach fail-loud); past that, num
+    * and the pmod floor division promote to DECIMAL(38,0) together.
+    * τ's (nc−nd)·1e6 is calendar-bounded (≤ 3.1e6 pairs → ≤ 3.1e12)
+    * and can never wrap at any corpus scale.
     *
     * Scale stance (100 TB): the pair set is CALENDAR-bounded — the daily
     * rollup has at most ~2,500 rows at ANY corpus scale (TPC-H's 7-year
