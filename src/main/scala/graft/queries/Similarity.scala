@@ -706,6 +706,47 @@ object Similarity {
     pqRerank(raw, shortlist)
   }
 
+  /** Incremental index ADD — the third verb of the FAISS lifecycle
+    * (train / ADD / search), completing [[qAnnPersisted]]: the arriving
+    * delta (here the odd-id half, "today's crawl") is encoded against
+    * the FROZEN persisted codebook and coarse centroids — no retraining,
+    * no Lloyd pass (codebook drift is a rebuild decision, not an ingest
+    * step). Output is exactly the rows an ingest job would append to
+    * `pq_codes`: (vec_id, ivf_cell, c0..c7), one byte-code per
+    * subspace. The spec pins these rows equal to what the FULL build
+    * wrote for the same ids — i.e. appending the delta reproduces the
+    * from-scratch index bit-for-bit, the property that makes incremental
+    * ingest safe. (In production the codebook predates the delta; here
+    * the shared codebook is what keeps the oracle the same CTE chain,
+    * filtered to the delta ids.)
+    *
+    * Scale stance (100 TB): the encode scans ONLY the delta (the index
+    * tables are broadcast-tiny), one narrow argmin pass per subspace
+    * plus the coarse assign — no shuffle except the final per-vector
+    * code collection, and nothing corpus-sized is ever touched. */
+  def qAnnIndexDelta(s: SparkSession, dir: String): DataFrame = {
+    val root = persistedIndexDir(s, dir)
+    val cb = s.read.parquet(s"$root/pq_codebook.parquet")
+    val coarse = s.read.parquet(s"$root/ivf_centroids.parquet")
+    val raw = vecs(s, dir).select(col("vec_id"), col("v"))
+      .filter(col("vec_id") % 2 === 1)
+    val nrm = sqrt(aggregate(transform(col("v"), x => x * x),
+      lit(0.0), (acc, x) => acc + x))
+    val e = raw.select(col("vec_id"),
+      transform(col("v"), x => x / nrm).as("v"))
+    val codes = pqAssign(pqMelt(e), cb)
+      .groupBy(col("vec_id"))
+      .agg(transform(sort_array(collect_list(struct(col("m"), col("cell")))),
+        t => t.getField("cell")).as("codes"))
+    val cells = kmeansAssign(e, coarse)
+      .select(col("vec_id"), col("cell").as("ivf_cell"))
+    val codeCols = (0 until PqM).map(m =>
+      element_at(col("codes"), m + 1).as(f"c$m%d"))
+    codes.join(cells, "vec_id")
+      .select(col("vec_id") +: col("ivf_cell") +: codeCols: _*)
+      .orderBy("vec_id")
+  }
+
   /** ANN-quality dashboard: recall@k of the IVF index ([[qAnnIvf]],
     * nprobe=2) against the exact brute-force top-k ([[qAnnBruteforce]])
     * — the [[graft.queries.Dedup.qDedupEval]] doctrine applied to
@@ -780,6 +821,7 @@ object Similarity {
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_persisted" -> (qAnnPersisted _),
+    "q_ann_index_delta" -> (qAnnIndexDelta _),
     "q_ann_filtered" -> (qAnnFiltered _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_embed_quantize" -> (qEmbedQuantize _),
@@ -946,9 +988,11 @@ object Similarity {
     * [[qAnnIvfPq]] (in-plan training) and [[qAnnPersisted]] (probe over
     * the persisted artifacts): the two queries must return identical
     * rows, so they share one spelling and cannot drift. */
-  private lazy val ivfPqOracleSql: String =
-    s"""WITH $duckPqChain,
-       |iseeds AS (
+  /** The coarse-quantizer train+assign CTE block over the normalized
+    * store `e` (iseeds → two Lloyd rounds → iidx), shared by
+    * [[ivfPqOracleSql]] and the q_ann_index_delta oracle. */
+  private lazy val duckCoarseCtes: String =
+    s"""iseeds AS (
        |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell,
        |    v AS cv
        |  FROM (SELECT vec_id, v,
@@ -958,7 +1002,11 @@ object Similarity {
        |ic1 AS (${duckUpdate("ia0")}),
        |ia1 AS (${duckAssign("ic1")}),
        |ic2 AS (${duckUpdate("ia1")}),
-       |iidx AS (${duckAssign("ic2")}),
+       |iidx AS (${duckAssign("ic2")})""".stripMargin
+
+  private lazy val ivfPqOracleSql: String =
+    s"""WITH $duckPqChain,
+       |$duckCoarseCtes,
        |qn AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
        |probes AS (
        |  SELECT q_id, cell FROM (
@@ -1085,6 +1133,19 @@ object Similarity {
     // verify run re-proves the persisted artifacts equal what training
     // computes.
     "q_ann_persisted" -> ivfPqOracleSql,
+    // The delta's codes come from the SAME codebook/centroid chain, so
+    // encoding the delta must reproduce the full build's rows for those
+    // ids — the property that makes incremental ingest safe.
+    "q_ann_index_delta" ->
+      s"""WITH $duckPqChain,
+         |$duckCoarseCtes
+         |SELECT c.vec_id, CAST(f.cell AS BIGINT) AS ivf_cell,
+         |${(0 until PqM).map(m =>
+             s"  CAST(max(CASE WHEN c.m = $m THEN c.cell END) AS BIGINT) AS c$m")
+            .mkString(",\n")}
+         |FROM codes c JOIN iidx f ON f.vec_id = c.vec_id
+         |WHERE c.vec_id % 2 = 1
+         |GROUP BY c.vec_id, f.cell ORDER BY c.vec_id""".stripMargin,
     "q_dedup_semantic" ->
       s"""WITH $duckVecs,
          |seeds AS (

@@ -785,4 +785,18 @@ class DedupSimilaritySpec extends SparkSpec {
         s"probe plan must scan the persisted $t table under $root")
     }
   }
+
+  test("ANN index delta: encoding the delta against the frozen codebook reproduces the full build's rows") {
+    val d = "/root/testdata/sf0.01"
+    val got = Similarity.qAnnIndexDelta(spark, d)
+      .collect().map(_.toString).toSeq
+    val root = Similarity.persistedIndexDir(spark, d)
+    val want = spark.read.parquet(s"$root/pq_codes.parquet")
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id") +: col("ivf_cell") +:
+        (0 until 8).map(m => element_at(col("codes"), m + 1).as(s"c$m")): _*)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want,
+      s"delta encode must equal the full build's index rows: got=${got.take(2)} want=${want.take(2)}")
+  }
 }
