@@ -759,7 +759,42 @@ object Corpus {
       .orderBy("split", "lang")
   }
 
+  /** Per-group sample size for [[qGroupSample]]. */
+  private val GroupSampleK = 5
+
+  /** Deterministic k-per-group sample — the eval-set construction step
+    * ("give me 5 inspection documents per language, reproducibly"):
+    * selection key is h32(doc_id), so the sample is stable across runs,
+    * engines and partitionings, and SELECTION is the bounded `topk_min`
+    * aggregate — O(k) state per group with map-side partials, never a
+    * per-group `row_number()` window (which ships every group's full
+    * membership to one reducer partition; fine at |lang| groups × docs,
+    * fatal when the group key is high-cardinality). The chosen ids then
+    * fetch their metadata by broadcast semi-join — the same
+    * shortlist-then-fetch shape as the ANN re-rank.
+    *
+    * Oracle is the DIRECT window spelling, so the bounded aggregate is
+    * re-proven equal to the straightforward semantics on every verify. */
+  def qGroupSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val picked = docs
+      .select(col("lang"),
+        TextPipeline.h32(col("doc_id").cast("string")).as("h"), col("doc_id"))
+      .groupBy("lang")
+      .agg(graft.functions.VectorFunctions.topkMin(
+        col("h"), col("doc_id"), GroupSampleK).as("top"))
+      .select(col("lang"), posexplode(col("top.id")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("pick"),
+        col("col").as("doc_id"))
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(broadcast(picked), Seq("doc_id"))
+      .select(col("lang"), col("pick"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "pick")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_group_sample" -> (qGroupSample _),
     "q_corpus_pipeline" -> (qCorpusPipeline _),
     "q_heaps_law" -> (qHeapsLaw _),
     "q_context_truncation" -> (qContextTruncation _),
@@ -831,6 +866,17 @@ object Corpus {
   }
 
   val oracle: Map[String, String] = Map(
+    // The DIRECT per-group window spelling — the bounded topk_min
+    // aggregate must agree with it on every verify run.
+    "q_group_sample" ->
+      s"""WITH r AS (SELECT lang, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${TextPipeline.duckH32("CAST(doc_id AS VARCHAR)")},
+         |        doc_id) AS pick
+         |  FROM documents)
+         |SELECT lang, CAST(pick AS INT) AS pick, doc_id,
+         |  CAST(n_chars AS BIGINT) AS n_chars
+         |FROM r WHERE pick <= $GroupSampleK ORDER BY lang, pick""".stripMargin,
     // The same four stage rules as the component oracles, chained:
     // scrub regexes, quantile_cont gate, min-id fingerprint dedup,
     // h32 mod 100 split.

@@ -242,6 +242,65 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  /** Vec-space sampling modulus for [[qDedupSemanticEval]] — the
+    * q_dedup_eval doctrine (in-plan sampled truth; default non-binding,
+    * GRAFT_ANN_EVAL_MOD overrides for scale runs). */
+  private[graft] val AnnEvalSampleMod: Long =
+    sys.env.get("GRAFT_ANN_EVAL_MOD").map(_.toLong).getOrElse(1L)
+
+  /** Recall of the cell-blocked semantic dedup ([[qDedupSemantic]])
+    * against the EXACT all-pairs cosine truth, per cosine decile band —
+    * the q_dedup_operating_curve doctrine applied to the embedding rung:
+    * blocked dedup loses exactly the pairs that straddle cell
+    * boundaries, and this query MEASURES that loss per similarity band
+    * instead of asserting it once in a spec (high-cosine pairs should be
+    * near-fully caught; the 0.4–0.5 tail is where blocking bites).
+    * Candidates are exact-verified at the same threshold, so precision
+    * is 1.0 by construction and recall is the whole story.
+    *
+    * The production operator is evaluated, not a sampled retrain: the
+    * k-means index is trained on the FULL corpus exactly as
+    * q_dedup_semantic ships it; only pair FORMATION restricts to the
+    * h32(vec_id)-sampled slice — both the truth side and the candidate
+    * side, in the plan (default [[AnnEvalSampleMod]] = 1, non-binding).
+    * At 100 TB the truth side is the declared quadratic evaluation
+    * cost, bounded to (N/M)²; everything else is the production path. */
+  def qDedupSemanticEval(s: SparkSession, dir: String): DataFrame =
+    qDedupSemanticEvalImpl(s, dir, AnnEvalSampleMod)
+
+  /** [[qDedupSemanticEval]] core with the sample modulus injectable
+    * (spec pins sampled == physically-subsampled pair space). */
+  private[graft] def qDedupSemanticEvalImpl(s: SparkSession, dir: String,
+      mod: Long): DataFrame = {
+    val e = vecs(s, dir).select(col("vec_id"), col("v"))
+    val samp = pmod(TextPipeline.h32(col("vec_id").cast("string")),
+      lit(mod)) === 0L
+    val idx = kmeansAssign(e, kmeansCentroids(e)).filter(samp)
+      .select(col("vec_id"), col("v"), col("cell"))
+      .localCheckpoint() // 2 consumers: both candidate-join sides
+    val es = e.filter(samp).localCheckpoint() // 2 consumers: truth sides
+    val truth = es.select(col("vec_id").as("a_id"), col("v").as("a_v"))
+      .join(es.select(col("vec_id").as("b_id"), col("v").as("b_v")),
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosine(col("a_v"), col("b_v")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select(col("a_id"), col("b_id"),
+        least(floor(col("cos") * 10), lit(9.0)).cast("long").as("band"))
+    val cand = idx.select(col("cell"), col("vec_id").as("a_id"),
+        col("v").as("a_v"))
+      .join(idx.select(col("cell"), col("vec_id").as("b_id"),
+        col("v").as("b_v")), "cell")
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosine(col("a_v"), col("b_v")) >= 0.4)
+      .select(col("a_id"), col("b_id"), lit(1L).as("c"))
+    truth.join(cand, Seq("a_id", "b_id"), "left_outer")
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_true"), count(col("c")).as("n_caught"))
+      .withColumn("recall_ppm", expr("n_caught * 1000000 div n_true"))
+      .orderBy("band")
+  }
+
   /** Per-vector scalar (int8) quantization — the storage-compression rung
     * under the ANN ladder: a 100 TB vector store keeps 1-byte codes (4×
     * smaller than float32, 8× than double) and rescans full precision
@@ -822,6 +881,7 @@ object Similarity {
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_persisted" -> (qAnnPersisted _),
     "q_ann_index_delta" -> (qAnnIndexDelta _),
+    "q_dedup_semantic_eval" -> (qDedupSemanticEval _),
     "q_ann_filtered" -> (qAnnFiltered _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_embed_quantize" -> (qEmbedQuantize _),
@@ -1146,6 +1206,45 @@ object Similarity {
          |FROM codes c JOIN iidx f ON f.vec_id = c.vec_id
          |WHERE c.vec_id % 2 = 1
          |GROUP BY c.vec_id, f.cell ORDER BY c.vec_id""".stripMargin,
+    // Same full-corpus k-means chain as q_dedup_semantic; pair formation
+    // (both truth and candidates) restricted to the identically-hashed
+    // sampled slice; recall per cosine decile band.
+    "q_dedup_semantic_eval" ->
+      s"""WITH $duckVecs,
+         |seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell,
+         |    v AS cv
+         |  FROM (SELECT vec_id, v,
+         |          ${TextPipeline.duckH32("CAST(vec_id AS VARCHAR)")} AS h FROM e)
+         |  ORDER BY h, vec_id LIMIT $KCells),
+         |a0 AS (${duckAssign("seeds")}),
+         |c1 AS (${duckUpdate("a0")}),
+         |a1 AS (${duckAssign("c1")}),
+         |c2 AS (${duckUpdate("a1")}),
+         |idx AS (${duckAssign("c2")}),
+         |es AS (SELECT vec_id, v FROM e
+         |       WHERE ${TextPipeline.duckH32("CAST(vec_id AS VARCHAR)")}
+         |         % $AnnEvalSampleMod = 0),
+         |sidx AS (SELECT vec_id, v, cell FROM idx
+         |         WHERE ${TextPipeline.duckH32("CAST(vec_id AS VARCHAR)")}
+         |           % $AnnEvalSampleMod = 0),
+         |truth AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    least(CAST(floor(($duckPairCos) * 10) AS BIGINT), 9) AS band
+         |  FROM es a JOIN es b ON a.vec_id < b.vec_id
+         |  WHERE $duckPairCos >= 0.4),
+         |cand AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM sidx a JOIN sidx b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE $duckPairCos >= 0.4)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(count(c.a_id) AS BIGINT) AS n_caught,
+         |  CAST(count(c.a_id) AS BIGINT) * 1000000
+         |    // CAST(count(*) AS BIGINT) AS recall_ppm
+         |FROM truth t LEFT JOIN cand c
+         |  ON t.a_id = c.a_id AND t.b_id = c.b_id
+         |GROUP BY band ORDER BY band""".stripMargin,
     "q_dedup_semantic" ->
       s"""WITH $duckVecs,
          |seeds AS (

@@ -799,4 +799,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.nonEmpty && got == want,
       s"delta encode must equal the full build's index rows: got=${got.take(2)} want=${want.take(2)}")
   }
+
+  test("semantic dedup eval: caught pairs are exactly the production operator's output; sampling only shrinks the truth") {
+    val d = "/root/testdata/sf0.01"
+    def rows(mod: Long) = Similarity.qDedupSemanticEvalImpl(spark, d, mod)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val full = rows(1L)
+    assert(full.nonEmpty, "fixture must contain cosine >= 0.4 pairs")
+    // conservation: candidates are the exact-verified same-cell pairs,
+    // i.e. qDedupSemantic's output — every one is true, so the caught
+    // total must equal the production operator's row count exactly
+    val prodPairs = Similarity.qDedupSemantic(spark, d).count()
+    assert(full.values.map(_._2).sum == prodPairs,
+      s"sum(n_caught) must equal |q_dedup_semantic| = $prodPairs: $full")
+    full.foreach { case (b, (t, c, rppm)) =>
+      assert(c <= t && rppm <= 1000000L, s"band $b: caught>true? $full")
+    }
+    // the in-plan sample only SHRINKS the measured pair space
+    val samp = rows(2L)
+    samp.foreach { case (b, (t, c, _)) =>
+      assert(t <= full(b)._1 && c <= full(b)._2, s"band $b grew under sampling")
+    }
+  }
 }

@@ -704,4 +704,23 @@ class GraphTextSpec extends SparkSpec {
         "the bounded selection must compile to TakeOrderedAndProject")
     }
   }
+
+  test("group sample: k stable picks per language via the bounded aggregate — no per-group window in the plan") {
+    val d = "/root/testdata/sf0.01"
+    val df = Corpus.qGroupSample(spark, d)
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val langs = graft.io.Tables.documents(spark, d)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.groupBy(_._1).keySet == langs)
+    rows.groupBy(_._1).foreach { case (l, rs) =>
+      assert(rs.map(_._2).sorted == (1 to 5), s"lang $l picks: $rs")
+    }
+    // deterministic: a second run returns the identical sample
+    assert(rows == Corpus.qGroupSample(spark, d).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq)
+    // the selection must be the O(k)-state aggregate, not a window sort
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "group sampling must not ship groups through a window")
+  }
 }
