@@ -690,7 +690,7 @@ object Ingest {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_merge_upsert" -> (qMergeUpsert _),
+    "q_merge_compact" -> (qMergeUpsert _),
     "q_erasure_audit" -> (qErasureAudit _),
     "q_ref_integrity" -> (qRefIntegrity _),
     "q_fd_audit" -> (qFdAudit _),
@@ -769,7 +769,7 @@ object Ingest {
     // The write path must land exactly on the read-side latest-wins view
     // (q_dedup_latest's spelling): the merged snapshot IS the current
     // state, however it was produced.
-    "q_merge_upsert" ->
+    "q_merge_compact" ->
       """SELECT user_id, event_id, us, event_type, value FROM (
         |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value,
         |    row_number() OVER (PARTITION BY user_id
