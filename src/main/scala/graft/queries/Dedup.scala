@@ -220,7 +220,9 @@ object Dedup {
         graft.functions.VectorFunctions.shinglePosting(col("w"), 3))
       .select(col("doc_id"), TextPipeline.h32(col("shingle")).as("h"))
       .distinct()
-      .localCheckpoint() // 3 consumers: sizes + both join sides
+      // 3 consumers: sizes + both join sides (Lineage.cut = localCheckpoint
+      // unless the plan audit disables it to see the sample predicate)
+      .transform(graft.core.Lineage.cut)
     val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = shd.join(sizes, "doc_id")
       .select(col("h"), col("doc_id").as("a_id"), col("n").as("a_n"))
@@ -239,7 +241,7 @@ object Dedup {
           slice(col("sig"), col("band_id") * RowsPerBand + 1,
             lit(RowsPerBand)),
           x => x.cast("string")))).as("band_key"))
-      .localCheckpoint() // 2 consumers: both bucket-join sides
+      .transform(graft.core.Lineage.cut) // 2 consumers: both bucket-join sides
     val cand = bands.select(col("band_id"), col("band_key"),
         col("doc_id").as("a_id"))
       .join(bands.select(col("band_id"), col("band_key"),
@@ -298,7 +300,9 @@ object Dedup {
         graft.functions.VectorFunctions.shinglePosting(col("w"), 3))
       .select(col("doc_id"), TextPipeline.h32(col("shingle")).as("h"))
       .distinct()
-      .localCheckpoint() // 3 consumers: sizes + both join sides
+      // 3 consumers: sizes + both join sides (Lineage.cut = localCheckpoint
+      // unless the plan audit disables it to see the sample predicate)
+      .transform(graft.core.Lineage.cut)
     val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = shd.join(sizes, "doc_id")
       .select(col("h"), col("doc_id").as("a_id"), col("n").as("a_n"))
@@ -318,7 +322,7 @@ object Dedup {
           slice(col("sig"), col("band_id") * RowsPerBand + 1,
             lit(RowsPerBand)),
           x => x.cast("string")))).as("band_key"))
-      .localCheckpoint() // 2 consumers: both bucket-join sides
+      .transform(graft.core.Lineage.cut) // 2 consumers: both bucket-join sides
     val cand = bands.select(col("band_id"), col("band_key"),
         col("doc_id").as("a_id"))
       .join(bands.select(col("band_id"), col("band_key"),
@@ -785,6 +789,91 @@ object Dedup {
         col("kind"), col("jaccard"))
       .orderBy("new_id", "dup_of")
 
+  /** Persisted-index roots for [[qDedupPersisted]] — one build per
+    * (JVM, fixture dir), the q_ann_persisted discipline applied to the
+    * dedup tier: the historical corpus's winnow-fingerprint POSTINGS and
+    * its shingle verification store are parquet artifacts written once. */
+  private val dedupIndexRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def dedupIndexDir(s: SparkSession, dir: String): String =
+    dedupIndexRoots.computeIfAbsent(dir, { d =>
+      val root = Ingest.scratchDir("dedupindex", d)
+      TextAnalysis.winnowFps(s, d).filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$root/postings.parquet")
+      // verification store: sorted shingle arrays + sizes of the index
+      // half (string shingles here for oracle exactness; a production
+      // store persists 8-byte shingle hashes — same plan shape)
+      shingled(s, d).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), size(col("s")).as("n"),
+          array_sort(col("s")).as("ss"))
+        .write.mode("overwrite").parquet(s"$root/shingles.parquet")
+      root
+    })
+
+  /** [[qDedupIncremental]] against a PERSISTED index — the probe-many
+    * production shape: the historical half's fingerprint postings and
+    * shingle store come from parquet ([[dedupIndexDir]], built once);
+    * the query fingerprints ONLY the incoming batch (the odd half —
+    * today's data must be fingerprinted regardless), joins batch
+    * postings against the persisted postings (index collisions) and
+    * against themselves (batch-internal), and verifies candidates with
+    * the same sorted-intersect kernel over the union verification store.
+    * Output contract and oracle are IDENTICAL to q_dedup_incremental, so
+    * every verify run re-proves the persisted artifacts equal what the
+    * in-plan spelling computes; the spec additionally pins row equality
+    * and that the probe never fingerprints the index half (inputFiles
+    * anchored to the persisted postings).
+    *
+    * Scale stance (100 TB): the index half is NEVER re-shingled or
+    * re-fingerprinted per batch — the probe's text work is O(batch);
+    * postings join on (lang, fingerprint) buckets; sorted shingle arrays
+    * move only for surviving candidates, the index side's from the
+    * columnar store by doc_id. */
+  def qDedupPersisted(s: SparkSession, dir: String): DataFrame = {
+    val root = dedupIndexDir(s, dir)
+    val idxFps = s.read.parquet(s"$root/postings.parquet")
+    val idxSs = s.read.parquet(s"$root/shingles.parquet")
+    val batchFps = TextAnalysis.winnowFps(s, dir)
+      .filter(col("doc_id") % 2 === 1)
+      // 3 consumers: vs-index join + both batch-internal sides
+      .transform(graft.core.Lineage.cut)
+    val batchSs = shingled(s, dir).filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), size(col("s")).as("n"),
+        array_sort(col("s")).as("ss"))
+      // 2 consumers (both verification-join sides via the union store)
+      .transform(graft.core.Lineage.cut)
+    val candIdx = batchFps
+      .select(col("lang"), col("fingerprint"), col("doc_id").as("new_id"))
+      .join(idxFps.select(col("lang"), col("fingerprint"),
+        col("doc_id").as("dup_of")), Seq("lang", "fingerprint"))
+      .select(col("new_id"), col("dup_of")).distinct()
+      .withColumn("kind", lit("index"))
+    val candBatch = batchFps
+      .select(col("lang"), col("fingerprint"), col("doc_id").as("a_id"))
+      .join(batchFps.select(col("lang"), col("fingerprint"),
+        col("doc_id").as("b_id")), Seq("lang", "fingerprint"))
+      .filter(col("a_id") < col("b_id"))
+      // keep-earlier: the larger batch id is the duplicate being reported
+      .select(col("b_id").as("new_id"), col("a_id").as("dup_of")).distinct()
+      .withColumn("kind", lit("batch"))
+    val store = idxSs.unionByName(batchSs)
+    candIdx.unionByName(candBatch)
+      .join(store.select(col("doc_id").as("new_id"), col("n").as("n_new"),
+        col("ss").as("ss_new")), "new_id")
+      .join(store.select(col("doc_id").as("dup_of"), col("n").as("n_dup"),
+        col("ss").as("ss_dup")), "dup_of")
+      .select(col("new_id"), col("dup_of"), col("kind"),
+        graft.functions.VectorFunctions
+          .sortedIntersectCount(col("ss_new"), col("ss_dup"))
+          .cast("long").as("inter"), col("n_new"), col("n_dup"))
+      .select(col("new_id"), col("dup_of"), col("kind"),
+        (col("inter").cast("double")
+          / (col("n_new") + col("n_dup") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardT)
+      .orderBy("new_id", "dup_of")
+  }
+
   /** Quality-aware dedup survivor selection — the step that turns the
     * cluster labeling ([[qDedupClusters]]) into the RETAINED corpus: per
     * near-dup cluster keep the member with the MOST tokens (tie → lowest
@@ -942,6 +1031,7 @@ object Dedup {
     "q_ngram_jaccard_prefix" -> (qNgramJaccardPrefix _),
     "q_dedup_winnow" -> (qDedupWinnow _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_dedup_persisted" -> (qDedupPersisted _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_survivors" -> (qDedupSurvivors _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -1042,6 +1132,28 @@ object Dedup {
        |           AND a.doc_id < b.doc_id),
        |sh AS (SELECT doc_id, $duckSh AS s FROM toks WHERE len(w) >= 3)""".stripMargin
   }
+
+  /** One spelling of the incremental-dedup semantics for both the
+    * in-plan query and the persisted-index probe. */
+  private lazy val incrementalOracleSql: String =
+    s"""WITH $winnowCandCte,
+       |scored AS (SELECT c.a_id, c.b_id,
+       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+       |  FROM cand c JOIN sh a ON a.doc_id = c.a_id
+       |              JOIN sh b ON b.doc_id = c.b_id
+       |  WHERE (c.a_id % 2 = 1 OR c.b_id % 2 = 1)
+       |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.s, b.s))) >= $JaccardT)
+       |SELECT
+       |  CASE WHEN a_id % 2 = 1 AND b_id % 2 = 1 THEN greatest(a_id, b_id)
+       |       WHEN a_id % 2 = 1 THEN a_id ELSE b_id END AS new_id,
+       |  CASE WHEN a_id % 2 = 1 AND b_id % 2 = 1 THEN least(a_id, b_id)
+       |       WHEN a_id % 2 = 1 THEN b_id ELSE a_id END AS dup_of,
+       |  CASE WHEN a_id % 2 = 1 AND b_id % 2 = 1 THEN 'batch'
+       |       ELSE 'index' END AS kind,
+       |  jaccard
+       |FROM scored ORDER BY new_id, dup_of""".stripMargin
 
   private def sigCte =
     s"""toks AS (SELECT doc_id, $duckToks AS w FROM documents),
@@ -1187,25 +1299,11 @@ object Dedup {
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |    / len(list_distinct(list_concat(a.s, b.s))) >= $JaccardT
          |ORDER BY a_id, b_id""".stripMargin,
-    "q_dedup_incremental" ->
-      s"""WITH $winnowCandCte,
-         |scored AS (SELECT c.a_id, c.b_id,
-         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-         |  FROM cand c JOIN sh a ON a.doc_id = c.a_id
-         |              JOIN sh b ON b.doc_id = c.b_id
-         |  WHERE (c.a_id % 2 = 1 OR c.b_id % 2 = 1)
-         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(a.s, b.s))) >= $JaccardT)
-         |SELECT
-         |  CASE WHEN a_id % 2 = 1 AND b_id % 2 = 1 THEN greatest(a_id, b_id)
-         |       WHEN a_id % 2 = 1 THEN a_id ELSE b_id END AS new_id,
-         |  CASE WHEN a_id % 2 = 1 AND b_id % 2 = 1 THEN least(a_id, b_id)
-         |       WHEN a_id % 2 = 1 THEN b_id ELSE a_id END AS dup_of,
-         |  CASE WHEN a_id % 2 = 1 AND b_id % 2 = 1 THEN 'batch'
-         |       ELSE 'index' END AS kind,
-         |  jaccard
-         |FROM scored ORDER BY new_id, dup_of""".stripMargin,
+    "q_dedup_incremental" -> incrementalOracleSql,
+    // The persisted-index probe must return EXACTLY the in-plan
+    // incremental dedup — one oracle spelling for both, the
+    // q_ann_persisted convention.
+    "q_dedup_persisted" -> incrementalOracleSql,
     "q_dedup_containment" ->
       s"""WITH $winnowCandCte,
          |scored AS (SELECT c.a_id, c.b_id,

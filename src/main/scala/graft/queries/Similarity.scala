@@ -277,8 +277,10 @@ object Similarity {
       lit(mod)) === 0L
     val idx = kmeansAssign(e, kmeansCentroids(e)).filter(samp)
       .select(col("vec_id"), col("v"), col("cell"))
-      .localCheckpoint() // 2 consumers: both candidate-join sides
-    val es = e.filter(samp).localCheckpoint() // 2 consumers: truth sides
+      // 2 consumers each (candidate sides / truth sides); Lineage.cut =
+      // localCheckpoint unless the plan audit disables it
+      .transform(graft.core.Lineage.cut)
+    val es = graft.core.Lineage.cut(e.filter(samp))
     val truth = es.select(col("vec_id").as("a_id"), col("v").as("a_v"))
       .join(es.select(col("vec_id").as("b_id"), col("v").as("b_v")),
         col("a_id") < col("b_id"))

@@ -800,6 +800,23 @@ class DedupSimilaritySpec extends SparkSpec {
       s"delta encode must equal the full build's index rows: got=${got.take(2)} want=${want.take(2)}")
   }
 
+  test("persisted dedup index: probe == in-plan incremental dedup, and the probe never re-fingerprints the index half") {
+    val d = "/root/testdata/sf0.01"
+    val probe = Dedup.qDedupPersisted(spark, d)
+    val got = probe.collect().map(_.toString).toSeq
+    val want = Dedup.qDedupIncremental(spark, d).collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want,
+      s"persisted probe diverged: got=${got.take(3)} want=${want.take(3)}")
+    // the index half's postings and shingle store come from parquet —
+    // the probe's text work is O(batch) by construction
+    val root = Dedup.dedupIndexDir(spark, d)
+    val files = probe.inputFiles
+    Seq("postings", "shingles").foreach { t =>
+      assert(files.exists(f => f.contains(root) && f.contains(t)),
+        s"probe must scan the persisted $t table under $root")
+    }
+  }
+
   test("semantic dedup eval: caught pairs are exactly the production operator's output; sampling only shrinks the truth") {
     val d = "/root/testdata/sf0.01"
     def rows(mod: Long) = Similarity.qDedupSemanticEvalImpl(spark, d, mod)
