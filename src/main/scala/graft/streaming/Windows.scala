@@ -263,7 +263,7 @@ object Windows {
   /** The CEP automaton of `Analytics.qEventPattern` as a left fold:
     * events MUST arrive sorted by (t_us, event_id) — the batch twin's
     * window order. Returns the summary after consuming `es`. */
-  private def foldPattern(s0: PatternState, es: Seq[(Long, Long, Int)],
+  private[graft] def foldPattern(s0: PatternState, es: Seq[(Long, Long, Int)],
                           w: Long): PatternState = {
     var lastV = s0.last_v; var lastE = s0.last_e
     var nP = s0.n_purchases; var nM = s0.n_matched
@@ -303,6 +303,28 @@ object Windows {
     * future purchases (t − lastV ≤ W), so it stays pending. Without a
     * watermark (`getCurrentWatermarkMs` = 0) no pruning happens and the
     * full-history replay contract holds verbatim. */
+  /** One [[patternStream]] micro-batch update for a single user:
+    * merge the batch's (t_us, event_id, code) rows into the pending
+    * suffix (dedup by id; drop sub-cutoff stragglers — they are older
+    * than the watermark, so discarding them is the declared contract),
+    * freeze everything at t ≤ watermark − w into the summary, and replay
+    * the suffix for the snapshot. Extracted so PropertiesSpec can
+    * randomized-test the invariant that matters: for ANY batch split
+    * with lateness bounded by the watermark, the final snapshot equals
+    * the one-shot batch automaton over all events. */
+  private[graft] def patternStep(prev: PatternState,
+      batch: Seq[(Long, Long, Int)], wmUs: Long,
+      w: Long): (PatternState, PatternSnap) = {
+    val cutoff = if (wmUs > 0L) wmUs - w else Long.MinValue
+    val pending = (prev.pending ++ batch.filter(_._1 > cutoff))
+      .distinct.sorted
+    val (prefix, suffix) = pending.partition(_._1 <= cutoff)
+    val frozen = foldPattern(prev, prefix, w)
+    val snap = foldPattern(frozen, suffix, w)
+    (frozen.copy(pending = suffix),
+      PatternSnap(-1L, snap.n_purchases, snap.n_matched, snap.first_match_us))
+  }
+
   def patternStream(events: Dataset[FunnelEvent]): Dataset[PatternSnap] = {
     import events.sparkSession.implicits._
     val W = graft.queries.Analytics.PatternWindowUs
@@ -318,22 +340,12 @@ object Windows {
           // no watermark — that's the full-replay mode
           val wmUs = try state.getCurrentWatermarkMs() * 1000L
             catch { case _: UnsupportedOperationException => 0L }
-          val cutoff = if (wmUs > 0L) wmUs - W else Long.MinValue
-          // drop stragglers already inside the frozen prefix ourselves:
-          // they are older than the watermark (cutoff = wm − W < wm), so
-          // discarding them is the declared watermark contract — and Spark
-          // only pre-filters late rows under EventTimeTimeout
-          val pending = (prev.pending ++
-            batch.flatMap(e =>
-              code.get(e.event_type).map(c => (tsMicros(e.ts), e.event_id, c)))
-              .filter(_._1 > cutoff))
-            .distinct.sorted
-          val (prefix, suffix) = pending.partition(_._1 <= cutoff)
-          val frozen = foldPattern(prev, prefix, W)
-          state.update(frozen.copy(pending = suffix))
-          val snap = foldPattern(frozen, suffix, W)
-          PatternSnap(uid, snap.n_purchases, snap.n_matched,
-            snap.first_match_us)
+          val rows = batch.flatMap(e =>
+            code.get(e.event_type).map(c => (tsMicros(e.ts), e.event_id, c)))
+            .toSeq
+          val (next, snap) = patternStep(prev, rows, wmUs, W)
+          state.update(next)
+          snap.copy(user_id = uid)
       }
   }
 

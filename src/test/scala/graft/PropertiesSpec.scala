@@ -120,4 +120,50 @@ class PropertiesSpec extends AnyFunSuite {
       assert(got.forall(_._2 == want.size))
     }
   }
+
+  test("CEP watermark pruning: any bounded-lateness batch split replays to the one-shot automaton, with state actually pruned") {
+    import graft.streaming.Windows
+    val W = graft.queries.Analytics.PatternWindowUs // 1 h in µs
+    val minUs = 60L * 1000000L
+    // events: (minute, code) with code 1=view 2=error 3=purchase; ids by
+    // index; per-event delivery delay < W so the watermark contract holds
+    val genEvents = for {
+      n <- Gen.choose(1, 40)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 240L))
+      cs <- Gen.listOfN(n, Gen.choose(1, 3))
+      ds <- Gen.listOfN(n, Gen.choose(0L, 59L)) // delay minutes, < 60
+      nb <- Gen.choose(1, 6)
+      bs <- Gen.listOfN(n, Gen.choose(0, nb - 1))
+    } yield (ts.map(_ * minUs), cs, ds.map(_ * minUs), bs)
+    forAll(genEvents) { case (ts, cs, ds, bsRaw) =>
+      val evs = ts.indices.map(i => (ts(i), i.toLong, cs(i)))
+      // arrival order by (t + delay): bounded lateness by construction —
+      // any arriving event satisfies t > max(arrived t) − W; batch index
+      // is then forced non-decreasing along the arrival order
+      val arrival = ts.indices.sortBy(i => (ts(i) + ds(i), i.toLong))
+      val batchOf = arrival.zipWithIndex
+        .map { case (i, pos) => i -> bsRaw.take(pos + 1).max }.toMap
+      val nb = if (batchOf.isEmpty) 0 else batchOf.values.max + 1
+      var st = Windows.PatternState(0L, 0L, -1L, -1L, -1L, Seq.empty)
+      var snap: Windows.PatternSnap = null
+      var seenMax = Long.MinValue
+      (0 until nb).foreach { b =>
+        // Spark's watermark for batch b derives from batches < b
+        val wm = if (seenMax == Long.MinValue) 0L else seenMax
+        val rows = arrival.filter(batchOf(_) == b).map(evs)
+        val (next, s) = Windows.patternStep(st, rows, wm, W)
+        // state boundedness: nothing at or below the cutoff stays pending
+        assert(next.pending.forall(_._1 > (if (wm > 0) wm - W else Long.MinValue)))
+        st = next; snap = s
+        if (rows.nonEmpty) seenMax = math.max(seenMax,
+          rows.map(_._1).max)
+      }
+      val oneShot = Windows.foldPattern(
+        Windows.PatternState(0L, 0L, -1L, -1L, -1L, Seq.empty),
+        evs.sorted, W)
+      assert((snap.n_purchases, snap.n_matched, snap.first_match_us) ==
+        ((oneShot.n_purchases, oneShot.n_matched, oneShot.first_match_us)),
+        s"split replay diverged: evs=$evs batches=$batchOf")
+    }
+  }
 }
