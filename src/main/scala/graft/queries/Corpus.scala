@@ -724,6 +724,48 @@ object Corpus {
         "[0-9]{6,}", "<NUM>"),
       "https?://[^ ]+", "<URL>")
 
+  /** The redaction regexes as (name, pattern) — one source of truth for
+    * [[pipelineRedact]], [[qRedact]]-adjacent queries and the
+    * [[qPiiReport]] detection view (portable: no Java-only regex
+    * features, so DuckDB's RE2 matches identically). */
+  private[graft] val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+",
+    "num" -> "[0-9]{6,}",
+    "url" -> "https?://[^ ]+")
+
+  /** PII detection report — the audit view the redaction pass
+    * ([[pipelineRedact]] / q_redact) is flying blind without: per source,
+    * how many documents carry each PII class and how many total
+    * occurrences, PLUS the redaction-closure check — the same detectors
+    * re-run on the REDACTED text must find zero residual matches (the
+    * replacement tokens contain no '@', no digit runs, no scheme, and
+    * the email→num→url application order cannot manufacture new
+    * matches). A nonzero `n_residual` is a silent-leak alarm, surfaced
+    * as a column so the verify gate — not a human — watches it.
+    *
+    * Scale stance (100 TB): one text scan, all counts from per-row
+    * regexp_extract_all sizes partial-aggregated to |sources| groups;
+    * no shuffle carries text. */
+  def qPiiReport(s: SparkSession, dir: String): DataFrame = {
+    def hits(c: Column, p: String): Column =
+      size(regexp_extract_all(c, lit(p), lit(0))).cast("long")
+    val base = Tables.documents(s, dir).select(
+      col("source") +: col("doc_id") +:
+        (PiiPatterns.map { case (n, p) =>
+          hits(col("text"), p).as(s"h_$n") } :+
+          PiiPatterns.map { case (_, p) =>
+            hits(pipelineRedact(col("text")), p) }
+            .reduce(_ + _).as("resid")): _*)
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        PiiPatterns.map { case (n, _) =>
+          sum(when(col(s"h_$n") > 0, 1L).otherwise(0L)).as(s"docs_$n") } ++
+        PiiPatterns.map { case (n, _) =>
+          sum(col(s"h_$n")).as(s"n_$n") } :+
+        sum(col("resid")).as("n_residual"): _*)
+      .orderBy("source")
+  }
+
   /** The capstone's deterministic hash split of a doc id — shared with
     * the streaming twin. */
   private[graft] def pipelineSplit(docId: Column): Column = {
@@ -794,6 +836,7 @@ object Corpus {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_report" -> (qPiiReport _),
     "q_group_sample" -> (qGroupSample _),
     "q_corpus_pipeline" -> (qCorpusPipeline _),
     "q_heaps_law" -> (qHeapsLaw _),
@@ -866,6 +909,31 @@ object Corpus {
   }
 
   val oracle: Map[String, String] = Map(
+    // Same portable regexes, same scrub chain for the residual check.
+    "q_pii_report" -> {
+      val hits = PiiPatterns.map { case (n, p) =>
+        s"len(regexp_extract_all(text, '$p')) AS h_$n" }.mkString(",\n  ")
+      val resid = PiiPatterns.map { case (_, p) =>
+        s"len(regexp_extract_all(rt, '$p'))" }.mkString(" + ")
+      val aggs = (PiiPatterns.map { case (n, _) =>
+        s"CAST(sum(CASE WHEN h_$n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_$n" } ++
+        PiiPatterns.map { case (n, _) =>
+          s"CAST(sum(h_$n) AS BIGINT) AS n_$n" }).mkString(",\n  ")
+      s"""WITH r AS (SELECT source, text,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '${PiiPatterns(0)._2}', '<EMAIL>', 'g'),
+         |      '${PiiPatterns(1)._2}', '<NUM>', 'g'),
+         |      '${PiiPatterns(2)._2}', '<URL>', 'g') AS rt
+         |  FROM documents),
+         |d AS (SELECT source,
+         |  $hits,
+         |  $resid AS resid
+         |  FROM r)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  $aggs,
+         |  CAST(sum(resid) AS BIGINT) AS n_residual
+         |FROM d GROUP BY source ORDER BY source""".stripMargin
+    },
     // The DIRECT per-group window spelling — the bounded topk_min
     // aggregate must agree with it on every verify run.
     "q_group_sample" ->

@@ -705,6 +705,36 @@ class GraphTextSpec extends SparkSpec {
     }
   }
 
+  test("pii report: engineered corpus — per-class doc/occurrence counts and zero residual after redaction") {
+    // the driver fixture is synthetic word salad with no PII, so the
+    // fixture run is a vacuous all-zeros report; the semantics need a
+    // corpus that actually contains each class
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("piifix").toString
+    Seq(
+      (1L, "contact a.b@c.com or x@y.org today", "en", "s1"),
+      (2L, "order 1234567 shipped, ref 7654321, see https://t.co/x", "en", "s1"),
+      (3L, "plain text only", "en", "s2"),
+      (4L, "mail me@me.io about http://a.b/c?q=1234567", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Corpus.qPiiReport(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = rows("s1"); val s2 = rows("s2")
+    // s1: doc1 has 2 emails; doc2 has 2 long numbers + 1 url
+    assert((s1.getAs[Long]("docs_email"), s1.getAs[Long]("n_email")) == ((1L, 2L)), s"$s1")
+    assert((s1.getAs[Long]("docs_num"), s1.getAs[Long]("n_num")) == ((1L, 2L)), s"$s1")
+    assert((s1.getAs[Long]("docs_url"), s1.getAs[Long]("n_url")) == ((1L, 1L)), s"$s1")
+    // s2: doc3 clean; doc4 has 1 email, 1 url whose query carries a long
+    // number (counted for n_num — detection is per-class, not exclusive)
+    assert((s2.getAs[Long]("docs_email"), s2.getAs[Long]("n_email")) == ((1L, 1L)), s"$s2")
+    assert((s2.getAs[Long]("docs_num"), s2.getAs[Long]("n_num")) == ((1L, 1L)), s"$s2")
+    assert((s2.getAs[Long]("docs_url"), s2.getAs[Long]("n_url")) == ((1L, 1L)), s"$s2")
+    // redaction closure: re-running the detectors on redacted text finds
+    // nothing, in every source
+    rows.values.foreach(r => assert(r.getAs[Long]("n_residual") == 0L, s"$r"))
+  }
+
   test("group sample: k stable picks per language via the bounded aggregate — no per-group window in the plan") {
     val d = "/root/testdata/sf0.01"
     val df = Corpus.qGroupSample(spark, d)
