@@ -496,6 +496,38 @@ object Windows {
       }
   }
 
+  /** A document key arriving on the sampling stream (text already
+    * reduced to its selection key upstream). */
+  case class SampleDoc(lang: String, doc_id: Long, h: Long)
+  /** The current k-sample snapshot for one language. */
+  case class SampleSnap(lang: String, doc_ids: Seq[Long])
+
+  /** STREAMING twin of `Corpus.qGroupSample` — the deterministic
+    * k-per-group sample maintained ONLINE: state per language is the k
+    * smallest (h32(doc_id), doc_id) pairs seen so far (the same O(k)
+    * bounded-selection contract as the batch `topk_min` aggregate, here
+    * as explicit GroupState), re-emitted on every update. Because the
+    * selection key is a content-independent hash, the snapshot after any
+    * prefix of the stream equals the batch sample of exactly the
+    * documents seen so far — arrival order never matters, and the final
+    * snapshot equals `qGroupSample` on the full corpus (StreamingSpec).
+    * State is O(k) per language by construction — no watermark needed. */
+  def groupSampleStream(docs: Dataset[SampleDoc],
+      k: Int): Dataset[SampleSnap] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.lang)
+      .mapGroupsWithState[Seq[(Long, Long)], SampleSnap](
+        GroupStateTimeout.NoTimeout()) {
+        (lang: String, batch: Iterator[SampleDoc],
+         state: GroupState[Seq[(Long, Long)]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty).iterator ++
+            batch.map(d => (d.h, d.doc_id)))
+            .toSeq.distinct.sorted.take(k)
+          state.update(merged)
+          SampleSnap(lang, merged.map(_._2))
+      }
+  }
+
   /** Convenience: run a streaming DataFrame to an in-memory table and block
     * until all available input is processed (test/dev harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

@@ -338,6 +338,36 @@ class StreamingSpec extends SparkSpec {
       s"frozen-prefix counts must survive pruning: $fin")
   }
 
+  test("streaming group sample: order-shuffled feed converges to the batch k-per-language sample") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Windows.SampleDoc
+    val d = "/root/testdata/sf0.001"
+    val keyed = graft.io.Tables.documents(spark, d)
+      .select(col("lang"), col("doc_id"),
+        graft.core.TextPipeline.h32(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => SampleDoc(r.getString(0), r.getLong(1), r.getLong(2)))
+    val mem = MemoryStream[SampleDoc]
+    val q = Windows.groupSampleStream(mem.toDS(), 5)
+      .writeStream.format("memory").queryName("t_gsample")
+      .outputMode(OutputMode.Update()).start()
+    // deliberately adversarial order: DESCENDING selection key, split in
+    // two batches — every later batch displaces earlier picks
+    val byKeyDesc = keyed.sortBy(sd => (-sd.h, -sd.doc_id))
+    val (b1, b2) = byKeyDesc.splitAt(byKeyDesc.length / 2)
+    mem.addData(b1.toSeq); q.processAllAvailable()
+    mem.addData(b2.toSeq); q.processAllAvailable()
+    val got = spark.table("t_gsample").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1))
+      .groupBy(_._1).view.mapValues(_.last._2.toSeq).toMap
+    q.stop()
+    val want = graft.queries.Corpus.qGroupSample(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(got == want,
+      s"online sample diverged from batch: got=$got want=$want")
+  }
+
   test("the reference's flagship as a stream: incremental word count == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
