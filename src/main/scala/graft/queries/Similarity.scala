@@ -834,6 +834,61 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** IVF nprobe operating curve — the q_dedup_operating_curve doctrine
+    * applied to the ANN probe knob: recall@[[TopK]] of the IVF index at
+    * nprobe ∈ {1, 2, 4, 8}, against the exact brute-force truth — the
+    * table you consult to SET nprobe instead of re-guessing it (nprobe =
+    * [[KCells]] probes every cell, so its row must read exactly 1e6 ppm:
+    * a built-in self-check the spec also pins, alongside monotonicity
+    * and consistency with q_ann_recall_eval's nprobe=2 totals).
+    *
+    * Scale stance (100 TB): the probe ranking is one KCells-row window
+    * per query (broadcast-tiny); the candidate set is probed-cells-local
+    * per (nprobe, query) and the rank windows are bounded by it; the
+    * 4-point spine multiplies only the probe list, never the corpus —
+    * the index is scanned once per spine point at most (in production
+    * the sweep runs over the same persisted index q_ann_persisted
+    * reads). Truth is the declared evaluation cost, shared with
+    * q_ann_recall_eval (O(queries · corpus), queries bounded). */
+  def qAnnNprobeCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs(s, dir).select(col("vec_id"), col("v"))
+    val c2 = kmeansCentroids(e)
+    val index = kmeansAssign(e, c2)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val prAll = q.crossJoin(broadcast(c2))
+      .select(col("q_id"), col("q_v"), col("cell"),
+        cosine(col("q_v"), col("cv")).as("ccos"))
+      .withColumn("pr", row_number().over(wProbe))
+    val spine = s.range(4)
+      .select(expr("shiftleft(1L, cast(id AS int))").as("nprobe"))
+    val probes = prAll.crossJoin(broadcast(spine))
+      .filter(col("pr") <= col("nprobe"))
+      .select(col("nprobe"), col("q_id"), col("q_v"), col("cell"))
+    val wRank = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    val approx = broadcast(probes).join(index, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("nprobe"), col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("v"), col("q_v")).as("cos_raw"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+      .select(col("nprobe"), col("q_id"), col("neighbor_id"),
+        lit(1).as("hit"))
+    val truth = qAnnBruteforce(s, dir).select(col("q_id"), col("neighbor_id"))
+    truth.crossJoin(broadcast(spine))
+      .join(approx, Seq("nprobe", "q_id", "neighbor_id"), "left_outer")
+      .groupBy("nprobe")
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("k_total"), count(col("hit")).as("hits"))
+      .select(col("nprobe"), col("n_queries"), col("k_total"), col("hits"),
+        expr("hits * 1000000 div k_total").as("recall_ppm"))
+      .orderBy("nprobe")
+  }
+
   /** Embedding drift monitor: per label, the squared L2 distance between
     * the even-id and odd-id sub-corpus centroids — the embedding-space
     * twin of q_psi/q_kl_drift, the check an ML-ops pipeline runs when a
@@ -884,6 +939,7 @@ object Similarity {
     "q_ann_persisted" -> (qAnnPersisted _),
     "q_ann_index_delta" -> (qAnnIndexDelta _),
     "q_dedup_semantic_eval" -> (qDedupSemanticEval _),
+    "q_ann_nprobe_curve" -> (qAnnNprobeCurve _),
     "q_ann_filtered" -> (qAnnFiltered _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_embed_quantize" -> (qEmbedQuantize _),
@@ -1036,15 +1092,15 @@ object Similarity {
        |c2 AS (${duckUpdate("a1")}),
        |idx AS (${duckAssign("c2")}),
        |q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
-       |probes AS (
-       |  SELECT q_id, q_v, cell FROM (
-       |    SELECT q.q_id, q.q_v, c.cell,
-       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
-       |        list_sum(list_transform(c.cv, (x,i) -> x * q.q_v[i])) /
-       |          (sqrt(list_sum(list_transform(c.cv, x -> x*x)))
-       |           * sqrt(list_sum(list_transform(q.q_v, x -> x*x)))) DESC,
-       |        c.cell ASC) AS pr
-       |    FROM q, c2 c) WHERE pr <= $NProbe)""".stripMargin
+       |probesall AS (
+       |  SELECT q.q_id, q.q_v, c.cell,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |      list_sum(list_transform(c.cv, (x,i) -> x * q.q_v[i])) /
+       |        (sqrt(list_sum(list_transform(c.cv, x -> x*x)))
+       |         * sqrt(list_sum(list_transform(q.q_v, x -> x*x)))) DESC,
+       |      c.cell ASC) AS pr
+       |  FROM q, c2 c),
+       |probes AS (SELECT q_id, q_v, cell FROM probesall WHERE pr <= $NProbe)""".stripMargin
 
   /** The IVFADC train+probe CTE chain — the oracle of BOTH
     * [[qAnnIvfPq]] (in-plan training) and [[qAnnPersisted]] (probe over
@@ -1135,6 +1191,37 @@ object Similarity {
          |LEFT JOIN (SELECT q_id, neighbor_id FROM iranked WHERE rank <= $TopK) i
          |  ON t.q_id = i.q_id AND t.neighbor_id = i.neighbor_id
          |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin,
+    // Same trained index and probe ranking as q_ann_ivf (shared CTEs),
+    // swept over the 4-point nprobe spine; truth = the brute-force chain.
+    "q_ann_nprobe_curve" ->
+      s"""WITH $duckVecs,
+         |$duckIvfCtes,
+         |np AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS nprobe),
+         |cand AS (
+         |  SELECT n.nprobe, q.q_id, a.vec_id AS neighbor_id,
+         |    $duckCos AS cos_raw
+         |  FROM probesall q JOIN np n ON q.pr <= n.nprobe
+         |  JOIN idx a ON a.cell = q.cell AND a.vec_id <> q.q_id),
+         |iranked AS (SELECT *, row_number() OVER (PARTITION BY nprobe, q_id
+         |    ORDER BY cos_raw DESC, neighbor_id ASC) AS rank FROM cand),
+         |approx AS (SELECT nprobe, q_id, neighbor_id FROM iranked
+         |           WHERE rank <= $TopK),
+         |tscored AS (
+         |  SELECT q.q_id, a.vec_id AS neighbor_id, $duckCos AS cos_raw
+         |  FROM e a, q WHERE a.vec_id <> q.q_id),
+         |tranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos_raw DESC, neighbor_id ASC) AS rank FROM tscored),
+         |t AS (SELECT q_id, neighbor_id FROM tranked WHERE rank <= $TopK)
+         |SELECT n.nprobe,
+         |  CAST(count(DISTINCT t.q_id) AS BIGINT) AS n_queries,
+         |  CAST(count(*) AS BIGINT) AS k_total,
+         |  CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+         |  CAST(count(a.neighbor_id) AS BIGINT) * 1000000
+         |    // CAST(count(*) AS BIGINT) AS recall_ppm
+         |FROM np n CROSS JOIN t
+         |LEFT JOIN approx a ON a.nprobe = n.nprobe AND a.q_id = t.q_id
+         |  AND a.neighbor_id = t.neighbor_id
+         |GROUP BY n.nprobe ORDER BY n.nprobe""".stripMargin,
     "q_ann_bruteforce" ->
       s"""WITH $duckVecs,
          |q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),

@@ -817,6 +817,28 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nprobe curve: monotone, exact at full probe, and consistent with the recall dashboard at nprobe=2") {
+    val d = "/root/testdata/sf0.01"
+    val rows = Similarity.qAnnNprobeCurve(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    // monotone in nprobe (probing more cells can only add candidates)
+    rows.toSeq.sliding(2).foreach { w =>
+      assert(w(0)._2._2 <= w(1)._2._2,
+        s"recall must be monotone in nprobe: ${rows.toSeq}")
+    }
+    // nprobe = KCells probes every cell == the exact scan: recall 1.0
+    assert(rows.last._2._3 == 1000000L, s"full probe must be exact: $rows")
+    // the nprobe=2 point is the same index/probe ranking q_ann_recall_eval
+    // reports per query — totals must agree exactly
+    val evalHits = Similarity.qAnnRecallEval(spark, d).collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (k, hits)
+    assert(rows.find(_._1 == 2L).get._2._2 == evalHits.map(_._2).sum
+      && rows.find(_._1 == 2L).get._2._1 == evalHits.map(_._1).sum,
+      s"nprobe=2 must equal q_ann_recall_eval totals: $rows vs ${evalHits.toSeq}")
+  }
+
   test("semantic dedup eval: caught pairs are exactly the production operator's output; sampling only shrinks the truth") {
     val d = "/root/testdata/sf0.01"
     def rows(mod: Long) = Similarity.qDedupSemanticEvalImpl(spark, d, mod)
