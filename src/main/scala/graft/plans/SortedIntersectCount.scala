@@ -4,12 +4,13 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: |A ∩ B| for two SORTED, DISTINCT
-  * ARRAY<STRING> columns via a merge scan — O(|A|+|B|) comparisons, zero
-  * allocation.
+  * ARRAY<STRING> or ARRAY<BIGINT> columns via a merge scan — O(|A|+|B|)
+  * comparisons, zero allocation (the BIGINT form serves the hashed
+  * verification stores, where 8-byte shingle hashes replace strings).
   *
   * `array_intersect` builds a hash set per row pair; on an all-pairs
   * near-dup verifier that is millions of transient hash sets (measured:
@@ -23,8 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class SortedIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  // inputs: ARRAY<STRING>, each sorted ascending + duplicate-free
+  // inputs: two ARRAY<STRING> or two ARRAY<BIGINT>, each sorted
+  // ascending + duplicate-free
   override def dataType: DataType = IntegerType
+
+  private def longElems: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
   override def prettyName: String = "sorted_intersect_count"
 
   // SQL-registered (GraftExtensions): misuse fails at analysis time.
@@ -32,8 +39,10 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (ARRAY<STRING>, ARRAY<STRING>), got " +
+        s"$prettyName requires two ARRAY<STRING> or two ARRAY<BIGINT>, got " +
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
     }
 
@@ -42,11 +51,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0; var c = 0
-    while (i < nx && j < ny) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+    if (longElems) {
+      while (i < nx && j < ny) {
+        val cmp = java.lang.Long.compare(x.getLong(i), y.getLong(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < nx && j < ny) {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -56,11 +74,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+      val cmpExpr =
+        if (longElems) s"Long.compare($a.getLong($i), $b.getLong($j))"
+        else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
       s"""
          |int $nx = $a.numElements(); int $ny = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $nx && $j < $ny) {
-         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  int $cmp = $cmpExpr;
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; } else { $j++; }
          |}

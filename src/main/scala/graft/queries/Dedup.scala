@@ -796,17 +796,32 @@ object Dedup {
   private val dedupIndexRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** 60-bit portable shingle hash for the persisted verification store
+    * (15 hex chars of md5 → BIGINT): the store keeps 8-byte hashes, not
+    * shingle strings — measured at the sf1 decade, a STRING store read
+    * twice per probe costs 2× the in-plan recompute (sorted shingle
+    * arrays are ~8× the text), while the hashed store is the production
+    * shape. 60 bits make a cross-shingle collision inside any one
+    * compared pair (~10² shingles each) a ~1e-14 event, so hash-space
+    * intersection counts equal string-space counts in practice; the
+    * string-space oracle re-checks that on every verify run. */
+  private def sh60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Hashed verification store rows (doc_id, n, hs) from a [[shingled]]
+    * relation — shared by the index build and the batch side of
+    * [[qDedupPersisted]] so the two cannot drift. */
+  private def hashedStore(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+        array_sort(array_distinct(transform(col("s"), x => sh60(x)))).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n"), col("hs"))
+
   private[graft] def dedupIndexDir(s: SparkSession, dir: String): String =
     dedupIndexRoots.computeIfAbsent(dir, { d =>
       val root = Ingest.scratchDir("dedupindex", d)
       TextAnalysis.winnowFps(s, d).filter(col("doc_id") % 2 === 0)
         .write.mode("overwrite").parquet(s"$root/postings.parquet")
-      // verification store: sorted shingle arrays + sizes of the index
-      // half (string shingles here for oracle exactness; a production
-      // store persists 8-byte shingle hashes — same plan shape)
-      shingled(s, d).filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id"), size(col("s")).as("n"),
-          array_sort(col("s")).as("ss"))
+      hashedStore(shingled(s, d).filter(col("doc_id") % 2 === 0))
         .write.mode("overwrite").parquet(s"$root/shingles.parquet")
       root
     })
@@ -838,9 +853,7 @@ object Dedup {
       .filter(col("doc_id") % 2 === 1)
       // 3 consumers: vs-index join + both batch-internal sides
       .transform(graft.core.Lineage.cut)
-    val batchSs = shingled(s, dir).filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), size(col("s")).as("n"),
-        array_sort(col("s")).as("ss"))
+    val batchSs = hashedStore(shingled(s, dir).filter(col("doc_id") % 2 === 1))
       // 2 consumers (both verification-join sides via the union store)
       .transform(graft.core.Lineage.cut)
     val candIdx = batchFps
@@ -860,12 +873,12 @@ object Dedup {
     val store = idxSs.unionByName(batchSs)
     candIdx.unionByName(candBatch)
       .join(store.select(col("doc_id").as("new_id"), col("n").as("n_new"),
-        col("ss").as("ss_new")), "new_id")
+        col("hs").as("hs_new")), "new_id")
       .join(store.select(col("doc_id").as("dup_of"), col("n").as("n_dup"),
-        col("ss").as("ss_dup")), "dup_of")
+        col("hs").as("hs_dup")), "dup_of")
       .select(col("new_id"), col("dup_of"), col("kind"),
         graft.functions.VectorFunctions
-          .sortedIntersectCount(col("ss_new"), col("ss_dup"))
+          .sortedIntersectCount(col("hs_new"), col("hs_dup"))
           .cast("long").as("inter"), col("n_new"), col("n_dup"))
       .select(col("new_id"), col("dup_of"), col("kind"),
         (col("inter").cast("double")

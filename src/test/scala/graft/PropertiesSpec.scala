@@ -76,6 +76,21 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  private def interEvalL(a: Seq[Long], b: Seq[Long]): Int =
+    SortedIntersectCount(
+      Literal.create(a, ArrayType(LongType)),
+      Literal.create(b, ArrayType(LongType))).eval(null).asInstanceOf[Int]
+
+  private val longSetGen = Gen.listOf(Gen.choose(-1000L, 1000L))
+    .map(_.distinct.sorted)
+
+  test("intersect kernel (BIGINT branch): equals scala Set intersection, incl. negatives") {
+    forAll(longSetGen, longSetGen) { (a, b) =>
+      assert(interEvalL(a, b) == a.toSet.intersect(b.toSet).size)
+      assert(interEvalL(a, a) == a.size)
+    }
+  }
+
   private def simhashEval(hs: Seq[Long]): Long =
     SimHash32(Literal.create(hs, ArrayType(LongType))).eval(null).asInstanceOf[Long]
 
