@@ -1028,7 +1028,56 @@ object Dedup {
       .orderBy("a_id", "b_id", "a_start", "b_start")
   }
 
+  // ---- train/eval hygiene (round-11 wave 3) --------------------------------
+
+  /** Deterministic doc-space split shared with `Corpus.qDecontaminate`:
+    * the SAME pmod(h32(doc_id), 100) bucketing, with buckets ≥ 90 as
+    * the held-out slice — so the leakage audit and the contamination
+    * scorer measure one split, not two conventions. Zero stored state;
+    * both engines compute it identically. */
+  private def isEvalDoc(id: Column): Column =
+    pmod(h32(id.cast("string")), lit(100L)) >= 90L
+  private def duckIsEval(idExpr: String): String =
+    s"${duckH32(s"CAST($idExpr AS VARCHAR)")} % 100 >= 90"
+
+  /** Train/eval split-leakage audit: the verified MinHash near-dup pairs
+    * ([[qDedupMinhash]] — SAME operator, so the edge definition cannot
+    * drift) classified by which side of the [[isEvalDoc]] split each
+    * endpoint landed on (the split `Corpus.qDecontaminate` scores n-gram
+    * overlap against — this is its NEAR-DUP complement: exact-overlap
+    * contamination there, fuzzy-duplicate leakage here). A `leak` pair
+    * is a near-duplicate straddling the boundary — the eval doc is
+    * effectively in the training set (the failure mode benchmark
+    * decontamination exists to prevent; Lee et al. ACL'22 §6.2 measured
+    * the perplexity distortion). Output per class: pair count + distinct
+    * documents involved.
+    *
+    * Scale: adds one map-side classification and a class-cardinality
+    * (≤3 rows) aggregate on top of the production pair pipeline —
+    * leakage auditing costs nothing beyond the dedup you already run. */
+  def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    def bucket(id: Column): Column =
+      when(isEvalDoc(id), lit("eval")).otherwise(lit("train"))
+    val cls = qDedupMinhash(s, dir)
+      .select(col("a_id"), col("b_id"),
+        bucket(col("a_id")).as("ab"), bucket(col("b_id")).as("bb"))
+      .select(col("a_id"), col("b_id"),
+        when(col("ab") === col("bb"),
+          when(col("ab") === "eval", lit("eval_eval"))
+            .otherwise(lit("train_train")))
+          .otherwise(lit("leak")).as("pair_class"))
+    val pairsPer = cls.groupBy(col("pair_class"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docsPer = cls
+      .select(col("pair_class"),
+        explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .groupBy(col("pair_class"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    pairsPer.join(docsPer, "pair_class").orderBy("pair_class")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_leakage" -> (qSplitLeakage _),
     "q_dedup_spans" -> (qDedupSpans _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_minhash_signature" -> (qMinhashSignature _),
@@ -1175,6 +1224,22 @@ object Dedup {
        |sigs AS (SELECT doc_id, ${duckSignature("hs")} AS sig FROM hashed)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same verified-pair relation (shared CTE chain) + split classifier.
+    "q_split_leakage" ->
+      s"""WITH $minhashCandCte,
+         |p AS (SELECT a_id, b_id FROM cand WHERE est_jaccard >= 0.5),
+         |cls AS (SELECT a_id, b_id,
+         |  CASE WHEN (${duckIsEval("a_id")}) AND (${duckIsEval("b_id")})
+         |         THEN 'eval_eval'
+         |       WHEN NOT (${duckIsEval("a_id")})
+         |         AND NOT (${duckIsEval("b_id")}) THEN 'train_train'
+         |       ELSE 'leak' END AS pair_class FROM p),
+         |ex AS (SELECT pair_class, unnest([a_id, b_id]) AS doc_id FROM cls)
+         |SELECT pair_class, n_pairs, n_docs
+         |FROM (SELECT pair_class, count(*) AS n_pairs FROM cls GROUP BY 1)
+         |JOIN (SELECT pair_class, count(DISTINCT doc_id) AS n_docs
+         |      FROM ex GROUP BY 1) USING (pair_class)
+         |ORDER BY pair_class""".stripMargin,
     "q_dedup_exact" ->
       s"""WITH fp AS (SELECT doc_id,
          |  md5(coalesce(list_aggr($duckToks, 'string_agg', ' '), '')) AS fingerprint

@@ -689,7 +689,45 @@ object Ingest {
       .orderBy("user_id")
   }
 
+  /** Keyed pseudonymization with referential consistency — the GDPR
+    * Art. 4(5) transform (replace the natural key with a keyed token,
+    * keep the secret elsewhere) every shared/training corpus derived
+    * from user data goes through. Token = md5(pepper ‖ key) as the
+    * deterministic two-engine stand-in for production HMAC-SHA256; the
+    * property under test is NOT the digest but the pipeline law:
+    * tokenization must preserve JOINABILITY and nothing else.
+    *
+    * The verification is structural: Spark aggregates orders per TOKEN
+    * and joins customers per TOKEN, while the ORACLE computes the same
+    * per-segment report from the RAW keys — so a hash match proves the
+    * pseudonymized join reproduces the natural-key join exactly (any
+    * token collision would fan out the join and fail the gate), and the
+    * `token_sum` checksum pins the token VALUES cross-engine, so the
+    * tokenization itself (not just its cardinality) is verified.
+    *
+    * Scale stance: tokenization is a stateless map (no shuffle, no
+    * lookup table to secure); the fact side pre-aggregates to
+    * key-cardinality BEFORE the dimension join, so the audit costs one
+    * token-keyed shuffle — the same distribution the raw-key join has. */
+  def qPseudonymize(s: SparkSession, dir: String): DataFrame = {
+    val pepper = "pepper-42"
+    def tok(c: org.apache.spark.sql.Column) =
+      md5(concat_ws(":", lit(pepper), c))
+    val ordPer = Tables.orders(s, dir)
+      .select(tok(col("o_custkey")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_o"))
+    Tables.customer(s, dir)
+      .select(tok(col("c_custkey")).as("token"), col("c_mktsegment"))
+      .join(ordPer, Seq("token"), "left")
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(coalesce(col("n_o"), lit(0L))).as("n_orders"),
+        sum(graft.core.TextPipeline.h32(col("token"))).as("token_sum"))
+      .orderBy("mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pseudonymize" -> (qPseudonymize _),
     "q_merge_compact" -> (qMergeUpsert _),
     "q_erasure_audit" -> (qErasureAudit _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -766,6 +804,20 @@ object Ingest {
        |      GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // RAW-KEY join (the thing pseudonymization must preserve) + the
+    // md5-token checksum recomputed independently — a hash match proves
+    // the token join reproduced the natural-key join exactly.
+    "q_pseudonymize" ->
+      s"""WITH op AS (SELECT o_custkey, count(*) AS n_o
+         |            FROM orders GROUP BY 1)
+         |SELECT c_mktsegment AS mktsegment,
+         |  count(*) AS n_customers,
+         |  CAST(sum(coalesce(n_o, 0)) AS BIGINT) AS n_orders,
+         |  CAST(sum(${graft.core.TextPipeline.duckH32(
+                "md5('pepper-42:' || CAST(c_custkey AS VARCHAR))")})
+         |    AS BIGINT) AS token_sum
+         |FROM customer LEFT JOIN op ON c_custkey = o_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // The write path must land exactly on the read-side latest-wins view
     // (q_dedup_latest's spelling): the merged snapshot IS the current
     // state, however it was produced.

@@ -827,6 +827,201 @@ object Relational {
       .orderBy("wk")
   }
 
+  // ---- TPC-H completion wave (round 11): the six remaining shapes. ----
+  // The fixture has no partsupp table, so Q2/Q9/Q11/Q16/Q20 derive the
+  // part↔supplier relation from lineitem: `psPairs` below is the
+  // partsupp surrogate (distinct observed pairs; "supply cost" = the
+  // cheapest observed line price, exact cents). One shuffle on
+  // (partkey, suppkey), partial-agg'd map-side; at 100 TB this is the
+  // same reduction the dedup tier's fingerprint stores make — facts
+  // collapse to pair-cardinality before any dimension join.
+
+  /** partsupp surrogate: (l_partkey, l_suppkey, cost_cents = min line
+    * price in exact cents). Quantities/prices have ≤2 decimals in the
+    * fixture, so BIGINT cents are exact cross-engine. */
+  private def psPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("cents")).as("cost_cents"))
+
+  /** TPC-H Q2 shape — min-cost supplier: for every EUROPE-sourced part
+    * of one size/type, the supplier(s) matching the part's minimum
+    * supply cost. The textbook spelling (kept in the oracle) is a
+    * CORRELATED min subquery per part; shipped plan decorrelates it
+    * into one per-part min over the region-filtered candidates joined
+    * back on exact-cents equality — every co-leading supplier surfaces,
+    * no double deciding a tie. Part filter prunes before the pair join
+    * (broadcast — one size×type slice is dim-sized at any scale);
+    * supplier⨝nation⨝region is a broadcast chain. */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+      .select(col("p_partkey"))
+    val euroSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir))
+              .filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val cand = psPairs(s, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+    val minc = cand.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("cost_cents")).as("min_cents"))
+    cand.join(minc, col("p_partkey") === col("mk") &&
+                    col("cost_cents") === col("min_cents"))
+      .select(dMoney(col("s_acctbal")).cast("double").as("acctbal"),
+        col("s_name"), col("n_name"), col("p_partkey"), col("cost_cents"))
+      .orderBy(col("acctbal").desc, col("n_name").asc, col("s_name").asc,
+        col("p_partkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q9 shape — product-line profit by supplier nation × order
+    * year. Profit = revenue − 0.6·retail·qty (the fixture's supply-cost
+    * surrogate: 60% of list price), accumulated entirely in exact
+    * hundredth-cent integers (q8's doctrine) — revenue's 4-decimal
+    * price×discount scale clears at ×10⁴, the cost side is
+    * retail_cents·qty·60 — so partial aggregation order can never
+    * wobble a cent. The p_name infix filter prunes part BEFORE the
+    * fact join (broadcast); nation is a 25-row broadcast; lineitem
+    * shuffles once on orderkey. */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val boltParts = Tables.part(s, dir)
+      .filter(col("p_name").like("%bolt%"))
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("retail_cents"))
+    val revHc = (dMoney(col("l_extendedprice"))
+        * (lit(1).cast(DecimalType(4, 2)) - dRate(col("l_discount")))
+        * 10000).cast(DecimalType(38, 0))
+    val costHc = (col("retail_cents") * round(col("l_quantity")).cast("long")
+        * 60).cast(DecimalType(38, 0))
+    Tables.lineitem(s, dir)
+      .join(broadcast(boltParts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(sum(revHc - costHc).as("profit_hc"))
+      .select(col("nation"), col("o_year"),
+        (col("profit_hc").cast("double") / 10000.0).as("profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape — important stock: parts whose one-nation supply
+    * value exceeds a fixed fraction of the nation's total, the
+    * HAVING-vs-uncorrelated-scalar-subquery pattern. Both sides of the
+    * threshold stay exact BIGINT cents (value·10⁴ > total — the 0.0001
+    * fraction cross-multiplied away), the total is a broadcast scalar
+    * over the SAME grouped relation (one aggregation feeds both, no
+    * second scan), and everything after the supplier semi-filter is
+    * part-cardinality. */
+  def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val nat1 = broadcast(Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir))
+          .filter(col("n_name") === "NATION_1"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey")))
+    val vals = Tables.lineitem(s, dir)
+      .join(nat1, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("cents")).as("value_cents"))
+    val total = vals.agg(sum(col("value_cents")).as("total_cents"))
+    vals.crossJoin(broadcast(total))
+      .filter(col("value_cents") * 10000 > col("total_cents"))
+      .select(col("l_partkey"),
+        (col("value_cents").cast("double") / 100.0).as("value"))
+      .orderBy(col("value").desc, col("l_partkey").asc)
+  }
+
+  /** TPC-H Q12 shape — shipping-speed priority audit: one fact-fact
+    * join and two conditional sums per derived group. The fixture has
+    * no l_shipmode, so the grouping column is the derived shipping
+    * SPEED (shipped ≤30 days after order date = FAST, else SLOW) —
+    * same CASE-sum shape, and the group key is computed from BOTH join
+    * sides, so it genuinely cannot push below the join. Year filter
+    * prunes the lineitem scan; counts are exact integers. */
+  def q12PriorityShipping(s: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(when(datediff(col("l_shipdate"), col("o_orderdate")) <= 30,
+          lit("FAST")).otherwise(lit("SLOW")).as("ship_speed"),
+        when(hi, lit(1L)).otherwise(lit(0L)).as("hi"))
+      .groupBy(col("ship_speed"))
+      .agg(sum(col("hi")).as("high_line_count"),
+        (count(lit(1)) - sum(col("hi"))).as("low_line_count"))
+      .orderBy("ship_speed")
+  }
+
+  /** TPC-H Q16 shape — supplier count per (brand, type, size) slice,
+    * EXCLUDING a blacklist via the NOT-IN face (shipped as LEFT ANTI —
+    * equivalent here because suppkey is non-null; the oracle keeps the
+    * textbook NOT IN subquery). The negative-balance "complaints"
+    * surrogate is a dim-sized broadcast; the size IN-list and brand/type
+    * exclusions push into the part scan; the distinct-supplier count
+    * runs over pair-cardinality rows only. */
+  def q16SupplierParts(s: SparkSession, dir: String): DataFrame = {
+    val excl = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#45" &&
+              !col("p_type").like("PROMO%") &&
+              col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    psPairs(s, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+  }
+
+  /** TPC-H Q20 shape — dominant suppliers of one part family in one
+    * nation/year: the nested-correlated-subquery pattern ("shipped more
+    * than half of the part's total"), decorrelated into the two
+    * aggregations over ONE year-pruned pass (per-part total, per
+    * (part,supplier) share) joined on the cross-multiplied integer
+    * predicate 2·share > total — the fixture's surrogate for Q20's
+    * availqty > 0.5·Σqty, with the same alias-self-comparison
+    * structure. Supplier side reduces through a SEMI join (one row per
+    * dominant supplier no matter how many parts they dominate); the
+    * name-prefix part filter and the nation filter broadcast. */
+  def q20DominantSupplier(s: SparkSession, dir: String): DataFrame = {
+    val yr = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_name").like("small%")).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_quantity")).cast("long").as("q"))
+    val tot = yr.groupBy(col("l_partkey")).agg(sum(col("q")).as("tot_q"))
+    val share = yr.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("q")).as("sp_q"))
+    val dominant = share.join(tot, "l_partkey")
+      .filter(col("sp_q") * 2 > col("tot_q"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, dir)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, dir))
+          .filter(col("n_name") === "NATION_2"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q4_late_orders" -> (q4LateOrders _),
@@ -840,6 +1035,12 @@ object Relational {
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q19_disjunctive" -> (q19Disjunctive _),
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q11_important_stock" -> (q11ImportantStock _),
+    "q12_priority_shipping" -> (q12PriorityShipping _),
+    "q16_supplier_parts" -> (q16SupplierParts _),
+    "q20_dominant_supplier" -> (q20DominantSupplier _),
     "q_filter_project" -> (qFilterProject _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -1221,6 +1422,99 @@ object Relational {
          |        AND l_quantity BETWEEN 10 AND 30)
          |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
          |        AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    // Textbook correlated-min spelling — every verify re-proves the
+    // shipped groupBy+join-back decorrelation against it.
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT p_partkey, s_name, s_acctbal, n_name, cost_cents
+        |  FROM ps
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE' AND p_size = 15 AND p_type = 'STANDARD')
+        |SELECT CAST(CAST(s_acctbal AS DECIMAL(14,2)) AS DOUBLE) AS acctbal,
+        |  s_name, n_name, p_partkey, cost_cents
+        |FROM cand c
+        |WHERE cost_cents = (SELECT min(cost_cents) FROM cand c2
+        |                    WHERE c2.p_partkey = c.p_partkey)
+        |ORDER BY acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    // Same hundredth-cent integer profit; 0.6·retail cost surrogate.
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         |  CAST(sum(CAST($price * $disc * 10000 AS DECIMAL(38,0))
+         |    - CAST(CAST(round(p_retailprice * 100) AS BIGINT)
+         |           * CAST(round(l_quantity) AS BIGINT) * 60
+         |        AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%bolt%'
+         |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin,
+    // Uncorrelated scalar-subquery HAVING face; exact cents both sides.
+    "q11_important_stock" ->
+      """WITH vals AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                      JOIN nation ON s_nationkey = n_nationkey
+        |                      WHERE n_name = 'NATION_1')
+        |  GROUP BY 1)
+        |SELECT l_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS value
+        |FROM vals
+        |WHERE value_cents * 10000 > (SELECT sum(value_cents) FROM vals)
+        |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+    "q12_priority_shipping" ->
+      """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+        |            THEN 'FAST' ELSE 'SLOW' END AS ship_speed,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Textbook NOT IN face of the shipped LEFT ANTI.
+    "q16_supplier_parts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |  AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin,
+    // Textbook nested correlated-subquery spelling — re-proves the
+    // one-pass two-aggregation decorrelation on every verify.
+    "q20_dominant_supplier" ->
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_2'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem l1
+        |    WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+        |                           WHERE p_name LIKE 'small%')
+        |      AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND l1.l_shipdate < TIMESTAMP '1997-01-01'
+        |    GROUP BY l1.l_partkey, l1.l_suppkey
+        |    HAVING sum(CAST(round(l1.l_quantity) AS BIGINT)) * 2 >
+        |      (SELECT sum(CAST(round(l2.l_quantity) AS BIGINT))
+        |       FROM lineitem l2
+        |       WHERE l2.l_partkey = l1.l_partkey
+        |         AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+        |         AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+        |ORDER BY s_suppkey""".stripMargin,
     // Identical anchored-window stage chain and integer ppm.
     "q_window_funnel" ->
       s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t

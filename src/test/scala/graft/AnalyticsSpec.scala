@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
 import graft.queries.{Analytics, Relational}
 
@@ -841,6 +842,111 @@ class AnalyticsSpec extends SparkSpec {
     assert(q22.map(_.getLong(1)).sum > 0)
     q22.foreach(r => assert(r.getDouble(2) / r.getLong(1) > 4000.0,
       "per-customer average balance must sit above the global positive mean"))
+  }
+
+  test("TPC-H completion q2/q9/q11/q12/q16/q20: correlated re-derivations, threshold law, partition counts") {
+    val d = "/root/testdata/sf0.01" // sf0.001's 2-part q2 slice is too thin
+    for ((t, df) <- Seq(
+        "tc_l" -> Tables.lineitem(spark, d), "tc_o" -> Tables.orders(spark, d),
+        "tc_p" -> Tables.part(spark, d), "tc_s" -> Tables.supplier(spark, d),
+        "tc_n" -> Tables.nation(spark, d), "tc_r" -> Tables.region(spark, d)))
+      df.createOrReplaceTempView(t)
+    // q2: the shipped groupBy+join-back decorrelation equals the textbook
+    // correlated-min spelling run through Spark SQL itself.
+    val sql2 = spark.sql("""
+      WITH ps AS (SELECT l_partkey, l_suppkey,
+             min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+           FROM tc_l GROUP BY 1, 2),
+      cand AS (SELECT p_partkey, s_name, s_acctbal, n_name, cost_cents
+        FROM ps JOIN tc_p ON l_partkey = p_partkey
+        JOIN tc_s ON l_suppkey = s_suppkey
+        JOIN tc_n ON s_nationkey = n_nationkey
+        JOIN tc_r ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE' AND p_size = 15 AND p_type = 'STANDARD')
+      SELECT CAST(CAST(s_acctbal AS DECIMAL(14,2)) AS DOUBLE) AS acctbal,
+        s_name, n_name, p_partkey, cost_cents
+      FROM cand c
+      WHERE cost_cents = (SELECT min(cost_cents) FROM cand c2
+                          WHERE c2.p_partkey = c.p_partkey)
+      ORDER BY acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")
+      .collect().toSeq
+    val q2 = Relational.q2MinCostSupplier(spark, d).collect().toSeq
+    assert(q2.nonEmpty && q2 == sql2, s"q2 decorrelation drifted: $q2")
+    // q9: exact hundredth-cent profit tracks a double recompute
+    val q9 = Relational.q9ProductProfit(spark, d).collect()
+    assert(q9.nonEmpty)
+    val q9ref = spark.sql("""
+      SELECT n_name, year(o_orderdate) AS y,
+        sum(l_extendedprice * (1 - l_discount)
+            - 0.6 * p_retailprice * l_quantity) AS p
+      FROM tc_l JOIN tc_p ON l_partkey = p_partkey
+      JOIN tc_o ON l_orderkey = o_orderkey
+      JOIN tc_s ON l_suppkey = s_suppkey
+      JOIN tc_n ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%bolt%' GROUP BY 1, 2""")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    q9.foreach { r =>
+      val ref = q9ref((r.getString(0), r.getInt(1)))
+      assert(math.abs(r.getDouble(2) - ref) < 1e-4,
+        s"q9 ${r.getString(0)}/${r.getInt(1)}: ${r.getDouble(2)} vs $ref")
+    }
+    // q11: the returned set is EXACTLY the parts above the 0.0001 fraction
+    val nat1Vals = Tables.lineitem(spark, d)
+      .join(Tables.supplier(spark, d)
+          .join(Tables.nation(spark, d).filter(col("n_name") === "NATION_1"),
+            col("s_nationkey") === col("n_nationkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("vc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = nat1Vals.values.sum
+    val expected11 = nat1Vals.filter { case (_, v) => v * 10000 > total }.keySet
+    val q11 = Relational.q11ImportantStock(spark, d).collect()
+    assert(q11.map(_.getLong(0)).toSet == expected11 && expected11.nonEmpty)
+    // q12: the two derived speed classes partition the year's joined lines
+    val q12 = Relational.q12PriorityShipping(spark, d).collect()
+    assert(q12.map(_.getString(0)).sorted.toSeq == Seq("FAST", "SLOW"))
+    val q12Total = q12.map(r => r.getLong(1) + r.getLong(2)).sum
+    val joined = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(q12Total == joined, s"q12 classes must partition: $q12Total vs $joined")
+    // q16: the LEFT ANTI face equals the textbook NOT IN run through Spark SQL
+    val sql16 = spark.sql("""
+      SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM tc_l) ps
+      JOIN tc_p ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'PROMO%'
+        AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM tc_s WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""").collect().toSeq
+    val q16 = Relational.q16SupplierParts(spark, d).collect().toSeq
+    assert(q16.nonEmpty && q16 == sql16, "q16 NOT-IN face drifted")
+    // q20: dominance law re-derived through a window spelling
+    val yr = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.part(spark, d).filter(col("p_name").like("small%"))
+          .select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("sp_q"))
+    val winDominant = yr
+      .withColumn("tot_q",
+        sum(col("sp_q")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("sp_q") * 2 > col("tot_q"))
+      .select("l_suppkey").distinct()
+      .join(Tables.supplier(spark, d)
+          .join(Tables.nation(spark, d).filter(col("n_name") === "NATION_2"),
+            col("s_nationkey") === col("n_nationkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    val q20 = Relational.q20DominantSupplier(spark, d).collect()
+    assert(q20.map(_.getLong(0)).toSet == winDominant && winDominant.nonEmpty,
+      "q20 dominant-supplier set drifted from the window re-derivation")
   }
 
   test("seasonal anomaly: residuals are vs the weekday median, flag matches the MAD gate") {

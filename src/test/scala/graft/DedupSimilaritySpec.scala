@@ -861,4 +861,43 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(t <= full(b)._1 && c <= full(b)._2, s"band $b grew under sampling")
     }
   }
+
+  // Driver-side reference implementation of the hygiene split: md5 via
+  // java.security, fully independent of both Spark's and DuckDB's hash
+  // codepaths — the third engine.
+  private def refH32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+  // The same pmod(h32, 100) >= 90 held-out slice Corpus.qDecontaminate
+  // and Dedup.qSplitLeakage share.
+  private def refIsEval(id: Long): Boolean = refH32(id.toString) % 100 >= 90
+
+  test("split leakage: pair totals match q_dedup_minhash; classes match a third-engine split") {
+    val d = "/root/testdata/sf0.01" // sf0.001 may have no near-dup pairs
+    val out = Dedup.qSplitLeakage(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet.subsetOf(Set("train_train", "eval_eval", "leak")))
+    val pairs = Dedup.qDedupMinhash(spark, d)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.values.map(_._1).sum == pairs.length,
+      "classified pair total must equal the production pair count")
+    // third-engine classification of every pair
+    val refClasses = pairs.groupBy { case (a, b) =>
+      (refIsEval(a), refIsEval(b)) match {
+        case (true, true)   => "eval_eval"
+        case (false, false) => "train_train"
+        case _              => "leak"
+      }
+    }
+    val refCounts = refClasses.view.mapValues(_.length.toLong).toMap
+    assert(out.view.mapValues(_._1).toMap == refCounts,
+      s"per-class pair counts drifted: $out vs $refCounts")
+    val refDocs = refClasses.view.mapValues(
+      ps => ps.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong).toMap
+    assert(out.view.mapValues(_._2).toMap == refDocs,
+      s"per-class doc counts drifted: $out vs $refDocs")
+  }
 }

@@ -327,4 +327,45 @@ class IngestSpec extends SparkSpec {
       (3L, 30L, "view")),
       s"merge branches (carry-over / update / insert) broken: $got")
   }
+
+  test("pseudonymization: injective tokens, token join == raw-key join, third-engine token checksum") {
+    import graft.io.Tables
+    val out = Ingest.qPseudonymize(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.nonEmpty)
+    // tokenization must be injective on this corpus (no silent collisions)
+    val cust = Tables.customer(spark, sf)
+    val nKeys = cust.select("c_custkey").distinct().count()
+    val nToks = cust
+      .select(md5(concat_ws(":", lit("pepper-42"), col("c_custkey"))))
+      .distinct().count()
+    assert(nKeys == nToks, "keyed tokens must stay distinct per customer")
+    // the token join must reproduce the natural-key join exactly
+    val raw = cust
+      .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"),
+        "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_custkey")).as("n_customers"),
+        count(col("o_orderkey")).as("n_orders"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out.view.mapValues(v => (v._1, v._2)).toMap == raw,
+      s"pseudonymized join drifted from the raw-key join: $out vs $raw")
+    // third-engine checksum: java.security md5 → h32 sum per segment.
+    // h32(token) hashes the token STRING (md5 of the md5 hex), matching
+    // the engine's h32-of-column semantics.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    def tok32(key: Long): Long =
+      java.lang.Long.parseLong(
+        md5hex(md5hex(s"pepper-42:$key")).substring(0, 8), 16)
+    val refSums = cust.select("c_mktsegment", "c_custkey").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(r => tok32(r.getLong(1))).sum).toMap
+    assert(out.view.mapValues(_._3).toMap == refSums,
+      "token checksum drifted from the independent md5 recompute")
+  }
 }
