@@ -726,7 +726,49 @@ object Ingest {
       .orderBy("mktsegment")
   }
 
+  /** Differentially-private count release (Dwork et al. TCC'06): the
+    * per-language document counts with Laplace noise at sensitivity 1 —
+    * the governance tier's release mechanism, completing k-anonymity
+    * (who is hidden), erasure (who is gone), pseudonymization (who is
+    * unlinkable) with WHAT may be published.
+    *
+    * The noise is the textbook inverse-CDF Laplace draw,
+    * F⁻¹(u) = −b·sign(u−½)·ln(1−2|u−½|), with two verifiability
+    * substitutions, both documented: (1) u comes from the keyed hash
+    * h32('dp-42:'‖lang) — a DETERMINISTIC stand-in for the CSPRNG a
+    * real release must use (the mechanism, not the entropy source, is
+    * what a query engine owns; seeded noise lets both engines and the
+    * spec verify the draw exactly); (2) the log runs on the verified
+    * 1e-6 log2 grid, so the scale is b = 1/(ε·ln 2) with ε = ln 2 —
+    * every noise value is an exact BIGINT in micro-counts. With
+    * u = (2k+1)/2·10⁶ the log argument is the exact odd integer
+    * 10⁶ − |2k+1 − 10⁶| ≥ 1: never log(0), no float subtraction.
+    *
+    * A real release publishes ONLY n_dp; n and noise_micros are in the
+    * output because the verification contract needs them (and the spec
+    * pins |noise| against the Laplace tail bound). Group-cardinality
+    * work throughout — the count aggregate is the only shuffle. */
+  def qDpRelease(s: SparkSession, dir: String): DataFrame = {
+    val qlog = (c: org.apache.spark.sql.Column) =>
+      round(log2(c.cast("double")) * 1e6).cast("long")
+    Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("n"),
+        (graft.core.TextPipeline.h32(concat(lit("dp-42:"), col("lang")))
+          % 1000000L * 2L + 1L).as("cc"))
+      .select(col("lang"), col("n"),
+        when(col("cc") > 1000000L, lit(1L)).otherwise(lit(-1L)).as("sgn"),
+        (lit(1000000L) - abs(col("cc") - 1000000L)).as("m"))
+      .select(col("lang"), col("n"),
+        (col("sgn") * (qlog(lit(1000000L)) - qlog(col("m"))))
+          .as("noise_micros"))
+      .select(col("lang"), col("n"), col("noise_micros"),
+        (col("n") * 1000000L + col("noise_micros")).as("n_dp_micros"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dp_release" -> (qDpRelease _),
     "q_pseudonymize" -> (qPseudonymize _),
     "q_merge_compact" -> (qMergeUpsert _),
     "q_erasure_audit" -> (qErasureAudit _),
@@ -804,6 +846,24 @@ object Ingest {
        |      GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same keyed-hash uniform, same odd-integer log argument, same
+    // 1e-6 log2 grid — the Laplace draw is exact in both engines.
+    "q_dp_release" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+         |           FROM documents GROUP BY 1),
+         |k AS (SELECT lang, n,
+         |    ${graft.core.TextPipeline.duckH32("'dp-42:' || lang")}
+         |      % 1000000 * 2 + 1 AS cc FROM c),
+         |m AS (SELECT lang, n,
+         |    CASE WHEN cc > 1000000 THEN 1 ELSE -1 END AS sgn,
+         |    1000000 - abs(cc - 1000000) AS m FROM k),
+         |z AS (SELECT lang, n,
+         |    CAST(sgn * (CAST(round(log2(1000000) * 1e6) AS BIGINT)
+         |         - CAST(round(log2(m) * 1e6) AS BIGINT)) AS BIGINT)
+         |      AS noise_micros FROM m)
+         |SELECT lang, n, noise_micros,
+         |  n * 1000000 + noise_micros AS n_dp_micros
+         |FROM z ORDER BY lang""".stripMargin,
     // RAW-KEY join (the thing pseudonymization must preserve) + the
     // md5-token checksum recomputed independently — a hash match proves
     // the token join reproduced the natural-key join exactly.
