@@ -480,6 +480,77 @@ object Analytics {
           + lit(1.0) / col("n1").cast("double"))), 6)).as("z"))
   }
 
+  /** CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    * Walker, WSDM'13) — the industry-standard upgrade to [[qAbTest]]'s
+    * raw comparison: adjust each user's outcome by their PRE-period
+    * behavior, Y′ = Y − θ(X − X̄), θ = cov(X,Y)/var(X), which removes
+    * the between-user variance the pre-period predicts and leaves the
+    * treatment effect untouched (E[X] is assignment-independent).
+    * Pre/outcome split at the event-time midpoint (q_merge_compact's
+    * cut), X/Y = per-user purchase cents per half, arm = user parity
+    * (the same assignment q_ab_test reads).
+    *
+    * Exactness: everything is integer cents until the final reported
+    * micros. θ uses the raw-moment identity (n·Σxy − Σx·Σy) /
+    * (n·Σx² − (Σx)²) with DECIMAL(38,0) accumulation (q_stats rule),
+    * reported as trunc-toward-zero micros via the (a − a%b)/b spelling —
+    * exact and engine-identical even for negative numerators (both
+    * engines' % carries the dividend sign; the final division is of an
+    * exactly-divisible pair, so DuckDB's flooring `//` and Spark's
+    * decimal divide agree). Adjusted per-arm means clear denominators
+    * the same way: trunc((n·Σy_a·10⁶ − θ_µ·(n·Σx_a − n_a·Σx)) / (n·n_a)).
+    * Truncated-θ CUPED is still exact CUPED — ANY fixed θ yields an
+    * unbiased adjusted contrast; θ only tunes the variance.
+    *
+    * Scale stance: one per-user conditional-sum shuffle (map-side
+    * combined) feeds BOTH the 1-row moment scalar and the per-arm
+    * aggregate; the scalar rides a broadcast cross join. Two shuffles
+    * total at any corpus size, nothing driver-side. */
+  def qCuped(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+    val cutDf = e.agg(expr("min(us) + (max(us) - min(us)) div 2").as("cut_us"))
+    val cents = when(col("event_type") === "purchase",
+      round(col("value") * 100).cast("long")).otherwise(lit(0L))
+    val perUser = e.crossJoin(broadcast(cutDf))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("us") <= col("cut_us"), cents).otherwise(lit(0L)))
+          .as("x"),
+        sum(when(col("us") > col("cut_us"), cents).otherwise(lit(0L)))
+          .as("y"))
+      .select((col("user_id") % 2).as("arm"), col("x"), col("y"))
+    val m = perUser.agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(col("x")).cast(d38).as("sx"), sum(col("y")).cast(d38).as("sy"),
+      sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+      sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"))
+      .select(col("n"), col("sx"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cxy"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("cxx"))
+      .select(col("n"), col("sx"),
+        when(col("cxx") =!= 0,
+          expr("CAST((cxy * 1000000 - (cxy * 1000000) % cxx) / cxx AS BIGINT)"))
+          .as("theta_micros"))
+    perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).cast(d38).as("n_a"),
+        sum(col("x")).cast(d38).as("sx_a"),
+        sum(col("y")).cast(d38).as("sy_a"))
+      .crossJoin(broadcast(m))
+      .select(col("arm"),
+        col("n_a").cast("long").as("n_users"),
+        col("sx_a").cast("long").as("x_cents"),
+        col("sy_a").cast("long").as("y_cents"),
+        expr("""CAST((sy_a * 1000000 - (sy_a * 1000000) % n_a) / n_a
+                AS BIGINT)""").as("raw_mean_micros"),
+        expr("""CAST(((n * sy_a * 1000000 - theta_micros * (n * sx_a - n_a * sx))
+                - (n * sy_a * 1000000 - theta_micros * (n * sx_a - n_a * sx))
+                  % (n * n_a)) / (n * n_a) AS BIGINT)""").as("adj_mean_micros"),
+        col("theta_micros"))
+      .orderBy("arm")
+  }
+
   /** Trailing 7-day rolling distinct users (the 7-day-active metric) per
     * observed day — the windowed-distinct shape that a naive
     * `COUNT(DISTINCT) OVER (RANGE 6 PRECEDING)` can't express at scale
@@ -2275,6 +2346,7 @@ object Analytics {
     "q_sessionize" -> (qSessionize _),
     "q_revenue_concentration" -> (qRevenueConcentration _),
     "q_ab_test" -> (qAbTest _),
+    "q_cuped" -> (qCuped _),
     "q_scd2" -> (qScd2 _),
     "q_autocorr" -> (qAutocorr _),
     "q_markov_transition" -> (qMarkovTransition _),
@@ -3129,6 +3201,38 @@ object Analytics {
         |       WHEN dmax = m0 THEN 'repaired'
         |       ELSE 'folded' END AS path
         |FROM agg JOIN info USING (c) ORDER BY o_custkey""".stripMargin,
+    // Same midpoint cut, same HUGEINT raw-moment identity, same
+    // trunc-toward-zero (a - a%b)/b spelling on exactly-divisible pairs.
+    "q_cuped" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+        |    CASE WHEN event_type = 'purchase'
+        |         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS cents
+        |  FROM events),
+        |cut AS (SELECT min(us) + (max(us) - min(us)) // 2 AS cut_us FROM e),
+        |pu AS (SELECT user_id % 2 AS arm,
+        |    CAST(sum(CASE WHEN us <= cut_us THEN cents ELSE 0 END)
+        |      AS HUGEINT) AS x,
+        |    CAST(sum(CASE WHEN us > cut_us THEN cents ELSE 0 END)
+        |      AS HUGEINT) AS y
+        |  FROM e, cut GROUP BY user_id),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+        |    count(*) * sum(x*y) - sum(x) * sum(y) AS cxy,
+        |    count(*) * sum(x*x) - sum(x) * sum(x) AS cxx
+        |  FROM pu),
+        |t AS (SELECT n, sx, CASE WHEN cxx <> 0
+        |    THEN CAST((cxy * 1000000 - (cxy * 1000000) % cxx) // cxx
+        |         AS BIGINT) END AS theta_micros FROM m),
+        |a AS (SELECT arm, CAST(count(*) AS HUGEINT) AS n_a,
+        |    sum(x) AS sx_a, sum(y) AS sy_a FROM pu GROUP BY 1)
+        |SELECT arm, CAST(n_a AS BIGINT) AS n_users,
+        |  CAST(sx_a AS BIGINT) AS x_cents, CAST(sy_a AS BIGINT) AS y_cents,
+        |  CAST((sy_a * 1000000 - (sy_a * 1000000) % n_a) // n_a AS BIGINT)
+        |    AS raw_mean_micros,
+        |  CAST(((n * sy_a * 1000000 - theta_micros * (n * sx_a - n_a * sx))
+        |        - (n * sy_a * 1000000 - theta_micros * (n * sx_a - n_a * sx))
+        |          % (n * n_a)) // (n * n_a) AS BIGINT) AS adj_mean_micros,
+        |  theta_micros
+        |FROM a, t ORDER BY arm""".stripMargin,
     "q_ab_test" ->
       """WITH pu AS (
         |  SELECT user_id % 2 AS arm,

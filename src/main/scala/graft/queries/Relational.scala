@@ -866,9 +866,11 @@ object Relational {
             col("n_regionkey") === col("r_regionkey"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
-    val cand = psPairs(s, dir)
+    // cand feeds BOTH the per-part min and the join-back; without the
+    // lineage cut the lineitem pair aggregation would run twice
+    val cand = graft.core.Lineage.cut(psPairs(s, dir)
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-      .join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+      .join(euroSupp, col("l_suppkey") === col("s_suppkey")))
     val minc = cand.groupBy(col("p_partkey").as("mk"))
       .agg(min(col("cost_cents")).as("min_cents"))
     cand.join(minc, col("p_partkey") === col("mk") &&

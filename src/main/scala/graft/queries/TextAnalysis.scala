@@ -870,77 +870,7 @@ object TextAnalysis {
       .orderBy("k")
   }
 
-  /** Results per query for [[qBm25Search]]. */
-  private val Bm25K = 5
-
-  /** BM25 ranked retrieval (Robertson–Spärck Jones; the Okapi/Lucene
-    * scoring function) — the missing half of the TF-IDF salience tier:
-    * not "which terms describe this document" but "which documents
-    * answer this query". Three 3-term queries are derived from the
-    * corpus itself (document-frequency ranks 1–9, tie-broken
-    * alphabetically) so the workload is self-contained and both engines
-    * construct the identical query set.
-    *
-    * Exactness: with k1 = 6/5 and b = 3/4, Lucene's
-    * idf = ln((2N+2)/(2df+1)) splits into two INTEGER-argument logs on
-    * the verified 1e-6 log2 grid (log2 units uniformly scale every
-    * score by 1/ln2 — ranking unchanged, documented), and the
-    * tf-saturation fraction cross-multiplies to the integer rational
-    * 22·tf·Σdl / (10·tf·Σdl + 3·Σdl + 9·dl·N), so each contribution is
-    * one exact BIGINT floor-division and per-(query,doc) scores are
-    * order-free integer sums. idf_micros·num stays under 2⁶³ to ~sf 20
-    * (documented ceiling; ANSI overflow fails loud).
-    *
-    * Scale stance (100 TB): the postings side collapses to per-(doc,
-    * term) TFs once (map-side combined); query terms (9 rows) and the
-    * (N, Σdl) scalar broadcast; the per-query top-k selection is the
-    * bounded `topk_min` aggregate — O(k) state per query, NO window
-    * over the candidate set, which is corpus-sized for high-df terms
-    * (the exact spot a row_number() plan stops scaling). */
-  def qBm25Search(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val qlog = (c: Column) => round(log2(c.cast("double")) * 1e6).cast("long")
-    val docsW = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
-    val dls = docsW.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
-    val stats = dls.agg(count(lit(1)).as("big_n"), sum(col("dl")).as("sumdl"))
-    val tf = docsW
-      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
-        explode(col("w")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    // query construction: df ranks 1..9 → queries of 3 terms each; the
-    // rank window runs over 9 rows (post-limit), not the vocabulary
-    val qterms = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("term").asc).limit(9)
-      .withColumn("rnk",
-        row_number().over(Window.orderBy(col("df").desc, col("term").asc)))
-      .select(expr("cast((rnk - 1) div 3 AS int)").as("qid"),
-        col("term"), col("df"))
-    val scores = tf.join(broadcast(qterms), "term")
-      .crossJoin(broadcast(stats))
-      .select(col("qid"), col("doc_id"),
-        ((qlog(col("big_n") * 2 + 2) - qlog(col("df") * 2 + 1))
-          * (lit(22L) * col("tf") * col("sumdl"))).as("inum"),
-        (lit(10L) * col("tf") * col("sumdl") + lit(3L) * col("sumdl")
-          + lit(9L) * col("dl") * col("big_n")).as("iden"))
-      .select(col("qid"), col("doc_id"),
-        expr("inum div iden").as("contrib_micros"))
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(sum(col("contrib_micros")).as("score_micros"))
-    val picked = scores
-      .groupBy(col("qid"))
-      .agg(graft.functions.VectorFunctions.topkMin(
-        -col("score_micros"), col("doc_id"), Bm25K).as("top"))
-      .select(col("qid"), posexplode(col("top.id")))
-      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
-        col("col").as("doc_id"))
-    scores.join(broadcast(picked), Seq("qid", "doc_id"))
-      .select(col("qid"), col("rank"), col("doc_id"), col("score_micros"))
-      .orderBy("qid", "rank")
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_bm25_search" -> (qBm25Search _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_distinct_ngrams" -> (qDistinctNgrams _),
     "q_lang_id_eval" -> (qLangIdEval _),
@@ -969,35 +899,6 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
-    // Same integer BM25 spelling; per-query top-k as the DIRECT window —
-    // the bounded topk_min aggregate must agree with it on every verify.
-    "q_bm25_search" ->
-      s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
-         |dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
-         |stats AS (SELECT CAST(count(*) AS BIGINT) AS big_n,
-         |                 CAST(sum(dl) AS BIGINT) AS sumdl FROM dls),
-         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-         |  FROM (SELECT t.doc_id, d.dl, unnest(t.w) AS term
-         |        FROM toks t JOIN dls d ON t.doc_id = d.doc_id)
-         |  GROUP BY 1, 2, 3),
-         |qt AS (SELECT CAST((rnk - 1) // 3 AS INT) AS qid, term, df
-         |  FROM (SELECT term, CAST(count(*) AS BIGINT) AS df,
-         |          row_number() OVER (ORDER BY count(*) DESC, term) AS rnk
-         |        FROM tf GROUP BY term)
-         |  WHERE rnk <= 9),
-         |scores AS (SELECT qid, doc_id, CAST(sum(
-         |    (CAST(round(log2(big_n * 2 + 2) * 1e6) AS BIGINT)
-         |     - CAST(round(log2(df * 2 + 1) * 1e6) AS BIGINT))
-         |    * (22 * tf * sumdl)
-         |    // (10 * tf * sumdl + 3 * sumdl + 9 * dl * big_n)
-         |  ) AS BIGINT) AS score_micros
-         |  FROM tf JOIN qt USING (term), stats GROUP BY 1, 2),
-         |r AS (SELECT qid, doc_id, score_micros,
-         |    row_number() OVER (PARTITION BY qid
-         |      ORDER BY score_micros DESC, doc_id) AS rank
-         |  FROM scores)
-         |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score_micros
-         |FROM r WHERE rank <= $Bm25K ORDER BY qid, rank""".stripMargin,
     // Same wordcount, same (f DESC, word) rank, same k-spine coverage.
     "q_vocab_coverage" ->
       s"""WITH wc AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS f

@@ -844,6 +844,47 @@ class AnalyticsSpec extends SparkSpec {
       "per-customer average balance must sit above the global positive mean"))
   }
 
+  test("CUPED: theta recompute, variance strictly reduced, grand mean preserved") {
+    val d = "/root/testdata/sf0.01" // enough purchases for a real covariance
+    val rows = graft.queries.Analytics.qCuped(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5),
+        r.getLong(6)))
+    assert(rows.map(_._1).toSeq.sorted == Seq(0L, 1L))
+    val thetaMicros = rows.head._5
+    // independent per-user recompute (driver-side doubles)
+    val e = Tables.events(spark, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val cut = e.map(_._2).min + (e.map(_._2).max - e.map(_._2).min) / 2
+    val perUser = e.groupBy(_._1).view.mapValues { es =>
+      def cents(p: ((Long, Long, String, Double)) => Boolean) =
+        es.filter(x => x._3 == "purchase" && p(x)).map(x => math.round(x._4 * 100)).sum
+      (cents(_._2 <= cut).toDouble, cents(_._2 > cut).toDouble)
+    }.toMap
+    val xs = perUser.values.map(_._1).toSeq; val ys = perUser.values.map(_._2).toSeq
+    val n = xs.size.toDouble
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val varx = xs.map(x => (x - mx) * (x - mx)).sum
+    val theta = cov / varx
+    assert(math.abs(thetaMicros / 1e6 - theta) <= 2e-6,
+      s"theta ${thetaMicros / 1e6} vs recompute $theta")
+    // CUPED must strictly reduce outcome variance on correlated data
+    val t = thetaMicros / 1e6
+    val adj = perUser.values.map { case (x, y) => y - t * (x - mx) }.toSeq
+    def variance(v: Seq[Double]) = {
+      val m = v.sum / v.size; v.map(a => (a - m) * (a - m)).sum / v.size
+    }
+    assert(variance(adj) < variance(ys),
+      s"adjusted var ${variance(adj)} !< raw var ${variance(ys)}")
+    // adjustment preserves the user-weighted grand mean (up to micros
+    // truncation): sum over arms of n_a*(adj - raw) must be ~0
+    val drift = rows.map(r => r._2 * (r._4 - r._3)).sum
+    assert(math.abs(drift) <= rows.map(_._2).sum,
+      s"grand-mean drift $drift micros exceeds truncation budget")
+  }
+
   test("TPC-H completion q2/q9/q11/q12/q16/q20: correlated re-derivations, threshold law, partition counts") {
     val d = "/root/testdata/sf0.01" // sf0.001's 2-part q2 slice is too thin
     for ((t, df) <- Seq(

@@ -754,55 +754,6 @@ class GraphTextSpec extends SparkSpec {
       "group sampling must not ship groups through a window")
   }
 
-  test("BM25 search: rank order, integer scoring vs a float recompute, bounded selection") {
-    val d = "/root/testdata/sf0.01"
-    val df = TextAnalysis.qBm25Search(spark, d)
-    val rows = df.collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-    assert(rows.nonEmpty)
-    // per query: ranks contiguous from 1; scores non-increasing with rank
-    rows.groupBy(_._1).foreach { case (qid, rs) =>
-      val sorted = rs.sortBy(_._2)
-      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq)
-      assert(sorted.sliding(2).forall {
-        case Array(a, b) => a._4 >= b._4; case _ => true },
-        s"query $qid scores must be non-increasing with rank")
-    }
-    // float BM25 recompute (log2 units, k1=1.2 b=0.75) from the engine's
-    // own tf/dl/df relations: the integer micros must track it within
-    // the per-term quantization budget (<= 3 terms x 1e-6 x |tfpart|)
-    val toks = graft.core.TextPipeline.normalizedTokens(col("text"))
-    val docsW = graft.io.Tables.documents(spark, d)
-      .select(col("doc_id"), toks.as("w"))
-    val dls = docsW.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val bigN = dls.size.toDouble
-    val sumdl = dls.values.sum.toDouble
-    val tfRows = docsW
-      .select(col("doc_id"), explode(col("w")).as("t"))
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
-    val dfMap = tfRows.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
-    val qterms = dfMap.toSeq.sortBy { case (t, n) => (-n, t) }.take(9)
-      .zipWithIndex.map { case ((t, _), i) => (i / 3, t) }
-    for ((qid, rank, docId, micros) <- rows) {
-      val expected = qterms.filter(_._1 == qid).map(_._2).map { t =>
-        tfRows.get((docId, t)).fold(0.0) { tf =>
-          val idf = (math.log(2 * bigN + 2) - math.log(2 * dfMap(t) + 1)) /
-            math.log(2.0)
-          val dl = dls(docId).toDouble
-          idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl * bigN / sumdl))
-        }
-      }.sum
-      assert(math.abs(micros / 1e6 - expected) < 1e-4,
-        s"q$qid rank$rank doc$docId: ${micros / 1e6} vs float $expected")
-    }
-    // selection is the bounded aggregate: the only Window in the plan is
-    // the 9-row query-construction rank, never the candidate set
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("topk_min"), "top-k must be the bounded aggregate")
-  }
-
   test("DP release: exact seeded Laplace draw, tail bound, released = true + noise") {
     val rows = graft.queries.Ingest.qDpRelease(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
