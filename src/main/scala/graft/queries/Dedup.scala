@@ -130,7 +130,20 @@ object Dedup {
     * (estimated Jaccard, an exact rational m/32) and kept at est ≥ 0.5.
     * At 100 TB only (band_id, key) pairs shuffle — never text or shingles —
     * and the candidate self-join is per-bucket local. */
-  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashCandsM(s, dir)
+      .select(col("a_id"), col("b_id"),
+        (col("m").cast("double") / NumHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("a_id", "b_id")
+
+  /** The banded candidate relation with the exact signature-agreement
+    * count m ∈ 0..[[NumHashes]] (est_jaccard = m/32 is a bijection of
+    * it): one definition behind [[qDedupMinhash]] (m ≥ 16 operating
+    * point), and [[qTrainingPairs]]'s positive/hard-negative mining —
+    * the ORACLE twin is [[minhashCandCte]], so the edge set cannot
+    * drift between the production pair query and the miners. */
+  private def minhashCandsM(s: SparkSession, dir: String): DataFrame = {
     val sigs = sigsOf(s, dir).select("doc_id", "sig")
     val bands = sigs.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(Bands - 1))).as("band_id"))
@@ -145,11 +158,47 @@ object Dedup {
     a.join(b, Seq("band_id", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        (size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
-          v => v)).cast("double") / NumHashes).as("est_jaccard"))
+        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+          v => v)).as("m"))
       .distinct()
-      .filter(col("est_jaccard") >= 0.5)
-      .orderBy("a_id", "b_id")
+  }
+
+  /** Contrastive training-pair mining (the DPR recipe, Karpukhin et al.
+    * EMNLP'20 §3.2; hard negatives are what make dense retrievers
+    * train): per anchor document, its hardest POSITIVE — the
+    * highest-agreement partner at or above the m ≥ 16 (est ≥ 0.5)
+    * operating point, i.e. its verified near-duplicate — and its
+    * hardest HARD NEGATIVE — the highest-agreement partner BELOW it
+    * (0 < m < 16): a document the candidate generator found lexically
+    * confusable that the verifier rejected, exactly the "BM25-hard"
+    * negative the paper mines. Emitted as labeled PAIRS, not inner-
+    * joined triples: positives and banded hard negatives rarely share
+    * an anchor (band collisions concentrate where clones are, verified
+    * empty at sf0.01), and the training batch composes triples anyway —
+    * random in-batch negatives need no materialization. Estimates ship
+    * as exact ppm (m·31250 — est is the rational m/32, float-free).
+    *
+    * Scale stance (100 TB): rides the dedup tier's existing banded
+    * candidate generation unchanged ([[minhashCandsM]] — the mining is
+    * a by-product of the dedup you already run); the per-anchor picks
+    * are max_by aggregates (O(1) state), never a window over the
+    * anchor's candidate list; the oracle keeps the window spelling. */
+  def qTrainingPairs(s: SparkSession, dir: String): DataFrame = {
+    val c = minhashCandsM(s, dir)
+    val sym = c.select(col("a_id").as("anchor"), col("b_id").as("partner"),
+        col("m"))
+      .unionAll(c.select(col("b_id").as("anchor"), col("a_id").as("partner"),
+        col("m")))
+    def hardest(in: DataFrame, kind: String): DataFrame = in
+      .groupBy(col("anchor"))
+      .agg(max_by(struct(col("partner"), col("m")),
+        struct(col("m"), -col("partner"))).as("p"))
+      .select(col("anchor").as("anchor_id"), lit(kind).as("kind"),
+        col("p.partner").as("partner_id"), (col("p.m") * 31250L).as("est_ppm"))
+    hardest(sym.filter(col("m") >= 16), "positive")
+      .unionAll(hardest(sym.filter(col("m") < 16 && col("m") > 0),
+        "hard_negative"))
+      .orderBy("anchor_id", "kind")
   }
 
   /** Exact-Jaccard threshold for [[qDedupEval]]'s ground truth — matches
@@ -1078,6 +1127,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_leakage" -> (qSplitLeakage _),
+    "q_training_pairs" -> (qTrainingPairs _),
     "q_dedup_spans" -> (qDedupSpans _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_minhash_signature" -> (qMinhashSignature _),
@@ -1224,6 +1274,25 @@ object Dedup {
        |sigs AS (SELECT doc_id, ${duckSignature("hs")} AS sig FROM hashed)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same candidate relation (shared CTE chain); per-anchor picks as
+    // the DIRECT window spelling the max_by aggregates must agree with.
+    "q_training_pairs" ->
+      s"""WITH $minhashCandCte,
+         |cm AS (SELECT a_id, b_id,
+         |    CAST(round(est_jaccard * $NumHashes) AS BIGINT) AS m FROM cand),
+         |sym AS (SELECT a_id AS anchor, b_id AS partner, m FROM cm
+         |        UNION ALL SELECT b_id, a_id, m FROM cm),
+         |labeled AS (
+         |  SELECT anchor, 'positive' AS kind, partner, m FROM sym
+         |  WHERE m >= 16
+         |  UNION ALL
+         |  SELECT anchor, 'hard_negative', partner, m FROM sym
+         |  WHERE m < 16 AND m > 0),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY anchor, kind
+         |    ORDER BY m DESC, partner ASC) AS rn FROM labeled)
+         |SELECT anchor AS anchor_id, kind, partner AS partner_id,
+         |  m * 31250 AS est_ppm
+         |FROM ranked WHERE rn = 1 ORDER BY anchor_id, kind""".stripMargin,
     // Same verified-pair relation (shared CTE chain) + split classifier.
     "q_split_leakage" ->
       s"""WITH $minhashCandCte,

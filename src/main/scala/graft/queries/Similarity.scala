@@ -928,7 +928,53 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Dimension-truncation operating curve (Matryoshka representation
+    * learning, Kusupati et al. NeurIPS'22): recall@[[TopK]] of exact
+    * cosine over the FIRST d dimensions, d ∈ {8, 16, 32, 64}, against
+    * the full-dim truth — the REPRESENTATION knob's table (how much
+    * recall each 2× storage cut costs), complementing the INDEX knob's
+    * [[qAnnNprobeCurve]]. d = [[Dim]] recomputes the truth through the
+    * sliced path, so its row must read exactly 10⁶ ppm — a built-in
+    * self-check the spec also pins, alongside a float-free containment
+    * law (a truncated ranking can only lose recall vs the self-check
+    * row, not invent hits).
+    *
+    * Scale stance (100 TB): evaluation-tier declared cost — the scored
+    * relation is |queries|·|corpus| per spine point with queries
+    * bounded (the q_ann_recall_eval doctrine); the per-(d, query)
+    * ranking windows are per-partition top-k over that bounded set. A
+    * production MRL store lays prefixes out as separate shards so the
+    * d = 8 pass READS an 8-dim column, not a slice of 64 — the curve
+    * this query produces is how that storage decision gets made. */
+  def qAnnDimCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs(s, dir).select(col("vec_id"), col("v"))
+    val q = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v")))
+    val spine = s.range(4)
+      .select(expr("CAST(8 * shiftleft(1L, CAST(id AS int)) AS int)").as("d"))
+    val w = Window.partitionBy(col("d"), col("q_id"))
+      .orderBy(col("c").desc, col("neighbor_id").asc)
+    val approx = e.crossJoin(q).filter(col("vec_id") =!= col("q_id"))
+      .crossJoin(broadcast(spine))
+      .select(col("d"), col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine(slice(col("v"), lit(1), col("d")),
+          slice(col("q_v"), lit(1), col("d"))).as("c"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("d"), col("q_id"), col("neighbor_id"), lit(1).as("hit"))
+    qAnnBruteforce(s, dir).select(col("q_id"), col("neighbor_id"))
+      .crossJoin(broadcast(spine))
+      .join(approx, Seq("d", "q_id", "neighbor_id"), "left_outer")
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("hits"))
+      .select(col("d"), col("k"), col("hits"),
+        expr("hits * 1000000 div k").as("recall_ppm"))
+      .orderBy("d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_dim_curve" -> (qAnnDimCurve _),
     "q_embedding_drift" -> (qEmbeddingDrift _),
     "q_ann_recall_eval" -> (qAnnRecallEval _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
@@ -1233,6 +1279,38 @@ object Similarity {
          |SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id,
          |  round(cos_raw, 6) AS cosine
          |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    // Same full-dim truth chain; sliced-prefix rankings per spine point.
+    "q_ann_dim_curve" ->
+      s"""WITH $duckVecs,
+         |q0 AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
+         |tscored AS (
+         |  SELECT q.q_id, a.vec_id AS neighbor_id, $duckCos AS cos_raw
+         |  FROM e a, q0 q WHERE a.vec_id <> q.q_id),
+         |truth AS (SELECT q_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank FROM tscored)
+         |  WHERE rank <= $TopK),
+         |spine AS (SELECT CAST(unnest([8, 16, 32, 64]) AS INT) AS d),
+         |es AS (SELECT d, vec_id, list_slice(v, 1, d) AS v FROM e, spine),
+         |qs AS (SELECT d, q_id, list_slice(q_v, 1, d) AS q_v
+         |       FROM q0, spine),
+         |scored AS (
+         |  SELECT a.d, q.q_id, a.vec_id AS neighbor_id, $duckCos AS c
+         |  FROM es a JOIN qs q ON a.d = q.d AND a.vec_id <> q.q_id),
+         |cand AS (SELECT d, q_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY d, q_id
+         |      ORDER BY c DESC, neighbor_id ASC) AS rn FROM scored)
+         |  WHERE rn <= $TopK)
+         |SELECT s.d AS d, CAST(count(*) AS BIGINT) AS k,
+         |  CAST(sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hits,
+         |  CAST(sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000
+         |    // CAST(count(*) AS BIGINT) AS recall_ppm
+         |FROM truth t CROSS JOIN spine s
+         |LEFT JOIN cand c ON c.d = s.d AND c.q_id = t.q_id
+         |  AND c.neighbor_id = t.neighbor_id
+         |GROUP BY s.d ORDER BY s.d""".stripMargin,
     "q_ann_filtered" ->
       s"""WITH $duckVecs,
          |q AS (SELECT vec_id AS q_id, label AS q_label, v AS q_v

@@ -862,6 +862,27 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dim-truncation curve: monotone recall, exact self-check at full dim") {
+    val rows = Similarity.qAnnDimCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(8, 16, 32, 64))
+    rows.foreach { case (d, k, hits, ppm) =>
+      assert(hits <= k, s"d=$d hits exceed truth size")
+      assert(ppm >= 0 && ppm <= 1000000L)
+    }
+    // more dimensions can only help: recall is non-decreasing in d
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._4 <= hi._4, s"recall fell from d=${lo._1} to d=${hi._1}")
+      case _ =>
+    }
+    // the full-dim row recomputes the truth through the sliced path —
+    // it must be exact
+    assert(rows.last._4 == 1000000L,
+      s"full-dim self-check not exact: ${rows.last}")
+  }
+
   // Driver-side reference implementation of the hygiene split: md5 via
   // java.security, fully independent of both Spark's and DuckDB's hash
   // codepaths — the third engine.
@@ -873,6 +894,37 @@ class DedupSimilaritySpec extends SparkSpec {
   // The same pmod(h32, 100) >= 90 held-out slice Corpus.qDecontaminate
   // and Dedup.qSplitLeakage share.
   private def refIsEval(id: Long): Boolean = refH32(id.toString) % 100 >= 90
+
+  test("training pairs: operating-point split, one pick per (anchor, kind), production consistency") {
+    val d = "/root/testdata/sf0.01" // sf0.001 may have no near-dup pairs
+    val rows = Dedup.qTrainingPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.exists(_._2 == "positive") &&
+      rows.exists(_._2 == "hard_negative"),
+      "fixture must yield both pair kinds")
+    rows.foreach { case (a, kind, p, ppm) =>
+      assert(a != p, s"self-pair at anchor $a")
+      kind match {
+        case "positive" => assert(ppm >= 500000L, s"positive below 0.5: $ppm")
+        case "hard_negative" =>
+          assert(ppm < 500000L && ppm > 0L, s"hard negative outside (0,0.5): $ppm")
+        case other => fail(s"unknown kind $other")
+      }
+    }
+    // one pick per (anchor, kind)
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+    // every positive edge IS a production near-dup pair, and every
+    // anchor of a production pair surfaces a positive
+    val prod = Dedup.qDedupMinhash(spark, d).select("a_id", "b_id").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0)))).toSet
+    val posRows = rows.filter(_._2 == "positive")
+    posRows.foreach { case (a, _, p, _) =>
+      assert(prod.contains((a, p)), s"positive ($a, $p) not a verified pair")
+    }
+    assert(posRows.map(_._1).toSet == prod.map(_._1),
+      "every near-dup anchor must surface exactly its hardest positive")
+  }
 
   test("split leakage: pair totals match q_dedup_minhash; classes match a third-engine split") {
     val d = "/root/testdata/sf0.01" // sf0.001 may have no near-dup pairs
