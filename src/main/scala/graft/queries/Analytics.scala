@@ -1779,6 +1779,40 @@ object Analytics {
       .select(lit(AnonK.toLong).as("k"), col("n_groups"),
         col("n_violating"), col("rows_at_risk"), col("min_group"))
 
+  /** Diversity threshold for [[qLDiversity]]. */
+  private val DivL = 3
+
+  /** Distinct l-diversity audit (Machanavajjhala, Gehrke, Kifer &
+    * Venkitasubramaniam, ICDE'06) — the companion gate to
+    * [[qKAnonymity]] and the reason k alone is not enough: a QI class
+    * can be large (k-anonymous) yet attribute every row to ONE subject
+    * if the sensitive attribute barely varies. Here the release under
+    * audit is the events extract: quasi-identifier = (event_type, day,
+    * $100 value bucket), sensitive attribute = the subject (user_id) —
+    * a class with < l distinct users lets an observer who knows the QI
+    * tie the rows to a person. Reported like the k-audit: violating
+    * classes, rows they expose, and the worst class's diversity.
+    * The value bucket floors the exact cent value (identical spelling
+    * both engines, q_k_anonymity's rule).
+    *
+    * Scale stance: one partial-agg shuffle to QI-class cardinality
+    * (count + distinct-subject count per class), then a 1-row summary —
+    * the same shape as the k-audit, so auditing diversity costs what
+    * auditing size already cost. */
+  def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+        floor(round(col("value") * 100).cast("long") / 10000.0)
+          .cast("long").as("val_bucket"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("d"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("d") < DivL, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("d") < DivL, col("n")).otherwise(0L))
+          .as("rows_at_risk"),
+        min(col("d")).as("min_diversity"))
+      .select(lit(DivL.toLong).as("l"), col("n_groups"),
+        col("n_violating"), col("rows_at_risk"), col("min_diversity"))
+
   /** Seasonally-adjusted anomaly days: daily revenue judged against its
     * WEEKDAY median (a Saturday against Saturdays), residuals screened
     * by the global median/MAD gate — the composition of q_seasonality's
@@ -2321,6 +2355,7 @@ object Analytics {
     "q_seasonal_anomaly" -> (qSeasonalAnomaly _),
     "q_top_paths" -> (qTopPaths _),
     "q_k_anonymity" -> (qKAnonymity _),
+    "q_l_diversity" -> (qLDiversity _),
     "q_seasonality" -> (qSeasonality _),
     "q_incremental_join" -> (qIncrementalJoin _),
     "q_auc" -> (qAuc _),
@@ -2659,6 +2694,22 @@ object Analytics {
         |SELECT path, count(*) AS n_users FROM p GROUP BY 1
         |ORDER BY n_users DESC, path ASC LIMIT 20""".stripMargin,
     // Same QI classes, threshold, and floor-bucketed balances.
+    // Same QI grouping discipline; diversity = distinct subjects.
+    "q_l_diversity" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(CAST(round(value * 100) AS BIGINT) / 10000.0)
+        |      AS BIGINT) AS val_bucket,
+        |    count(*) AS n, count(DISTINCT user_id) AS d
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT CAST(3 AS BIGINT) AS l,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  CAST(sum(CASE WHEN d < 3 THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(min(d) AS BIGINT) AS min_diversity
+        |FROM g""".stripMargin,
     "q_k_anonymity" ->
       """WITH g AS (
         |  SELECT c_mktsegment, c_nationkey,

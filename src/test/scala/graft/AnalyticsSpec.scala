@@ -844,6 +844,55 @@ class AnalyticsSpec extends SparkSpec {
       "per-customer average balance must sit above the global positive mean"))
   }
 
+  test("trunc-division spelling: (a - a%b)/b equals BigInt truncation on random decimals") {
+    // the exact-ratio idiom q8/q_cuped/q_bm25-era queries rely on: for
+    // ANY sign pattern the engine's decimal (a - a%b)/b must equal
+    // BigInteger division (truncation toward zero) — the same result
+    // DuckDB's flooring // produces on the exactly-divisible pair
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def big(digits: Int): BigInt = {
+      val s = (1 to digits).map(_ => rnd.nextInt(10)).mkString
+      val v = BigInt(s.dropWhile(_ == '0') match { case "" => "0"; case x => x })
+      if (rnd.nextBoolean()) -v else v
+    }
+    val cases = Seq.fill(300) {
+      val a = big(1 + rnd.nextInt(28)); val b = big(1 + rnd.nextInt(14))
+      (a.toString, (if (b == 0) BigInt(7) else b).toString)
+    }
+    val got = cases.toDF("as", "bs")
+      .select(col("as").cast("decimal(38,0)").as("a"),
+        col("bs").cast("decimal(38,0)").as("b"))
+      .select(expr("CAST((a - a % b) / b AS DECIMAL(38,0))").as("q"))
+      .collect().map(r => BigInt(r.getDecimal(0).toBigInteger))
+    val want = cases.map { case (a, b) =>
+      BigInt(new java.math.BigInteger(a).divide(new java.math.BigInteger(b)))
+    }
+    got.zip(want).zip(cases).foreach { case ((g, w), c) =>
+      assert(g == w, s"case $c: engine $g != BigInteger $w")
+    }
+  }
+
+  test("hardest-pick law: max_by(struct(m, -partner)) equals the window argmax on random groups") {
+    // the O(1)-state selection primitive behind q_training_pairs /
+    // q_group_sample-style picks, against a plain Scala argmax
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(500)(
+      (rnd.nextInt(40).toLong, rnd.nextInt(200).toLong, rnd.nextInt(32).toLong))
+    val got = rows.toDF("anchor", "partner", "m")
+      .groupBy(col("anchor"))
+      .agg(max_by(struct(col("partner"), col("m")),
+        struct(col("m"), -col("partner"))).as("p"))
+      .select(col("anchor"), col("p.partner"), col("p.m"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = rows.groupBy(_._1).view.mapValues { g =>
+      val best = g.maxBy { case (_, p, m) => (m, -p) }
+      (best._2, best._3)
+    }.toMap
+    assert(got == want)
+  }
+
   test("CUPED: theta recompute, variance strictly reduced, grand mean preserved") {
     val d = "/root/testdata/sf0.01" // enough purchases for a real covariance
     val rows = graft.queries.Analytics.qCuped(spark, d).collect()
