@@ -155,6 +155,65 @@ object Corpus {
   def qChunkDocs(s: SparkSession, dir: String): DataFrame =
     chunked(s, dir).orderBy("doc_id", "chunk_id")
 
+  /** Content-defined boundary divisor: a trigram hash ≡ 0 (mod this)
+    * closes a chunk → expected chunk length ≈ this many tokens. */
+  private[graft] val CdcDivisor = 16L
+
+  /** Content-defined chunking (the LBFS/rsync rolling-boundary trick —
+    * Muthitacharoen, Chen & Mazières, SOSP'01): a chunk boundary falls
+    * wherever the local trigram hash ≡ 0 (mod [[CdcDivisor]]), so
+    * boundaries are decided by CONTENT, not position. That is the
+    * property fixed-stride chunking ([[qChunkDocs]]) lacks: insert one
+    * token early in a document and every fixed window after it shifts —
+    * zero shared fingerprints — while content-defined boundaries
+    * re-synchronize at the next hash-selected trigram, so all chunks
+    * outside the edit's neighborhood keep their hashes (the spec pins
+    * exactly this, engineered edit vs both chunkers). What dedup
+    * STORAGE systems (LBFS, restic, data lakes with chunk-level dedup)
+    * and incremental corpus re-ingestion build on.
+    *
+    * Output: one row per chunk (doc_id, chunk_id, n_tokens, chunk_hash)
+    * — same consumer contract as q_chunk_docs, so the boilerplate /
+    * dedup-store joins downstream are interchangeable.
+    *
+    * Scale stance: boundary detection and chunk hashing are pure
+    * per-row array HOFs over named staged columns (one tokenizer pass,
+    * no per-element re-derivation) — zero shuffles before the
+    * presentation sort; ~n/[[CdcDivisor]] rows per document is the
+    * inherent output size. */
+  def qChunkContentDefined(s: SparkSession, dir: String): DataFrame = {
+    val d = CdcDivisor
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"),
+        transform(TextPipeline.trigrams(col("w")), t => TextPipeline.h32(t))
+          .as("g"))
+      // gram i ends at token i+2 (1-based); a selected gram closes its
+      // chunk there. Cut points = 0 ++ selected ends ++ n (if open).
+      .select(col("doc_id"), col("w"),
+        transform(filter(sequence(lit(1), greatest(size(col("g")), lit(1))),
+            i => i <= size(col("g")) && pmod(element_at(col("g"), i), lit(d)) === 0),
+          i => i + 2).as("ends"))
+      .select(col("doc_id"), col("w"),
+        when(size(col("ends")) > 0 &&
+            element_at(col("ends"), -1) === size(col("w")), col("ends"))
+          .otherwise(concat(col("ends"), array(size(col("w"))))).as("ends"))
+      .select(col("doc_id"), col("w"),
+        concat(array(lit(0)), col("ends")).as("cuts"))
+      .select(col("doc_id"), col("w"),
+        posexplode(zip_with(
+          slice(col("cuts"), lit(1), greatest(size(col("cuts")) - 1, lit(0))),
+          slice(col("cuts"), lit(2), greatest(size(col("cuts")) - 1, lit(0))),
+          (a, b) => struct(a.as("s"), b.as("e")))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_id"),
+        (col("col.e") - col("col.s")).cast("long").as("n_tokens"),
+        TextPipeline.h32(concat_ws(" ",
+          slice(col("w"), col("col.s") + 1, col("col.e") - col("col.s"))))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Cross-document repeated-chunk (boilerplate) scoring — the C4-style
     * use of the chunk fingerprints: a chunk whose hash occurs in ≥2
     * DISTINCT documents is corpus-repeated (navigation chrome, license
@@ -856,6 +915,7 @@ object Corpus {
     "q_train_split" -> (qTrainSplit _),
     "q_token_shards" -> (qTokenShards _),
     "q_chunk_docs" -> (qChunkDocs _),
+    "q_chunk_content_defined" -> (qChunkContentDefined _),
     "q_chunk_boilerplate" -> (qChunkBoilerplate _),
     "q_decontaminate" -> (qDecontaminate _),
   )
@@ -1202,6 +1262,29 @@ object Corpus {
          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |   - n_tokens) // 4096 AS shard_id
          |FROM counted ORDER BY doc_id""".stripMargin,
+    // Same trigram hash stream, same modulo boundary rule, same cut-point
+    // construction; chunk hashes over identical token slices.
+    "q_chunk_content_defined" -> {
+      val hc = TextPipeline.duckH32(
+        "list_aggr(list_slice(w, cuts[j] + 1, cuts[j+1]), 'string_agg', ' ')")
+      s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+         |g AS (SELECT doc_id, w,
+         |    list_transform(${TextPipeline.duckTrigrams("w")},
+         |      x -> ${TextPipeline.duckH32("x")}) AS g
+         |  FROM t WHERE len(w) > 0),
+         |e0 AS (SELECT doc_id, w,
+         |    list_transform(list_filter(range(1, len(g) + 1),
+         |      i -> g[i] % $CdcDivisor = 0), i -> i + 2) AS ends FROM g),
+         |e1 AS (SELECT doc_id, w,
+         |    CASE WHEN len(ends) > 0 AND ends[-1] = len(w) THEN ends
+         |         ELSE list_append(ends, len(w)) END AS ends FROM e0),
+         |c AS (SELECT doc_id, w, list_prepend(0, ends) AS cuts FROM e1)
+         |SELECT doc_id, CAST(j AS BIGINT) AS chunk_id,
+         |  CAST(cuts[j+1] - cuts[j] AS BIGINT) AS n_tokens,
+         |  $hc AS chunk_hash
+         |FROM c, unnest(range(1, len(cuts))) AS u(j)
+         |ORDER BY doc_id, chunk_id""".stripMargin
+    },
     "q_chunk_docs" -> {
       val hc = TextPipeline.duckH32("array_to_string(chunk, ' ')")
       s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),

@@ -175,6 +175,57 @@ class ExtrasSpec extends SparkSpec {
     assert(joined.count() == docs.count())
   }
 
+  test("content-defined chunking: total coverage, and boundaries survive an insertion where fixed windows shift") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // coverage laws on the fixture: contiguous ids from 1, lengths sum to n
+    val cdc = graft.queries.Corpus.qChunkContentDefined(spark, sf)
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.core.TextPipeline.normalizedTokens(col("text"))).as("n"))
+      .filter(col("n") > 0)
+    val byDoc = cdc.groupBy("doc_id").agg(
+      count(lit(1)).as("k"), max(col("chunk_id")).as("max_id"),
+      sum(col("n_tokens")).as("covered"), min(col("n_tokens")).as("min_len"))
+      .join(docs, "doc_id")
+    assert(byDoc.filter(col("max_id") =!= col("k")).count() == 0,
+      "chunk ids must be contiguous from 1")
+    assert(byDoc.filter(col("covered") =!= col("n")).count() == 0,
+      "chunk lengths must partition the document exactly")
+    assert(byDoc.filter(col("min_len") < 1).count() == 0)
+    assert(byDoc.count() == docs.count())
+    // shift resistance: one token inserted near the front of a long doc.
+    // Content-defined boundaries re-synchronize, fixed windows all shift.
+    // letters only: the §2.3 normalizer strips digits, so numeric
+    // suffixes would collapse every word to the same token
+    val words = (1 to 400).map { i =>
+      val k = ((i * 2654435761L) % 997).toInt
+      s"w${('a' + k % 26).toChar}${('a' + (k / 26) % 26).toChar}${('a' + (k / 676) % 26).toChar}"
+    }
+    val base = words.mkString(" ")
+    val edited = (words.take(5) ++ Seq("inserted") ++ words.drop(5)).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_spec").toString
+    Seq((1L, base, "en", "src0", base.length.toLong),
+      (2L, edited, "en", "src0", edited.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def shared(df: org.apache.spark.sql.DataFrame, hashCol: String): (Long, Long) = {
+      val sets = df.select(col("doc_id"), col(hashCol)).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      ((sets(1L) intersect sets(2L)).size.toLong, sets(1L).size.toLong)
+    }
+    val (cdcShared, cdcTotal) =
+      shared(graft.queries.Corpus.qChunkContentDefined(spark, dir), "chunk_hash")
+    val (fixShared, fixTotal) =
+      shared(graft.queries.Corpus.qChunkDocs(spark, dir), "chunk_hash")
+    assert(cdcShared * 2 > cdcTotal,
+      s"content-defined chunks must mostly survive the edit: $cdcShared/$cdcTotal")
+    assert(fixShared * 2 < fixTotal,
+      s"fixed windows after the edit must shift: $fixShared/$fixTotal")
+    assert(cdcShared.toDouble / cdcTotal > fixShared.toDouble / fixTotal,
+      "content-defined chunking must beat fixed windows under insertion")
+  }
+
   test("skyline sweep equals brute-force Pareto frontier on random point sets") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260812)
