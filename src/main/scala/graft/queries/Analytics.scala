@@ -514,13 +514,15 @@ object Analytics {
     val cutDf = e.agg(expr("min(us) + (max(us) - min(us)) div 2").as("cut_us"))
     val cents = when(col("event_type") === "purchase",
       round(col("value") * 100).cast("long")).otherwise(lit(0L))
-    val perUser = e.crossJoin(broadcast(cutDf))
+    // consumed by BOTH the 1-row moment scalar and the per-arm readout —
+    // lineage-cut so the event log is scanned once (house doctrine)
+    val perUser = graft.core.Lineage.cut(e.crossJoin(broadcast(cutDf))
       .groupBy(col("user_id"))
       .agg(sum(when(col("us") <= col("cut_us"), cents).otherwise(lit(0L)))
           .as("x"),
         sum(when(col("us") > col("cut_us"), cents).otherwise(lit(0L)))
           .as("y"))
-      .select((col("user_id") % 2).as("arm"), col("x"), col("y"))
+      .select((col("user_id") % 2).as("arm"), col("x"), col("y")))
     val m = perUser.agg(
       count(lit(1)).cast(d38).as("n"),
       sum(col("x")).cast(d38).as("sx"), sum(col("y")).cast(d38).as("sy"),

@@ -184,7 +184,9 @@ object Dedup {
     * are max_by aggregates (O(1) state), never a window over the
     * anchor's candidate list; the oracle keeps the window spelling. */
   def qTrainingPairs(s: SparkSession, dir: String): DataFrame = {
-    val c = minhashCandsM(s, dir)
+    // the symmetric closure reads the candidate relation twice —
+    // lineage-cut so signatures/bands/bucket-join run once
+    val c = graft.core.Lineage.cut(minhashCandsM(s, dir))
     val sym = c.select(col("a_id").as("anchor"), col("b_id").as("partner"),
         col("m"))
       .unionAll(c.select(col("b_id").as("anchor"), col("a_id").as("partner"),

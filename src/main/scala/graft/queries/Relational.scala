@@ -1009,9 +1009,13 @@ object Relational {
         col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_suppkey"),
         round(col("l_quantity")).cast("long").as("q"))
-    val tot = yr.groupBy(col("l_partkey")).agg(sum(col("q")).as("tot_q"))
-    val share = yr.groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(sum(col("q")).as("sp_q"))
+    // per-part totals roll up FROM the per-(part, supplier) shares, and
+    // the share relation (consumed by the rollup AND the dominance join)
+    // is lineage-cut — ONE pass over the year-pruned lines total
+    val share = graft.core.Lineage.cut(
+      yr.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("q")).as("sp_q")))
+    val tot = share.groupBy(col("l_partkey")).agg(sum(col("sp_q")).as("tot_q"))
     val dominant = share.join(tot, "l_partkey")
       .filter(col("sp_q") * 2 > col("tot_q"))
       .select(col("l_suppkey")).distinct()
