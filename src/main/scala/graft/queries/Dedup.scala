@@ -1109,7 +1109,11 @@ object Dedup {
   def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
     def bucket(id: Column): Column =
       when(isEvalDoc(id), lit("eval")).otherwise(lit("train"))
-    val cls = qDedupMinhash(s, dir)
+    // the SAME candidate relation + operating point as q_dedup_minhash
+    // (shared minhashCandsM), minus its presentation sort — the
+    // classifier aggregates anyway
+    val cls = minhashCandsM(s, dir)
+      .filter(col("m") >= 16)
       .select(col("a_id"), col("b_id"),
         bucket(col("a_id")).as("ab"), bucket(col("b_id")).as("bb"))
       .select(col("a_id"), col("b_id"),

@@ -708,7 +708,10 @@ object Ingest {
     * Scale stance: tokenization is a stateless map (no shuffle, no
     * lookup table to secure); the fact side pre-aggregates to
     * key-cardinality BEFORE the dimension join, so the audit costs one
-    * token-keyed shuffle — the same distribution the raw-key join has. */
+    * token-keyed shuffle — the same distribution the raw-key join has.
+    * Contract note: orders whose custkey has no customer row are
+    * excluded on BOTH sides (customer-anchored left join) — orphan
+    * detection is q_ref_integrity's job, not this audit's. */
   def qPseudonymize(s: SparkSession, dir: String): DataFrame = {
     val pepper = "pepper-42"
     def tok(c: org.apache.spark.sql.Column) =
