@@ -2,10 +2,11 @@ package graft.core
 
 import org.apache.spark.sql.DataFrame
 
-/** Lineage-cut helper for multi-consumer relations in the EVAL-tier
-  * queries: `cut` is `localCheckpoint()` (eager materialization, so a
-  * relation consumed by several join branches is computed once) —
-  * unless `GRAFT_NO_LINEAGE_CUT=1`, which makes it the identity.
+/** Lineage-cut helper for multi-consumer relations: `cut` is
+  * `localCheckpoint()` (eager materialization, so a relation consumed
+  * by several join branches is computed once rather than relying on
+  * exchange reuse firing) — unless `GRAFT_NO_LINEAGE_CUT=1`, which
+  * makes it the identity.
   *
   * The switch exists for ONE consumer: `tools.ExplainAudit`. An eager
   * localCheckpoint truncates every downstream plan to `Scan
@@ -14,10 +15,9 @@ import org.apache.spark.sql.DataFrame
   * `pmod(h32(doc_id), M) = 0` predicate sitting on the scan before any
   * pair forms. With the cut disabled the audit sees the full
   * declarative plan (scans, pushed filters, the sample predicates) and
-  * nothing executes at all. Only the eval-tier queries route through
-  * this helper; iterative graph loops keep unconditional checkpoints —
-  * their fixpoint count() gates would re-execute whole lineages without
-  * them. */
+  * nothing executes at all. Iterative graph loops keep unconditional
+  * checkpoints — their fixpoint count() gates would re-execute whole
+  * lineages without them. */
 object Lineage {
   private val disabled: Boolean =
     sys.env.get("GRAFT_NO_LINEAGE_CUT").contains("1")

@@ -919,9 +919,10 @@ object Relational {
     * value exceeds a fixed fraction of the nation's total, the
     * HAVING-vs-uncorrelated-scalar-subquery pattern. Both sides of the
     * threshold stay exact BIGINT cents (value·10⁴ > total — the 0.0001
-    * fraction cross-multiplied away), the total is a broadcast scalar
-    * over the SAME grouped relation (one aggregation feeds both, no
-    * second scan), and everything after the supplier semi-filter is
+    * fraction cross-multiplied away), the grouped relation is
+    * Lineage.cut so the grand-total aggregate and the threshold filter
+    * provably consume ONE materialization (not a hoped-for exchange
+    * reuse), and everything after the supplier semi-filter is
     * part-cardinality. */
   def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
     val nat1 = broadcast(Tables.supplier(s, dir)
@@ -929,12 +930,12 @@ object Relational {
           .filter(col("n_name") === "NATION_1"),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey")))
-    val vals = Tables.lineitem(s, dir)
+    val vals = graft.core.Lineage.cut(Tables.lineitem(s, dir)
       .join(nat1, col("l_suppkey") === col("s_suppkey"), "left_semi")
       .select(col("l_partkey"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
       .groupBy(col("l_partkey"))
-      .agg(sum(col("cents")).as("value_cents"))
+      .agg(sum(col("cents")).as("value_cents")))
     val total = vals.agg(sum(col("value_cents")).as("total_cents"))
     vals.crossJoin(broadcast(total))
       .filter(col("value_cents") * 10000 > col("total_cents"))
@@ -1480,10 +1481,10 @@ object Relational {
     "q12_priority_shipping" ->
       """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
         |            THEN 'FAST' ELSE 'SLOW' END AS ship_speed,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |           THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |           THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'

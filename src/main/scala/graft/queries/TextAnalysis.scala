@@ -232,11 +232,46 @@ object TextAnalysis {
     * top-k frequencies equal) yields NULL identically in both engines.
     *
     * Scale stance (100 TB): the only data-bound stage is the wordcount
-    * partial agg; the rank window runs over the VOCABULARY-cardinality
-    * relation (the q_ewma bounded-cardinality epilogue — and top-k of
-    * it is TakeOrderedAndProject territory if vocabulary ever grew
-    * data-bound). */
+    * partial agg. The estimator consumes exactly two things from the
+    * V-row vocabulary — its COUNT (n_vocab) and its top-(k+1)
+    * frequencies — so both come bounded: a count aggregate and an
+    * `orderBy.limit(HillK+1)` (TakeOrderedAndProject: per-partition
+    * top-21, O(partitions·21) merge). No stage ranks the full
+    * vocabulary; the residual rank window orders ≤ 21 rows. This
+    * removed the repo's last V-cardinality single-partition sort (the
+    * round-11 verdict item; the old window spelling stays below as the
+    * unregistered measured baseline, spec-pinned result-identical and
+    * measured at the sf1 decade + the 10×-vocabulary control,
+    * SURVEY §8.13). */
   def qTailIndex(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qlog = (c: Column) => round(log2(c.cast("double")) * 1e6).cast("long")
+    val wc = graft.core.Lineage.cut(
+      TextPipeline.words(Tables.documents(s, dir), "text")
+        .groupBy(col("word")).agg(count(lit(1)).as("f")))
+    val nv = wc.agg(count(lit(1)).cast("long").as("n_vocab"))
+    val withK = wc.orderBy(col("f").desc, col("word").asc).limit(HillK + 1)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("f").desc, col("word").asc)))
+      .crossJoin(broadcast(nv))
+      .withColumn("k", least(lit(HillK.toLong), col("n_vocab") - 1))
+    val fref = withK.filter(col("rank") === col("k") + 1)
+      .select(col("f").as("f_ref"))
+    withK.filter(col("rank") <= col("k"))
+      .crossJoin(broadcast(fref))
+      .groupBy(col("n_vocab"), col("k"), col("f_ref"))
+      .agg(sum(qlog(col("f")) - qlog(col("f_ref"))).as("denom_micros"))
+      .select(col("n_vocab"), col("k"), col("f_ref"), col("denom_micros"),
+        when(col("denom_micros") > 0,
+          expr("k * 1000000000000 div denom_micros"))
+          .otherwise(lit(null).cast("long")).as("alpha_log2_micros"))
+  }
+
+  /** The pre-round-12 spelling of [[qTailIndex]] — a global rank window
+    * over the full vocabulary — kept (not registered) as the measured
+    * baseline for the bounded TakeOrdered replacement and spec-pinned
+    * result-identical to it (the [[qVocabCoverageWindow]] pattern). */
+  private[graft] def qTailIndexWindow(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qlog = (c: Column) => round(log2(c.cast("double")) * 1e6).cast("long")
     val ranked = TextPipeline.words(Tables.documents(s, dir), "text")
@@ -1109,7 +1144,7 @@ object TextAnalysis {
          |r AS (SELECT word, f,
          |        row_number() OVER (ORDER BY f DESC, word ASC) AS rank
          |      FROM wc),
-         |nv AS (SELECT CAST(max(rank) AS BIGINT) AS n_vocab FROM r),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab FROM wc),
          |kk AS (SELECT n_vocab, least(20, n_vocab - 1) AS k FROM nv),
          |fr AS (SELECT f AS f_ref FROM r, kk WHERE rank = k + 1),
          |d AS (SELECT kk.n_vocab, kk.k, CAST(fr.f_ref AS BIGINT) AS f_ref,

@@ -705,6 +705,22 @@ class GraphTextSpec extends SparkSpec {
     }
   }
 
+  test("tail index: bounded top-(k+1) selection == the global rank window, and the bound is in the plan") {
+    // round-12 respelling of the LAST V-cardinality rank window in the
+    // repo: the Hill estimator consumes only n_vocab (a count) and the
+    // top-(HillK+1) frequencies (a TakeOrdered), so neither stage may
+    // sort the full vocabulary; the answer must not move
+    for (d <- Seq(sf, "/root/testdata/sf0.01")) {
+      val bounded = TextAnalysis.qTailIndex(spark, d)
+      assert(bounded.collect().map(_.toString).toSeq ==
+        TextAnalysis.qTailIndexWindow(spark, d)
+          .collect().map(_.toString).toSeq, s"diverged at $d")
+      val plan = bounded.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        "the bounded selection must compile to TakeOrderedAndProject")
+    }
+  }
+
   test("pii report: engineered corpus — per-class doc/occurrence counts and zero residual after redaction") {
     // the driver fixture is synthetic word salad with no PII, so the
     // fixture run is a vacuous all-zeros report; the semantics need a
