@@ -599,8 +599,9 @@ object Dedup {
         col("r.value").as("value"))
       .orderBy("user_id")
 
-  /** Jaccard similarity threshold shared by the exact verifiers. */
-  private val JaccardT = 0.2
+  /** Jaccard similarity threshold shared by the exact verifiers (and,
+    * private[graft], by the streaming probe twin in Windows). */
+  private[graft] val JaccardT = 0.2
 
   /** Shingled docs (doc_id, lang, s): the shared head of both exact
     * verifiers. Early filter on the TOKEN count (equivalent to
@@ -859,21 +860,36 @@ object Dedup {
   private def sh60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Sorted distinct 60-bit hashes of a shingle array — the ONE store
+    * spelling shared by the batch index build ([[hashedStore]]) and the
+    * streaming probe's per-row store (Windows.dedupIndexProbeStream), so
+    * batch and online verification cannot drift. */
+  private[graft] def storeHash(sh: Column): Column =
+    array_sort(array_distinct(transform(sh, x => sh60(x))))
+
   /** Hashed verification store rows (doc_id, n, hs) from a [[shingled]]
     * relation — shared by the index build and the batch side of
     * [[qDedupPersisted]] so the two cannot drift. */
   private def hashedStore(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"),
-        array_sort(array_distinct(transform(col("s"), x => sh60(x)))).as("hs"))
+    sh.select(col("doc_id"), storeHash(col("s")).as("hs"))
       .select(col("doc_id"), size(col("hs")).cast("long").as("n"), col("hs"))
+
+  /** Writes both dedup-index artifacts for the corpus docs matching
+    * `keep` — the ONE builder behind [[dedupIndexDir]] (keep = the even
+    * historical half) and the spec's from-scratch-rebuild-minus-deleted
+    * control, so build and rebuild cannot drift. */
+  private[graft] def writeDedupIndex(s: SparkSession, d: String,
+      keep: Column, root: String): Unit = {
+    TextAnalysis.winnowFps(s, d).filter(keep)
+      .write.mode("overwrite").parquet(s"$root/postings.parquet")
+    hashedStore(shingled(s, d).filter(keep))
+      .write.mode("overwrite").parquet(s"$root/shingles.parquet")
+  }
 
   private[graft] def dedupIndexDir(s: SparkSession, dir: String): String =
     dedupIndexRoots.computeIfAbsent(dir, { d =>
       val root = Ingest.scratchDir("dedupindex", d)
-      TextAnalysis.winnowFps(s, d).filter(col("doc_id") % 2 === 0)
-        .write.mode("overwrite").parquet(s"$root/postings.parquet")
-      hashedStore(shingled(s, d).filter(col("doc_id") % 2 === 0))
-        .write.mode("overwrite").parquet(s"$root/shingles.parquet")
+      writeDedupIndex(s, d, col("doc_id") % 2 === 0, root)
       root
     })
 
@@ -896,8 +912,16 @@ object Dedup {
     * postings join on (lang, fingerprint) buckets; sorted shingle arrays
     * move only for surviving candidates, the index side's from the
     * columnar store by doc_id. */
-  def qDedupPersisted(s: SparkSession, dir: String): DataFrame = {
-    val root = dedupIndexDir(s, dir)
+  def qDedupPersisted(s: SparkSession, dir: String): DataFrame =
+    probeDedupIndex(s, dir, dedupIndexDir(s, dir))
+
+  /** The probe plan of [[qDedupPersisted]] with the index GENERATION
+    * injectable — shared with [[qDedupIndexErase]] (and the spec's
+    * from-scratch-rebuild control) so every generation of the persisted
+    * artifacts is probed by ONE plan and classifications cannot drift
+    * between lifecycle verbs. */
+  private[graft] def probeDedupIndex(s: SparkSession, dir: String,
+      root: String): DataFrame = {
     val idxFps = s.read.parquet(s"$root/postings.parquet")
     val idxSs = s.read.parquet(s"$root/shingles.parquet")
     val batchFps = TextAnalysis.winnowFps(s, dir)
@@ -937,6 +961,62 @@ object Dedup {
       .filter(col("jaccard") >= JaccardT)
       .orderBy("new_id", "dup_of")
   }
+
+  /** Erased-generation roots for [[qDedupIndexErase]], one rewrite per
+    * (JVM, fixture dir) over the [[dedupIndexDir]] artifacts. */
+  private val dedupErasedRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Deletion set for the write-side index erasure: index documents
+    * whose doc_id ≡ 0 (mod [[Ingest.ErasureMod]]) — the SAME subject
+    * rule the read-side blast-radius audit (q_erasure_audit) scopes, so
+    * audit and rewrite answer to one GDPR deletion list. */
+  private def erasedDoc(c: Column): Column = c % Ingest.ErasureMod === 0
+
+  /** Writes the erased GENERATION of the persisted dedup index: both
+    * artifacts re-written without the deletion set's rows. Because
+    * winnow fingerprints and the hashed shingle store are PER-DOCUMENT
+    * deterministic (no corpus statistics anywhere in the artifacts),
+    * pruning rows by doc_id is exactly a from-scratch rebuild over the
+    * surviving corpus — the property the spec re-proves by building that
+    * rebuild and diffing probes. */
+  private[graft] def dedupErasedIndexDir(s: SparkSession, dir: String): String =
+    dedupErasedRoots.computeIfAbsent(dir, { d =>
+      val src = dedupIndexDir(s, d)
+      val root = Ingest.scratchDir("dedupindexerase", d)
+      s.read.parquet(s"$src/postings.parquet")
+        .filter(!erasedDoc(col("doc_id")))
+        .write.mode("overwrite").parquet(s"$root/postings.parquet")
+      s.read.parquet(s"$src/shingles.parquet")
+        .filter(!erasedDoc(col("doc_id")))
+        .write.mode("overwrite").parquet(s"$root/shingles.parquet")
+      root
+    })
+
+  /** Write-side index ERASURE — the delete verb of the persisted-index
+    * lifecycle (build: [[dedupIndexDir]]; probe: [[qDedupPersisted]];
+    * delete: here), the half of right-to-be-forgotten that
+    * q_erasure_audit's read-side blast radius leaves open: rewrite the
+    * postings and shingle-store artifacts WITHOUT the subjects' rows
+    * (doc_id ≡ 0 mod [[Ingest.ErasureMod]] — the audit's own scope),
+    * then run the standard probe over the erased generation. Output
+    * contract matches q_dedup_persisted minus every pair involving an
+    * erased index doc; the oracle is the shared incremental CTE chain
+    * with the deletion predicate on both pair sides, so the gate
+    * re-proves per verify that erasure removed EXACTLY the subjects'
+    * pairs and nothing else. The spec additionally pins (a) no erased
+    * doc_id survives in either artifact, (b) the pruned generation's
+    * probe ≡ a from-scratch rebuild over the surviving corpus (the
+    * delete-side twin of q_ann_index_delta's add-side bit-equality),
+    * and (c) on an engineered corpus, a batch doc whose ONLY duplicate
+    * was erased stops being reported.
+    *
+    * Scale stance (100 TB): the rewrite scans only the index artifacts
+    * (a pushdown-friendly predicate per table — at real scale a
+    * partition-pruned anti-join against the deletion list), never the
+    * corpus text; the probe is unchanged O(batch). */
+  def qDedupIndexErase(s: SparkSession, dir: String): DataFrame =
+    probeDedupIndex(s, dir, dedupErasedIndexDir(s, dir))
 
   /** Quality-aware dedup survivor selection — the step that turns the
     * cluster labeling ([[qDedupClusters]]) into the RETAINED corpus: per
@@ -1150,6 +1230,7 @@ object Dedup {
     "q_dedup_winnow" -> (qDedupWinnow _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_persisted" -> (qDedupPersisted _),
+    "q_dedup_index_erase" -> (qDedupIndexErase _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_survivors" -> (qDedupSurvivors _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -1251,9 +1332,11 @@ object Dedup {
        |sh AS (SELECT doc_id, $duckSh AS s FROM toks WHERE len(w) >= 3)""".stripMargin
   }
 
-  /** One spelling of the incremental-dedup semantics for both the
-    * in-plan query and the persisted-index probe. */
-  private lazy val incrementalOracleSql: String =
+  /** One spelling of the incremental-dedup semantics for the in-plan
+    * query, the persisted-index probe, and (with the deletion predicate
+    * injected) the erased-generation probe — `extraWhere` ANDs into the
+    * candidate filter so every lifecycle verb shares one match rule. */
+  private def incrementalOracleSqlWhere(extraWhere: String): String =
     s"""WITH $winnowCandCte,
        |scored AS (SELECT c.a_id, c.b_id,
        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -1261,6 +1344,7 @@ object Dedup {
        |  FROM cand c JOIN sh a ON a.doc_id = c.a_id
        |              JOIN sh b ON b.doc_id = c.b_id
        |  WHERE (c.a_id % 2 = 1 OR c.b_id % 2 = 1)
+       |    $extraWhere
        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
        |      / len(list_distinct(list_concat(a.s, b.s))) >= $JaccardT)
        |SELECT
@@ -1272,6 +1356,15 @@ object Dedup {
        |       ELSE 'index' END AS kind,
        |  jaccard
        |FROM scored ORDER BY new_id, dup_of""".stripMargin
+
+  private lazy val incrementalOracleSql: String = incrementalOracleSqlWhere("")
+
+  /** The erased-generation probe's oracle: the SAME chain minus every
+    * pair whose INDEX side (the even half — the only ids the artifacts
+    * hold) is in the deletion set. */
+  private lazy val indexEraseOracleSql: String = incrementalOracleSqlWhere(
+    s"""AND NOT (c.a_id % 2 = 0 AND c.a_id % ${Ingest.ErasureMod} = 0)
+       |    AND NOT (c.b_id % 2 = 0 AND c.b_id % ${Ingest.ErasureMod} = 0)""".stripMargin)
 
   private def sigCte =
     s"""toks AS (SELECT doc_id, $duckToks AS w FROM documents),
@@ -1457,6 +1550,9 @@ object Dedup {
     // incremental dedup — one oracle spelling for both, the
     // q_ann_persisted convention.
     "q_dedup_persisted" -> incrementalOracleSql,
+    // Erasure must remove EXACTLY the deleted subjects' pairs: same
+    // chain, deletion predicate on both pair sides.
+    "q_dedup_index_erase" -> indexEraseOracleSql,
     "q_dedup_containment" ->
       s"""WITH $winnowCandCte,
          |scored AS (SELECT c.a_id, c.b_id,

@@ -566,8 +566,12 @@ object Ingest {
   }
 
   /** Erasure-request subject rule: user/customer keys ≡ 0 (mod 17) —
-    * a deterministic stand-in for a GDPR deletion list. */
-  private val ErasureMod = 17L
+    * a deterministic stand-in for a GDPR deletion list. Shared
+    * (private[graft]) with the write-side index-erasure queries
+    * (Dedup.qDedupIndexErase, Similarity.qAnnIndexErase) so the
+    * read-side blast-radius audit and the artifact rewrites answer to
+    * ONE subject scope. */
+  private[graft] val ErasureMod = 17L
 
   /** Right-to-be-forgotten SCOPE audit: before (or after) executing an
     * erasure batch, report how many rows in each table still reference

@@ -471,23 +471,38 @@ object Similarity {
     * relation (vec_id, v); output is one (q_id, tab) row per query.
     * Densification rationale (spine LEFT JOIN, not element_at probes)
     * lives in the [[qAnnPq]] scaladoc. */
-  private def pqDtab(s: SparkSession, qe: DataFrame, cb: DataFrame): DataFrame = {
-    val qsub = pqMelt(qe)
-      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("q_sv"))
+  private def pqDtab(s: SparkSession, qe: DataFrame, cb: DataFrame): DataFrame =
+    pqDtabKeyed(s, qe.select(col("vec_id").as("q_id"), col("v")), cb,
+      Seq("q_id"))
+
+  /** [[pqDtab]] generalized to a composite table key: `qr` holds one
+    * residual/query vector `v` per distinct `keys` tuple; output is one
+    * (keys..., tab) row each. The residual rung needs tables keyed
+    * (q_id, ivf_cell) — the query's residual differs per probed cell —
+    * while the shared-codebook rungs key on q_id alone. One spelling so
+    * the dense-spine construction cannot drift between them. */
+  private def pqDtabKeyed(s: SparkSession, qr: DataFrame, cb: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val qsub = qr
+      .select(kc :+ col("v")
+        :+ explode(sequence(lit(0L), lit((PqM - 1).toLong))).as("m"): _*)
+      .select(kc :+ col("m")
+        :+ slice(col("v"), (col("m") * PqSubDim + 1).cast("int"),
+          lit(PqSubDim)).as("q_sv"): _*)
     val d2 = aggregate(
       zip_with(col("q_sv"), col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
     val dt = qsub.join(cb, "m")
-      .select(col("q_id"), col("m"), col("cell"),
-        round(d2 * QScale).cast("long").as("qd2"))
+      .select(kc :+ col("m") :+ col("cell")
+        :+ round(d2 * QScale).cast("long").as("qd2"): _*)
     val spine = s.range(0, PqM.toLong * PqK)
       .select(col("id").cast("long").as("k"))
-    qe.select(col("vec_id").as("q_id"))
+    qr.select(kc: _*)
       .crossJoin(broadcast(spine))
-      .join(dt.select(col("q_id"),
-        (col("m") * PqK + col("cell")).as("k"), col("qd2")),
-        Seq("q_id", "k"), "left")
-      .groupBy(col("q_id"))
+      .join(dt.select(kc :+ (col("m") * PqK + col("cell")).as("k")
+        :+ col("qd2"): _*), keys :+ "k", "left")
+      .groupBy(kc: _*)
       .agg(transform(sort_array(collect_list(struct(col("k"), col("qd2")))),
         t => t.getField("qd2")).as("tab"))
   }
@@ -625,12 +640,14 @@ object Similarity {
     * re-rank exactly on the raw vectors.
     *
     * Codes are non-residual (PQ over the vectors themselves, FAISS
-    * `by_residual=false`): residual encoding is the recall refinement a
-    * production build adds, but it makes every codeword cell-relative —
-    * the non-residual form keeps ONE codebook shared across cells (the
-    * same `c2` as [[qAnnPq]], byte-identical codes) and stays
-    * oracle-expressible; the recall cost on this corpus is measured in
-    * DedupSimilaritySpec (IVFPQ vs PQ vs brute force).
+    * `by_residual=false`): the form that keeps ONE codebook shared
+    * across cells (the same `c2` as [[qAnnPq]], byte-identical codes)
+    * and distance tables per query rather than per (query, cell). The
+    * FAISS-default residual configuration ships as its own rung,
+    * [[qAnnIvfPqResidual]], sharing the persisted coarse centroids;
+    * recall of the two is measured side by side in DedupSimilaritySpec
+    * (tied at the fixture's shortlist depth — the coarse probe, not
+    * code fidelity, is the binding constraint there).
     *
     * Scale stance (100 TB): this is the structural fix for the PQ
     * full-corpus scan — the ADC pass touches ~NProbe/KCells of the codes
@@ -731,13 +748,22 @@ object Similarity {
     * code ([[pqDtab]]). The oracle is the full train+probe CTE chain —
     * re-proving on every verify run that the persisted artifacts equal
     * what training computes. */
-  def qAnnPersisted(s: SparkSession, dir: String): DataFrame = {
+  def qAnnPersisted(s: SparkSession, dir: String): DataFrame =
+    probeAnnIndex(s, dir, persistedIndexDir(s, dir), lit(true))
+
+  /** The probe plan of [[qAnnPersisted]] with the index GENERATION and
+    * a liveness predicate injectable — shared with [[qAnnIndexErase]]
+    * (and the spec's rebuild control) so every generation of the
+    * persisted artifacts is searched by ONE plan. `live` filters the
+    * raw-vector relation (queries and re-rank fetches); the codes table
+    * needs no predicate — a pruned generation simply has fewer rows. */
+  private[graft] def probeAnnIndex(s: SparkSession, dir: String,
+      root: String, live: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val root = persistedIndexDir(s, dir)
     val coarse = s.read.parquet(s"$root/ivf_centroids.parquet")
     val cb = s.read.parquet(s"$root/pq_codebook.parquet")
     val inv = s.read.parquet(s"$root/pq_codes.parquet")
-    val raw = vecs(s, dir).select(col("vec_id"), col("v"))
+    val raw = vecs(s, dir).select(col("vec_id"), col("v")).filter(live)
     // normalize the QUERY vectors only (the corpus normalization is baked
     // into the index) — the expression is bit-identical to the build's
     val nrm = sqrt(aggregate(transform(col("v"), x => x * x),
@@ -785,12 +811,33 @@ object Similarity {
     * tables are broadcast-tiny), one narrow argmin pass per subspace
     * plus the coarse assign — no shuffle except the final per-vector
     * code collection, and nothing corpus-sized is ever touched. */
-  def qAnnIndexDelta(s: SparkSession, dir: String): DataFrame = {
+  def qAnnIndexDelta(s: SparkSession, dir: String): DataFrame =
+    encodeFrozen(s, dir, col("vec_id") % 2 === 1)
+
+  /** The encode-against-the-frozen-quantizers pass of
+    * [[qAnnIndexDelta]] with the vector cut injectable — shared with
+    * the erasure spec's rebuild control (encode the SURVIVORS, compare
+    * bit-for-bit with the pruned artifact), so add and delete verify
+    * against one encoder. */
+  private[graft] def encodeFrozen(s: SparkSession, dir: String,
+      keep: Column): DataFrame = {
+    val codeCols = (0 until PqM).map(m =>
+      element_at(col("codes"), m + 1).as(f"c$m%d"))
+    encodeRows(s, dir, keep)
+      .select(col("vec_id") +: col("ivf_cell") +: codeCols: _*)
+      .orderBy("vec_id")
+  }
+
+  /** [[encodeFrozen]] in the `pq_codes` ARTIFACT schema (vec_id, codes
+    * array, ivf_cell) — what an ingest job physically appends; used by
+    * the compaction generation builder so delta files carry the same
+    * schema as the base table they fold into. */
+  private def encodeRows(s: SparkSession, dir: String,
+      keep: Column): DataFrame = {
     val root = persistedIndexDir(s, dir)
     val cb = s.read.parquet(s"$root/pq_codebook.parquet")
     val coarse = s.read.parquet(s"$root/ivf_centroids.parquet")
-    val raw = vecs(s, dir).select(col("vec_id"), col("v"))
-      .filter(col("vec_id") % 2 === 1)
+    val raw = vecs(s, dir).select(col("vec_id"), col("v")).filter(keep)
     val nrm = sqrt(aggregate(transform(col("v"), x => x * x),
       lit(0.0), (acc, x) => acc + x))
     val e = raw.select(col("vec_id"),
@@ -801,11 +848,209 @@ object Similarity {
         t => t.getField("cell")).as("codes"))
     val cells = kmeansAssign(e, coarse)
       .select(col("vec_id"), col("cell").as("ivf_cell"))
-    val codeCols = (0 until PqM).map(m =>
-      element_at(col("codes"), m + 1).as(f"c$m%d"))
     codes.join(cells, "vec_id")
-      .select(col("vec_id") +: col("ivf_cell") +: codeCols: _*)
-      .orderBy("vec_id")
+      .select(col("vec_id"), col("codes"), col("ivf_cell"))
+  }
+
+  /** Erased-generation roots for [[qAnnIndexErase]], one rewrite per
+    * (JVM, fixture dir) over the [[persistedIndexDir]] artifacts. */
+  private val erasedIndexRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Deletion-set predicate for the ANN index erasure: vec_id ≡ 0
+    * (mod [[graft.queries.Ingest.ErasureMod]]) — the q_erasure_audit
+    * subject rule applied to the vector store. */
+  private def erasedVec(c: Column): Column =
+    c % graft.queries.Ingest.ErasureMod === 0
+
+  /** Writes the erased GENERATION of the persisted ANN index: `pq_codes`
+    * re-written without the deletion set's rows; the coarse centroids
+    * and PQ codebook carry over UNCHANGED into the new generation —
+    * deletion never retrains (quantizer drift is a rebuild decision,
+    * exactly as for the add verb in [[qAnnIndexDelta]]). Codes are
+    * per-vector deterministic against the frozen codebook, so the pruned
+    * table is bit-equal to re-encoding the surviving corpus — the
+    * delete-side twin of the add-side equality, spec-pinned. */
+  private[graft] def erasedAnnIndexDir(s: SparkSession, dir: String): String =
+    erasedIndexRoots.computeIfAbsent(dir, { d =>
+      val src = persistedIndexDir(s, d)
+      val root = Ingest.scratchDir("annindexerase", d)
+      s.read.parquet(s"$src/ivf_centroids.parquet")
+        .write.mode("overwrite").parquet(s"$root/ivf_centroids.parquet")
+      s.read.parquet(s"$src/pq_codebook.parquet")
+        .write.mode("overwrite").parquet(s"$root/pq_codebook.parquet")
+      s.read.parquet(s"$src/pq_codes.parquet")
+        .filter(!erasedVec(col("vec_id")))
+        .write.mode("overwrite").parquet(s"$root/pq_codes.parquet")
+      root
+    })
+
+  /** Write-side ANN index ERASURE — the delete verb of the FAISS
+    * lifecycle (train / add / search / DELETE), completing
+    * [[qAnnPersisted]] and [[qAnnIndexDelta]]: rewrite `pq_codes`
+    * without the deletion set (vec_id ≡ 0 mod ErasureMod — the
+    * q_erasure_audit subject scope), keep the frozen quantizers, then
+    * run the standard probe over the erased generation. Erased subjects
+    * disappear BOTH as candidates (their codes are gone from the
+    * artifact) and as queries (a forgotten subject's vector may not be
+    * used to search, either). The oracle is the shared train+probe CTE
+    * chain with the deletion predicate on the query set and the
+    * candidate set, so the gate re-proves per verify that the pruned
+    * artifacts answer exactly like the unpruned index minus the deleted
+    * ids. The spec additionally pins that no erased id survives in the
+    * artifact and that the pruned codes ≡ re-encoding the surviving
+    * corpus against the frozen codebook.
+    *
+    * Scale stance (100 TB): the rewrite is one pushdown-friendly scan
+    * of the 17 B/vec codes table (at real scale a partition-pruned
+    * anti-join against the deletion list); probes stay O(queries);
+    * nothing retrains and the corpus vectors are never re-encoded. */
+  def qAnnIndexErase(s: SparkSession, dir: String): DataFrame =
+    probeAnnIndex(s, dir, erasedAnnIndexDir(s, dir),
+      !erasedVec(col("vec_id")))
+
+  /** Compacted-generation roots for [[qAnnIndexCompact]]. */
+  private val compactRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Builds the GENERATIONAL layout an index store physically
+    * accumulates, then compacts it: a base `pq_codes` generation (the
+    * even half — "yesterday's build"), TWO delta files appended by
+    * later ingest jobs (the odd half split by vec_id mod 4, each
+    * encoded against the frozen quantizers exactly like
+    * [[qAnnIndexDelta]]), and a tombstone file carrying the erasure
+    * subjects. COMPACTION folds base ∪ deltas minus tombstones into
+    * one new generation (`gen1`) with the quantizers carried over —
+    * the small-file-compaction doctrine (Ingest.qCompactFiles) applied
+    * to the index artifacts, and the third lifecycle verb after add
+    * ([[qAnnIndexDelta]]) and delete ([[qAnnIndexErase]]). */
+  private[graft] def compactedAnnIndexDir(s: SparkSession, dir: String): String =
+    compactRoots.computeIfAbsent(dir, { d =>
+      val src = persistedIndexDir(s, d)
+      val root = Ingest.scratchDir("annindexcompact", d)
+      s.read.parquet(s"$src/pq_codes.parquet")
+        .filter(col("vec_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$root/gen0/pq_codes.parquet")
+      encodeRows(s, d, col("vec_id") % 4 === 1)
+        .write.mode("overwrite").parquet(s"$root/delta1.parquet")
+      encodeRows(s, d, col("vec_id") % 4 === 3)
+        .write.mode("overwrite").parquet(s"$root/delta2.parquet")
+      vecs(s, d).select(col("vec_id")).filter(erasedVec(col("vec_id")))
+        .write.mode("overwrite").parquet(s"$root/tombstones.parquet")
+      // the compaction job: one narrow union + one anti-join on vec_id
+      val tomb = s.read.parquet(s"$root/tombstones.parquet")
+      s.read.parquet(s"$root/gen0/pq_codes.parquet")
+        .unionByName(s.read.parquet(s"$root/delta1.parquet"))
+        .unionByName(s.read.parquet(s"$root/delta2.parquet"))
+        .join(tomb, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$root/gen1/pq_codes.parquet")
+      s.read.parquet(s"$src/ivf_centroids.parquet")
+        .write.mode("overwrite").parquet(s"$root/gen1/ivf_centroids.parquet")
+      s.read.parquet(s"$src/pq_codebook.parquet")
+        .write.mode("overwrite").parquet(s"$root/gen1/pq_codebook.parquet")
+      s"$root/gen1"
+    })
+
+  /** Index COMPACTION probe — searches the compacted generation
+    * produced by [[compactedAnnIndexDir]]. Because base + deltas cover
+    * the whole corpus (encoded against the one frozen codebook, the
+    * add-side bit-equality) and the tombstones are the erasure
+    * subjects, the compacted generation is LOGICALLY the erased index:
+    * the oracle is the same deletion-predicate train+probe chain as
+    * q_ann_index_erase, so the gate re-proves per verify that folding
+    * generations loses nothing and resurrects nothing. The spec
+    * additionally pins the compacted artifact row-equal to the erased
+    * generation's, zero tombstoned ids inside, and the probe anchored
+    * to gen1 files only.
+    *
+    * Scale stance (100 TB): compaction is one union of code-row scans
+    * plus one anti-join keyed on vec_id against the (tiny, broadcast)
+    * tombstone list — no re-encode, no retrain; probe cost unchanged. */
+  def qAnnIndexCompact(s: SparkSession, dir: String): DataFrame =
+    probeAnnIndex(s, dir, compactedAnnIndexDir(s, dir),
+      !erasedVec(col("vec_id")))
+
+  /** Residual IVFADC — the FAISS DEFAULT configuration
+    * (`by_residual=true`; Jégou, Douze & Schmid, TPAMI 2011 §V.A):
+    * PQ encodes each vector's RESIDUAL from its assigned coarse
+    * centroid, not the vector itself. Residuals concentrate near the
+    * origin regardless of which cell a vector lives in, so one shared
+    * codebook spends its 256 codewords per subspace on a much tighter
+    * distribution — the accuracy refinement the non-residual
+    * [[qAnnIvfPq]] scaladoc defers to a production build; recall@10 of
+    * the two rungs is measured side by side in DedupSimilaritySpec.
+    *
+    * Shares the PERSISTED coarse centroids ([[persistedIndexDir]]) —
+    * residual encoding changes the PQ stage only, never the IVF
+    * geometry. Training is the same count-gated two-Lloyd-round recipe
+    * as [[buildPqIndex]], run over the residual relation; the probe
+    * computes a distance table PER (query, probed cell) — the query's
+    * residual q − c_cell differs per cell, the structural price of
+    * `by_residual` (FAISS pays it as the per-list table in
+    * `IndexIVFPQ::search`) — and ADC scores stay cross-cell comparable
+    * because every table approximates the same ‖q − x‖². Shortlist and
+    * exact re-rank are the shared bounded `topk_min` + [[pqRerank]]
+    * stages.
+    *
+    * Scale stance (100 TB): one extra narrow zip_with per corpus row at
+    * encode (residual subtraction — no new shuffle; the assign and
+    * encode passes fuse into the same corpus scan as the non-residual
+    * build); distance tables grow NProbe× but stay
+    * O(queries · NProbe · M · PqK) and broadcast; the ADC pass still
+    * touches only the probed cells' codes. */
+  def qAnnIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = persistedIndexDir(s, dir)
+    val coarse = s.read.parquet(s"$root/ivf_centroids.parquet")
+    val raw = vecs(s, dir).select(col("vec_id"), col("v"))
+    val nrm = sqrt(aggregate(transform(col("v"), x => x * x),
+      lit(0.0), (acc, x) => acc + x))
+    val e = raw.select(col("vec_id"),
+      transform(col("v"), x => x / nrm).as("v")).localCheckpoint()
+    // residuals against the assigned (frozen) coarse centroid — consumed
+    // by the training sample and the encode pass
+    val res = kmeansAssign(e, coarse)
+      .join(broadcast(coarse), Seq("cell"))
+      .select(col("vec_id"), col("cell").as("ivf_cell"),
+        zip_with(col("v"), col("cv"), (x, y) => x - y).as("v"))
+      .localCheckpoint()
+    val train = if (res.count() >= PqTrainMin)
+      res.filter(col("vec_id") % 10 === 0) else res
+    val tsub = pqMelt(train.select(col("vec_id"), col("v")))
+    val rcb = pqUpdate(pqAssign(tsub, pqUpdate(pqAssign(tsub,
+        pqSeeds(train.select(col("vec_id"), col("v")))))))
+      .localCheckpoint()
+    val codes = pqAssign(pqMelt(res.select(col("vec_id"), col("v"))), rcb)
+      .groupBy(col("vec_id"))
+      .agg(transform(sort_array(collect_list(struct(col("m"), col("cell")))),
+        t => t.getField("cell")).as("codes"))
+      .join(res.select(col("vec_id"), col("ivf_cell")), "vec_id")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("ivf_cell").asc)
+    val probes = q.crossJoin(broadcast(coarse))
+      .select(col("q_id"), col("q_v"), col("cell").as("ivf_cell"),
+        col("cv"), cosine(col("q_v"), col("cv")).as("ccos"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= NProbe)
+    // per-(query, probed cell) residual → one distance table EACH
+    val qres = probes.select(col("q_id"), col("ivf_cell"),
+      zip_with(col("q_v"), col("cv"), (x, y) => x - y).as("v"))
+    val dtab = pqDtabKeyed(s, qres, rcb, Seq("q_id", "ivf_cell"))
+    val shortlist = codes
+      .join(broadcast(probes.select(col("q_id"), col("ivf_cell"))),
+        "ivf_cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(dtab), Seq("q_id", "ivf_cell"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.VectorFunctions.adcSum(
+          col("codes"), col("tab"), PqK).as("adc_d2"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.VectorFunctions.topkMin(
+        col("adc_d2"), col("neighbor_id"), PqShortlist).as("top"))
+      .select(col("q_id"), explode(col("top").getField("id")).as("neighbor_id"))
+    pqRerank(raw, shortlist)
   }
 
   /** ANN-quality dashboard: recall@k of the IVF index ([[qAnnIvf]],
@@ -984,6 +1229,9 @@ object Similarity {
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_persisted" -> (qAnnPersisted _),
     "q_ann_index_delta" -> (qAnnIndexDelta _),
+    "q_ann_index_erase" -> (qAnnIndexErase _),
+    "q_ann_ivfpq_residual" -> (qAnnIvfPqResidual _),
+    "q_ann_index_compact" -> (qAnnIndexCompact _),
     "q_dedup_semantic_eval" -> (qDedupSemanticEval _),
     "q_ann_nprobe_curve" -> (qAnnNprobeCurve _),
     "q_ann_filtered" -> (qAnnFiltered _),
@@ -1168,10 +1416,15 @@ object Similarity {
        |ic2 AS (${duckUpdate("ia1")}),
        |iidx AS (${duckAssign("ic2")})""".stripMargin
 
-  private lazy val ivfPqOracleSql: String =
+  /** The IVFADC train+probe chain with liveness predicates injectable:
+    * `qExtra` ANDs into the query-vector cut, `candExtra` into the
+    * candidate (codes-row) side — empty for the build/probe twins, the
+    * deletion predicate for the erased generation. */
+  private def ivfPqOracleSqlWhere(qExtra: String, candExtra: String): String =
     s"""WITH $duckPqChain,
        |$duckCoarseCtes,
-       |qn AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
+       |qn AS (SELECT vec_id AS q_id, v AS q_v FROM e
+       |       WHERE vec_id < 10$qExtra),
        |probes AS (
        |  SELECT q_id, cell FROM (
        |    SELECT qn.q_id, c.cell,
@@ -1187,9 +1440,11 @@ object Similarity {
        |           JOIN iidx f ON f.vec_id = s.vec_id
        |           JOIN probes p ON p.cell = f.cell
        |           JOIN dt d ON s.m = d.m AND s.cell = d.cell
-       |             AND d.q_id = p.q_id AND s.vec_id <> d.q_id
+       |             AND d.q_id = p.q_id AND s.vec_id <> d.q_id$candExtra
        |           GROUP BY d.q_id, s.vec_id),
        |$duckPqTail""".stripMargin
+
+  private lazy val ivfPqOracleSql: String = ivfPqOracleSqlWhere("", "")
 
   val oracle: Map[String, String] = Map(
     // Same 1e-6 quantized per-(label, half, dim) sums, same sign-safe
@@ -1360,6 +1615,17 @@ object Similarity {
     // verify run re-proves the persisted artifacts equal what training
     // computes.
     "q_ann_persisted" -> ivfPqOracleSql,
+    // The erased generation must answer exactly like the unpruned index
+    // minus the deleted ids: same chain, deletion predicate on the
+    // query cut and the candidate side.
+    "q_ann_index_erase" -> ivfPqOracleSqlWhere(
+      s" AND vec_id % ${Ingest.ErasureMod} <> 0",
+      s" AND s.vec_id % ${Ingest.ErasureMod} <> 0"),
+    // Compacting base ∪ deltas minus tombstones must answer exactly like
+    // the erased index — same chain, same deletion predicates.
+    "q_ann_index_compact" -> ivfPqOracleSqlWhere(
+      s" AND vec_id % ${Ingest.ErasureMod} <> 0",
+      s" AND s.vec_id % ${Ingest.ErasureMod} <> 0"),
     // The delta's codes come from the SAME codebook/centroid chain, so
     // encoding the delta must reproduce the full build's rows for those
     // ids — the property that makes incremental ingest safe.
@@ -1373,6 +1639,70 @@ object Similarity {
          |FROM codes c JOIN iidx f ON f.vec_id = c.vec_id
          |WHERE c.vec_id % 2 = 1
          |GROUP BY c.vec_id, f.cell ORDER BY c.vec_id""".stripMargin,
+    // The by_residual chain: same coarse CTEs, PQ trained/encoded on
+    // residuals, distance tables per (query, probed cell), same tail.
+    "q_ann_ivfpq_residual" ->
+      s"""WITH e0 AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |e AS (SELECT vec_id, list_transform(v,
+         |  x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS v FROM e0),
+         |$duckCoarseCtes,
+         |res AS (SELECT f.vec_id, f.cell AS ivf_cell,
+         |          list_transform(f.v, (x,i) -> x - c.cv[i]) AS v
+         |        FROM iidx f JOIN ic2 c ON c.cell = f.cell),
+         |mm AS (SELECT unnest(range(0, $PqM)) AS m),
+         |rsub AS (SELECT vec_id, m,
+         |           list_slice(v, m*$PqSubDim + 1, m*$PqSubDim + $PqSubDim) AS sv
+         |         FROM res, mm),
+         |rtr AS (SELECT vec_id, v FROM res
+         |        WHERE (SELECT count(*) FROM res) < $PqTrainMin
+         |           OR vec_id % 10 = 0),
+         |rtrsub AS (SELECT vec_id, m,
+         |             list_slice(v, m*$PqSubDim + 1, m*$PqSubDim + $PqSubDim) AS sv
+         |           FROM rtr, mm),
+         |rs0 AS (SELECT vec_id, v,
+         |          CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell
+         |        FROM (SELECT vec_id, v,
+         |                ${TextPipeline.duckH32("CAST(vec_id AS VARCHAR)")} AS h
+         |              FROM rtr)
+         |        ORDER BY h, vec_id LIMIT $PqK),
+         |rseeds AS (SELECT m, cell,
+         |             list_slice(v, m*$PqSubDim + 1, m*$PqSubDim + $PqSubDim) AS cv
+         |           FROM rs0, mm),
+         |ra0 AS (${duckPqAssign("rseeds", "rtrsub")}),
+         |rc1 AS (${duckPqUpdate("ra0")}),
+         |ra1 AS (${duckPqAssign("rc1", "rtrsub")}),
+         |rc2 AS (${duckPqUpdate("ra1")}),
+         |rcodes AS (${duckPqAssign("rc2", "rsub")}),
+         |qn AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
+         |rprobes AS (
+         |  SELECT q_id, q_v, cell, cv FROM (
+         |    SELECT qn.q_id, qn.q_v, c.cell, c.cv,
+         |      row_number() OVER (PARTITION BY qn.q_id ORDER BY
+         |        list_sum(list_transform(c.cv, (x,i) -> x * qn.q_v[i])) /
+         |          (sqrt(list_sum(list_transform(c.cv, x -> x*x)))
+         |           * sqrt(list_sum(list_transform(qn.q_v, x -> x*x)))) DESC,
+         |        c.cell ASC) AS pr
+         |    FROM qn, ic2 c) WHERE pr <= $NProbe),
+         |qres AS (SELECT q_id, cell AS ivf_cell,
+         |           list_transform(q_v, (x,i) -> x - cv[i]) AS qv
+         |         FROM rprobes),
+         |qsub AS (SELECT q_id, ivf_cell, m,
+         |           list_slice(qv, m*$PqSubDim + 1, m*$PqSubDim + $PqSubDim) AS q_sv
+         |         FROM qres, mm),
+         |dt AS (SELECT q_id, ivf_cell, c.m, c.cell,
+         |         CAST(round(list_sum(list_transform(q_sv,
+         |           (x,i) -> (x - c.cv[i])*(x - c.cv[i]))) * ${QScale}) AS BIGINT)
+         |           AS qd2
+         |       FROM qsub JOIN rc2 c ON qsub.m = c.m),
+         |scored AS (SELECT d.q_id, s.vec_id AS neighbor_id,
+         |             CAST(sum(d.qd2) AS BIGINT) AS adc_d2
+         |           FROM rcodes s
+         |           JOIN res r ON r.vec_id = s.vec_id
+         |           JOIN dt d ON d.ivf_cell = r.ivf_cell AND s.m = d.m
+         |             AND s.cell = d.cell AND s.vec_id <> d.q_id
+         |           GROUP BY d.q_id, s.vec_id),
+         |$duckPqTail""".stripMargin,
     // Same full-corpus k-means chain as q_dedup_semantic; pair formation
     // (both truth and candidates) restricted to the identically-hashed
     // sampled slice; recall per cosine decile band.

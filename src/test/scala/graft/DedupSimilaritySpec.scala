@@ -817,6 +817,127 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("residual IVFADC: recall@10 >= the non-residual rung, sharing the IVF probe geometry") {
+    val d = "/root/testdata/sf0.01"
+    val truth = Similarity.qAnnBruteforce(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(rows: Array[org.apache.spark.sql.Row]) = {
+      val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+      (truth & approx).size.toDouble / truth.size
+    }
+    val rRes = recall(Similarity.qAnnIvfPqResidual(spark, d).collect())
+    val rNon = recall(Similarity.qAnnIvfPq(spark, d).collect())
+    // by_residual may only help, never hurt (measured: both 0.48 at
+    // sf0.01 — with a 50-deep shortlist + exact re-rank, recall is
+    // bounded by the NProbe/KCells coarse probe, not code fidelity; the
+    // residual refinement's win materializes when the shortlist is
+    // tight relative to the cells' population, which is the 100 TB
+    // configuration, not the fixture's)
+    assert(rRes >= rNon,
+      s"residual encoding must not lose recall: $rRes < $rNon")
+    assert(rRes >= 0.4, s"residual rung under the IVF floor: $rRes")
+  }
+
+  test("ANN index erase: no erased id in the artifact; pruned codes == frozen-codebook re-encode of the survivors; erased ids gone from results") {
+    val d = "/root/testdata/sf0.01"
+    val root = Similarity.erasedAnnIndexDir(spark, d)
+    val pruned = spark.read.parquet(s"$root/pq_codes.parquet")
+    // (a) right-to-be-forgotten holds at the artifact level
+    assert(pruned.filter(col("vec_id") % 17 === 0).count() == 0,
+      "erased vec_ids survive in the pruned pq_codes artifact")
+    // (b) delete-side twin of the add-side bit-equality: the pruned
+    // artifact IS what a from-scratch encode of the surviving corpus
+    // against the frozen quantizers produces
+    val want = Similarity.encodeFrozen(spark, d, col("vec_id") % 17 =!= 0)
+      .collect().map(_.toString).toSeq
+    val got = pruned
+      .select(col("vec_id") +: col("ivf_cell") +:
+        (0 until 8).map(m => element_at(col("codes"), m + 1).as(s"c$m")): _*)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want,
+      s"pruned codes != survivor re-encode: got=${got.take(2)} want=${want.take(2)}")
+    // (c) erased subjects appear neither as queries nor as neighbors,
+    // and the deletion actually bites (the unpruned index DID serve them)
+    val res = Similarity.qAnnIndexErase(spark, d).collect()
+    assert(res.nonEmpty && res.forall(r =>
+      r.getLong(0) % 17 != 0 && r.getLong(2) % 17 != 0),
+      "erased id served from the erased generation")
+    val un = Similarity.qAnnPersisted(spark, d).collect()
+    assert(un.exists(r => r.getLong(2) % 17 == 0),
+      "fixture must exercise deletion: unpruned results contain no erased neighbor")
+  }
+
+  test("ANN index compaction: base + 2 deltas - tombstones folds to exactly the erased generation, and the probe reads gen1 only") {
+    val d = "/root/testdata/sf0.01"
+    val gen1 = Similarity.compactedAnnIndexDir(spark, d)
+    def codeRows(root: String) = spark.read.parquet(s"$root/pq_codes.parquet")
+      .select(col("vec_id"), col("codes"), col("ivf_cell"))
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    // the compacted generation IS the erased index, row for row — the
+    // generational fold loses nothing and resurrects nothing
+    val erased = Similarity.erasedAnnIndexDir(spark, d)
+    assert(codeRows(gen1).nonEmpty && codeRows(gen1) == codeRows(erased),
+      "compacted generation diverged from the erased index")
+    // no tombstoned id inside
+    assert(spark.read.parquet(s"$gen1/pq_codes.parquet")
+      .filter(col("vec_id") % 17 === 0).count() == 0,
+      "tombstoned vec_ids survive compaction")
+    // search equality + file anchoring: gen1 only, no base/delta files
+    val probe = Similarity.qAnnIndexCompact(spark, d)
+    val got = probe.collect().map(_.toString).toSeq
+    val want = Similarity.qAnnIndexErase(spark, d)
+      .collect().map(_.toString).toSeq
+    assert(got == want, "compacted-generation probe diverged from erase")
+    val codeFiles = probe.inputFiles.filter(_.contains("pq_codes"))
+    assert(codeFiles.nonEmpty && codeFiles.forall(_.contains("gen1")),
+      s"probe must scan only the compacted generation: ${codeFiles.take(2).toSeq}")
+  }
+
+  test("dedup index erase: no erased id in the artifacts; probe == from-scratch rebuild minus deleted; an erased-only duplicate stops being reported") {
+    // engineered corpus (the sf0.01 fixture's one index-pair partner is
+    // not in the mod-17 deletion set, so the delete path needs a corpus
+    // where it fires): even ids = the historical index, odd = the batch;
+    // doc 34 is an erased subject, doc 12 a kept one
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val alt = (1 to 40).map(i => s"v$i").mkString(" ")
+    val third = (1 to 40).map(i => s"u$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("eraseix").toString
+    Seq(
+      (34L, base, "en", "s1"), // index, erased (34 % 17 == 0)
+      (12L, alt, "en", "s1"), // index, kept
+      (35L, base, "en", "s1"), // batch dup of ONLY the erased doc
+      (13L, alt, "en", "s1"), // batch dup of the kept doc
+      (21L, third, "en", "s1"), (39L, third, "en", "s1")) // batch-internal pair
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val before = Dedup.qDedupPersisted(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(before == Set((35L, 34L, "index"), (13L, 12L, "index"),
+      (39L, 21L, "batch")), s"engineered corpus mis-built: $before")
+    val after = Dedup.qDedupIndexErase(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(after == Set((13L, 12L, "index"), (39L, 21L, "batch")),
+      s"erasure must drop exactly the erased subject's pair: $after")
+    // artifact level: no erased id in either pruned table
+    val root = Dedup.dedupErasedIndexDir(spark, tmp)
+    for (t <- Seq("postings", "shingles")) {
+      assert(spark.read.parquet(s"$root/$t.parquet")
+        .filter(col("doc_id") % 17 === 0).count() == 0,
+        s"erased doc_ids survive in the pruned $t artifact")
+    }
+    // pruned-generation probe == a from-scratch rebuild over the
+    // surviving corpus, through the same builder and probe plan
+    val rebuilt = java.nio.file.Files.createTempDirectory("eraserb").toString
+    Dedup.writeDedupIndex(spark, tmp,
+      col("doc_id") % 2 === 0 && col("doc_id") % 17 =!= 0, rebuilt)
+    val fromScratch = Dedup.probeDedupIndex(spark, tmp, rebuilt).collect()
+      .map(_.toString).toSeq
+    assert(Dedup.qDedupIndexErase(spark, tmp).collect()
+      .map(_.toString).toSeq == fromScratch,
+      "pruned generation diverged from the from-scratch rebuild minus deleted")
+  }
+
   test("nprobe curve: monotone, exact at full probe, and consistent with the recall dashboard at nprobe=2") {
     val d = "/root/testdata/sf0.01"
     val rows = Similarity.qAnnNprobeCurve(spark, d).collect()
