@@ -416,19 +416,32 @@ object Windows {
     * dominate the interpreted-HOF cost the batch scaladoc warns about.
     * Spelling equivalence (HOF == window-function, streaming == batch)
     * is pinned in StreamingSpec on real corpus documents. */
-  def winnowFingerprints(docs: DataFrame): DataFrame = {
-    val w = graft.queries.TextAnalysis.WinnowW
-    val hs = transform(
-      graft.core.TextPipeline.trigrams(
-        graft.core.TextPipeline.normalizedTokens(col("text"))),
+  /** Trigram-hash array expression over a normalized-token column —
+    * feed of [[winnowSelect]]. MUST be materialized into its own column
+    * before the window HOF references it (interpreted lambdas have no
+    * CSE; referencing the pipeline inside the transform re-derives it
+    * per window index, the O(n²) trap TextAnalysis.winnowFps documents). */
+  private def trigramHashes(w: org.apache.spark.sql.Column) =
+    transform(graft.core.TextPipeline.trigrams(w),
       t => graft.core.TextPipeline.h32(t))
-    val wins = transform(
-      sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
-      i => array_min(slice(col("hs"), i, lit(w))))
-    docs.select(col("doc_id"), hs.as("hs"))
-      .select(col("doc_id"), explode(array_distinct(wins)).as("fingerprint"))
-      .filter(col("fingerprint").isNotNull) // empty doc -> zero fingerprints
+
+  /** The distinct winnow-selected minima of a MATERIALIZED trigram-hash
+    * column — the SIGMOD-2003 selection rule as one expression, shared
+    * by [[winnowFingerprints]] and [[dedupIndexProbeStream]] so the
+    * online spellings cannot drift from each other (and both are pinned
+    * against the batch window spelling in StreamingSpec). */
+  private def winnowSelect(hsCol: org.apache.spark.sql.Column) = {
+    val w = graft.queries.TextAnalysis.WinnowW
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(hsCol) - (w - 1), lit(1))),
+      i => array_min(slice(hsCol, i, lit(w)))))
   }
+
+  def winnowFingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        trigramHashes(graft.core.TextPipeline.normalizedTokens(col("text"))).as("hs"))
+      .select(col("doc_id"), explode(winnowSelect(col("hs"))).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull) // empty doc -> zero fingerprints
 
   /** Online fingerprint novelty: first-seen winnowed fingerprints across
     * all arrived documents — `dropDuplicates` on the fingerprint key, the
@@ -441,6 +454,127 @@ object Windows {
     * corpus-wide dedup contract. */
   def winnowNovel(docs: DataFrame): DataFrame =
     winnowFingerprints(docs).dropDuplicates("fingerprint")
+
+  /** A probe document's posting row (one per winnow fingerprint, the
+    * doc's hashed verification store carried alongside) — the stream
+    * element of [[dedupIndexProbeStream]]'s batch-internal registry. */
+  case class ProbePosting(lang: String, fingerprint: Long, doc_id: Long,
+                          n: Long, hs: Seq[Long])
+  /** One verified near-duplicate hit emitted by
+    * [[dedupIndexProbeStream]]: same contract as a q_dedup_persisted
+    * row (keep-earlier — new_id is the greater id for batch-internal
+    * pairs, the probing doc for index collisions). */
+  case class ProbeHit(new_id: Long, dup_of: Long, kind: String,
+                      jaccard: Double)
+
+  /** Merge-intersection count of two ascending-sorted distinct id
+    * arrays — the in-state twin of the `sorted_intersect_count` kernel
+    * the stream-static branch uses. */
+  private def sortedIntersect(a: Seq[Long], b: Seq[Long]): Long = {
+    var i = 0; var j = 0; var c = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { c += 1L; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1 else j += 1
+    }
+    c
+  }
+
+  /** STREAMING probe of the PERSISTED dedup index — the online twin of
+    * `Dedup.qDedupPersisted`, the shape a 100 TB ingest actually runs:
+    * file-arrival document batches are fingerprinted and probed against
+    * the parquet index artifacts as they land.
+    *
+    *  - INDEX collisions are a pure stream-STATIC pipeline (the
+    *    [[enrich]] pattern): the arriving doc's postings join the
+    *    persisted `postings.parquet`, verification joins the persisted
+    *    `shingles.parquet`, jaccard comes from the same
+    *    `sorted_intersect_count` kernel as the batch plan — stateless,
+    *    re-read per micro-batch, no watermark.
+    *  - BATCH-internal pairs (two NEW docs duplicating each other,
+    *    possibly across micro-batches and out of id order) are a
+    *    per-(lang, fingerprint) GroupState registry: each fingerprint
+    *    remembers the probe docs seen so far; a new arrival verifies
+    *    against them in-state (the same sorted-intersect + jaccard ≥ T
+    *    rule) and reports keep-earlier pairs by id, not arrival —
+    *    a late-arriving LOWER id is reported as the dup_of side,
+    *    exactly like the batch spelling's greatest/least. Redelivered
+    *    docs are recognized by id and add no state and no re-emission.
+    *
+    * Delivery contract: hits are AT-LEAST-ONCE per pair — a pair
+    * sharing several fingerprints (and an index hit redelivered with
+    * its file) emits once per shared fingerprint/delivery; rows are
+    * bit-identical each time, so the downstream consumer is idempotent
+    * on the full row (the foreachBatch-upsert doctrine; FileStreamSpec
+    * distincts the snapshot and pins it equal to q_dedup_persisted).
+    * Exactly-once per pair would need a second stateful operator after
+    * flatMapGroupsWithState, which Structured Streaming disallows.
+    *
+    * Scale stance (100 TB): the index half is NEVER re-fingerprinted —
+    * per micro-batch text work is O(batch); registry state is
+    * O(postings of probed docs) and in production is bounded by the
+    * same watermark+timeout discipline as [[sessionizeStream]] once
+    * batch-internal pairing is scoped to an ingestion window (index
+    * collisions, the dominant case, hold no state at all). */
+  def dedupIndexProbeStream(docs: DataFrame, indexRoot: String): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val T = graft.queries.Dedup.JaccardT
+    val idxFps = s.read.parquet(s"$indexRoot/postings.parquet")
+    val idxSs = s.read.parquet(s"$indexRoot/shingles.parquet")
+    val posted = docs
+      .select(col("doc_id"), col("lang"),
+        graft.core.TextPipeline.normalizedTokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("lang"), trigramHashes(col("w")).as("hsg"),
+        graft.queries.Dedup.storeHash(
+          graft.core.TextPipeline.shinglesOf(col("w"))).as("hs"))
+      .select(col("doc_id"), col("lang"), col("hs"),
+        size(col("hs")).cast("long").as("n"),
+        explode(winnowSelect(col("hsg"))).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
+    val idxHits = posted
+      .join(idxFps.select(col("lang"), col("fingerprint"),
+        col("doc_id").as("dup_of")), Seq("lang", "fingerprint"))
+      .join(idxSs.select(col("doc_id").as("dup_of"), col("n").as("n_dup"),
+        col("hs").as("hs_dup")), "dup_of")
+      .select(col("doc_id").as("new_id"), col("dup_of"),
+        graft.functions.VectorFunctions
+          .sortedIntersectCount(col("hs"), col("hs_dup"))
+          .cast("long").as("inter"), col("n"), col("n_dup"))
+      .select(col("new_id"), col("dup_of"), lit("index").as("kind"),
+        (col("inter").cast("double")
+          / (col("n") + col("n_dup") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= T)
+    val batchHits = posted
+      .select(col("lang"), col("fingerprint"), col("doc_id"), col("n"),
+        col("hs"))
+      .as[ProbePosting]
+      .groupByKey(p => (p.lang, p.fingerprint))
+      .flatMapGroupsWithState[Seq[ProbePosting], ProbeHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (String, Long), batch: Iterator[ProbePosting],
+         state: GroupState[Seq[ProbePosting]]) =>
+          var known = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[ProbeHit]
+          // id order within the micro-batch: emission order is then
+          // deterministic, and keep-earlier is by id regardless
+          batch.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (!known.exists(_.doc_id == d.doc_id)) { // redelivery: no-op
+              known.foreach { e =>
+                val inter = sortedIntersect(d.hs, e.hs)
+                val j = inter.toDouble / (d.n + e.n - inter)
+                if (j >= T)
+                  out += ProbeHit(math.max(d.doc_id, e.doc_id),
+                    math.min(d.doc_id, e.doc_id), "batch", j)
+              }
+              known = known :+ d
+            }
+          }
+          state.update(known)
+          out.result().iterator
+      }
+    idxHits.unionByName(batchHits.toDF())
+  }
 
   /** The current per-fingerprint SURVIVOR emitted by
     * [[corpusPipelineStream]] — min-doc_id-wins, the batch capstone's

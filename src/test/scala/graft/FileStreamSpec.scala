@@ -121,6 +121,51 @@ class FileStreamSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("file-source streaming probe of the persisted dedup index == q_dedup_persisted, incl. out-of-order pairs and a redelivered file") {
+    val d = "/root/testdata/sf0.01"
+    val srcDir = Files.createTempDirectory("graft_probe_src").toString
+    val root = graft.queries.Dedup.dedupIndexDir(spark, d)
+    val odd = graft.io.Tables.documents(spark, d)
+      .select("doc_id", "text", "lang")
+      .filter(col("doc_id") % 2 === 1)
+    // the sf0.01 expectation spans the cut both ways: every verified
+    // batch pair has one side <= 300 and one side > 300, and the one
+    // index collision (323 vs persisted 166) arrives in batch 2 — so
+    // nothing can pass by luck of co-arrival
+    val part1 = odd.filter(col("doc_id") <= 300)
+    val part2 = odd.filter(col("doc_id") > 300)
+    part1.write.mode("overwrite").parquet(s"$srcDir/batch1")
+    val stream = spark.readStream.schema(odd.schema)
+      .option("pathGlobFilter", "*.parquet").parquet(s"$srcDir/*")
+    val q = Windows.dedupIndexProbeStream(stream.toDF(), root)
+      .writeStream.format("memory").queryName("t_dedup_probe")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    def snapshot() = spark.table("t_dedup_probe").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSet // idempotent consumer: distinct on the row
+    assert(snapshot().isEmpty,
+      s"no pair is complete inside batch 1: ${snapshot()}")
+    part2.write.mode("overwrite").parquet(s"$srcDir/batch2")
+    q.processAllAvailable()
+    val afterAll = snapshot()
+    // batch 3: an entire file is REDELIVERED — the registry must not
+    // re-emit different rows and the distinct snapshot must not move
+    part1.write.mode("overwrite").parquet(s"$srcDir/batch3")
+    q.processAllAvailable()
+    val afterRedeliver = snapshot()
+    q.stop()
+    val want = graft.queries.Dedup.qDedupPersisted(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSet
+    assert(afterAll == want,
+      s"online probe diverged from the batch probe: extra=${afterAll -- want} missing=${want -- afterAll}")
+    assert(afterRedeliver == want,
+      s"redelivery moved the snapshot: ${afterRedeliver -- want}")
+    assert(want.exists(_._3 == "index") && want.exists(_._3 == "batch"),
+      "fixture must exercise both collision kinds")
+  }
+
   test("file-source streaming corpus pipeline == batch capstone, incl. a late lower-id duplicate replacing its survivor") {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("graft_corpus_src").toString
