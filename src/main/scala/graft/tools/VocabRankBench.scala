@@ -2,9 +2,15 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Measures the round-11 q_vocab_coverage respelling — bounded
-  * TakeOrdered top-16 vs the old unpartitioned rank window over the full
-  * vocabulary (the round-10 verdict's watch item). Two axes:
+/** Measures the bounded-TakeOrdered respellings of the two vocabulary-rank
+  * consumers against their unpartitioned-rank-window baselines:
+  *
+  *  - `q_vocab_coverage` (round 11): top-16 types by frequency;
+  *  - `q_tail_index` (round 12): Hill estimator over the top-(k+1)
+  *    frequencies + an n_vocab count — the LAST V-cardinality
+  *    single-partition sort in the repo before the respelling.
+  *
+  * Two axes per query:
   *
   *  - corpus decade (sf0.1 → GenScale sf1, saturated vocab): both
   *    spellings should be near-flat — vocabulary cardinality barely grows;
@@ -35,27 +41,31 @@ object VocabRankBench {
     def med3(f: => Unit): Double = {
       val ts = (1 to 3).map(_ => time(f)).sorted; ts(1)
     }
-    def run(d: String, windowed: Boolean): Unit = {
-      val df = if (windowed)
-        graft.queries.TextAnalysis.qVocabCoverageWindow(spark, d)
-      else graft.queries.TextAnalysis.qVocabCoverage(spark, d)
+    val pairs = Seq(
+      ("vocab", (d: String) => graft.queries.TextAnalysis.qVocabCoverage(spark, d),
+        (d: String) => graft.queries.TextAnalysis.qVocabCoverageWindow(spark, d)),
+      ("tail", (d: String) => graft.queries.TextAnalysis.qTailIndex(spark, d),
+        (d: String) => graft.queries.TextAnalysis.qTailIndexWindow(spark, d)))
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // warm-up both plans of both pairs once on the first dir
+    pairs.foreach { case (_, b, w) =>
+      try { noop(b(dirs.head)); noop(w(dirs.head)) }
+      catch { case _: Throwable => () }
     }
-    // warm-up both plans once on the first dir
-    try { run(dirs.head, windowed = false); run(dirs.head, windowed = true) }
-    catch { case _: Throwable => () }
-    val rows = dirs.map { d =>
-      val bounded = med3(run(d, windowed = false))
-      val window = med3(run(d, windowed = true))
-      val same = graft.queries.TextAnalysis.qVocabCoverage(spark, d)
-        .collect().map(_.toString).toSeq ==
-        graft.queries.TextAnalysis.qVocabCoverageWindow(spark, d)
-          .collect().map(_.toString).toSeq
-      f""""$d":{"bounded_sec":$bounded%.3f,"window_sec":$window%.3f,"equal":$same}"""
+    val rows = for (d <- dirs; (name, b, w) <- pairs) yield {
+      val bounded = med3(noop(b(d)))
+      val window = med3(noop(w(d)))
+      val same = b(d).collect().map(_.toString).toSeq ==
+        w(d).collect().map(_.toString).toSeq
+      f""""$name:$d":{"bounded_sec":$bounded%.3f,"window_sec":$window%.3f,"equal":$same}"""
     }
-    val shape = graft.queries.TextAnalysis.qVocabCoverage(spark, dirs.head)
-      .queryExecution.executedPlan.toString.contains("TakeOrderedAndProject")
-    println(s"""{"metric":"vocab_rank_bench","takeordered_in_plan":$shape,${rows.mkString(",")}}""")
+    val shapes = pairs.map { case (name, b, _) =>
+      val s = b(dirs.head).queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject")
+      s""""$name":$s"""
+    }
+    println(s"""{"metric":"vocab_rank_bench","takeordered_in_plan":{${shapes.mkString(",")}},${rows.mkString(",")}}""")
     spark.stop()
   }
 }
