@@ -1018,6 +1018,77 @@ object Dedup {
   def qDedupIndexErase(s: SparkSession, dir: String): DataFrame =
     probeDedupIndex(s, dir, dedupErasedIndexDir(s, dir))
 
+  /** Added-generation roots for [[qDedupIndexAdd]]. */
+  private val dedupAddRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Writes the ADD generation of the persisted dedup index: the
+    * ACCEPTED batch docs' postings and store rows (every odd doc NOT
+    * classified a duplicate by the probe — keep-earlier admits the
+    * earlier side of batch pairs and rejects collisions with the
+    * index) are unioned into the existing artifacts. Like the delta
+    * encode on the ANN side, nothing historical is recomputed: the
+    * batch postings/store rows the probe already needed ARE the rows
+    * appended. */
+  private[graft] def dedupAddedIndexDir(s: SparkSession, dir: String): String =
+    dedupAddRoots.computeIfAbsent(dir, { d =>
+      val src = dedupIndexDir(s, d)
+      val root = Ingest.scratchDir("dedupindexadd", d)
+      val dups = qDedupPersisted(s, d)
+        .select(col("new_id").as("doc_id")).distinct()
+      s.read.parquet(s"$src/postings.parquet")
+        .unionByName(TextAnalysis.winnowFps(s, d)
+          .filter(col("doc_id") % 2 === 1)
+          .join(dups, Seq("doc_id"), "left_anti"))
+        .write.mode("overwrite").parquet(s"$root/postings.parquet")
+      s.read.parquet(s"$src/shingles.parquet")
+        .unionByName(hashedStore(shingled(s, d)
+            .filter(col("doc_id") % 2 === 1))
+          .join(dups, Seq("doc_id"), "left_anti"))
+        .write.mode("overwrite").parquet(s"$root/shingles.parquet")
+      root
+    })
+
+  /** Write-side index ADD — the verb that closes the incremental-ingest
+    * loop [[qDedupPersisted]] opens: after probing, the batch's
+    * ACCEPTED documents (odd ids not classified duplicates — the
+    * keep-earlier admission rule) join the persisted index as a new
+    * generation ([[dedupAddedIndexDir]]), so tomorrow's batch probes
+    * against today's survivors. The dedup twin of the ANN tier's
+    * q_ann_index_delta.
+    *
+    * Output contract: the admission report read back FROM the new
+    * generation's artifacts — one row per ADDED doc with its posting
+    * and store-row counts — so the correctness gate checks the physical
+    * tables, not an in-plan intermediate. The oracle re-derives the
+    * admitted set from the shared incremental chain (duplicates out,
+    * survivors in) and counts fingerprints/shingles from the same CTEs;
+    * hash-space store counts equal string-space counts under the
+    * documented 60-bit collision contract. The spec additionally pins
+    * the generation ⊇ the old index, row-exact equality to a
+    * from-scratch rebuild over (index ∪ accepted), and the engineered-
+    * corpus admission (the batch-pair loser and the index collision are
+    * rejected; the pair's earlier side is admitted).
+    *
+    * Scale stance (100 TB): admission reuses the probe's classification
+    * (one anti-join on the duplicate id set, ≪ batch); the appended
+    * rows are exactly the batch postings/store the probe already
+    * computed — no historical re-fingerprinting, no corpus scan; the
+    * summary is a per-doc count over the added ids only. */
+  def qDedupIndexAdd(s: SparkSession, dir: String): DataFrame = {
+    val root = dedupAddedIndexDir(s, dir)
+    val fps = s.read.parquet(s"$root/postings.parquet")
+      .filter(col("doc_id") % 2 === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"))
+    val ss = s.read.parquet(s"$root/shingles.parquet")
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("n").as("n_shingles"))
+    fps.join(ss, "doc_id")
+      .select(col("doc_id"), col("n_fps"), col("n_shingles"))
+      .orderBy("doc_id")
+  }
+
   /** Quality-aware dedup survivor selection — the step that turns the
     * cluster labeling ([[qDedupClusters]]) into the RETAINED corpus: per
     * near-dup cluster keep the member with the MOST tokens (tie → lowest
@@ -1231,6 +1302,7 @@ object Dedup {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_persisted" -> (qDedupPersisted _),
     "q_dedup_index_erase" -> (qDedupIndexErase _),
+    "q_dedup_index_add" -> (qDedupIndexAdd _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_survivors" -> (qDedupSurvivors _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -1358,6 +1430,32 @@ object Dedup {
        |FROM scored ORDER BY new_id, dup_of""".stripMargin
 
   private lazy val incrementalOracleSql: String = incrementalOracleSqlWhere("")
+
+  /** The ADD verb's oracle: the admitted batch (odd ids minus the
+    * duplicates the shared incremental chain reports) with per-doc
+    * fingerprint/store counts from the same CTEs the pair machinery
+    * uses — one spelling of the selection rule across probe and add. */
+  private lazy val indexAddOracleSql: String =
+    s"""WITH $winnowCandCte,
+       |scored AS (SELECT c.a_id, c.b_id
+       |  FROM cand c JOIN sh a ON a.doc_id = c.a_id
+       |              JOIN sh b ON b.doc_id = c.b_id
+       |  WHERE (c.a_id % 2 = 1 OR c.b_id % 2 = 1)
+       |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.s, b.s))) >= $JaccardT),
+       |dups AS (SELECT DISTINCT
+       |    CASE WHEN a_id % 2 = 1 AND b_id % 2 = 1 THEN greatest(a_id, b_id)
+       |         WHEN a_id % 2 = 1 THEN a_id ELSE b_id END AS doc_id
+       |  FROM scored),
+       |fpc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps
+       |        FROM f WHERE doc_id % 2 = 1 GROUP BY 1),
+       |shc AS (SELECT doc_id, CAST(len(list_distinct(s)) AS BIGINT)
+       |          AS n_shingles
+       |        FROM sh WHERE doc_id % 2 = 1)
+       |SELECT doc_id, n_fps, n_shingles
+       |FROM fpc JOIN shc USING (doc_id)
+       |ANTI JOIN dups USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** The erased-generation probe's oracle: the SAME chain minus every
     * pair whose INDEX side (the even half — the only ids the artifacts
@@ -1553,6 +1651,7 @@ object Dedup {
     // Erasure must remove EXACTLY the deleted subjects' pairs: same
     // chain, deletion predicate on both pair sides.
     "q_dedup_index_erase" -> indexEraseOracleSql,
+    "q_dedup_index_add" -> indexAddOracleSql,
     "q_dedup_containment" ->
       s"""WITH $winnowCandCte,
          |scored AS (SELECT c.a_id, c.b_id,

@@ -999,7 +999,16 @@ object Similarity {
     * O(queries · NProbe · M · PqK) and broadcast; the ADC pass still
     * touches only the probed cells' codes. */
   def qAnnIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val (coarse, rcb, codes) = buildResidualIndex(s, dir)
+    probeResidual(s, dir, coarse, rcb, codes)
+  }
+
+  /** The residual train + encode half: (coarse centroids, residual
+    * codebook, codes table) — consumed in-plan by [[qAnnIvfPqResidual]]
+    * and written to parquet by [[residualIndexDir]], one spelling so
+    * the two cannot drift. */
+  private def buildResidualIndex(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     val root = persistedIndexDir(s, dir)
     val coarse = s.read.parquet(s"$root/ivf_centroids.parquet")
     val raw = vecs(s, dir).select(col("vec_id"), col("v"))
@@ -1025,8 +1034,23 @@ object Similarity {
       .agg(transform(sort_array(collect_list(struct(col("m"), col("cell")))),
         t => t.getField("cell")).as("codes"))
       .join(res.select(col("vec_id"), col("ivf_cell")), "vec_id")
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    (coarse, rcb, codes)
+  }
+
+  /** The residual probe half (shared by the in-plan and persisted
+    * rungs): rank NProbe cells, subtract the probed centroid from the
+    * query (the per-(query, cell) residual), build one distance table
+    * per (q_id, ivf_cell) via [[pqDtabKeyed]], ADC-score the probed
+    * cells' codes, bounded shortlist, exact re-rank. */
+  private def probeResidual(s: SparkSession, dir: String, coarse: DataFrame,
+      rcb: DataFrame, inv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = vecs(s, dir).select(col("vec_id"), col("v"))
+    val nrm = sqrt(aggregate(transform(col("v"), x => x * x),
+      lit(0.0), (acc, x) => acc + x))
+    val q = raw.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        transform(col("v"), x => x / nrm).as("q_v"))
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("ccos").desc, col("ivf_cell").asc)
     val probes = q.crossJoin(broadcast(coarse))
@@ -1038,7 +1062,7 @@ object Similarity {
     val qres = probes.select(col("q_id"), col("ivf_cell"),
       zip_with(col("q_v"), col("cv"), (x, y) => x - y).as("v"))
     val dtab = pqDtabKeyed(s, qres, rcb, Seq("q_id", "ivf_cell"))
-    val shortlist = codes
+    val shortlist = inv
       .join(broadcast(probes.select(col("q_id"), col("ivf_cell"))),
         "ivf_cell")
       .filter(col("vec_id") =!= col("q_id"))
@@ -1051,6 +1075,41 @@ object Similarity {
         col("adc_d2"), col("neighbor_id"), PqShortlist).as("top"))
       .select(col("q_id"), explode(col("top").getField("id")).as("neighbor_id"))
     pqRerank(raw, shortlist)
+  }
+
+  /** Residual-index roots for [[qAnnResidualPersisted]]. */
+  private val residualIndexRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Writes the persisted RESIDUAL index: the shared coarse centroids
+    * plus the residual codebook and residual codes from ONE
+    * [[buildResidualIndex]] pass — the train-once step for the
+    * by_residual configuration. */
+  private[graft] def residualIndexDir(s: SparkSession, dir: String): String =
+    residualIndexRoots.computeIfAbsent(dir, { d =>
+      val root = Ingest.scratchDir("annindexres", d)
+      val (coarse, rcb, codes) = buildResidualIndex(s, d)
+      coarse.write.mode("overwrite").parquet(s"$root/ivf_centroids.parquet")
+      rcb.write.mode("overwrite").parquet(s"$root/pq_codebook.parquet")
+      codes.write.mode("overwrite").parquet(s"$root/pq_codes.parquet")
+      root
+    })
+
+  /** Probe-only rung over the PERSISTED residual index — the
+    * train-once/probe-many treatment ([[qAnnPersisted]]) applied to the
+    * FAISS-default configuration: the plan reads only `ivf_centroids`,
+    * the residual `pq_codebook`, and the residual `pq_codes`, and
+    * contains zero k-means/encode stages (no `argmin_cell` —
+    * spec-pinned, plus bit-equality to the in-plan [[qAnnIvfPqResidual]]
+    * and inputFiles anchored to the residual artifacts). Oracle = the
+    * full residual train+probe CTE chain, so every verify re-proves the
+    * artifacts equal what training computes. */
+  def qAnnResidualPersisted(s: SparkSession, dir: String): DataFrame = {
+    val root = residualIndexDir(s, dir)
+    probeResidual(s, dir,
+      s.read.parquet(s"$root/ivf_centroids.parquet"),
+      s.read.parquet(s"$root/pq_codebook.parquet"),
+      s.read.parquet(s"$root/pq_codes.parquet"))
   }
 
   /** ANN-quality dashboard: recall@k of the IVF index ([[qAnnIvf]],
@@ -1232,6 +1291,7 @@ object Similarity {
     "q_ann_index_erase" -> (qAnnIndexErase _),
     "q_ann_ivfpq_residual" -> (qAnnIvfPqResidual _),
     "q_ann_index_compact" -> (qAnnIndexCompact _),
+    "q_ann_residual_persisted" -> (qAnnResidualPersisted _),
     "q_dedup_semantic_eval" -> (qDedupSemanticEval _),
     "q_ann_nprobe_curve" -> (qAnnNprobeCurve _),
     "q_ann_filtered" -> (qAnnFiltered _),
@@ -1446,6 +1506,73 @@ object Similarity {
 
   private lazy val ivfPqOracleSql: String = ivfPqOracleSqlWhere("", "")
 
+  /** The by_residual train+probe chain — oracle of BOTH the in-plan
+    * [[qAnnIvfPqResidual]] and the persisted probe
+    * [[qAnnResidualPersisted]], one spelling so they cannot drift
+    * (the ivfPqOracleSql convention). */
+  private lazy val residualOracleSql: String =
+    s"""WITH e0 AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |e AS (SELECT vec_id, list_transform(v,
+       |  x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS v FROM e0),
+       |$duckCoarseCtes,
+       |res AS (SELECT f.vec_id, f.cell AS ivf_cell,
+       |          list_transform(f.v, (x,i) -> x - c.cv[i]) AS v
+       |        FROM iidx f JOIN ic2 c ON c.cell = f.cell),
+       |mm AS (SELECT unnest(range(0, $PqM)) AS m),
+       |rsub AS (SELECT vec_id, m,
+       |           list_slice(v, m*$PqSubDim + 1, m*$PqSubDim + $PqSubDim) AS sv
+       |         FROM res, mm),
+       |rtr AS (SELECT vec_id, v FROM res
+       |        WHERE (SELECT count(*) FROM res) < $PqTrainMin
+       |           OR vec_id % 10 = 0),
+       |rtrsub AS (SELECT vec_id, m,
+       |             list_slice(v, m*$PqSubDim + 1, m*$PqSubDim + $PqSubDim) AS sv
+       |           FROM rtr, mm),
+       |rs0 AS (SELECT vec_id, v,
+       |          CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell
+       |        FROM (SELECT vec_id, v,
+       |                ${TextPipeline.duckH32("CAST(vec_id AS VARCHAR)")} AS h
+       |              FROM rtr)
+       |        ORDER BY h, vec_id LIMIT $PqK),
+       |rseeds AS (SELECT m, cell,
+       |             list_slice(v, m*$PqSubDim + 1, m*$PqSubDim + $PqSubDim) AS cv
+       |           FROM rs0, mm),
+       |ra0 AS (${duckPqAssign("rseeds", "rtrsub")}),
+       |rc1 AS (${duckPqUpdate("ra0")}),
+       |ra1 AS (${duckPqAssign("rc1", "rtrsub")}),
+       |rc2 AS (${duckPqUpdate("ra1")}),
+       |rcodes AS (${duckPqAssign("rc2", "rsub")}),
+       |qn AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
+       |rprobes AS (
+       |  SELECT q_id, q_v, cell, cv FROM (
+       |    SELECT qn.q_id, qn.q_v, c.cell, c.cv,
+       |      row_number() OVER (PARTITION BY qn.q_id ORDER BY
+       |        list_sum(list_transform(c.cv, (x,i) -> x * qn.q_v[i])) /
+       |          (sqrt(list_sum(list_transform(c.cv, x -> x*x)))
+       |           * sqrt(list_sum(list_transform(qn.q_v, x -> x*x)))) DESC,
+       |        c.cell ASC) AS pr
+       |    FROM qn, ic2 c) WHERE pr <= $NProbe),
+       |qres AS (SELECT q_id, cell AS ivf_cell,
+       |           list_transform(q_v, (x,i) -> x - cv[i]) AS qv
+       |         FROM rprobes),
+       |qsub AS (SELECT q_id, ivf_cell, m,
+       |           list_slice(qv, m*$PqSubDim + 1, m*$PqSubDim + $PqSubDim) AS q_sv
+       |         FROM qres, mm),
+       |dt AS (SELECT q_id, ivf_cell, c.m, c.cell,
+       |         CAST(round(list_sum(list_transform(q_sv,
+       |           (x,i) -> (x - c.cv[i])*(x - c.cv[i]))) * ${QScale}) AS BIGINT)
+       |           AS qd2
+       |       FROM qsub JOIN rc2 c ON qsub.m = c.m),
+       |scored AS (SELECT d.q_id, s.vec_id AS neighbor_id,
+       |             CAST(sum(d.qd2) AS BIGINT) AS adc_d2
+       |           FROM rcodes s
+       |           JOIN res r ON r.vec_id = s.vec_id
+       |           JOIN dt d ON d.ivf_cell = r.ivf_cell AND s.m = d.m
+       |             AND s.cell = d.cell AND s.vec_id <> d.q_id
+       |           GROUP BY d.q_id, s.vec_id),
+       |$duckPqTail""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // Same 1e-6 quantized per-(label, half, dim) sums, same sign-safe
     // floor-division centroid grid, same exact BIGINT drift sum.
@@ -1641,68 +1768,11 @@ object Similarity {
          |GROUP BY c.vec_id, f.cell ORDER BY c.vec_id""".stripMargin,
     // The by_residual chain: same coarse CTEs, PQ trained/encoded on
     // residuals, distance tables per (query, probed cell), same tail.
-    "q_ann_ivfpq_residual" ->
-      s"""WITH e0 AS (SELECT vec_id,
-         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |e AS (SELECT vec_id, list_transform(v,
-         |  x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS v FROM e0),
-         |$duckCoarseCtes,
-         |res AS (SELECT f.vec_id, f.cell AS ivf_cell,
-         |          list_transform(f.v, (x,i) -> x - c.cv[i]) AS v
-         |        FROM iidx f JOIN ic2 c ON c.cell = f.cell),
-         |mm AS (SELECT unnest(range(0, $PqM)) AS m),
-         |rsub AS (SELECT vec_id, m,
-         |           list_slice(v, m*$PqSubDim + 1, m*$PqSubDim + $PqSubDim) AS sv
-         |         FROM res, mm),
-         |rtr AS (SELECT vec_id, v FROM res
-         |        WHERE (SELECT count(*) FROM res) < $PqTrainMin
-         |           OR vec_id % 10 = 0),
-         |rtrsub AS (SELECT vec_id, m,
-         |             list_slice(v, m*$PqSubDim + 1, m*$PqSubDim + $PqSubDim) AS sv
-         |           FROM rtr, mm),
-         |rs0 AS (SELECT vec_id, v,
-         |          CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell
-         |        FROM (SELECT vec_id, v,
-         |                ${TextPipeline.duckH32("CAST(vec_id AS VARCHAR)")} AS h
-         |              FROM rtr)
-         |        ORDER BY h, vec_id LIMIT $PqK),
-         |rseeds AS (SELECT m, cell,
-         |             list_slice(v, m*$PqSubDim + 1, m*$PqSubDim + $PqSubDim) AS cv
-         |           FROM rs0, mm),
-         |ra0 AS (${duckPqAssign("rseeds", "rtrsub")}),
-         |rc1 AS (${duckPqUpdate("ra0")}),
-         |ra1 AS (${duckPqAssign("rc1", "rtrsub")}),
-         |rc2 AS (${duckPqUpdate("ra1")}),
-         |rcodes AS (${duckPqAssign("rc2", "rsub")}),
-         |qn AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
-         |rprobes AS (
-         |  SELECT q_id, q_v, cell, cv FROM (
-         |    SELECT qn.q_id, qn.q_v, c.cell, c.cv,
-         |      row_number() OVER (PARTITION BY qn.q_id ORDER BY
-         |        list_sum(list_transform(c.cv, (x,i) -> x * qn.q_v[i])) /
-         |          (sqrt(list_sum(list_transform(c.cv, x -> x*x)))
-         |           * sqrt(list_sum(list_transform(qn.q_v, x -> x*x)))) DESC,
-         |        c.cell ASC) AS pr
-         |    FROM qn, ic2 c) WHERE pr <= $NProbe),
-         |qres AS (SELECT q_id, cell AS ivf_cell,
-         |           list_transform(q_v, (x,i) -> x - cv[i]) AS qv
-         |         FROM rprobes),
-         |qsub AS (SELECT q_id, ivf_cell, m,
-         |           list_slice(qv, m*$PqSubDim + 1, m*$PqSubDim + $PqSubDim) AS q_sv
-         |         FROM qres, mm),
-         |dt AS (SELECT q_id, ivf_cell, c.m, c.cell,
-         |         CAST(round(list_sum(list_transform(q_sv,
-         |           (x,i) -> (x - c.cv[i])*(x - c.cv[i]))) * ${QScale}) AS BIGINT)
-         |           AS qd2
-         |       FROM qsub JOIN rc2 c ON qsub.m = c.m),
-         |scored AS (SELECT d.q_id, s.vec_id AS neighbor_id,
-         |             CAST(sum(d.qd2) AS BIGINT) AS adc_d2
-         |           FROM rcodes s
-         |           JOIN res r ON r.vec_id = s.vec_id
-         |           JOIN dt d ON d.ivf_cell = r.ivf_cell AND s.m = d.m
-         |             AND s.cell = d.cell AND s.vec_id <> d.q_id
-         |           GROUP BY d.q_id, s.vec_id),
-         |$duckPqTail""".stripMargin,
+    "q_ann_ivfpq_residual" -> residualOracleSql,
+    // The persisted residual probe must return EXACTLY what in-plan
+    // residual training computes — same chain, the q_ann_persisted
+    // convention.
+    "q_ann_residual_persisted" -> residualOracleSql,
     // Same full-corpus k-means chain as q_dedup_semantic; pair formation
     // (both truth and candidates) restricted to the identically-hashed
     // sampled slice; recall per cosine decile band.

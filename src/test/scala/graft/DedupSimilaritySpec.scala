@@ -838,6 +838,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rRes >= 0.4, s"residual rung under the IVF floor: $rRes")
   }
 
+  test("persisted residual index: probe-only plan matches the in-plan residual rung and contains no training stage") {
+    val d = "/root/testdata/sf0.01"
+    val probe = Similarity.qAnnResidualPersisted(spark, d)
+    val got = probe.collect().map(_.toString).toSeq
+    val want = Similarity.qAnnIvfPqResidual(spark, d)
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want,
+      s"persisted residual probe diverged: got=${got.take(3)} want=${want.take(3)}")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("argmin_cell"),
+      "probe plan re-trains/re-encodes: argmin_cell found")
+    val root = Similarity.residualIndexDir(spark, d)
+    val files = probe.inputFiles
+    Seq("pq_codes", "ivf_centroids", "pq_codebook").foreach { t =>
+      assert(files.exists(f => f.contains(root) && f.contains(t)),
+        s"probe plan must scan the persisted residual $t table under $root")
+    }
+  }
+
   test("ANN index erase: no erased id in the artifact; pruned codes == frozen-codebook re-encode of the survivors; erased ids gone from results") {
     val d = "/root/testdata/sf0.01"
     val root = Similarity.erasedAnnIndexDir(spark, d)
@@ -936,6 +955,51 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.qDedupIndexErase(spark, tmp).collect()
       .map(_.toString).toSeq == fromScratch,
       "pruned generation diverged from the from-scratch rebuild minus deleted")
+  }
+
+  test("dedup index add: accepted batch joins the generation; gen1 == rebuild over index ∪ accepted; engineered admissions") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01"
+    val gen1 = Dedup.dedupAddedIndexDir(spark, d)
+    val gen0 = Dedup.dedupIndexDir(spark, d)
+    def postings(root: String) = spark.read.parquet(s"$root/postings.parquet")
+      .select("doc_id", "lang", "fingerprint").collect().map(_.toString).toSet
+    // monotone growth: the new generation contains every old posting
+    val p0 = postings(gen0); val p1 = postings(gen1)
+    assert(p0.subsetOf(p1) && p1.size > p0.size,
+      "add generation must extend the old index")
+    // the added ids are exactly odd ∖ duplicates
+    val dups = Dedup.qDedupPersisted(spark, d).collect()
+      .map(_.getLong(0)).toSet
+    val addedIds = spark.read.parquet(s"$gen1/postings.parquet")
+      .filter(col("doc_id") % 2 === 1).select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(dups.nonEmpty && (addedIds & dups).isEmpty,
+      s"admitted a classified duplicate: ${(addedIds & dups).take(3)}")
+    // gen1 row-exact to a from-scratch rebuild over index ∪ accepted,
+    // through the same builder
+    val rebuilt = java.nio.file.Files.createTempDirectory("addrb").toString
+    Dedup.writeDedupIndex(spark, d,
+      col("doc_id") % 2 === 0 ||
+        (col("doc_id") % 2 === 1 && !col("doc_id").isin(dups.toSeq: _*)),
+      rebuilt)
+    assert(postings(rebuilt) == p1,
+      "add generation diverged from the from-scratch rebuild")
+    // engineered corpus (the erase test's): dups {35, 13, 39} rejected,
+    // 21 (the batch pair's earlier side) and 37-absent; accepted = {21}
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val alt = (1 to 40).map(i => s"v$i").mkString(" ")
+    val third = (1 to 40).map(i => s"u$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("addix").toString
+    Seq((34L, base, "en", "s1"), (12L, alt, "en", "s1"),
+      (35L, base, "en", "s1"), (13L, alt, "en", "s1"),
+      (21L, third, "en", "s1"), (39L, third, "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val admitted = Dedup.qDedupIndexAdd(spark, tmp).collect()
+      .map(_.getLong(0)).toSet
+    assert(admitted == Set(21L),
+      s"keep-earlier admission must accept exactly doc 21: $admitted")
   }
 
   test("nprobe curve: monotone, exact at full probe, and consistent with the recall dashboard at nprobe=2") {
