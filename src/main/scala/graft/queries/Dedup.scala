@@ -1089,6 +1089,75 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Compacted-generation roots for [[qDedupIndexCompact]]. */
+  private val dedupCompactRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Builds the generational layout of the dedup index and compacts
+    * it — the dedup twin of Similarity's ANN compaction: a base
+    * postings/store generation (the even half, from [[dedupIndexDir]]),
+    * ONE delta file per artifact carrying the ADD verb's accepted batch
+    * rows (the [[dedupAddedIndexDir]] admission rule, materialized as
+    * the separate files an ingest job physically appends), and a
+    * tombstone file with the erasure subjects. COMPACTION folds
+    * base ∪ delta minus tombstones into `gen1` with one union + one
+    * anti-join per artifact — no re-fingerprinting, no text scan. */
+  private[graft] def dedupCompactedIndexDir(s: SparkSession, dir: String): String =
+    dedupCompactRoots.computeIfAbsent(dir, { d =>
+      val root = Ingest.scratchDir("dedupindexcompact", d)
+      val gen0 = dedupIndexDir(s, d)
+      val dups = qDedupPersisted(s, d)
+        .select(col("new_id").as("doc_id")).distinct()
+      TextAnalysis.winnowFps(s, d).filter(col("doc_id") % 2 === 1)
+        .join(dups, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$root/delta_postings.parquet")
+      hashedStore(shingled(s, d).filter(col("doc_id") % 2 === 1))
+        .join(dups, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$root/delta_shingles.parquet")
+      Tables.documents(s, d).select(col("doc_id"))
+        .filter(erasedDoc(col("doc_id")))
+        .write.mode("overwrite").parquet(s"$root/tombstones.parquet")
+      val tomb = s.read.parquet(s"$root/tombstones.parquet")
+      s.read.parquet(s"$gen0/postings.parquet")
+        .unionByName(s.read.parquet(s"$root/delta_postings.parquet"))
+        .join(tomb, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$root/gen1/postings.parquet")
+      s.read.parquet(s"$gen0/shingles.parquet")
+        .unionByName(s.read.parquet(s"$root/delta_shingles.parquet"))
+        .join(tomb, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$root/gen1/shingles.parquet")
+      s"$root/gen1"
+    })
+
+  /** Dedup index COMPACTION — the generational fold over the full
+    * lifecycle: base (build) + delta (the ADD verb's accepted batch) −
+    * tombstones (the erasure subjects) compact into one new
+    * generation. Output contract is the per-doc artifact summary of
+    * the compacted generation (doc_id, n_fps, n_shingles — every
+    * member, both historical and admitted), read back FROM the gen1
+    * parquet so the gate checks the physical fold. The oracle derives
+    * membership from the shared incremental chain (even ∪ odd-minus-
+    * duplicates, minus the deletion set) and counts from the same
+    * CTEs; the spec additionally pins gen1 ≡ a from-scratch
+    * [[writeDedupIndex]] rebuild over exactly that member set and zero
+    * tombstoned ids in either artifact.
+    *
+    * Scale stance (100 TB): compaction is one union + one broadcast
+    * anti-join per artifact, all narrow posting/store rows — text is
+    * never rescanned; the summary aggregates the compacted postings
+    * once, keyed by doc_id. */
+  def qDedupIndexCompact(s: SparkSession, dir: String): DataFrame = {
+    val root = dedupCompactedIndexDir(s, dir)
+    val fps = s.read.parquet(s"$root/postings.parquet")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"))
+    val ss = s.read.parquet(s"$root/shingles.parquet")
+      .select(col("doc_id"), col("n").as("n_shingles"))
+    fps.join(ss, "doc_id")
+      .select(col("doc_id"), col("n_fps"), col("n_shingles"))
+      .orderBy("doc_id")
+  }
+
   /** Quality-aware dedup survivor selection — the step that turns the
     * cluster labeling ([[qDedupClusters]]) into the RETAINED corpus: per
     * near-dup cluster keep the member with the MOST tokens (tie → lowest
@@ -1303,6 +1372,7 @@ object Dedup {
     "q_dedup_persisted" -> (qDedupPersisted _),
     "q_dedup_index_erase" -> (qDedupIndexErase _),
     "q_dedup_index_add" -> (qDedupIndexAdd _),
+    "q_dedup_index_compact" -> (qDedupIndexCompact _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_survivors" -> (qDedupSurvivors _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -1455,6 +1525,33 @@ object Dedup {
        |SELECT doc_id, n_fps, n_shingles
        |FROM fpc JOIN shc USING (doc_id)
        |ANTI JOIN dups USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** The COMPACT verb's oracle: per-doc artifact summary over the
+    * compacted member set — even (the base) ∪ odd-minus-duplicates
+    * (the delta) minus the deletion set (tombstones) — from the same
+    * shared CTEs. */
+  private lazy val indexCompactOracleSql: String =
+    s"""WITH $winnowCandCte,
+       |scored AS (SELECT c.a_id, c.b_id
+       |  FROM cand c JOIN sh a ON a.doc_id = c.a_id
+       |              JOIN sh b ON b.doc_id = c.b_id
+       |  WHERE (c.a_id % 2 = 1 OR c.b_id % 2 = 1)
+       |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.s, b.s))) >= $JaccardT),
+       |dups AS (SELECT DISTINCT
+       |    CASE WHEN a_id % 2 = 1 AND b_id % 2 = 1 THEN greatest(a_id, b_id)
+       |         WHEN a_id % 2 = 1 THEN a_id ELSE b_id END AS doc_id
+       |  FROM scored),
+       |fpc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps
+       |        FROM f GROUP BY 1),
+       |shc AS (SELECT doc_id, CAST(len(list_distinct(s)) AS BIGINT)
+       |          AS n_shingles
+       |        FROM sh)
+       |SELECT doc_id, n_fps, n_shingles
+       |FROM fpc JOIN shc USING (doc_id)
+       |ANTI JOIN dups USING (doc_id)
+       |WHERE doc_id % ${Ingest.ErasureMod} <> 0
        |ORDER BY doc_id""".stripMargin
 
   /** The erased-generation probe's oracle: the SAME chain minus every
@@ -1652,6 +1749,7 @@ object Dedup {
     // chain, deletion predicate on both pair sides.
     "q_dedup_index_erase" -> indexEraseOracleSql,
     "q_dedup_index_add" -> indexAddOracleSql,
+    "q_dedup_index_compact" -> indexCompactOracleSql,
     "q_dedup_containment" ->
       s"""WITH $winnowCandCte,
          |scored AS (SELECT c.a_id, c.b_id,

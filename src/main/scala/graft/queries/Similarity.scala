@@ -31,8 +31,8 @@ object Similarity {
 
   private val Dim = 64
   private val LshBits = 8
-  private val TopK = 10
-  private val NProbe = 2
+  private[graft] val TopK = 10
+  private[graft] val NProbe = 2
   /** k-means coarse quantizer: cell count, fixed Lloyd iterations, and the
     * integer quantization denominator for exact (order-free) centroid sums. */
   private val KCells = 8
@@ -1112,6 +1112,41 @@ object Similarity {
       s.read.parquet(s"$root/pq_codes.parquet"))
   }
 
+  /** The three static relations of the STREAMING ANN probe: the
+    * persisted coarse centroids, the cell-tagged raw corpus (vectors
+    * joined to the persisted `pq_codes` cell assignments — at scale the
+    * KV/columnar vector store keyed by id, cell-partitioned), and the
+    * batch face's query set. Shared by [[qAnnStreamProbe]] and the
+    * FileStreamSpec harness so batch and streaming probe the SAME
+    * artifacts. */
+  private[graft] def annStreamParts(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val root = persistedIndexDir(s, dir)
+    val coarse = s.read.parquet(s"$root/ivf_centroids.parquet")
+    val raw = vecs(s, dir).select(col("vec_id"), col("v"))
+    val index = raw.join(
+      s.read.parquet(s"$root/pq_codes.parquet")
+        .select(col("vec_id"), col("ivf_cell")), "vec_id")
+    val queries = raw.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    (coarse, index, queries)
+  }
+
+  /** The BATCH face of the streaming ANN probe
+    * (Windows.annProbeTopk): exact-cosine search over the persisted
+    * IVF geometry, spelled entirely with per-row probe selection
+    * (array HOFs, no window) + the bounded `topk_min` aggregate — the
+    * ONE fragment that also runs on an unbounded query-vector stream
+    * (Windows.annProbeStream; FileStreamSpec pins streaming == this
+    * face including a redelivered file). Ranking keys are the
+    * 1e-12-quantized integer cosines end to end, so the emitted order
+    * is exactly the state the online operator maintains. Oracle = the
+    * coarse train chain + the same quantized probe/rank spelling. */
+  def qAnnStreamProbe(s: SparkSession, dir: String): DataFrame = {
+    val (coarse, index, queries) = annStreamParts(s, dir)
+    graft.streaming.Windows.annProbeTopk(queries, coarse, index)
+  }
+
   /** ANN-quality dashboard: recall@k of the IVF index ([[qAnnIvf]],
     * nprobe=2) against the exact brute-force top-k ([[qAnnBruteforce]])
     * — the [[graft.queries.Dedup.qDedupEval]] doctrine applied to
@@ -1292,6 +1327,7 @@ object Similarity {
     "q_ann_ivfpq_residual" -> (qAnnIvfPqResidual _),
     "q_ann_index_compact" -> (qAnnIndexCompact _),
     "q_ann_residual_persisted" -> (qAnnResidualPersisted _),
+    "q_ann_stream_probe" -> (qAnnStreamProbe _),
     "q_dedup_semantic_eval" -> (qDedupSemanticEval _),
     "q_ann_nprobe_curve" -> (qAnnNprobeCurve _),
     "q_ann_filtered" -> (qAnnFiltered _),
@@ -1773,6 +1809,36 @@ object Similarity {
     // residual training computes — same chain, the q_ann_persisted
     // convention.
     "q_ann_residual_persisted" -> residualOracleSql,
+    // The streaming-probe fragment's batch face: same coarse train
+    // chain; probe pick and final rank both on the 1e-12 quantized
+    // integer cosine (the key the online GroupState registry ranks by).
+    "q_ann_stream_probe" ->
+      s"""WITH e0 AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |e AS (SELECT vec_id, list_transform(v,
+         |  x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS v FROM e0),
+         |$duckCoarseCtes,
+         |q AS (SELECT vec_id AS q_id, v AS q_v FROM e0 WHERE vec_id < 10),
+         |pc AS (SELECT q_id, q_v, cell FROM (
+         |    SELECT q.q_id, q.q_v, c.cell,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        CAST(round(-(list_sum(list_transform(c.cv, (x,i) -> x * q.q_v[i])) /
+         |          (sqrt(list_sum(list_transform(c.cv, x -> x*x)))
+         |           * sqrt(list_sum(list_transform(q.q_v, x -> x*x)))))
+         |          * 1000000000000.0) AS BIGINT) ASC,
+         |        c.cell ASC) AS pr
+         |    FROM q, ic2 c) WHERE pr <= $NProbe),
+         |cand AS (
+         |  SELECT q.q_id, a.vec_id AS neighbor_id,
+         |    CAST(round(-($duckCos) * 1000000000000.0) AS BIGINT) AS negq
+         |  FROM iidx f
+         |  JOIN pc q ON q.cell = f.cell
+         |  JOIN e0 a ON a.vec_id = f.vec_id AND a.vec_id <> q.q_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY negq ASC, neighbor_id ASC) AS rank FROM cand)
+         |SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id,
+         |  CAST(-negq AS BIGINT) AS cos_e12
+         |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     // Same full-corpus k-means chain as q_dedup_semantic; pair formation
     // (both truth and candidates) restricted to the identically-hashed
     // sampled slice; recall per cosine decile band.

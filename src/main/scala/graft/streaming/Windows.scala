@@ -576,6 +576,92 @@ object Windows {
     idxHits.unionByName(batchHits.toDF())
   }
 
+  /** One scored ANN candidate flowing into the streaming top-k
+    * registry. */
+  case class AnnCand(q_id: Long, negq: Long, neighbor_id: Long)
+  /** The current top-k snapshot for one query vector (ids in rank
+    * order; cos_e12s = the 1e-12-quantized cosines, descending). */
+  case class AnnTopkSnap(q_id: Long, neighbor_ids: Seq[Long],
+                         cos_e12s: Seq[Long])
+
+  /** Candidate fragment of the ANN probe, ONE definition for batch and
+    * streaming: per arriving query vector, pick the NProbe nearest
+    * persisted coarse cells PER ROW (centroids ride along as one
+    * broadcast array column; selection is an array sort of
+    * (negq, cell) structs — no window, so the identical expression runs
+    * on an unbounded stream), fan out to the static cell-tagged corpus
+    * (a stream-static join re-read per micro-batch), and score each
+    * candidate with the fused cosine kernel quantized to the 1e-12
+    * integer grid — the key both the batch `topk_min` aggregate and the
+    * streaming GroupState registry rank by, so the two faces cannot
+    * disagree on order. */
+  def annProbeCands(queries: DataFrame, coarse: DataFrame,
+      index: DataFrame): DataFrame = {
+    val negq = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      round(-graft.functions.VectorFunctions.cosineSim(a, b) * 1e12)
+        .cast("long")
+    val cs = coarse
+      .agg(sort_array(collect_list(struct(col("cell"), col("cv")))).as("cs"))
+    queries.crossJoin(broadcast(cs))
+      .select(col("q_id"), col("q_v"),
+        transform(
+          slice(array_sort(transform(col("cs"),
+            c => struct(negq(col("q_v"), c.getField("cv")).as("nq"),
+              c.getField("cell").as("cell")))),
+            1, graft.queries.Similarity.NProbe),
+          p => p.getField("cell")).as("cells"))
+      .select(col("q_id"), col("q_v"), explode(col("cells")).as("ivf_cell"))
+      .join(index, "ivf_cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), negq(col("v"), col("q_v")).as("negq"),
+        col("vec_id").as("neighbor_id"))
+  }
+
+  /** BATCH face of the ANN probe: [[annProbeCands]] + the bounded
+    * `topk_min` aggregate, exploded to (q_id, rank, neighbor_id,
+    * cos_e12) rows — registered as `q_ann_stream_probe`
+    * (Similarity.qAnnStreamProbe) so the fragment both faces share is
+    * oracle-gated on every verify run. */
+  def annProbeTopk(queries: DataFrame, coarse: DataFrame,
+      index: DataFrame): DataFrame =
+    annProbeCands(queries, coarse, index)
+      .groupBy(col("q_id"))
+      .agg(graft.functions.VectorFunctions.topkMin(
+        col("negq"), col("neighbor_id"),
+        graft.queries.Similarity.TopK).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"),
+        (-col("col.score")).as("cos_e12"))
+      .orderBy("q_id", "rank")
+
+  /** STREAMING face of the ANN probe — the online twin of
+    * [[annProbeTopk]] over a query-vector arrival stream: the SAME
+    * candidate fragment feeds a per-q_id GroupState registry holding
+    * the k smallest (negq, neighbor_id) pairs seen so far (the
+    * [[groupSampleStream]] bounded-selection contract — O(k) state per
+    * query, `distinct` absorbs redelivered files), re-emitting the
+    * snapshot on every update. Because the selection key is the same
+    * quantized integer both faces rank by, the snapshot after all
+    * arrivals equals the batch face row for row. */
+  def annProbeStream(queries: DataFrame, coarse: DataFrame,
+      index: DataFrame): Dataset[AnnTopkSnap] = {
+    import queries.sparkSession.implicits._
+    val k = graft.queries.Similarity.TopK
+    annProbeCands(queries, coarse, index).as[AnnCand]
+      .groupByKey(_.q_id)
+      .mapGroupsWithState[Seq[(Long, Long)], AnnTopkSnap](
+        GroupStateTimeout.NoTimeout()) {
+        (q: Long, batch: Iterator[AnnCand],
+         state: GroupState[Seq[(Long, Long)]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty).iterator ++
+            batch.map(c => (c.negq, c.neighbor_id)))
+            .toSeq.distinct.sorted.take(k)
+          state.update(merged)
+          AnnTopkSnap(q, merged.map(_._2), merged.map(-_._1))
+      }
+  }
+
   /** The current per-fingerprint SURVIVOR emitted by
     * [[corpusPipelineStream]] — min-doc_id-wins, the batch capstone's
     * canonical-document rule. */

@@ -1002,6 +1002,39 @@ class DedupSimilaritySpec extends SparkSpec {
       s"keep-earlier admission must accept exactly doc 21: $admitted")
   }
 
+  test("dedup index compaction: base + delta - tombstones == from-scratch rebuild over the member set; no tombstoned id") {
+    val d = "/root/testdata/sf0.01"
+    val gen1 = Dedup.dedupCompactedIndexDir(spark, d)
+    // zero tombstoned ids in either compacted artifact
+    for (t <- Seq("postings", "shingles")) {
+      assert(spark.read.parquet(s"$gen1/$t.parquet")
+        .filter(col("doc_id") % 17 === 0).count() == 0,
+        s"tombstoned doc_ids survive compaction in $t")
+    }
+    // member set = all docs minus duplicates minus tombstones; the fold
+    // must equal a from-scratch rebuild over exactly that set
+    val dups = Dedup.qDedupPersisted(spark, d).collect()
+      .map(_.getLong(0)).toSet
+    val rebuilt = java.nio.file.Files.createTempDirectory("cmprb").toString
+    Dedup.writeDedupIndex(spark, d,
+      !col("doc_id").isin(dups.toSeq: _*) && col("doc_id") % 17 =!= 0,
+      rebuilt)
+    for (t <- Seq("postings", "shingles")) {
+      val a = spark.read.parquet(s"$gen1/$t.parquet")
+        .collect().map(_.toString).toSet
+      val b = spark.read.parquet(s"$rebuilt/$t.parquet")
+        .collect().map(_.toString).toSet
+      assert(a.nonEmpty && a == b,
+        s"compacted $t diverged from the rebuild: extra=${(a -- b).take(2)} missing=${(b -- a).take(2)}")
+    }
+    // and the generation holds BOTH halves (historical + admitted)
+    val parities = spark.read.parquet(s"$gen1/postings.parquet")
+      .select((col("doc_id") % 2).as("p")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(parities == Set(0L, 1L),
+      s"compacted generation must hold historical AND admitted docs: $parities")
+  }
+
   test("nprobe curve: monotone, exact at full probe, and consistent with the recall dashboard at nprobe=2") {
     val d = "/root/testdata/sf0.01"
     val rows = Similarity.qAnnNprobeCurve(spark, d).collect()

@@ -166,6 +166,49 @@ class FileStreamSpec extends SparkSpec {
       "fixture must exercise both collision kinds")
   }
 
+  test("file-source streaming ANN probe of the persisted index == batch face, incl. a redelivered query file") {
+    val d = "/root/testdata/sf0.01"
+    val srcDir = Files.createTempDirectory("graft_annprobe_src").toString
+    val (coarse, index, queries) =
+      graft.queries.Similarity.annStreamParts(spark, d)
+    // query vectors arrive as files: 0-4 first, 5-9 later, then file 1
+    // is REDELIVERED whole — the registry's distinct must hold the
+    // snapshot still
+    val part1 = queries.filter(col("q_id") < 5)
+    val part2 = queries.filter(col("q_id") >= 5)
+    part1.write.mode("overwrite").parquet(s"$srcDir/batch1")
+    val stream = spark.readStream.schema(queries.schema)
+      .option("pathGlobFilter", "*.parquet").parquet(s"$srcDir/*")
+    val q = Windows.annProbeStream(stream.toDF(), coarse, index)
+      .writeStream.format("memory").queryName("t_ann_probe")
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable()
+    def snapshot() = spark.table("t_ann_probe").collect()
+      .map(r => (r.getLong(0), (r.getSeq[Long](1), r.getSeq[Long](2))))
+      .groupBy(_._1).view.mapValues(_.last._2).toMap
+    assert(snapshot().keySet == (0L until 5L).toSet,
+      s"batch 1 must answer queries 0-4: ${snapshot().keySet}")
+    part2.write.mode("overwrite").parquet(s"$srcDir/batch2")
+    q.processAllAvailable()
+    val afterAll = snapshot()
+    part1.write.mode("overwrite").parquet(s"$srcDir/batch3") // redelivery
+    q.processAllAvailable()
+    val afterRedeliver = snapshot()
+    q.stop()
+    val want = graft.queries.Similarity.qAnnStreamProbe(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(_._1))
+      .mapValues(rs => (rs.map(_._2).toSeq, rs.map(_._3).toSeq)).toMap
+    assert(afterAll.keySet == want.keySet, "query coverage diverged")
+    afterAll.foreach { case (qid, (ids, coss)) =>
+      assert((ids, coss) == want(qid),
+        s"q$qid: online snapshot ${(ids, coss)} != batch face ${want(qid)}")
+    }
+    assert(afterRedeliver == afterAll,
+      "redelivered query file moved the snapshot")
+  }
+
   test("file-source streaming corpus pipeline == batch capstone, incl. a late lower-id duplicate replacing its survivor") {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("graft_corpus_src").toString
