@@ -916,19 +916,25 @@ object Dedup {
     probeDedupIndex(s, dir, dedupIndexDir(s, dir))
 
   /** The probe plan of [[qDedupPersisted]] with the index GENERATION
-    * injectable — shared with [[qDedupIndexErase]] (and the spec's
-    * from-scratch-rebuild control) so every generation of the persisted
-    * artifacts is probed by ONE plan and classifications cannot drift
-    * between lifecycle verbs. */
+    * and a batch-side liveness predicate injectable — shared with
+    * [[qDedupIndexErase]] (and the spec's from-scratch-rebuild control)
+    * so every generation of the persisted artifacts is probed by ONE
+    * plan and classifications cannot drift between lifecycle verbs.
+    * `live` filters the INCOMING batch (the erase verb excludes the
+    * deletion subjects there too — a forgotten subject's text may not
+    * be fingerprinted or probed, the same both-sides contract as
+    * Similarity.qAnnIndexErase); the artifacts need no predicate — a
+    * pruned generation simply has fewer rows. */
   private[graft] def probeDedupIndex(s: SparkSession, dir: String,
-      root: String): DataFrame = {
+      root: String, live: Column = lit(true)): DataFrame = {
     val idxFps = s.read.parquet(s"$root/postings.parquet")
     val idxSs = s.read.parquet(s"$root/shingles.parquet")
     val batchFps = TextAnalysis.winnowFps(s, dir)
-      .filter(col("doc_id") % 2 === 1)
+      .filter(col("doc_id") % 2 === 1 && live)
       // 3 consumers: vs-index join + both batch-internal sides
       .transform(graft.core.Lineage.cut)
-    val batchSs = hashedStore(shingled(s, dir).filter(col("doc_id") % 2 === 1))
+    val batchSs = hashedStore(shingled(s, dir)
+        .filter(col("doc_id") % 2 === 1 && live))
       // 2 consumers (both verification-join sides via the union store)
       .transform(graft.core.Lineage.cut)
     val candIdx = batchFps
@@ -999,28 +1005,72 @@ object Dedup {
     * q_erasure_audit's read-side blast radius leaves open: rewrite the
     * postings and shingle-store artifacts WITHOUT the subjects' rows
     * (doc_id ≡ 0 mod [[Ingest.ErasureMod]] — the audit's own scope),
-    * then run the standard probe over the erased generation. Output
-    * contract matches q_dedup_persisted minus every pair involving an
-    * erased index doc; the oracle is the shared incremental CTE chain
-    * with the deletion predicate on both pair sides, so the gate
-    * re-proves per verify that erasure removed EXACTLY the subjects'
-    * pairs and nothing else. The spec additionally pins (a) no erased
-    * doc_id survives in either artifact, (b) the pruned generation's
-    * probe ≡ a from-scratch rebuild over the surviving corpus (the
-    * delete-side twin of q_ann_index_delta's add-side bit-equality),
-    * and (c) on an engineered corpus, a batch doc whose ONLY duplicate
-    * was erased stops being reported.
+    * then run the standard probe over the erased generation with the
+    * deletion subjects ALSO excluded from the incoming batch (erased
+    * subjects are neither indexed nor probed — the same both-sides
+    * contract as qAnnIndexErase, one subject scope across both
+    * tiers). Output contract matches q_dedup_persisted minus every
+    * pair involving an erased doc on either side; the oracle is the
+    * shared incremental CTE chain with the deletion predicate on both
+    * pair sides, so the gate re-proves per verify that erasure removed
+    * EXACTLY the subjects' pairs and nothing else. The spec
+    * additionally pins (a) no erased doc_id survives in either
+    * artifact, (b) the pruned generation's probe ≡ a from-scratch
+    * rebuild over the surviving corpus (the delete-side twin of
+    * q_ann_index_delta's add-side bit-equality), and (c) on an
+    * engineered corpus, a batch doc whose ONLY duplicate was erased
+    * stops being reported, and an erased batch doc stops being
+    * fingerprinted at all.
     *
     * Scale stance (100 TB): the rewrite scans only the index artifacts
     * (a pushdown-friendly predicate per table — at real scale a
     * partition-pruned anti-join against the deletion list), never the
     * corpus text; the probe is unchanged O(batch). */
   def qDedupIndexErase(s: SparkSession, dir: String): DataFrame =
-    probeDedupIndex(s, dir, dedupErasedIndexDir(s, dir))
+    probeDedupIndex(s, dir, dedupErasedIndexDir(s, dir),
+      !erasedDoc(col("doc_id")))
 
   /** Added-generation roots for [[qDedupIndexAdd]]. */
   private val dedupAddRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The probe's duplicate-id set, Lineage.cut because every builder
+    * consumes it from two write jobs (postings + store anti-joins) —
+    * without the cut the whole probe's candidate/verify stage would
+    * re-execute per artifact write. */
+  private def dedupDupIds(s: SparkSession, d: String): DataFrame =
+    graft.core.Lineage.cut(qDedupPersisted(s, d)
+      .select(col("new_id").as("doc_id")).distinct())
+
+  /** The ADD verb's admission rule — accepted batch postings/store rows
+    * (odd ids minus the probe's duplicates) — ONE spelling shared by
+    * [[dedupAddedIndexDir]] and the compaction delta files
+    * ([[dedupCompactedIndexDir]]) so the two verbs cannot drift. */
+  private def acceptedBatchPostings(s: SparkSession, d: String,
+      dups: DataFrame): DataFrame =
+    TextAnalysis.winnowFps(s, d).filter(col("doc_id") % 2 === 1)
+      .join(dups, Seq("doc_id"), "left_anti")
+
+  private def acceptedBatchStore(s: SparkSession, d: String,
+      dups: DataFrame): DataFrame =
+    hashedStore(shingled(s, d).filter(col("doc_id") % 2 === 1))
+      .join(dups, Seq("doc_id"), "left_anti")
+
+  /** Per-doc artifact summary of an index generation (doc_id, n_fps,
+    * n_shingles for docs matching `keep`) — the shared read-back plan
+    * of [[qDedupIndexAdd]] and [[qDedupIndexCompact]], anchored to the
+    * generation's parquet so the gates check the physical tables. */
+  private def artifactSummary(s: SparkSession, root: String,
+      keep: Column): DataFrame = {
+    val fps = s.read.parquet(s"$root/postings.parquet").filter(keep)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"))
+    val ss = s.read.parquet(s"$root/shingles.parquet").filter(keep)
+      .select(col("doc_id"), col("n").as("n_shingles"))
+    fps.join(ss, "doc_id")
+      .select(col("doc_id"), col("n_fps"), col("n_shingles"))
+      .orderBy("doc_id")
+  }
 
   /** Writes the ADD generation of the persisted dedup index: the
     * ACCEPTED batch docs' postings and store rows (every odd doc NOT
@@ -1034,17 +1084,12 @@ object Dedup {
     dedupAddRoots.computeIfAbsent(dir, { d =>
       val src = dedupIndexDir(s, d)
       val root = Ingest.scratchDir("dedupindexadd", d)
-      val dups = qDedupPersisted(s, d)
-        .select(col("new_id").as("doc_id")).distinct()
+      val dups = dedupDupIds(s, d)
       s.read.parquet(s"$src/postings.parquet")
-        .unionByName(TextAnalysis.winnowFps(s, d)
-          .filter(col("doc_id") % 2 === 1)
-          .join(dups, Seq("doc_id"), "left_anti"))
+        .unionByName(acceptedBatchPostings(s, d, dups))
         .write.mode("overwrite").parquet(s"$root/postings.parquet")
       s.read.parquet(s"$src/shingles.parquet")
-        .unionByName(hashedStore(shingled(s, d)
-            .filter(col("doc_id") % 2 === 1))
-          .join(dups, Seq("doc_id"), "left_anti"))
+        .unionByName(acceptedBatchStore(s, d, dups))
         .write.mode("overwrite").parquet(s"$root/shingles.parquet")
       root
     })
@@ -1075,19 +1120,8 @@ object Dedup {
     * rows are exactly the batch postings/store the probe already
     * computed — no historical re-fingerprinting, no corpus scan; the
     * summary is a per-doc count over the added ids only. */
-  def qDedupIndexAdd(s: SparkSession, dir: String): DataFrame = {
-    val root = dedupAddedIndexDir(s, dir)
-    val fps = s.read.parquet(s"$root/postings.parquet")
-      .filter(col("doc_id") % 2 === 1)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_fps"))
-    val ss = s.read.parquet(s"$root/shingles.parquet")
-      .filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), col("n").as("n_shingles"))
-    fps.join(ss, "doc_id")
-      .select(col("doc_id"), col("n_fps"), col("n_shingles"))
-      .orderBy("doc_id")
-  }
+  def qDedupIndexAdd(s: SparkSession, dir: String): DataFrame =
+    artifactSummary(s, dedupAddedIndexDir(s, dir), col("doc_id") % 2 === 1)
 
   /** Compacted-generation roots for [[qDedupIndexCompact]]. */
   private val dedupCompactRoots =
@@ -1106,13 +1140,10 @@ object Dedup {
     dedupCompactRoots.computeIfAbsent(dir, { d =>
       val root = Ingest.scratchDir("dedupindexcompact", d)
       val gen0 = dedupIndexDir(s, d)
-      val dups = qDedupPersisted(s, d)
-        .select(col("new_id").as("doc_id")).distinct()
-      TextAnalysis.winnowFps(s, d).filter(col("doc_id") % 2 === 1)
-        .join(dups, Seq("doc_id"), "left_anti")
+      val dups = dedupDupIds(s, d)
+      acceptedBatchPostings(s, d, dups)
         .write.mode("overwrite").parquet(s"$root/delta_postings.parquet")
-      hashedStore(shingled(s, d).filter(col("doc_id") % 2 === 1))
-        .join(dups, Seq("doc_id"), "left_anti")
+      acceptedBatchStore(s, d, dups)
         .write.mode("overwrite").parquet(s"$root/delta_shingles.parquet")
       Tables.documents(s, d).select(col("doc_id"))
         .filter(erasedDoc(col("doc_id")))
@@ -1146,17 +1177,8 @@ object Dedup {
     * anti-join per artifact, all narrow posting/store rows — text is
     * never rescanned; the summary aggregates the compacted postings
     * once, keyed by doc_id. */
-  def qDedupIndexCompact(s: SparkSession, dir: String): DataFrame = {
-    val root = dedupCompactedIndexDir(s, dir)
-    val fps = s.read.parquet(s"$root/postings.parquet")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_fps"))
-    val ss = s.read.parquet(s"$root/shingles.parquet")
-      .select(col("doc_id"), col("n").as("n_shingles"))
-    fps.join(ss, "doc_id")
-      .select(col("doc_id"), col("n_fps"), col("n_shingles"))
-      .orderBy("doc_id")
-  }
+  def qDedupIndexCompact(s: SparkSession, dir: String): DataFrame =
+    artifactSummary(s, dedupCompactedIndexDir(s, dir), lit(true))
 
   /** Quality-aware dedup survivor selection — the step that turns the
     * cluster labeling ([[qDedupClusters]]) into the RETAINED corpus: per
@@ -1555,11 +1577,12 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
 
   /** The erased-generation probe's oracle: the SAME chain minus every
-    * pair whose INDEX side (the even half — the only ids the artifacts
-    * hold) is in the deletion set. */
+    * pair with a deletion subject on EITHER side (index docs are gone
+    * from the artifacts; batch docs are excluded from probing — the
+    * one-subject-scope contract shared with q_ann_index_erase). */
   private lazy val indexEraseOracleSql: String = incrementalOracleSqlWhere(
-    s"""AND NOT (c.a_id % 2 = 0 AND c.a_id % ${Ingest.ErasureMod} = 0)
-       |    AND NOT (c.b_id % 2 = 0 AND c.b_id % ${Ingest.ErasureMod} = 0)""".stripMargin)
+    s"""AND c.a_id % ${Ingest.ErasureMod} <> 0
+       |    AND c.b_id % ${Ingest.ErasureMod} <> 0""".stripMargin)
 
   private def sigCte =
     s"""toks AS (SELECT doc_id, $duckToks AS w FROM documents),

@@ -921,23 +921,30 @@ class DedupSimilaritySpec extends SparkSpec {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val alt = (1 to 40).map(i => s"v$i").mkString(" ")
     val third = (1 to 40).map(i => s"u$i").mkString(" ")
+    val fourth = (1 to 40).map(i => s"t$i").mkString(" ")
     val tmp = java.nio.file.Files.createTempDirectory("eraseix").toString
     Seq(
       (34L, base, "en", "s1"), // index, erased (34 % 17 == 0)
       (12L, alt, "en", "s1"), // index, kept
-      (35L, base, "en", "s1"), // batch dup of ONLY the erased doc
+      (16L, fourth, "en", "s1"), // index, kept
+      (35L, base, "en", "s1"), // batch dup of ONLY the erased index doc
       (13L, alt, "en", "s1"), // batch dup of the kept doc
+      (51L, fourth, "en", "s1"), // batch dup, itself ERASED (51 % 17 == 0)
       (21L, third, "en", "s1"), (39L, third, "en", "s1")) // batch-internal pair
       .toDF("doc_id", "text", "lang", "source")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val before = Dedup.qDedupPersisted(spark, tmp).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(before == Set((35L, 34L, "index"), (13L, 12L, "index"),
-      (39L, 21L, "batch")), s"engineered corpus mis-built: $before")
+      (51L, 16L, "index"), (39L, 21L, "batch")),
+      s"engineered corpus mis-built: $before")
+    // both sides of the subject scope bite: (35, 34) goes because its
+    // index partner is erased; (51, 16) goes because the BATCH doc is
+    // an erased subject and may not be fingerprinted or probed
     val after = Dedup.qDedupIndexErase(spark, tmp).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(after == Set((13L, 12L, "index"), (39L, 21L, "batch")),
-      s"erasure must drop exactly the erased subject's pair: $after")
+      s"erasure must drop exactly the erased subjects' pairs: $after")
     // artifact level: no erased id in either pruned table
     val root = Dedup.dedupErasedIndexDir(spark, tmp)
     for (t <- Seq("postings", "shingles")) {
@@ -950,8 +957,8 @@ class DedupSimilaritySpec extends SparkSpec {
     val rebuilt = java.nio.file.Files.createTempDirectory("eraserb").toString
     Dedup.writeDedupIndex(spark, tmp,
       col("doc_id") % 2 === 0 && col("doc_id") % 17 =!= 0, rebuilt)
-    val fromScratch = Dedup.probeDedupIndex(spark, tmp, rebuilt).collect()
-      .map(_.toString).toSeq
+    val fromScratch = Dedup.probeDedupIndex(spark, tmp, rebuilt,
+      col("doc_id") % 17 =!= 0).collect().map(_.toString).toSeq
     assert(Dedup.qDedupIndexErase(spark, tmp).collect()
       .map(_.toString).toSeq == fromScratch,
       "pruned generation diverged from the from-scratch rebuild minus deleted")
