@@ -182,9 +182,16 @@ object Multimodal {
     records.mapPartitions(_.grouped(DecodeBatch).flatMap(decodeBatch))
   }
 
-  /** Features as a queries() entry (rows-only driver check — the byte
-    * histogram is not expressible over DuckDB VARCHAR; MultimodalSpec
-    * re-derives it independently instead). */
+  /** Features as a queries() entry. Oracle-gated since round 13: the
+    * fixture carrier is pure printable ASCII (chars ≡ bytes, re-checked
+    * in MultimodalSpec), so the extractor's per-batch math — unsigned
+    * byte sum, 8-bucket `u >> 5` histogram, `math.round(x·1e6)/1e6`
+    * mean — is exactly expressible over DuckDB VARCHAR via
+    * ascii(substring(...)); `Math.round(d) == floor(d + 0.5)` by the
+    * JVM spec, spelled that way in the SQL so both engines run the
+    * identical IEEE op chain. MultimodalSpec additionally re-derives
+    * the features byte-level, so the binary-domain contract (what the
+    * VARCHAR oracle can't see) stays pinned too. */
   def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val recs = media(s, dir)
@@ -205,8 +212,23 @@ object Multimodal {
     "q_media_dedup" -> (qMediaDedup _),
   )
 
-  /** q_media_features intentionally omitted → driver rows-only check. */
   val oracle: Map[String, String] = Map(
+    "q_media_features" ->
+      """WITH codes AS (
+        |  SELECT doc_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |    length(text) AS n,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> ascii(substring(text, CAST(i AS INT), 1))) AS cs
+        |  FROM documents)
+        |SELECT doc_id, media_type, CAST(n AS INT) AS n_bytes,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE floor(CAST(list_sum(cs) AS DOUBLE) / n * 1e6 + 0.5) / 1e6
+        |       END AS mean_byte,
+        |  array_to_string(list_transform(range(0, 8),
+        |    b -> CAST(coalesce(len(list_filter(cs, c -> c // 32 = b)), 0)
+        |         AS BIGINT)), ',') AS hist_csv
+        |FROM codes ORDER BY doc_id""".stripMargin,
     "q_media_dedup" ->
       """WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) >= 1),
         |sm AS (SELECT doc_id, list_transform(range(0, 32),

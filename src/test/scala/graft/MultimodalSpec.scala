@@ -20,6 +20,9 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.keySet == docs.keySet)
     docs.foreach { case (id, text) =>
       val bytes = text.getBytes("UTF-8")
+      // the VARCHAR oracle's validity precondition: pure-ASCII carrier,
+      // so DuckDB's per-char ascii() sees exactly the byte stream
+      assert(bytes.length == text.length, s"doc $id non-ASCII carrier")
       val hist = new Array[Long](8)
       bytes.foreach(b => hist((b & 0xFF) >> 5) += 1)
       val mean = math.round(bytes.map(_ & 0xFF).map(_.toLong).sum.toDouble / bytes.length * 1e6) / 1e6
