@@ -73,6 +73,18 @@ object VectorFunctions {
     ExpressionUtils.column(agg.toAggregateExpression())
   }
 
+  /** Deterministic HyperLogLog register aggregate over 32-bit hashes
+    * (TextPipeline.h32 discipline): ARRAY<INT> of 256 max-rank
+    * registers — fixed 256-byte state, map-side partials, and (unlike
+    * approx_count_distinct) a pure function of the data, so the
+    * estimate built from it ([[graft.plans.HllDet.estimate]]) is
+    * oracle-verifiable. NULL hashes ignored; out-of-range hashes
+    * THROW — see graft.plans.HllDet. */
+  def hllDet(hash: Column): Column = {
+    val agg = graft.plans.HllDet(ExpressionUtils.expression(hash))
+    ExpressionUtils.column(agg.toAggregateExpression())
+  }
+
   /** Quantized Shannon-entropy numerator Σ round(c·log2(c)·1e6) over an
     * ARRAY<STRING>'s term frequencies (one hash-count pass, codegen;
     * replaces both the corpus-shuffling explode/groupBy spelling and the

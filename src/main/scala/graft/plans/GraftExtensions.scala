@@ -23,7 +23,10 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   *    asymmetric-distance lookup-sum, see AdcSum);
   *  - `topk_min(BIGINT, BIGINT, INT) -> ARRAY<STRUCT<score,id>>`
   *    (bounded top-k aggregate, O(k) state with map-side partials,
-  *    see TopKMin).
+  *    see TopKMin);
+  *  - `hll_det(BIGINT) -> ARRAY<INT>` (deterministic HyperLogLog
+  *    registers over 32-bit hashes — fixed 256-byte state, oracle-
+  *    verifiable estimate, see HllDet).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -62,6 +65,8 @@ object GraftExtensions {
       arity("adc_sum", 3)(c => AdcSum(c(0), c(1), c(2)))),
     (FunctionIdentifier("topk_min"), TopKMin.info,
       arity("topk_min", 3)(c => TopKMin(c(0), c(1), c(2)))),
+    (FunctionIdentifier("hll_det"), HllDet.info,
+      arity("hll_det", 1)(c => HllDet(c(0)))),
   )
 
   /** Install the same functions on an already-built session (for hosts

@@ -583,38 +583,59 @@ object Analytics {
       .orderBy("day")
   }
 
-  /** Sketch twin of [[qRollingDistinct]]: per-day HLL sketches merged
-    * over the trailing 7-day frame (`hll_sketch_agg` / `hll_union_agg` /
-    * `hll_sketch_estimate`, Spark's Apache DataSketches bindings) — the
-    * shape that actually serves this metric at 100 TB. The exact twin is
-    * exact by contract but shuffles 7× the distinct (user, day) pairs
-    * into a per-day countDistinct; HERE the event stream collapses to
-    * ONE ~KB sketch per day in a single partial-aggregating scan (HLL
-    * union is commutative, so map-side partials compose), the per-day
-    * sketch table is the persistable incremental state (yesterday's
-    * sketches never recompute), and the 7-day union is a RANGE window
-    * over that tiny table — #days rows, bounded by the calendar, not the
-    * data, so the unpartitioned window is safe at any corpus size.
+  /** Sketch twin of [[qRollingDistinct]]: per-day HLL register tables
+    * merged over the trailing 7-day frame — the shape that actually
+    * serves this metric at 100 TB. The exact twin is exact by contract
+    * but shuffles 7× the distinct (user, day) pairs into a per-day
+    * countDistinct; HERE the event stream collapses to ONE 256-byte
+    * register array per day in a single partial-aggregating scan
+    * (`hll_det`, graft.plans.HllDet — register max is commutative, so
+    * map-side partials compose), the per-day register table is the
+    * persistable incremental state (yesterday's registers never
+    * recompute), and the 7-day union is a per-register RANGE-window max
+    * over the exploded (day, j, r) relation — 256·#days rows, bounded
+    * by the calendar, not the data, so the windows are safe at any
+    * corpus size (partitioned by register index j, never by data keys).
     *
-    * Driver contract: rows-only (DuckDB's approx_count_distinct is a
-    * different sketch — no cross-engine hash equality exists);
-    * AnalyticsSpec pins every day's estimate against the exact twin
-    * (exact equality at these cardinalities: DataSketches HLL is in
-    * exact coupon mode below ~512 distincts) plus day-set equality. */
+    * Since round 13 the sketch is the engine's deterministic HLL
+    * (previously Spark's DataSketches binding — engine-opaque, rows-only
+    * check): registers and estimate are pure functions of the data, so
+    * the DuckDB oracle recomputes the per-day registers, the windowed
+    * union, and the estimate in SQL — the row is hash-exact.
+    * AnalyticsSpec keeps the accuracy contract vs the exact twin and
+    * pins register-state determinism across parallelism levels. */
   def qRollingDistinctApprox(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perDay = Tables.events(s, dir)
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .groupBy(col("day"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    val w = Window.orderBy(col("dn")).rangeBetween(-6, 0)
-    perDay
+      .agg(graft.functions.VectorFunctions.hllDet(
+        graft.core.TextPipeline.h32(col("user_id").cast("string"))).as("regs"))
+    // dense (day, j, r) register relation: posexplode of the fixed-width
+    // array, then a per-register rolling max over the day span
+    val w = Window.partitionBy(col("j")).orderBy(col("dn")).rangeBetween(-6, 0)
+    val merged = perDay
       .withColumn("dn", datediff(col("day"), lit("1970-01-01")))
-      .withColumn("active_7d_approx",
-        round(hll_sketch_estimate(hll_union_agg(col("sk")).over(w))).cast("long"))
+      .select(col("day"), col("dn"), posexplode(col("regs")).as(Seq("j", "r")))
+      .withColumn("rm", max(col("r")).over(w))
+    merged
+      .groupBy(col("day"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - rm)")).as("z"),
+        sum(when(col("rm") === 0, 1L).otherwise(0L)).as("v"))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-        col("active_7d_approx"))
+        hllEstimateZV(col("z"), col("v")).as("active_7d_approx"))
       .orderBy("day")
+  }
+
+  /** Classic-HLL estimate from an integer-scaled harmonic sum + empty-
+    * register count (graft.plans.HllDet constants — one spelling with
+    * the SQL oracle). */
+  private def hllEstimateZV(z: Column, v: Column): Column = {
+    import graft.plans.HllDet.{LcThreshold, M, RawC}
+    val raw = lit(RawC) / z.cast("double")
+    round(when(raw <= LcThreshold && v > 0,
+      lit(M.toDouble) * log(lit(M.toDouble) / v.cast("double")))
+      .otherwise(raw), 4)
   }
 
   /** Incremental aggregate maintenance: the per-user rollup is kept as a
@@ -3231,6 +3252,42 @@ object Analytics {
         |  count(DISTINCT ud.user_id) AS active_7d
         |FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
         |GROUP BY days.d ORDER BY 1""".stripMargin,
+    // Deterministic-HLL rolling sketch: the oracle recomputes the
+    // per-day registers, the per-register 7-day windowed max over a
+    // dense day×256 grid, and the estimate (graft.plans.HllDet shared
+    // constants) — register-level verification of the sketch union.
+    "q_rolling_distinct_approx" -> {
+      import graft.plans.HllDet
+      s"""WITH uh AS (
+         |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    ${TextPipeline.duckH32("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |regs AS (
+         |  SELECT day, ${HllDet.duckJ("h")} AS j,
+         |    max(${HllDet.duckRho("h")}) AS r
+         |  FROM uh GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT day, j FROM (SELECT DISTINCT day FROM uh),
+         |    (SELECT unnest(range(0, ${HllDet.M})) AS j)),
+         |dense AS (
+         |  SELECT grid.day, grid.j, coalesce(regs.r, 0) AS r,
+         |    date_diff('day', DATE '1970-01-01', grid.day) AS dn
+         |  FROM grid LEFT JOIN regs
+         |    ON grid.day = regs.day AND grid.j = regs.j),
+         |win AS (
+         |  SELECT day, j,
+         |    max(r) OVER (PARTITION BY j ORDER BY dn
+         |                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rm
+         |  FROM dense),
+         |st AS (
+         |  SELECT day,
+         |    sum(1::BIGINT << CAST(25 - rm AS INT)) AS z,
+         |    sum(CASE WHEN rm = 0 THEN 1 ELSE 0 END) AS v
+         |  FROM win GROUP BY day)
+         |SELECT strftime(day, '%Y-%m-%d') AS day,
+         |  ${HllDet.duckEstimateFromZV("active_7d_approx")}
+         |FROM st ORDER BY day""".stripMargin
+    },
     // Single-pass recompute over ALL events — the Spark side answers via
     // snapshot-merge-delta, so agreement proves the maintenance algebra.
     "q_incremental_agg" ->

@@ -308,17 +308,27 @@ object Extras {
       .groupBy(col("word")).agg(sum(col("c")).as("cnt"))
       .orderBy("word")
 
-  /** Sketch aggregation: HyperLogLog++ distinct-word estimate per language
-    * beside the exact count. At 100 TB the sketch is the point (fixed-size
-    * partial state, one narrow shuffle vs the exact distinct's two-stage
-    * expansion); the exact column here exists to expose the error.
-    * Approximate ⇒ no DuckDB oracle (driver rows-only); the ±5% tolerance
-    * contract is pinned in ExtrasSpec. */
+  /** Sketch aggregation: deterministic-HLL distinct-word estimate per
+    * language beside the exact count. At 100 TB the sketch is the point
+    * (fixed 256-byte partial state, one narrow shuffle vs the exact
+    * distinct's two-stage expansion); the exact column here exists to
+    * expose the error. Since round 13 the sketch is the engine's
+    * `hll_det` (graft.plans.HllDet) over the md5-derived h32 hashes —
+    * registers and estimate are pure functions of the data, so the
+    * DuckDB oracle recomputes BOTH in SQL and the row is hash-exact
+    * (the q_kmv_distinct doctrine applied to HLL). Spark's internal
+    * `approx_count_distinct` (HLL++, engine-opaque) stays as the
+    * measured baseline in ExtrasSpec, which also pins register-state
+    * determinism and the accuracy contract vs the exact column. */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     TextPipeline.words(Tables.documents(s, dir), "text", keep = Seq("lang"))
       .groupBy("lang")
-      .agg(approx_count_distinct(col("word"), 0.02).as("approx_words"),
+      .agg(graft.functions.VectorFunctions.hllDet(
+          TextPipeline.h32(col("word"))).as("regs"),
         countDistinct(col("word")).as("exact_words"))
+      .select(col("lang"),
+        graft.plans.HllDet.estimate(col("regs")).as("approx_words"),
+        col("exact_words"))
       .orderBy("lang")
 
   /** Date-arithmetic sampler (dayofweek numbering differs between
@@ -1056,6 +1066,30 @@ object Extras {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0)
         |    AS last_purchase_value
         |FROM events ORDER BY user_id, us, event_id""".stripMargin,
+    // Deterministic HLL: the oracle recomputes the registers (j = top 8
+    // h32 bits, rho = 25 - bitlength of the 24-bit tail) and the
+    // bias-corrected estimate from graft.plans.HllDet's shared constants.
+    "q_approx_distinct" -> {
+      import graft.plans.HllDet
+      s"""WITH words AS (
+         |  SELECT DISTINCT lang, ${TextPipeline.duckH32("word")} AS h
+         |  FROM (SELECT lang, unnest($duckToksE) AS word FROM documents)
+         |  WHERE word <> ''),
+         |regs AS (
+         |  SELECT lang, ${HllDet.duckJ("h")} AS j,
+         |    max(${HllDet.duckRho("h")}) AS r
+         |  FROM words GROUP BY 1, 2),
+         |st AS (
+         |  SELECT lang, ${HllDet.duckZV}
+         |  FROM regs GROUP BY lang),
+         |ex AS (
+         |  SELECT lang, count(DISTINCT word) AS exact_words
+         |  FROM (SELECT lang, unnest($duckToksE) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY lang)
+         |SELECT lang, ${HllDet.duckEstimateFromZV("approx_words")},
+         |  exact_words
+         |FROM st JOIN ex USING (lang) ORDER BY lang""".stripMargin
+    },
     "q_kmv_distinct" ->
       s"""WITH hashes AS (
          |  SELECT DISTINCT lang,

@@ -553,16 +553,15 @@ class AnalyticsSpec extends SparkSpec {
     val exact = Analytics.qRollingDistinct(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val approx = Analytics.qRollingDistinctApprox(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(approx.keySet == exact.keySet, "day sets must match")
-    // at fixture cardinalities DataSketches HLL sits in exact coupon mode
-    // (< ~512 distincts), so the rounded estimate should EQUAL the exact
-    // count; tolerate ±2% so a future bigger fixture doesn't false-fail,
-    // while a broken union (e.g. per-day sketch not merging) lands far out
+    // m=256 deterministic HLL (graft.plans.HllDet): ±6.5% standard
+    // error; measured fixture drift ≈ 4.2%. A broken union (e.g.
+    // per-day registers not merging across the 7-day frame) lands far
+    // outside ±10%.
     exact.foreach { case (day, n) =>
       val a = approx(day)
-      assert(math.abs(a - n) <= math.max(1L, (n * 0.02).toLong),
-        s"day=$day approx=$a exact=$n")
+      assert(math.abs(a - n) / n <= 0.10, s"day=$day approx=$a exact=$n")
     }
   }
 

@@ -9,15 +9,64 @@ import graft.queries.Extras
   * (partition pruning) for the scale story. */
 class ExtrasSpec extends SparkSpec {
 
-  test("approx_count_distinct stays within 5% of exact per language") {
+  test("hll_det estimate stays within 10% of exact per language; " +
+      "approx_count_distinct baseline within 5%") {
+    import org.apache.spark.sql.functions._
     val rows = Extras.qApproxDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (approx, exact) = (r.getAs[Long]("approx_words"), r.getAs[Long]("exact_words"))
+      val (approx, exact) = (r.getAs[Double]("approx_words"), r.getAs[Long]("exact_words"))
       assert(exact > 0)
-      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
-        s"lang=${r.getString(0)}: approx=$approx exact=$exact drift > 5%")
+      // m=256 classic HLL: ±1.04/√m ≈ 6.5% standard error (measured
+      // fixture drift ≈ 6.6% in the linear-counting regime)
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"lang=${r.getString(0)}: approx=$approx exact=$exact drift > 10%")
     }
+    // the Spark-internal HLL++ spelling stays as the measured baseline
+    val base = graft.core.TextPipeline
+      .words(graft.io.Tables.documents(spark, sf), "text", keep = Seq("lang"))
+      .groupBy("lang")
+      .agg(approx_count_distinct(col("word"), 0.02).as("a"),
+        countDistinct(col("word")).as("e")).collect()
+    base.foreach { r =>
+      val (a, e) = (r.getAs[Long]("a"), r.getAs[Long]("e"))
+      assert(math.abs(a - e).toDouble / e <= 0.05,
+        s"baseline approx_count_distinct drift > 5% (lang=${r.getString(0)})")
+    }
+  }
+
+  test("hll_det registers are deterministic across parallelism levels " +
+      "and equal a single-threaded recompute") {
+    import org.apache.spark.sql.functions._
+    def regs(parts: Int): Map[String, Seq[Int]] = graft.core.TextPipeline
+      .words(graft.io.Tables.documents(spark, sf), "text", keep = Seq("lang"))
+      .repartition(parts)
+      .groupBy("lang")
+      .agg(graft.functions.VectorFunctions.hllDet(
+        graft.core.TextPipeline.h32(col("word"))).as("regs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    val r32 = regs(32)
+    assert(regs(1) == r32, "register state differs between 1 and 32 partitions")
+    // independent register recompute from first principles (md5 h32)
+    val words = graft.core.TextPipeline
+      .words(graft.io.Tables.documents(spark, sf), "text", keep = Seq("lang"))
+      .select(col("lang"), col("word")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = words.groupBy(_._1).map { case (lang, ws) =>
+      val m = new Array[Int](256)
+      ws.map(_._2).distinct.foreach { w =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8")).take(4)
+          .foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xFF))
+        val j = (md >>> 24).toInt
+        val tail = md & 0xFFFFFF
+        val rho = if (tail == 0L) 25
+          else 25 - (64 - java.lang.Long.numberOfLeadingZeros(tail))
+        if (rho > m(j)) m(j) = rho
+      }
+      lang -> m.toSeq
+    }
+    assert(want == r32.map { case (k, v) => k -> v }, "registers != first-principles recompute")
   }
 
   test("correlated scalar subquery is decorrelated (aggregate+join, no per-row subplan)") {
