@@ -923,18 +923,21 @@ object Dedup {
     * `live` filters the INCOMING batch (the erase verb excludes the
     * deletion subjects there too — a forgotten subject's text may not
     * be fingerprinted or probed, the same both-sides contract as
-    * Similarity.qAnnIndexErase); the artifacts need no predicate — a
-    * pruned generation simply has fewer rows. */
+    * Similarity.qAnnIndexErase); `batch` DEFINES the incoming batch
+    * (default: the odd half — the lifecycle chain probes other batch
+    * shapes, including re-added even ids); the artifacts need no
+    * predicate — a pruned generation simply has fewer rows. */
   private[graft] def probeDedupIndex(s: SparkSession, dir: String,
-      root: String, live: Column = lit(true)): DataFrame = {
+      root: String, live: Column = lit(true),
+      batch: Column = col("doc_id") % 2 === 1): DataFrame = {
     val idxFps = s.read.parquet(s"$root/postings.parquet")
     val idxSs = s.read.parquet(s"$root/shingles.parquet")
     val batchFps = TextAnalysis.winnowFps(s, dir)
-      .filter(col("doc_id") % 2 === 1 && live)
+      .filter(batch && live)
       // 3 consumers: vs-index join + both batch-internal sides
       .transform(graft.core.Lineage.cut)
     val batchSs = hashedStore(shingled(s, dir)
-        .filter(col("doc_id") % 2 === 1 && live))
+        .filter(batch && live))
       // 2 consumers (both verification-join sides via the union store)
       .transform(graft.core.Lineage.cut)
     val candIdx = batchFps
@@ -1034,26 +1037,31 @@ object Dedup {
   private val dedupAddRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** The probe's duplicate-id set, Lineage.cut because every builder
+  /** A probe's duplicate-id set, Lineage.cut because every builder
     * consumes it from two write jobs (postings + store anti-joins) —
     * without the cut the whole probe's candidate/verify stage would
     * re-execute per artifact write. */
-  private def dedupDupIds(s: SparkSession, d: String): DataFrame =
-    graft.core.Lineage.cut(qDedupPersisted(s, d)
+  private def dupIdsOf(probe: DataFrame): DataFrame =
+    graft.core.Lineage.cut(probe
       .select(col("new_id").as("doc_id")).distinct())
+
+  private def dedupDupIds(s: SparkSession, d: String): DataFrame =
+    dupIdsOf(qDedupPersisted(s, d))
 
   /** The ADD verb's admission rule — accepted batch postings/store rows
     * (odd ids minus the probe's duplicates) — ONE spelling shared by
     * [[dedupAddedIndexDir]] and the compaction delta files
     * ([[dedupCompactedIndexDir]]) so the two verbs cannot drift. */
   private def acceptedBatchPostings(s: SparkSession, d: String,
-      dups: DataFrame): DataFrame =
-    TextAnalysis.winnowFps(s, d).filter(col("doc_id") % 2 === 1)
+      dups: DataFrame,
+      batch: Column = col("doc_id") % 2 === 1): DataFrame =
+    TextAnalysis.winnowFps(s, d).filter(batch)
       .join(dups, Seq("doc_id"), "left_anti")
 
   private def acceptedBatchStore(s: SparkSession, d: String,
-      dups: DataFrame): DataFrame =
-    hashedStore(shingled(s, d).filter(col("doc_id") % 2 === 1))
+      dups: DataFrame,
+      batch: Column = col("doc_id") % 2 === 1): DataFrame =
+    hashedStore(shingled(s, d).filter(batch))
       .join(dups, Seq("doc_id"), "left_anti")
 
   /** Per-doc artifact summary of an index generation (doc_id, n_fps,
@@ -1179,6 +1187,90 @@ object Dedup {
     * once, keyed by doc_id. */
   def qDedupIndexCompact(s: SparkSession, dir: String): DataFrame =
     artifactSummary(s, dedupCompactedIndexDir(s, dir), lit(true))
+
+  /** Lifecycle-composition roots for [[qDedupIndexLifecycle]]. */
+  private val dedupLifecycleRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Re-consent predicate (the ANN tier's reAddedVec applied to docs):
+    * the even-multiple half of the deletion set re-uploads AFTER its
+    * erasure, so the day-2 tombstone must not block the day-4 add. */
+  private def reAddedDoc(c: Column): Column =
+    c % (2 * Ingest.ErasureMod) === 0
+
+  /** Builds the multi-day generation CHAIN of the persisted dedup index
+    * — the composed sequence the pairwise verbs ([[qDedupIndexAdd]] /
+    * [[qDedupIndexErase]] / [[qDedupIndexCompact]]) each proved alone:
+    *
+    *   day 0  gen0   = the historical build (the even half)
+    *   day 1  ADD    batch1 = doc_id ≡ 1 (mod 4), probed against gen0,
+    *                  survivors' postings/store rows become delta files
+    *   day 2  ERASE  tombstones = the deletion subjects (≡ 0 mod 17)
+    *   day 3  COMPACT gen1 = (gen0 ∪ delta1) − tombstones
+    *   day 4  ADD    batch2 = the ≡ 3 (mod 4) arrivals (minus forgotten
+    *                  subjects) PLUS the re-consented deletion half
+    *                  ([[reAddedDoc]]), probed against gen1 → gen2
+    *
+    * Each verb is the SAME machinery as its pairwise twin (the shared
+    * [[probeDedupIndex]] plan, the shared admission helpers) — this
+    * builder only chains them, so the lifecycle query proves the verbs
+    * compose: day-4 admission answers to day-3's membership, re-added
+    * ids are fingerprinted fresh and survive the earlier tombstone, and
+    * every generation is pure parquet-row algebra (no re-shingling of
+    * history anywhere in the chain). */
+  private[graft] def dedupLifecycleIndexDir(s: SparkSession, dir: String): String =
+    dedupLifecycleRoots.computeIfAbsent(dir, { d =>
+      val root = Ingest.scratchDir("dedupindexlifecycle", d)
+      val gen0 = dedupIndexDir(s, d)
+      val batch1 = col("doc_id") % 4 === 1
+      val dups1 = dupIdsOf(probeDedupIndex(s, d, gen0, batch = batch1))
+      acceptedBatchPostings(s, d, dups1, batch1)
+        .write.mode("overwrite").parquet(s"$root/delta1_postings.parquet")
+      acceptedBatchStore(s, d, dups1, batch1)
+        .write.mode("overwrite").parquet(s"$root/delta1_shingles.parquet")
+      Tables.documents(s, d).select(col("doc_id"))
+        .filter(erasedDoc(col("doc_id")))
+        .write.mode("overwrite").parquet(s"$root/tombstones.parquet")
+      val tomb = s.read.parquet(s"$root/tombstones.parquet")
+      s.read.parquet(s"$gen0/postings.parquet")
+        .unionByName(s.read.parquet(s"$root/delta1_postings.parquet"))
+        .join(tomb, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$root/gen1/postings.parquet")
+      s.read.parquet(s"$gen0/shingles.parquet")
+        .unionByName(s.read.parquet(s"$root/delta1_shingles.parquet"))
+        .join(tomb, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$root/gen1/shingles.parquet")
+      val batch2 = (col("doc_id") % 4 === 3 && !erasedDoc(col("doc_id"))) ||
+        reAddedDoc(col("doc_id"))
+      val dups2 = dupIdsOf(probeDedupIndex(s, d, s"$root/gen1", batch = batch2))
+      s.read.parquet(s"$root/gen1/postings.parquet")
+        .unionByName(acceptedBatchPostings(s, d, dups2, batch2))
+        .write.mode("overwrite").parquet(s"$root/gen2/postings.parquet")
+      s.read.parquet(s"$root/gen1/shingles.parquet")
+        .unionByName(acceptedBatchStore(s, d, dups2, batch2))
+        .write.mode("overwrite").parquet(s"$root/gen2/shingles.parquet")
+      s"$root/gen2"
+    })
+
+  /** END-TO-END dedup-index lifecycle — add → erase → compact → add
+    * composed on one generation chain ([[dedupLifecycleIndexDir]]),
+    * reported as the per-doc artifact summary of the FINAL generation
+    * (read back from the gen2 parquet, so the gate checks the physical
+    * fold). The oracle derives the surviving logical membership from
+    * the shared candidate/verify CTE chain staged twice — day-1
+    * admission against the historical half, day-4 admission against
+    * the compacted membership — so every verify run re-proves the
+    * verbs' ASSOCIATIVITY: the chained generations hold exactly the
+    * rows a from-scratch build over the surviving membership would
+    * (the spec pins that rebuild row-equal, plus re-added subjects
+    * present and forgotten subjects absent).
+    *
+    * Scale stance (100 TB): each day's work is O(that day's batch) —
+    * probes fingerprint only the arrivals, folds are unions plus one
+    * broadcast anti-join on narrow posting/store rows, and the corpus
+    * text is never re-scanned for any historical doc. */
+  def qDedupIndexLifecycle(s: SparkSession, dir: String): DataFrame =
+    artifactSummary(s, dedupLifecycleIndexDir(s, dir), lit(true))
 
   /** Quality-aware dedup survivor selection — the step that turns the
     * cluster labeling ([[qDedupClusters]]) into the RETAINED corpus: per
@@ -1395,6 +1487,7 @@ object Dedup {
     "q_dedup_index_erase" -> (qDedupIndexErase _),
     "q_dedup_index_add" -> (qDedupIndexAdd _),
     "q_dedup_index_compact" -> (qDedupIndexCompact _),
+    "q_dedup_index_lifecycle" -> (qDedupIndexLifecycle _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_survivors" -> (qDedupSurvivors _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -1583,6 +1676,50 @@ object Dedup {
   private lazy val indexEraseOracleSql: String = incrementalOracleSqlWhere(
     s"""AND c.a_id % ${Ingest.ErasureMod} <> 0
        |    AND c.b_id % ${Ingest.ErasureMod} <> 0""".stripMargin)
+
+  /** The LIFECYCLE chain's oracle: derive the surviving membership by
+    * staging the shared verified-pair relation through the same two
+    * admissions the generation chain runs — day-1 (batch ≡ 1 mod 4 vs
+    * the historical evens, keep-earlier batch-internally), the day-2/3
+    * erase-and-compact (membership minus subjects), then day-4
+    * (batch ≡ 3 mod 4 plus re-consented subjects vs the compacted
+    * membership) — and summarize the members' per-doc artifact counts
+    * from the SAME f/sh CTEs the pair machinery uses. */
+  private lazy val indexLifecycleOracleSql: String = {
+    val em = Ingest.ErasureMod
+    s"""WITH $winnowCandCte,
+       |scored AS (SELECT c.a_id, c.b_id
+       |  FROM cand c JOIN sh a ON a.doc_id = c.a_id
+       |              JOIN sh b ON b.doc_id = c.b_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.s, b.s))) >= $JaccardT),
+       |sym AS (SELECT a_id AS x, b_id AS y FROM scored
+       |        UNION ALL SELECT b_id, a_id FROM scored),
+       |dups1 AS (SELECT DISTINCT x AS doc_id FROM sym
+       |  WHERE x % 4 = 1 AND (y % 2 = 0 OR (y % 4 = 1 AND y < x))),
+       |m2 AS (SELECT doc_id FROM documents
+       |  WHERE doc_id % $em <> 0
+       |    AND (doc_id % 2 = 0 OR (doc_id % 4 = 1
+       |         AND doc_id NOT IN (SELECT doc_id FROM dups1)))),
+       |b2 AS (SELECT doc_id FROM documents
+       |  WHERE (doc_id % 4 = 3 AND doc_id % $em <> 0)
+       |     OR doc_id % ${2 * em} = 0),
+       |dups2 AS (SELECT DISTINCT s.x AS doc_id
+       |  FROM sym s JOIN b2 ON s.x = b2.doc_id
+       |  WHERE s.y IN (SELECT doc_id FROM m2)
+       |     OR (s.y IN (SELECT doc_id FROM b2) AND s.y < s.x)),
+       |m3 AS (SELECT doc_id FROM m2
+       |  UNION SELECT doc_id FROM b2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dups2)),
+       |fpc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps
+       |        FROM f GROUP BY 1),
+       |shc AS (SELECT doc_id, CAST(len(list_distinct(s)) AS BIGINT)
+       |          AS n_shingles
+       |        FROM sh)
+       |SELECT doc_id, n_fps, n_shingles
+       |FROM m3 JOIN fpc USING (doc_id) JOIN shc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   private def sigCte =
     s"""toks AS (SELECT doc_id, $duckToks AS w FROM documents),
@@ -1773,6 +1910,7 @@ object Dedup {
     "q_dedup_index_erase" -> indexEraseOracleSql,
     "q_dedup_index_add" -> indexAddOracleSql,
     "q_dedup_index_compact" -> indexCompactOracleSql,
+    "q_dedup_index_lifecycle" -> indexLifecycleOracleSql,
     "q_dedup_containment" ->
       s"""WITH $winnowCandCte,
          |scored AS (SELECT c.a_id, c.b_id,

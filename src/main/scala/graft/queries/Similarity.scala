@@ -970,6 +970,89 @@ object Similarity {
     probeAnnIndex(s, dir, compactedAnnIndexDir(s, dir),
       !erasedVec(col("vec_id")))
 
+  /** Lifecycle-composition roots for [[qAnnIndexLifecycle]]. */
+  private val lifecycleRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The re-consent predicate: the half of the deletion set (even
+    * multiples of ErasureMod) that re-uploads AFTER its erasure — the
+    * day-4 re-add that proves a tombstone kills only generations
+    * BEFORE it, never later arrivals of the same id (the
+    * log-structured-store invariant compaction must preserve). */
+  private def reAddedVec(c: Column): Column =
+    c % (2 * graft.queries.Ingest.ErasureMod) === 0
+
+  /** Builds the full multi-day generation CHAIN of the persisted ANN
+    * index and folds it verb by verb — the sequence a production store
+    * actually accumulates, where [[qAnnIndexDelta]]/[[qAnnIndexErase]]/
+    * [[qAnnIndexCompact]] each proved one verb pairwise:
+    *
+    *   day 0  gen0   = yesterday's build (the even half)
+    *   day 1  ADD    delta1 = the vec_id ≡ 1 (mod 4) arrivals, encoded
+    *                  against the FROZEN quantizers
+    *   day 2  ERASE  tombstones = the deletion subjects (≡ 0 mod 17)
+    *   day 3  COMPACT gen1 = (gen0 ∪ delta1) − tombstones
+    *   day 4  ADD    delta2 = the ≡ 3 (mod 4) arrivals (minus forgotten
+    *                  subjects) PLUS the re-consented half of the
+    *                  deletion set ([[reAddedVec]]) → gen2
+    *
+    * Every verb reuses the pairwise machinery ([[encodeRows]], the
+    * compaction fold) — this builder only CHAINS them, so what the
+    * lifecycle query proves is the verbs' associativity: the final
+    * generation must equal a from-scratch encode of the surviving
+    * logical membership, re-added ids must survive the earlier
+    * tombstone, and nothing erased may resurrect. */
+  private[graft] def lifecycleAnnIndexDir(s: SparkSession, dir: String): String =
+    lifecycleRoots.computeIfAbsent(dir, { d =>
+      val src = persistedIndexDir(s, d)
+      val root = Ingest.scratchDir("annindexlifecycle", d)
+      s.read.parquet(s"$src/pq_codes.parquet")
+        .filter(col("vec_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$root/gen0/pq_codes.parquet")
+      encodeRows(s, d, col("vec_id") % 4 === 1)
+        .write.mode("overwrite").parquet(s"$root/delta1.parquet")
+      vecs(s, d).select(col("vec_id")).filter(erasedVec(col("vec_id")))
+        .write.mode("overwrite").parquet(s"$root/tombstones.parquet")
+      val tomb = s.read.parquet(s"$root/tombstones.parquet")
+      s.read.parquet(s"$root/gen0/pq_codes.parquet")
+        .unionByName(s.read.parquet(s"$root/delta1.parquet"))
+        .join(tomb, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$root/gen1/pq_codes.parquet")
+      encodeRows(s, d,
+          (col("vec_id") % 4 === 3 && !erasedVec(col("vec_id"))) ||
+            reAddedVec(col("vec_id")))
+        .write.mode("overwrite").parquet(s"$root/delta2.parquet")
+      s.read.parquet(s"$root/gen1/pq_codes.parquet")
+        .unionByName(s.read.parquet(s"$root/delta2.parquet"))
+        .write.mode("overwrite").parquet(s"$root/gen2/pq_codes.parquet")
+      s.read.parquet(s"$src/ivf_centroids.parquet")
+        .write.mode("overwrite").parquet(s"$root/gen2/ivf_centroids.parquet")
+      s.read.parquet(s"$src/pq_codebook.parquet")
+        .write.mode("overwrite").parquet(s"$root/gen2/pq_codebook.parquet")
+      s"$root/gen2"
+    })
+
+  /** END-TO-END index lifecycle — add → erase → compact → add composed
+    * on one generation chain ([[lifecycleAnnIndexDir]]), then the
+    * standard probe over the final generation. The surviving logical
+    * membership is `vec_id % 17 ≠ 0 OR vec_id % 34 = 0` (everything
+    * except the NON-re-consented deletion subjects), and the oracle is
+    * the shared train+probe CTE chain with exactly that membership
+    * predicate on the query and candidate sides — so the gate re-proves
+    * per verify that the composed verbs answer like a from-scratch
+    * build over the survivors (associativity of the lifecycle, the
+    * invariant a store relies on across days). The spec additionally
+    * pins gen2 row-equal to [[encodeFrozen]] over the membership, the
+    * re-added ids PRESENT (day-2 tombstones must not leak onto the
+    * day-4 add), and the forgotten ids absent.
+    *
+    * Scale stance (100 TB): the chain never re-encodes or retrains —
+    * each fold is a union of code-row scans plus one anti-join against
+    * the broadcast tombstone list; probe cost is unchanged O(queries). */
+  def qAnnIndexLifecycle(s: SparkSession, dir: String): DataFrame =
+    probeAnnIndex(s, dir, lifecycleAnnIndexDir(s, dir),
+      !erasedVec(col("vec_id")) || reAddedVec(col("vec_id")))
+
   /** Residual IVFADC — the FAISS DEFAULT configuration
     * (`by_residual=true`; Jégou, Douze & Schmid, TPAMI 2011 §V.A):
     * PQ encodes each vector's RESIDUAL from its assigned coarse
@@ -1324,6 +1407,7 @@ object Similarity {
     "q_ann_persisted" -> (qAnnPersisted _),
     "q_ann_index_delta" -> (qAnnIndexDelta _),
     "q_ann_index_erase" -> (qAnnIndexErase _),
+    "q_ann_index_lifecycle" -> (qAnnIndexLifecycle _),
     "q_ann_ivfpq_residual" -> (qAnnIvfPqResidual _),
     "q_ann_index_compact" -> (qAnnIndexCompact _),
     "q_ann_residual_persisted" -> (qAnnResidualPersisted _),
@@ -1789,6 +1873,15 @@ object Similarity {
     "q_ann_index_compact" -> ivfPqOracleSqlWhere(
       s" AND vec_id % ${Ingest.ErasureMod} <> 0",
       s" AND s.vec_id % ${Ingest.ErasureMod} <> 0"),
+    // The composed add → erase → compact → add chain must answer like a
+    // from-scratch build over the surviving logical membership:
+    // everything except the deletion subjects that did NOT re-consent
+    // (re-added ids — even multiples of ErasureMod — survive).
+    "q_ann_index_lifecycle" -> ivfPqOracleSqlWhere(
+      s" AND (vec_id % ${Ingest.ErasureMod} <> 0" +
+        s" OR vec_id % ${2 * Ingest.ErasureMod} = 0)",
+      s" AND (s.vec_id % ${Ingest.ErasureMod} <> 0" +
+        s" OR s.vec_id % ${2 * Ingest.ErasureMod} = 0)"),
     // The delta's codes come from the SAME codebook/centroid chain, so
     // encoding the delta must reproduce the full build's rows for those
     // ids — the property that makes incremental ingest safe.

@@ -1042,6 +1042,73 @@ class DedupSimilaritySpec extends SparkSpec {
       s"compacted generation must hold historical AND admitted docs: $parities")
   }
 
+  test("ANN lifecycle chain: gen2 == frozen-codebook encode of the surviving membership; re-adds survive the tombstone; forgotten ids gone") {
+    val d = "/root/testdata/sf0.01"
+    val root = Similarity.lifecycleAnnIndexDir(spark, d)
+    val gen2 = spark.read.parquet(s"$root/pq_codes.parquet")
+    // surviving membership: everything except the non-re-consented
+    // deletion subjects (odd multiples of 17)
+    val member = col("vec_id") % 17 =!= 0 || col("vec_id") % 34 === 0
+    // (a) associativity: the chained generations hold exactly what a
+    // from-scratch encode over the survivors produces, row for row
+    val want = Similarity.encodeFrozen(spark, d, member)
+      .collect().map(_.toString).toSeq
+    val got = gen2
+      .select(col("vec_id") +: col("ivf_cell") +:
+        (0 until 8).map(m => element_at(col("codes"), m + 1).as(s"c$m")): _*)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want,
+      s"lifecycle gen2 != survivor re-encode: got=${got.take(2)} want=${want.take(2)}")
+    // (b) the day-2 tombstone must not leak onto the day-4 add: the
+    // re-consented subjects are BACK in the final generation
+    assert(gen2.filter(col("vec_id") % 34 === 0).count() > 0,
+      "re-added subjects missing from gen2 — tombstone leaked forward")
+    // (c) right-to-be-forgotten still holds for the non-re-consented half
+    assert(gen2.filter(col("vec_id") % 17 === 0 && col("vec_id") % 34 =!= 0)
+      .count() == 0, "forgotten vec_ids survive the lifecycle chain")
+    // (d) the probe serves only members, on both sides
+    val res = Similarity.qAnnIndexLifecycle(spark, d).collect()
+    assert(res.nonEmpty && res.forall { r =>
+      def ok(v: Long) = v % 17 != 0 || v % 34 == 0
+      ok(r.getLong(0)) && ok(r.getLong(2))
+    }, "non-member id served from the lifecycle generation")
+  }
+
+  test("dedup lifecycle chain: gen2 == from-scratch rebuild over its membership; re-adds survive the tombstone; forgotten ids gone") {
+    val d = "/root/testdata/sf0.01"
+    val root = Dedup.dedupLifecycleIndexDir(spark, d)
+    // member set per the artifact (the DuckDB oracle independently pins
+    // WHICH ids these are via the staged-admission CTE chain; here we
+    // pin that the chained fold equals a from-scratch build over them)
+    val members = spark.read.parquet(s"$root/postings.parquet")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(members.nonEmpty)
+    // (a) forgotten subjects (odd multiples of 17) absent, re-consented
+    // subjects (even multiples) present — per artifact
+    for (t <- Seq("postings", "shingles")) {
+      val ids = spark.read.parquet(s"$root/$t.parquet")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(!ids.exists(v => v % 17 == 0 && v % 34 != 0),
+        s"forgotten doc_ids survive the lifecycle chain in $t")
+      assert(ids.exists(_ % 34 == 0),
+        s"re-added subjects missing from $t — tombstone leaked forward")
+    }
+    // (b) associativity: gen2 row-equal to writeDedupIndex over exactly
+    // the member set (per-doc artifact determinism composed across the
+    // whole verb chain)
+    val rebuilt = java.nio.file.Files.createTempDirectory("lcrb").toString
+    Dedup.writeDedupIndex(spark, d,
+      col("doc_id").isin(members.toSeq: _*), rebuilt)
+    for (t <- Seq("postings", "shingles")) {
+      val a = spark.read.parquet(s"$root/$t.parquet")
+        .collect().map(_.toString).toSet
+      val b = spark.read.parquet(s"$rebuilt/$t.parquet")
+        .collect().map(_.toString).toSet
+      assert(a.nonEmpty && a == b,
+        s"lifecycle $t diverged from the rebuild: extra=${(a -- b).take(2)} missing=${(b -- a).take(2)}")
+    }
+  }
+
   test("nprobe curve: monotone, exact at full probe, and consistent with the recall dashboard at nprobe=2") {
     val d = "/root/testdata/sf0.01"
     val rows = Similarity.qAnnNprobeCurve(spark, d).collect()
