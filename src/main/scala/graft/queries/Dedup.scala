@@ -1413,6 +1413,93 @@ object Dedup {
       .orderBy("a_id", "b_id", "a_start", "b_start")
   }
 
+  /** Minimum duplicated-substring length (in tokens) for
+    * [[qDedupSubstrings]] — deliberately NOT a power of two so the
+    * overlapping-window combine (the general-L construction) is
+    * exercised, not just the doubling rounds. */
+  private[graft] val SubstrL = 12
+
+  /** 60-bit position key (15 hex chars of md5 → BIGINT) — the [[sh60]]
+    * collision contract applied to the doubling chain: within any one
+    * corpus-level gram population (~10⁵ here, ~10¹¹ even at 100 TB) a
+    * 60-bit collision between DIFFERENT substrings is ≪ 1 per corpus,
+    * and the string-space oracle re-checks on every verify run. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Corpus-wide duplicated-SUBSTRING spans — the suffix-array rung of
+    * the dedup ladder (Lee et al. ACL'22 find all ≥50-token duplicated
+    * substrings via a suffix array; [[qDedupSpans]] is its pair-wise
+    * little sibling): every maximal per-document run of positions whose
+    * [[SubstrL]]-token substring occurs ≥ 2 times ANYWHERE in the corpus
+    * (other documents or elsewhere in the same one), reported as
+    * (doc_id, start_pos, span_tokens). A position is covered by some
+    * duplicated substring of length ≥ L iff its L-gram is duplicated, so
+    * maximal runs of duplicated L-gram starts are exactly the maximal
+    * duplicated regions the suffix-array recipe cuts.
+    *
+    * Construction is bounded PREFIX DOUBLING (Manber–Myers, SIAM
+    * J. Comput. 1993, truncated at depth L — the suffix-array step that
+    * matters for a fixed minimum length): position keys start as 60-bit
+    * token hashes and each round combines key(i) with key(i + 2ᵏ) into a
+    * width-2ᵏ⁺¹ key; L = 12 is reached by combining the two OVERLAPPING
+    * width-8 keys at i and i+4 (equal 12-grams ⇔ equal key pairs — the
+    * sparse-table trick, so ANY L needs only ⌈log₂ L⌉ rounds + 1
+    * combine). Nothing ever materializes an L-token string: each round
+    * shuffles narrow (doc_id, pos, key BIGINT) rows once, which is the
+    * whole 100 TB point — at L = 50 the direct spelling builds 50-token
+    * strings per position (~50× the corpus over the wire), the doubling
+    * chain moves 6 rounds × 16 bytes.
+    *
+    * The ORACLE is the direct string-space L-gram spelling over the same
+    * token CTEs (group the literal 12-gram, count ≥ 2, gaps-and-islands)
+    * — so every verify run re-proves the doubling chain AND the 60-bit
+    * collision contract against ground truth.
+    *
+    * Scale stance (100 TB): ⌈log₂ L⌉ self-joins co-keyed on
+    * (doc_id, pos) — narrow rows, no data-dependent skew (positions are
+    * per-doc sequential); the occurrence count is one hash aggregate on
+    * the 8-byte final key (hot boilerplate keys cost a count, never a
+    * pair join — there is NO Σdf² term anywhere, unlike posting-join
+    * rungs); islands are per-doc windows over dup positions only. */
+  def qDedupSubstrings(s: SparkSession, dir: String): DataFrame =
+    dedupSubstrings(Tables.documents(s, dir))
+
+  /** Core of [[qDedupSubstrings]] over any (doc_id, text) relation —
+    * exposed so the spec can pin exact span boundaries on engineered
+    * corpora with known repeated passages. */
+  private[graft] def dedupSubstrings(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // width-1 keys: one narrow (doc_id, pos, key) row per token
+    val base = docs
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), h60(col("w")).as("k"))
+    // one doubling/combine step: key'(i) = h60(key(i) || ':' || key(i+off))
+    def widen(df: DataFrame, off: Int): DataFrame = {
+      val cut = graft.core.Lineage.cut(df) // both self-join sides
+      cut.select(col("doc_id"), col("pos"), col("k").as("ka"))
+        .join(cut.select(col("doc_id"), (col("pos") - off).as("pos"),
+          col("k").as("kb")), Seq("doc_id", "pos"))
+        .select(col("doc_id"), col("pos"),
+          h60(concat_ws(":", col("ka"), col("kb"))).as("k"))
+    }
+    // widths 2, 4, 8 (the doubling rounds), then the overlapping combine
+    // at offset L-8=4 → width-12 keys at every valid 12-gram start
+    val k12 = widen(Seq(1, 2, 4).foldLeft(base)(widen), SubstrL - 8)
+    val dupKeys = k12.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select("k")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    k12.join(dupKeys, Seq("k"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start_pos"), count(lit(1)).as("run"))
+      .select(col("doc_id"), col("start_pos"),
+        (col("run") + (SubstrL - 1)).as("span_tokens"))
+      .orderBy("doc_id", "start_pos")
+  }
+
   // ---- train/eval hygiene (round-11 wave 3) --------------------------------
 
   /** Deterministic doc-space split shared with `Corpus.qDecontaminate`:
@@ -1469,6 +1556,7 @@ object Dedup {
     "q_split_leakage" -> (qSplitLeakage _),
     "q_training_pairs" -> (qTrainingPairs _),
     "q_dedup_spans" -> (qDedupSpans _),
+    "q_dedup_substrings" -> (qDedupSubstrings _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_minhash_signature" -> (qMinhashSignature _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -1911,6 +1999,31 @@ object Dedup {
     "q_dedup_index_add" -> indexAddOracleSql,
     "q_dedup_index_compact" -> indexCompactOracleSql,
     "q_dedup_index_lifecycle" -> indexLifecycleOracleSql,
+    // Direct string-space L-gram ground truth: literal 12-gram strings
+    // grouped corpus-wide, count >= 2, gaps-and-islands — re-proving the
+    // prefix-doubling hash chain AND its 60-bit collision contract.
+    "q_dedup_substrings" -> {
+      val lm1 = SubstrL - 1
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |        list_transform(range(1, len(w) - $lm1 + 1),
+         |          i -> list_aggr(w[CAST(i AS INT) : CAST(i + $lm1 AS INT)],
+         |                 'string_agg', ' ')) AS gs
+         |      FROM toks WHERE len(w) >= $SubstrL),
+         |p AS (SELECT doc_id, unnest(gs) AS gram,
+         |        unnest(range(0, len(gs))) AS pos FROM g),
+         |dup AS (SELECT gram FROM p GROUP BY gram HAVING count(*) >= 2),
+         |dp AS (SELECT p.doc_id, p.pos FROM p
+         |       SEMI JOIN dup ON p.gram = dup.gram),
+         |isl AS (SELECT doc_id, pos,
+         |          pos - row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY pos) AS grp
+         |        FROM dp)
+         |SELECT doc_id, CAST(min(pos) AS INT) AS start_pos,
+         |  CAST(count(*) + $lm1 AS BIGINT) AS span_tokens
+         |FROM isl GROUP BY doc_id, grp
+         |ORDER BY doc_id, start_pos""".stripMargin
+    },
     "q_dedup_containment" ->
       s"""WITH $winnowCandCte,
          |scored AS (SELECT c.a_id, c.b_id,

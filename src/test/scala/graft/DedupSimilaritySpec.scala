@@ -1109,6 +1109,25 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("substring dedup: engineered corpus with known repeated passages yields exact span boundaries; same-doc repeats count") {
+    import spark.implicits._
+    // a 14-token passage shared by docs 1 and 2 at different offsets, a
+    // unique doc, and a doc whose 12-token block repeats INTERNALLY (the
+    // >=2 rule counts total occurrences, not distinct docs)
+    val p = ('a' to 'n').map(c => s"p$c").mkString(" ")     // 14 tokens
+    val q = ('a' to 'l').map(c => s"r$c").mkString(" ")     // 12 tokens
+    val docs = Seq(
+      (1L, s"xa xb xc xd xe xf $p ya yb yc yd"),            // P at pos 6
+      (2L, s"ma mb mc $p na nb nc nd ne"),                   // P at pos 3
+      (3L, ('a' to 'o').map(c => s"u$c").mkString(" ")),     // unique
+      (4L, s"$q zz yy $q")                                   // Q at 0 and 14
+    ).toDF("doc_id", "text")
+    val got = graft.queries.Dedup.dedupSubstrings(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = Set((1L, 6, 14L), (2L, 3, 14L), (4L, 0, 12L), (4L, 14, 12L))
+    assert(got == want, s"spans: got=$got want=$want")
+  }
+
   test("nprobe curve: monotone, exact at full probe, and consistent with the recall dashboard at nprobe=2") {
     val d = "/root/testdata/sf0.01"
     val rows = Similarity.qAnnNprobeCurve(spark, d).collect()
