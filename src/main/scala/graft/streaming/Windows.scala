@@ -511,11 +511,16 @@ object Windows {
     *
     * Scale stance (100 TB): the index half is NEVER re-fingerprinted —
     * per micro-batch text work is O(batch); registry state is
-    * O(postings of probed docs) and in production is bounded by the
-    * same watermark+timeout discipline as [[sessionizeStream]] once
-    * batch-internal pairing is scoped to an ingestion window (index
-    * collisions, the dominant case, hold no state at all). */
-  def dedupIndexProbeStream(docs: DataFrame, indexRoot: String): DataFrame = {
+    * O(postings of probed docs), BOUNDED by `pairTtl`: batch-internal
+    * pairing is scoped to an ingestion window (the [[sessionizeStream]]
+    * timeout discipline, here on processing time since file-arrival
+    * batches carry no event time), so a fingerprint idle past the TTL
+    * drops its postings — a long-running stream holds only the active
+    * window's state. `None` keeps the unbounded registry (the
+    * replay-to-equality harness needs the full history; index
+    * collisions, the dominant case, hold no state either way). */
+  def dedupIndexProbeStream(docs: DataFrame, indexRoot: String,
+      pairTtl: Option[java.time.Duration] = None): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val T = graft.queries.Dedup.JaccardT
@@ -551,38 +556,68 @@ object Windows {
       .as[ProbePosting]
       .groupByKey(p => (p.lang, p.fingerprint))
       .flatMapGroupsWithState[Seq[ProbePosting], ProbeHit](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: (String, Long), batch: Iterator[ProbePosting],
-         state: GroupState[Seq[ProbePosting]]) =>
-          var known = state.getOption.getOrElse(Seq.empty)
-          val out = Seq.newBuilder[ProbeHit]
-          // id order within the micro-batch: emission order is then
-          // deterministic, and keep-earlier is by id regardless
-          batch.toSeq.sortBy(_.doc_id).foreach { d =>
-            if (!known.exists(_.doc_id == d.doc_id)) { // redelivery: no-op
-              known.foreach { e =>
-                val inter = sortedIntersect(d.hs, e.hs)
-                val j = inter.toDouble / (d.n + e.n - inter)
-                if (j >= T)
-                  out += ProbeHit(math.max(d.doc_id, e.doc_id),
-                    math.min(d.doc_id, e.doc_id), "batch", j)
-              }
-              known = known :+ d
-            }
-          }
-          state.update(known)
-          out.result().iterator
-      }
+        OutputMode.Append(),
+        if (pairTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(
+        dedupRegistryUpdate(pairTtl))
     idxHits.unionByName(batchHits.toDF())
+  }
+
+  /** The per-(lang, fingerprint) registry transition of
+    * [[dedupIndexProbeStream]] — extracted so the timeout discipline and
+    * the pairing/redelivery rules are unit-testable with
+    * `TestGroupState` (deterministic, no wall-clock races; the e2e
+    * file-source equality runs stay in FileStreamSpec). A timed-out
+    * invocation frees the fingerprint's postings and emits nothing; a
+    * data invocation verifies arrivals against the known postings
+    * (keep-earlier by id), registers them (HashSet redelivery check —
+    * O(1) per arrival), and re-arms the TTL. */
+  private[graft] def dedupRegistryUpdate(pairTtl: Option[java.time.Duration])(
+      key: (String, Long), batch: Iterator[ProbePosting],
+      state: GroupState[Seq[ProbePosting]]): Iterator[ProbeHit] = {
+    val T = graft.queries.Dedup.JaccardT
+    if (state.hasTimedOut) {
+      // fingerprint idle past the ingestion window: free its state
+      state.remove()
+      Iterator.empty
+    } else {
+      val known = scala.collection.mutable.ArrayBuffer.empty[ProbePosting]
+      known ++= state.getOption.getOrElse(Seq.empty)
+      val ids = scala.collection.mutable.HashSet.empty[Long]
+      known.foreach(p => ids += p.doc_id)
+      val out = Seq.newBuilder[ProbeHit]
+      // id order within the micro-batch: emission order is then
+      // deterministic, and keep-earlier is by id regardless
+      batch.toSeq.sortBy(_.doc_id).foreach { d =>
+        if (ids.add(d.doc_id)) { // redelivery: no state, no re-emit
+          known.foreach { e =>
+            val inter = sortedIntersect(d.hs, e.hs)
+            val j = inter.toDouble / (d.n + e.n - inter)
+            if (j >= T)
+              out += ProbeHit(math.max(d.doc_id, e.doc_id),
+                math.min(d.doc_id, e.doc_id), "batch", j)
+          }
+          known += d
+        }
+      }
+      state.update(known.toSeq)
+      pairTtl.foreach(t => state.setTimeoutDuration(t.toMillis))
+      out.result().iterator
+    }
   }
 
   /** One scored ANN candidate flowing into the streaming top-k
     * registry. */
   case class AnnCand(q_id: Long, negq: Long, neighbor_id: Long)
   /** The current top-k snapshot for one query vector (ids in rank
-    * order; cos_e12s = the 1e-12-quantized cosines, descending). */
+    * order; cos_e12s = the 1e-12-quantized cosines, descending).
+    * `version` counts this query's registry updates — a monotone
+    * epoch, so a consumer selects the LATEST snapshot by max(version)
+    * instead of assuming its sink preserves micro-batch insertion
+    * order (round-12 ADVICE: memory-sink collect order is an
+    * implementation detail). */
   case class AnnTopkSnap(q_id: Long, neighbor_ids: Seq[Long],
-                         cos_e12s: Seq[Long])
+                         cos_e12s: Seq[Long], version: Long)
 
   /** Candidate fragment of the ANN probe, ONE definition for batch and
     * streaming: per arriving query vector, pick the NProbe nearest
@@ -645,21 +680,40 @@ object Windows {
     * quantized integer both faces rank by, the snapshot after all
     * arrivals equals the batch face row for row. */
   def annProbeStream(queries: DataFrame, coarse: DataFrame,
-      index: DataFrame): Dataset[AnnTopkSnap] = {
+      index: DataFrame,
+      queryTtl: Option[java.time.Duration] = None): Dataset[AnnTopkSnap] = {
     import queries.sparkSession.implicits._
     val k = graft.queries.Similarity.TopK
     annProbeCands(queries, coarse, index).as[AnnCand]
       .groupByKey(_.q_id)
-      .mapGroupsWithState[Seq[(Long, Long)], AnnTopkSnap](
-        GroupStateTimeout.NoTimeout()) {
-        (q: Long, batch: Iterator[AnnCand],
-         state: GroupState[Seq[(Long, Long)]]) =>
-          val merged = (state.getOption.getOrElse(Seq.empty).iterator ++
-            batch.map(c => (c.negq, c.neighbor_id)))
-            .toSeq.distinct.sorted.take(k)
-          state.update(merged)
-          AnnTopkSnap(q, merged.map(_._2), merged.map(-_._1))
-      }
+      .mapGroupsWithState[(Long, Seq[(Long, Long)]), AnnTopkSnap](
+        if (queryTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(
+        annRegistryUpdate(k, queryTtl))
+  }
+
+  /** The per-q_id registry transition of [[annProbeStream]] — extracted
+    * for `TestGroupState` unit tests (the dedupRegistryUpdate
+    * convention). A timed-out invocation frees the query's state and
+    * re-emits its final snapshot (idempotent for max-version consumers;
+    * mapGroupsWithState must return a row); a data invocation merges the
+    * bounded top-k, bumps the snapshot version, and re-arms the TTL. */
+  private[graft] def annRegistryUpdate(k: Int,
+      queryTtl: Option[java.time.Duration])(
+      q: Long, batch: Iterator[AnnCand],
+      state: GroupState[(Long, Seq[(Long, Long)])]): AnnTopkSnap = {
+    val (ver, kept) = state.getOption.getOrElse((0L, Seq.empty[(Long, Long)]))
+    if (state.hasTimedOut) {
+      state.remove()
+      AnnTopkSnap(q, kept.map(_._2), kept.map(-_._1), ver)
+    } else {
+      val merged = (kept.iterator ++
+        batch.map(c => (c.negq, c.neighbor_id)))
+        .toSeq.distinct.sorted.take(k)
+      state.update((ver + 1, merged))
+      queryTtl.foreach(t => state.setTimeoutDuration(t.toMillis))
+      AnnTopkSnap(q, merged.map(_._2), merged.map(-_._1), ver + 1)
+    }
   }
 
   /** The current per-fingerprint SURVIVOR emitted by

@@ -166,6 +166,86 @@ class FileStreamSpec extends SparkSpec {
       "fixture must exercise both collision kinds")
   }
 
+  test("dedup probe registry TTL discipline (TestGroupState): data arms the timeout, expiry frees the state, pairing stays keep-earlier") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val ttl = Some(java.time.Duration.ofMinutes(30))
+    def posting(id: Long, hs: Seq[Long]) =
+      Windows.ProbePosting("en", 42L, id, hs.length.toLong, hs.sorted)
+    val shared = Seq(1L, 2L, 3L, 4L, 5L) // jaccard 1.0 between clones
+    // batch 1: doc 101 arrives — registered, TTL armed, nothing to pair
+    val s1 = TestGroupState.create[Seq[Windows.ProbePosting]](
+      org.apache.spark.api.java.Optional.empty(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      1000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out1 = Windows.dedupRegistryUpdate(ttl)(("en", 42L),
+      Iterator(posting(101L, shared)), s1).toSeq
+    assert(out1.isEmpty && s1.get.map(_.doc_id) == Seq(101L))
+    assert(s1.getTimeoutTimestampMs.isPresent &&
+      s1.getTimeoutTimestampMs.get == 1000L + ttl.get.toMillis,
+      "TTL must be armed relative to batch processing time")
+    // batch 2 (within the window): the clone pairs keep-earlier by id,
+    // and a redelivery of 101 adds no state and no emission
+    val s2 = TestGroupState.create[Seq[Windows.ProbePosting]](
+      org.apache.spark.api.java.Optional.of(s1.get),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      2000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out2 = Windows.dedupRegistryUpdate(ttl)(("en", 42L),
+      Iterator(posting(103L, shared), posting(101L, shared)), s2).toSeq
+    assert(out2.map(h => (h.new_id, h.dup_of, h.kind)) == Seq((103L, 101L, "batch")),
+      s"clone must pair keep-earlier once: $out2")
+    assert(s2.get.map(_.doc_id) == Seq(101L, 103L))
+    // timeout invocation: the idle fingerprint's postings are freed and
+    // nothing is emitted — the long-running-stream bound
+    val s3 = TestGroupState.create[Seq[Windows.ProbePosting]](
+      org.apache.spark.api.java.Optional.of(s2.get),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      9999999L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    val out3 = Windows.dedupRegistryUpdate(ttl)(("en", 42L),
+      Iterator.empty, s3).toSeq
+    assert(out3.isEmpty && s3.isRemoved,
+      "expired fingerprint must free its state and emit nothing")
+    // post-expiry arrival starts a FRESH window: no cross-window pair
+    val s4 = TestGroupState.create[Seq[Windows.ProbePosting]](
+      org.apache.spark.api.java.Optional.empty(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      10000000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out4 = Windows.dedupRegistryUpdate(ttl)(("en", 42L),
+      Iterator(posting(105L, shared)), s4).toSeq
+    assert(out4.isEmpty && s4.get.map(_.doc_id) == Seq(105L),
+      "post-expiry arrival must not pair with the forgotten window")
+  }
+
+  test("ANN probe registry TTL discipline (TestGroupState): version is monotone, expiry re-emits the final snapshot and frees state") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val ttl = Some(java.time.Duration.ofMinutes(30))
+    val s1 = TestGroupState.create[(Long, Seq[(Long, Long)])](
+      org.apache.spark.api.java.Optional.empty(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      1000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val snap1 = Windows.annRegistryUpdate(2, ttl)(7L,
+      Iterator(Windows.AnnCand(7L, -900L, 3L), Windows.AnnCand(7L, -800L, 4L),
+        Windows.AnnCand(7L, -700L, 5L)), s1)
+    assert(snap1.version == 1L && snap1.neighbor_ids == Seq(3L, 4L),
+      s"bounded top-2 by negq: $snap1")
+    assert(s1.getTimeoutTimestampMs.isPresent)
+    // second batch improves the set and bumps the version
+    val s2 = TestGroupState.create[(Long, Seq[(Long, Long)])](
+      org.apache.spark.api.java.Optional.of(s1.get),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      2000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val snap2 = Windows.annRegistryUpdate(2, ttl)(7L,
+      Iterator(Windows.AnnCand(7L, -950L, 9L)), s2)
+    assert(snap2.version == 2L && snap2.neighbor_ids == Seq(9L, 3L))
+    // expiry re-emits the final snapshot (same content, idempotent for a
+    // max-version consumer) and frees the state
+    val s3 = TestGroupState.create[(Long, Seq[(Long, Long)])](
+      org.apache.spark.api.java.Optional.of(s2.get),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      9999999L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    val snap3 = Windows.annRegistryUpdate(2, ttl)(7L, Iterator.empty, s3)
+    assert(snap3.neighbor_ids == snap2.neighbor_ids && s3.isRemoved)
+  }
+
   test("file-source streaming ANN probe of the persisted index == batch face, incl. a redelivered query file") {
     val d = "/root/testdata/sf0.01"
     val srcDir = Files.createTempDirectory("graft_annprobe_src").toString
@@ -183,9 +263,12 @@ class FileStreamSpec extends SparkSpec {
       .writeStream.format("memory").queryName("t_ann_probe")
       .outputMode(OutputMode.Update()).start()
     q.processAllAvailable()
+    // latest snapshot per query by the registry's own monotone version
+    // counter — never by sink row order (round-12 ADVICE)
     def snapshot() = spark.table("t_ann_probe").collect()
-      .map(r => (r.getLong(0), (r.getSeq[Long](1), r.getSeq[Long](2))))
-      .groupBy(_._1).view.mapValues(_.last._2).toMap
+      .map(r => (r.getLong(0),
+        (r.getLong(3), (r.getSeq[Long](1), r.getSeq[Long](2)))))
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2._1)._2._2).toMap
     assert(snapshot().keySet == (0L until 5L).toSet,
       s"batch 1 must answer queries 0-4: ${snapshot().keySet}")
     part2.write.mode("overwrite").parquet(s"$srcDir/batch2")
@@ -243,10 +326,13 @@ class FileStreamSpec extends SparkSpec {
       .writeStream.format("memory").queryName("t_corpus_pipe")
       .outputMode(OutputMode.Update()).start()
     q.processAllAvailable()
+    // final survivor per fingerprint = the min-doc_id row ever emitted
+    // (survivorship only ever moves to a lower id — the canon rule), so
+    // the selection never leans on sink row order (round-12 ADVICE)
     def survivors() = spark.table("t_corpus_pipe").collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getString(2), r.getLong(3),
         r.getString(4))))
-      .groupBy(_._1).view.mapValues(_.last._2).toMap
+      .groupBy(_._1).view.mapValues(_.minBy(_._2._1)._2).toMap
     val s1 = survivors()
     // batch 2: the duplicate arrives late with the lower id
     clone.write.mode("overwrite").parquet(s"$srcDir/batch2")
