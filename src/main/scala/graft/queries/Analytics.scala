@@ -604,26 +604,87 @@ object Analytics {
     * union, and the estimate in SQL — the row is hash-exact.
     * AnalyticsSpec keeps the accuracy contract vs the exact twin and
     * pins register-state determinism across parallelism levels. */
-  def qRollingDistinctApprox(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perDay = Tables.events(s, dir)
-      .select(to_date(col("ts")).as("day"), col("user_id"))
-      .groupBy(col("day"))
-      .agg(graft.functions.VectorFunctions.hllDet(
-        graft.core.TextPipeline.h32(col("user_id").cast("string"))).as("regs"))
-    // dense (day, j, r) register relation: posexplode of the fixed-width
-    // array, then a per-register rolling max over the day span
+  def qRollingDistinctApprox(s: SparkSession, dir: String): DataFrame =
+    rollingHllEstimate(
+      graft.streaming.Windows.hllDayRegisters(Tables.events(s, dir)))
+      .orderBy("day")
+
+  /** The trailing-7-day union + estimate over a (day, regs) register
+    * table — shared by [[qRollingDistinctApprox]] (in-plan registers)
+    * and [[qHllIncremental]] (registers from the persisted store):
+    * dense (day, j, r) posexplode of the fixed-width array, a
+    * per-register rolling max over the day span (windows partitioned by
+    * register index — 256 partitions, never data keys), then the
+    * integer-scaled estimate. */
+  private def rollingHllEstimate(perDay: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("j")).orderBy(col("dn")).rangeBetween(-6, 0)
-    val merged = perDay
+    perDay
       .withColumn("dn", datediff(col("day"), lit("1970-01-01")))
       .select(col("day"), col("dn"), posexplode(col("regs")).as(Seq("j", "r")))
       .withColumn("rm", max(col("r")).over(w))
-    merged
       .groupBy(col("day"))
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - rm)")).as("z"),
         sum(when(col("rm") === 0, 1L).otherwise(0L)).as("v"))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         hllEstimateZV(col("z"), col("v")).as("active_7d_approx"))
+  }
+
+  /** Persisted-register-store roots for [[qHllIncremental]]. */
+  private val hllStoreRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Writes the per-day register SNAPSHOT (days strictly before the
+    * data-anchored cutoff, min-day + 21 — the qIncrementalAgg anchor
+    * convention): the persistable incremental state of the rolling
+    * sketch, one 256-int array per day. */
+  private[graft] def hllRegisterStoreDir(s: SparkSession, dir: String): String =
+    hllStoreRoots.computeIfAbsent(dir, { d =>
+      val root = Ingest.scratchDir("hllregstore", d)
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("user_id"), to_date(col("ts")).as("day"))
+      val anchor = ev.agg(date_add(min(col("day")), 21).as("cut"))
+      graft.streaming.Windows.hllDayRegisters(
+          ev.crossJoin(broadcast(anchor)).filter(col("day") < col("cut")))
+        .write.mode("overwrite").parquet(s"$root/day_registers.parquet")
+      root
+    })
+
+  /** Incremental rolling-distinct sketch maintenance — the persisted-
+    * index doctrine ([[graft.queries.Similarity.qAnnPersisted]]) applied
+    * to the SKETCH tier, proving the scaladoc claim the rolling twin
+    * makes ("yesterday's sketches never recompute") as an artifact flow
+    * instead of an assertion: historical days' HLL registers come from a
+    * parquet STORE ([[hllRegisterStoreDir]], written once); the query
+    * scans raw events ONLY for the days at-or-after the cutoff
+    * (min-day + 21), unions fresh registers with the stored table, runs
+    * the shared 7-day union + estimate, and reports the post-cutoff
+    * days. Output contract: the exact [[qRollingDistinctApprox]] rows
+    * for those days — the oracle is the same register CTE chain with the
+    * cutoff predicate, so every verify run re-proves
+    * store ∪ delta ≡ full recompute (the mergeability HLL exists for).
+    * The spec additionally pins row equality to the in-plan twin, the
+    * store holding only pre-cutoff days, and the plan reading the
+    * register artifact.
+    *
+    * Scale stance (100 TB of events): the daily job aggregates one day
+    * of arrivals into ONE 256-byte row and appends it; serving the
+    * trailing-window metric touches the register table alone (≤ 256 ×
+    * #days tiny rows), and no historical event is ever re-scanned —
+    * THE reason to keep sketch state instead of distinct user sets. */
+  def qHllIncremental(s: SparkSession, dir: String): DataFrame = {
+    val root = hllRegisterStoreDir(s, dir)
+    val stored = s.read.parquet(s"$root/day_registers.parquet")
+    val ev = Tables.events(s, dir)
+      .select(col("ts"), col("user_id"), to_date(col("ts")).as("day"))
+    val anchor = ev.agg(date_add(min(col("day")), 21).as("cut"))
+    val fresh = graft.streaming.Windows.hllDayRegisters(
+      ev.crossJoin(broadcast(anchor)).filter(col("day") >= col("cut")))
+    rollingHllEstimate(stored.unionByName(fresh))
+      .crossJoin(broadcast(anchor.select(
+        date_format(col("cut"), "yyyy-MM-dd").as("cut_s"))))
+      // yyyy-MM-dd compares in date order as a string
+      .filter(col("day") >= col("cut_s"))
+      .select(col("day"), col("active_7d_approx"))
       .orderBy("day")
   }
 
@@ -2400,6 +2461,7 @@ object Analytics {
     "q_ewma" -> (qEwma _),
     "q_rolling_distinct" -> (qRollingDistinct _),
     "q_rolling_distinct_approx" -> (qRollingDistinctApprox _),
+    "q_hll_incremental" -> (qHllIncremental _),
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_sessionize" -> (qSessionize _),
     "q_revenue_concentration" -> (qRevenueConcentration _),
@@ -2443,6 +2505,42 @@ object Analytics {
       |    AS dof,
       |  CAST(sum(term_micros) AS BIGINT) AS chi2_micros
       |FROM terms""".stripMargin
+
+  /** One spelling of the rolling-HLL register chain for both the full
+    * twin and the incremental rung — `finalWhere` filters the reported
+    * days (the cutoff predicate). */
+  private def rollingHllOracleSql(finalWhere: String): String = {
+    import graft.plans.HllDet
+    s"""WITH uh AS (
+       |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    ${TextPipeline.duckH32("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events),
+       |regs AS (
+       |  SELECT day, ${HllDet.duckJ("h")} AS j,
+       |    max(${HllDet.duckRho("h")}) AS r
+       |  FROM uh GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT day, j FROM (SELECT DISTINCT day FROM uh),
+       |    (SELECT unnest(range(0, ${HllDet.M})) AS j)),
+       |dense AS (
+       |  SELECT grid.day, grid.j, coalesce(regs.r, 0) AS r,
+       |    date_diff('day', DATE '1970-01-01', grid.day) AS dn
+       |  FROM grid LEFT JOIN regs
+       |    ON grid.day = regs.day AND grid.j = regs.j),
+       |win AS (
+       |  SELECT day, j,
+       |    max(r) OVER (PARTITION BY j ORDER BY dn
+       |                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rm
+       |  FROM dense),
+       |st AS (
+       |  SELECT day,
+       |    sum(1::BIGINT << CAST(25 - rm AS INT)) AS z,
+       |    sum(CASE WHEN rm = 0 THEN 1 ELSE 0 END) AS v
+       |  FROM win GROUP BY day)
+       |SELECT strftime(day, '%Y-%m-%d') AS day,
+       |  ${HllDet.duckEstimateFromZV("active_7d_approx")}
+       |FROM st $finalWhere ORDER BY day""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // Same lookback join as q_attribution, equal split with the same
@@ -3256,38 +3354,12 @@ object Analytics {
     // per-day registers, the per-register 7-day windowed max over a
     // dense day×256 grid, and the estimate (graft.plans.HllDet shared
     // constants) — register-level verification of the sketch union.
-    "q_rolling_distinct_approx" -> {
-      import graft.plans.HllDet
-      s"""WITH uh AS (
-         |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
-         |    ${TextPipeline.duckH32("CAST(user_id AS VARCHAR)")} AS h
-         |  FROM events),
-         |regs AS (
-         |  SELECT day, ${HllDet.duckJ("h")} AS j,
-         |    max(${HllDet.duckRho("h")}) AS r
-         |  FROM uh GROUP BY 1, 2),
-         |grid AS (
-         |  SELECT day, j FROM (SELECT DISTINCT day FROM uh),
-         |    (SELECT unnest(range(0, ${HllDet.M})) AS j)),
-         |dense AS (
-         |  SELECT grid.day, grid.j, coalesce(regs.r, 0) AS r,
-         |    date_diff('day', DATE '1970-01-01', grid.day) AS dn
-         |  FROM grid LEFT JOIN regs
-         |    ON grid.day = regs.day AND grid.j = regs.j),
-         |win AS (
-         |  SELECT day, j,
-         |    max(r) OVER (PARTITION BY j ORDER BY dn
-         |                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rm
-         |  FROM dense),
-         |st AS (
-         |  SELECT day,
-         |    sum(1::BIGINT << CAST(25 - rm AS INT)) AS z,
-         |    sum(CASE WHEN rm = 0 THEN 1 ELSE 0 END) AS v
-         |  FROM win GROUP BY day)
-         |SELECT strftime(day, '%Y-%m-%d') AS day,
-         |  ${HllDet.duckEstimateFromZV("active_7d_approx")}
-         |FROM st ORDER BY day""".stripMargin
-    },
+    "q_rolling_distinct_approx" -> rollingHllOracleSql(""),
+    // The incremental twin answers for the post-cutoff days only; the
+    // oracle is the SAME register chain with the cutoff predicate, so
+    // store ∪ delta ≡ full recompute is re-proven per verify.
+    "q_hll_incremental" -> rollingHllOracleSql(
+      "WHERE day >= (SELECT min(day) + 21 FROM uh)"),
     // Single-pass recompute over ALL events — the Spark side answers via
     // snapshot-merge-delta, so agreement proves the maintenance algebra.
     "q_incremental_agg" ->

@@ -802,6 +802,29 @@ object Windows {
       }
   }
 
+  /** Per-day distinct-user HLL register table, ONE definition for batch
+    * and streaming (the tumbling()/enrich() doctrine applied to the
+    * sketch tier): `hll_det` (graft.plans.HllDet) registers per calendar
+    * day over a (ts, user_id) relation. Batch face: the first stage of
+    * `Analytics.qRollingDistinctApprox` / `q_hll_incremental`. Streaming
+    * face: the SAME fragment under `readStream` in update mode — the
+    * TypedImperativeAggregate's elementwise-max merge makes every
+    * emitted snapshot a monotone refinement (register sums only grow),
+    * so a consumer folds updates by keeping the max-sum row per day and
+    * the final snapshot equals the batch table (StreamingSpec).
+    *
+    * Scale stance: streaming state is ONE 256-byte register array per
+    * open day — bounded by the calendar, not the user stream, so no
+    * watermark is required for state health (a production job still
+    * closes days downstream; the register table itself is the
+    * persistable incremental state `q_hll_incremental` stores). */
+  def hllDayRegisters(events: DataFrame): DataFrame =
+    events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(graft.functions.VectorFunctions.hllDet(
+        graft.core.TextPipeline.h32(col("user_id").cast("string"))).as("regs"))
+
   /** Convenience: run a streaming DataFrame to an in-memory table and block
     * until all available input is processed (test/dev harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

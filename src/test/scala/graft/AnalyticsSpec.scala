@@ -565,6 +565,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("incremental HLL store: post-cutoff rows equal the in-plan twin; store holds only pre-cutoff days; plan reads the register artifact") {
+    import org.apache.spark.sql.functions._
+    val inc = Analytics.qHllIncremental(spark, sf)
+    val rows = inc.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.nonEmpty)
+    // (a) store ∪ delta == full recompute, row for row on the new days
+    val cut = graft.io.Tables.events(spark, sf)
+      .agg(date_format(date_add(min(to_date(col("ts"))), 21), "yyyy-MM-dd"))
+      .collect()(0).getString(0)
+    val full = Analytics.qRollingDistinctApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .filter(_._1 >= cut)
+    assert(rows == full,
+      s"incremental != full recompute: extra=${rows.toSet -- full.toSet}")
+    // (b) the persisted snapshot holds only pre-cutoff days
+    val root = Analytics.hllRegisterStoreDir(spark, sf)
+    val storedDays = spark.read.parquet(s"$root/day_registers.parquet")
+      .select(date_format(col("day"), "yyyy-MM-dd")).collect()
+      .map(_.getString(0))
+    assert(storedDays.nonEmpty && storedDays.forall(_ < cut),
+      "register store leaked post-cutoff days")
+    // (c) the plan consumes the artifact (historical registers are READ,
+    // not recomputed)
+    val regFiles = inc.inputFiles.filter(_.contains("day_registers"))
+    assert(regFiles.nonEmpty, "plan must scan the persisted register store")
+  }
+
   test("incremental agg merge equals the one-pass recompute") {
     val merged = Analytics.qIncrementalAgg(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

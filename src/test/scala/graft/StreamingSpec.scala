@@ -625,4 +625,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == batchQ, "streamed top-k must equal the q_topk_bounded aggregate")
     q.stop()
   }
+
+  test("streaming per-day HLL registers (update mode) equal the batch register table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real fixture traffic, split mid-stream: day boundaries land in both
+    // batches so at least one day's registers must MERGE across updates
+    val ev = graft.io.Tables.events(spark, sf)
+      .select(col("ts"), col("user_id")).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toSeq.sortBy(_._1.getTime)
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = Windows.hllDayRegisters(mem.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("t_hll_days")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+    // register sums only grow (elementwise-max merge is monotone), so
+    // the final snapshot per day is the max-sum row — never sink order
+    val got = spark.table("t_hll_days").collect()
+      .map(r => (r.getDate(0).toString, r.getSeq[Int](1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_.sum)).toMap
+    val want = Windows.hllDayRegisters(
+        graft.io.Tables.events(spark, sf).select(col("ts"), col("user_id")))
+      .collect().map(r => (r.getDate(0).toString, r.getSeq[Int](1))).toMap
+    assert(got.keySet == want.keySet, "day sets must match")
+    want.foreach { case (d, regs) =>
+      assert(got(d) == regs, s"day $d: streaming registers != batch")
+    }
+    // the split must actually exercise a cross-batch merge: the cut day
+    // appears in both halves
+    val cutDay = b2.head._1.toLocalDateTime.toLocalDate.toString
+    assert(b1.exists(_._1.toLocalDateTime.toLocalDate.toString == cutDay),
+      "fixture split must straddle a day boundary")
+  }
 }
