@@ -104,12 +104,16 @@ object HllDet {
   val M = 256
 
   /** α·m²·2²⁵ — the raw-estimate numerator over the integer-scaled
-    * harmonic sum (see [[zScaled]]), precomputed once so Spark and the
-    * SQL oracle share ONE double literal (`HllRawC.toString` round-trips
-    * exactly) instead of re-deriving it through possibly differently
-    * associated arithmetic. α_m = 0.7213/(1 + 1.079/m), the standard
-    * m ≥ 128 constant. */
-  val RawC: Double = 0.7213 / (1.0 + 1.079 / M) * M * M * 16777216.0
+    * harmonic sum (see [[zScaled]]: each register contributes 2²⁵⁻ʳ, so
+    * the true harmonic sum is zScaled/2²⁵), precomputed once so Spark
+    * and the SQL oracle share ONE double literal (`RawC.toString`
+    * round-trips exactly) instead of re-deriving it through possibly
+    * differently associated arithmetic. α_m = 0.7213/(1 + 1.079/m), the
+    * standard m ≥ 128 constant. (Round-13 review fix: this was 2²⁴,
+    * halving every raw-branch estimate — latent because the fixture
+    * cardinalities all sit in the linear-counting branch, which the
+    * raw-branch spec in ExpressionsSpec now prevents regressing.) */
+  val RawC: Double = 0.7213 / (1.0 + 1.079 / M) * M * M * 33554432.0
 
   /** Linear-counting threshold 2.5·m — below this raw estimate (with
     * empty registers present) classic HLL switches to m·ln(m/V). */
@@ -125,17 +129,25 @@ object HllDet {
       (acc, r) => acc + call_function("shiftleft", lit(1L), lit(25) - r))
   }
 
-  /** The classic-HLL estimate from a register array column, rounded to
-    * 4 dp (the KMV rounding contract — absorbs the ≤1-ulp ln()
-    * difference between libm implementations). */
-  def estimate(regs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  /** The classic-HLL estimate from an integer-scaled harmonic sum and
+    * empty-register count — THE one Spark-side estimator spelling (the
+    * register-array form and the rolling queries' windowed form both
+    * call it, so the LC switch / rounding can never drift between
+    * spellings). Rounded to 4 dp (the KMV contract — absorbs the ≤1-ulp
+    * ln() difference between libm implementations). */
+  def estimateFromZV(z: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val z = zScaled(regs)
-    val v = size(filter(regs, r => r === 0))
     val raw = lit(RawC) / z.cast("double")
     round(when(raw <= LcThreshold && v > 0,
       lit(M.toDouble) * log(lit(M.toDouble) / v.cast("double")))
       .otherwise(raw), 4)
+  }
+
+  /** The estimate from a register array column. */
+  def estimate(regs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    estimateFromZV(zScaled(regs), size(filter(regs, r => r === 0)))
   }
 
   /** DuckDB spelling of the register derivation for a 32-bit hash
@@ -151,7 +163,7 @@ object HllDet {
     * z/v aggregates; embed inside `SELECT <grp>, ${duckEstimate(...)}`
     * with a GROUP BY. */
   def duckZV: String =
-    s"sum(1::BIGINT << CAST(25 - r AS INT)) + ($M - count(*)) * 16777216 AS z, " +
+    s"sum(1::BIGINT << CAST(25 - r AS INT)) + ($M - count(*)) * 33554432 AS z, " +
       s"$M - count(*) AS v"
 
   def duckEstimateFromZV(alias: String): String =

@@ -626,7 +626,8 @@ object Analytics {
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - rm)")).as("z"),
         sum(when(col("rm") === 0, 1L).otherwise(0L)).as("v"))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-        hllEstimateZV(col("z"), col("v")).as("active_7d_approx"))
+        graft.plans.HllDet.estimateFromZV(col("z"), col("v"))
+          .as("active_7d_approx"))
   }
 
   /** Persisted-register-store roots for [[qHllIncremental]]. */
@@ -688,16 +689,6 @@ object Analytics {
       .orderBy("day")
   }
 
-  /** Classic-HLL estimate from an integer-scaled harmonic sum + empty-
-    * register count (graft.plans.HllDet constants — one spelling with
-    * the SQL oracle). */
-  private def hllEstimateZV(z: Column, v: Column): Column = {
-    import graft.plans.HllDet.{LcThreshold, M, RawC}
-    val raw = lit(RawC) / z.cast("double")
-    round(when(raw <= LcThreshold && v > 0,
-      lit(M.toDouble) * log(lit(M.toDouble) / v.cast("double")))
-      .otherwise(raw), 4)
-  }
 
   /** Incremental aggregate maintenance: the per-user rollup is kept as a
     * SNAPSHOT (events strictly before a data-anchored cutoff day,

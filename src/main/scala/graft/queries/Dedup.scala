@@ -1484,8 +1484,10 @@ object Dedup {
           h60(concat_ws(":", col("ka"), col("kb"))).as("k"))
     }
     // widths 2, 4, 8 (the doubling rounds), then the overlapping combine
-    // at offset L-8=4 → width-12 keys at every valid 12-gram start
-    val k12 = widen(Seq(1, 2, 4).foldLeft(base)(widen), SubstrL - 8)
+    // at offset L-8=4 → width-12 keys at every valid 12-gram start;
+    // cut: 2 consumers below (the occurrence count and the semi-join)
+    val k12 = graft.core.Lineage.cut(
+      widen(Seq(1, 2, 4).foldLeft(base)(widen), SubstrL - 8))
     val dupKeys = k12.groupBy(col("k"))
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)

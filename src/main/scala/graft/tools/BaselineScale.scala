@@ -59,7 +59,8 @@ object BaselineScale {
     val vocabN = 7400
     val corpus = s"$out/corpus"
 
-    // ---- generate (untimed): 8..15 words per line, xxhash64-keyed ----
+    // ---- generate (untimed): 9..16 words per line (sequence() is
+    // upper-inclusive), xxhash64-keyed ----
     if (!new java.io.File(corpus).exists()) {
       val vocabLit = array((0 until vocabN).map(i => lit(word(i))): _*)
       spark.range(0, lines, 1, 32)

@@ -192,6 +192,50 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaSql == List((1L, 2L), (2L, 3L)))
   }
 
+  test("hll_det: SQL name, NULL ignored, out-of-range hash fail-loud, partition-count-free") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    // SQL name via extensions: two distinct hashes land in two registers
+    val viaSql = spark.sql(
+      "SELECT size(filter(hll_det(h), r -> r > 0)) FROM VALUES (1L), (16777217L) AS t(h)")
+      .collect()(0).getInt(0)
+    assert(viaSql == 2, "two distinct top-byte hashes must hit two registers")
+    // NULL hashes are ignored (countDistinct semantics), not counted
+    val withNull = Seq(Option(1L), None, Option(1L)).toDF("h")
+      .agg(VectorFunctions.hllDet(col("h"))).collect()(0)
+      .getAs[scala.collection.Seq[Int]](0)
+    assert(withNull.count(_ > 0) == 1)
+    // a hash outside [0, 2^32) throws (the oracle-parity contract), never
+    // silently wraps into a wrong register
+    val ex = intercept[Exception] {
+      Seq(-1L).toDF("h").agg(VectorFunctions.hllDet(col("h"))).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("hll_det"), s"expected hll_det fail-loud, got: $msgs")
+    // the full partial -> serialize -> merge -> eval path is partition-free
+    // (md5-derived hashes — the h32 discipline; a structured synthetic
+    // sequence like i·c mod 2³² is Weyl-patterned in its low bits and
+    // breaks HLL's uniform-hash assumption)
+    val hdf = spark.range(1, 5001)
+      .select(graft.core.TextPipeline.h32(col("id").cast("string")).as("h"))
+    def regs(parts: Int) = hdf.repartition(parts)
+      .agg(VectorFunctions.hllDet(col("h"))).collect()(0)
+      .getAs[scala.collection.Seq[Int]](0)
+    assert(regs(1) == regs(17), "registers differ across partition counts")
+    // RAW-branch accuracy pin (the fixture queries all sit in the
+    // linear-counting branch, which ignores the harmonic sum — this is
+    // the test that catches a wrong alpha*m^2*2^25 scaling): 5000
+    // md5-mixed distinct hashes fill every register, and the estimate
+    // must land within 3 standard errors (3 * 1.04/sqrt(256) ~= 20%)
+    val est = hdf
+      .agg(graft.plans.HllDet.estimate(
+        VectorFunctions.hllDet(col("h")))).collect()(0).getDouble(0)
+    assert(regs(1).forall(_ > 0), "5000 mixed hashes must fill all 256 registers")
+    assert(math.abs(est - 5000.0) / 5000.0 <= 0.20,
+      s"raw-branch estimate $est vs true 5000 drifts > 20%")
+  }
+
   test("kernels are null-safe (null input -> null output)") {
     import spark.implicits._
     val df = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]])).toDF("a", "b")
