@@ -650,6 +650,60 @@ object Analytics {
       root
     })
 
+  /** Erasure-subject predicate for the sketch store: user_id ≡ 0
+    * (mod Ingest.ErasureMod) — the q_erasure_audit scope applied to the
+    * event stream's user dimension. */
+  private def erasedUser(c: Column): Column =
+    c % Ingest.ErasureMod === 0
+
+  /** Erased-generation roots for [[qHllStoreErase]]. */
+  private val hllErasedStoreRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Writes the erased GENERATION of the register store: per-day HLL
+    * registers REBUILT from the surviving events — see
+    * [[qHllStoreErase]] for why rebuild (not subtraction) is the only
+    * correct erase verb for sketch state. */
+  private[graft] def hllErasedStoreDir(s: SparkSession, dir: String): String =
+    hllErasedStoreRoots.computeIfAbsent(dir, { d =>
+      val root = Ingest.scratchDir("hllregerase", d)
+      graft.streaming.Windows.hllDayRegisters(
+          Tables.events(s, d).select(col("ts"), col("user_id"))
+            .filter(!erasedUser(col("user_id"))))
+        .write.mode("overwrite").parquet(s"$root/day_registers.parquet")
+      root
+    })
+
+  /** Right-to-be-forgotten for SKETCH state — the erase verb the index
+    * tiers have ([[graft.queries.Dedup.qDedupIndexErase]] prunes rows by
+    * id) but a sketch CANNOT: HLL registers are max-folds, and max is
+    * not invertible — no operation over the stored registers can remove
+    * one member's contribution (the register a subject raised stays
+    * raised). The only correct verb is a REBUILD of the register store
+    * from the surviving raw events (or windowed expiry, where whole days
+    * age out) — the documented production answer to GDPR-on-sketches,
+    * made a gated artifact flow here: [[hllErasedStoreDir]] rebuilds the
+    * per-day registers without the subjects' events (user_id ≡ 0 mod
+    * 17, the q_erasure_audit scope), and the query serves the rolling
+    * metric from the erased generation alone. Oracle = the shared
+    * register CTE chain with the subject predicate on the event scan,
+    * so every verify re-proves the rebuild equals a from-scratch
+    * recompute over survivors. The spec additionally pins the
+    * non-invertibility evidence (some register is LOWER in the erased
+    * generation than in the unpruned store — a value no merge of the
+    * old state could produce, only a rebuild) and the plan reading the
+    * erased artifact.
+    *
+    * Scale stance (100 TB): the rebuild is one pass over surviving
+    * events (at real scale, partition-pruned to the subjects' retention
+    * window) producing 256 B/day — after which serving returns to
+    * store-only cost; nothing here ever needs the erased users again. */
+  def qHllStoreErase(s: SparkSession, dir: String): DataFrame = {
+    val root = hllErasedStoreDir(s, dir)
+    rollingHllEstimate(s.read.parquet(s"$root/day_registers.parquet"))
+      .orderBy("day")
+  }
+
   /** Incremental rolling-distinct sketch maintenance — the persisted-
     * index doctrine ([[graft.queries.Similarity.qAnnPersisted]]) applied
     * to the SKETCH tier, proving the scaladoc claim the rolling twin
@@ -2453,6 +2507,7 @@ object Analytics {
     "q_rolling_distinct" -> (qRollingDistinct _),
     "q_rolling_distinct_approx" -> (qRollingDistinctApprox _),
     "q_hll_incremental" -> (qHllIncremental _),
+    "q_hll_store_erase" -> (qHllStoreErase _),
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_sessionize" -> (qSessionize _),
     "q_revenue_concentration" -> (qRevenueConcentration _),
@@ -2497,15 +2552,17 @@ object Analytics {
       |  CAST(sum(term_micros) AS BIGINT) AS chi2_micros
       |FROM terms""".stripMargin
 
-  /** One spelling of the rolling-HLL register chain for both the full
-    * twin and the incremental rung — `finalWhere` filters the reported
-    * days (the cutoff predicate). */
-  private def rollingHllOracleSql(finalWhere: String): String = {
+  /** One spelling of the rolling-HLL register chain for the full twin,
+    * the incremental rung, and the erased generation — `finalWhere`
+    * filters the reported days (the cutoff predicate), `userWhere` the
+    * event scan (the erasure-subject predicate). */
+  private def rollingHllOracleSql(finalWhere: String,
+      userWhere: String = ""): String = {
     import graft.plans.HllDet
     s"""WITH uh AS (
        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
        |    ${TextPipeline.duckH32("CAST(user_id AS VARCHAR)")} AS h
-       |  FROM events),
+       |  FROM events $userWhere),
        |regs AS (
        |  SELECT day, ${HllDet.duckJ("h")} AS j,
        |    max(${HllDet.duckRho("h")}) AS r
@@ -3351,6 +3408,12 @@ object Analytics {
     // store ∪ delta ≡ full recompute is re-proven per verify.
     "q_hll_incremental" -> rollingHllOracleSql(
       "WHERE day >= (SELECT min(day) + 21 FROM uh)"),
+    // The erased generation must answer exactly like a from-scratch
+    // recompute over the surviving users — same chain, subject
+    // predicate on the event scan (rebuild, never subtraction: max
+    // is not invertible).
+    "q_hll_store_erase" -> rollingHllOracleSql("",
+      s"WHERE user_id % ${Ingest.ErasureMod} <> 0"),
     // Single-pass recompute over ALL events — the Spark side answers via
     // snapshot-merge-delta, so agreement proves the maintenance algebra.
     "q_incremental_agg" ->

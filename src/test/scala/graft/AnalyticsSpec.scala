@@ -592,6 +592,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(regFiles.nonEmpty, "plan must scan the persisted register store")
   }
 
+  test("HLL store erase: rebuild lowers a register no merge could (non-invertibility), serves only survivors, reads the erased artifact") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.io.Tables.events(spark, sf).select(col("ts"), col("user_id"))
+    // fixture must contain erasure subjects, or the verb proves nothing
+    assert(ev.filter(col("user_id") % 17 === 0).count() > 0,
+      "fixture has no mod-17 users")
+    val full = graft.streaming.Windows.hllDayRegisters(ev).collect()
+      .map(r => r.getDate(0).toString -> r.getSeq[Int](1)).toMap
+    val root = Analytics.hllErasedStoreDir(spark, sf)
+    val erased = spark.read.parquet(s"$root/day_registers.parquet").collect()
+      .map(r => r.getDate(0).toString -> r.getSeq[Int](1)).toMap
+    assert(erased.keySet.subsetOf(full.keySet))
+    // (a) rebuild can only LOWER registers (max over fewer members) —
+    // and must lower at least one somewhere: evidence that no fold over
+    // the OLD state could have produced the erased generation (max is
+    // not invertible; a "subtract the subject" operator cannot exist)
+    val drops = erased.map { case (d, regs) =>
+      regs.zip(full(d)).count { case (e, f) => e < f }
+    }.sum
+    val raises = erased.map { case (d, regs) =>
+      regs.zip(full(d)).count { case (e, f) => e > f }
+    }.sum
+    assert(raises == 0, "erased generation raised a register — rebuild broken")
+    assert(drops > 0,
+      "no register dropped: subjects contributed nothing, the verb is untested")
+    // (b) the served metric reads the erased artifact, not raw history
+    val q = Analytics.qHllStoreErase(spark, sf)
+    assert(q.inputFiles.exists(_.contains("day_registers")),
+      "plan must scan the erased register store")
+    q.collect()
+  }
+
   test("incremental agg merge equals the one-pass recompute") {
     val merged = Analytics.qIncrementalAgg(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
