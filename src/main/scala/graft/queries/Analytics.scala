@@ -616,7 +616,7 @@ object Analytics {
     * per-register rolling max over the day span (windows partitioned by
     * register index — 256 partitions, never data keys), then the
     * integer-scaled estimate. */
-  private def rollingHllEstimate(perDay: DataFrame): DataFrame = {
+  private[graft] def rollingHllEstimate(perDay: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("j")).orderBy(col("dn")).rangeBetween(-6, 0)
     perDay
       .withColumn("dn", datediff(col("day"), lit("1970-01-01")))
@@ -650,11 +650,10 @@ object Analytics {
       root
     })
 
-  /** Erasure-subject predicate for the sketch store: user_id ≡ 0
-    * (mod Ingest.ErasureMod) — the q_erasure_audit scope applied to the
+  /** Erasure-subject predicate for the sketch store — the shared
+    * q_erasure_audit scope ([[Ingest.erasureSubject]]) applied to the
     * event stream's user dimension. */
-  private def erasedUser(c: Column): Column =
-    c % Ingest.ErasureMod === 0
+  private def erasedUser(c: Column): Column = Ingest.erasureSubject(c)
 
   /** Erased-generation roots for [[qHllStoreErase]]. */
   private val hllErasedStoreRoots =
@@ -685,7 +684,14 @@ object Analytics {
     * made a gated artifact flow here: [[hllErasedStoreDir]] rebuilds the
     * per-day registers without the subjects' events (user_id ≡ 0 mod
     * 17, the q_erasure_audit scope), and the query serves the rolling
-    * metric from the erased generation alone. Oracle = the shared
+    * metric from the erased generation alone. The rebuild covers EVERY
+    * day (not just [[hllRegisterStoreDir]]'s pre-cutoff snapshot range),
+    * so it is a drop-in REPLACEMENT generation — the atomic pointer flip
+    * that retires the pre-erasure store (and with it the pre-erasure
+    * timeline q_hll_incremental models) is the deployment step, exactly
+    * as the index tiers' erased/compacted gen dirs replace their gen0
+    * (each generation stays addressable so every verb is independently
+    * gated). Oracle = the shared
     * register CTE chain with the subject predicate on the event scan,
     * so every verify re-proves the rebuild equals a from-scratch
     * recompute over survivors. The spec additionally pins the

@@ -980,7 +980,7 @@ object Dedup {
     * whose doc_id ≡ 0 (mod [[Ingest.ErasureMod]]) — the SAME subject
     * rule the read-side blast-radius audit (q_erasure_audit) scopes, so
     * audit and rewrite answer to one GDPR deletion list. */
-  private def erasedDoc(c: Column): Column = c % Ingest.ErasureMod === 0
+  private def erasedDoc(c: Column): Column = Ingest.erasureSubject(c)
 
   /** Writes the erased GENERATION of the persisted dedup index: both
     * artifacts re-written without the deletion set's rows. Because
@@ -1195,8 +1195,7 @@ object Dedup {
   /** Re-consent predicate (the ANN tier's reAddedVec applied to docs):
     * the even-multiple half of the deletion set re-uploads AFTER its
     * erasure, so the day-2 tombstone must not block the day-4 add. */
-  private def reAddedDoc(c: Column): Column =
-    c % (2 * Ingest.ErasureMod) === 0
+  private def reAddedDoc(c: Column): Column = Ingest.reconsentedSubject(c)
 
   /** Builds the multi-day generation CHAIN of the persisted dedup index
     * — the composed sequence the pairwise verbs ([[qDedupIndexAdd]] /

@@ -573,6 +573,19 @@ object Ingest {
     * ONE subject scope. */
   private[graft] val ErasureMod = 17L
 
+  /** THE erasure-subject predicate (key ≡ 0 mod [[ErasureMod]]) — one
+    * spelling for every tier's erase verb (dedup postings, ANN codes,
+    * HLL registers, the read-side audit below), so the deletion scope
+    * cannot drift between them. */
+  private[graft] def erasureSubject(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c % ErasureMod === 0
+
+  /** The re-consented HALF of the deletion set (even multiples of
+    * [[ErasureMod]]) — the subjects that re-upload after their erasure
+    * in the lifecycle-composition rungs. */
+  private[graft] def reconsentedSubject(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c % (2 * ErasureMod) === 0
+
   /** Right-to-be-forgotten SCOPE audit: before (or after) executing an
     * erasure batch, report how many rows in each table still reference
     * the requested subjects — including the 2-hop cascade

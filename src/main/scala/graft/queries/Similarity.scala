@@ -861,7 +861,7 @@ object Similarity {
     * (mod [[graft.queries.Ingest.ErasureMod]]) — the q_erasure_audit
     * subject rule applied to the vector store. */
   private def erasedVec(c: Column): Column =
-    c % graft.queries.Ingest.ErasureMod === 0
+    graft.queries.Ingest.erasureSubject(c)
 
   /** Writes the erased GENERATION of the persisted ANN index: `pq_codes`
     * re-written without the deletion set's rows; the coarse centroids
@@ -980,7 +980,7 @@ object Similarity {
     * BEFORE it, never later arrivals of the same id (the
     * log-structured-store invariant compaction must preserve). */
   private def reAddedVec(c: Column): Column =
-    c % (2 * graft.queries.Ingest.ErasureMod) === 0
+    graft.queries.Ingest.reconsentedSubject(c)
 
   /** Builds the full multi-day generation CHAIN of the persisted ANN
     * index and folds it verb by verb — the sequence a production store

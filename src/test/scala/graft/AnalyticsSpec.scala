@@ -594,10 +594,11 @@ class AnalyticsSpec extends SparkSpec {
 
   test("HLL store erase: rebuild lowers a register no merge could (non-invertibility), serves only survivors, reads the erased artifact") {
     import org.apache.spark.sql.functions._
+    val em = graft.queries.Ingest.ErasureMod
     val ev = graft.io.Tables.events(spark, sf).select(col("ts"), col("user_id"))
     // fixture must contain erasure subjects, or the verb proves nothing
-    assert(ev.filter(col("user_id") % 17 === 0).count() > 0,
-      "fixture has no mod-17 users")
+    assert(ev.filter(col("user_id") % em === 0).count() > 0,
+      s"fixture has no mod-$em users")
     val full = graft.streaming.Windows.hllDayRegisters(ev).collect()
       .map(r => r.getDate(0).toString -> r.getSeq[Int](1)).toMap
     val root = Analytics.hllErasedStoreDir(spark, sf)
@@ -617,11 +618,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(raises == 0, "erased generation raised a register — rebuild broken")
     assert(drops > 0,
       "no register dropped: subjects contributed nothing, the verb is untested")
-    // (b) the served metric reads the erased artifact, not raw history
+    // (b) the served metric reads the ERASED artifact specifically (the
+    // unerased incremental store also writes a day_registers.parquet —
+    // anchor on the erase generation's scratch prefix), and its rows
+    // equal a survivors-only recompute, so a mis-wire to the unerased
+    // store fails HERE, not only at the DuckDB gate
     val q = Analytics.qHllStoreErase(spark, sf)
-    assert(q.inputFiles.exists(_.contains("day_registers")),
-      "plan must scan the erased register store")
-    q.collect()
+    assert(q.inputFiles.exists(f =>
+      f.contains("hllregerase") && f.contains("day_registers")),
+      "plan must scan the erased register store generation")
+    val got = q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val survivors = graft.streaming.Windows.hllDayRegisters(
+      ev.filter(col("user_id") % em =!= 0))
+    val want = Analytics.rollingHllEstimate(survivors).orderBy("day").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == want, "erased generation != survivors-only recompute")
   }
 
   test("incremental agg merge equals the one-pass recompute") {
