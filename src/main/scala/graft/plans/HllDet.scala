@@ -32,6 +32,20 @@ import org.apache.spark.sql.types._
   * the entire reason to sketch instead of countDistinct (whose two-stage
   * expansion shuffles every distinct value).
   *
+  * CARDINALITY CEILING (round-13 ADVICE): the hash domain is 32-bit and
+  * the estimator implements classic HLL's raw + linear-counting
+  * branches but NOT the large-range correction, so above ~2³²/30
+  * ≈ 1.4×10⁸ distinct values hash collisions bias the estimate low and
+  * it saturates near 2³². The 100 TB stance therefore applies to the
+  * PER-GROUP cardinalities this engine points the sketch at (per-day /
+  * per-segment distinct users — ≤ 10⁸ for any real product surface),
+  * not to corpus-wide distinct counts; a population expected to exceed
+  * ~10⁸ per group needs a 64-bit-hash variant (swap h32 for a 64-bit
+  * hash and widen the rank domain), at which point the same register
+  * algebra and oracle discipline apply unchanged. Both engines share
+  * this spelling, so the correctness gate is unaffected either way —
+  * the ceiling is an accuracy scope, not a parity risk.
+  *
   * NULL hashes are ignored (countDistinct semantics). The reference has
   * no sketches at all (its distinct count is an exact sort-based pass,
   * maprdeuce.cpp:1403-1427); this is extension surface.

@@ -615,7 +615,17 @@ object Windows {
     * epoch, so a consumer selects the LATEST snapshot by max(version)
     * instead of assuming its sink preserves micro-batch insertion
     * order (round-12 ADVICE: memory-sink collect order is an
-    * implementation detail). */
+    * implementation detail).
+    *
+    * DUPLICATE-ROW CONTRACT (round-13 ADVICE): when a query's TTL
+    * expires, `annRegistryUpdate`'s timeout branch frees the state and
+    * re-emits the FINAL snapshot with its version UNCHANGED
+    * (mapGroupsWithState must return a row on timeout) — so a sink may
+    * hold two identical rows for one (q_id, version). That is exactly
+    * idempotent under the max-version selection rule above; a consumer
+    * must NOT assert (q_id, version) uniqueness or count rows per
+    * query. Consumers needing a close signal should treat the repeat
+    * of an already-seen version as the terminal marker. */
   case class AnnTopkSnap(q_id: Long, neighbor_ids: Seq[Long],
                          cos_e12s: Seq[Long], version: Long)
 

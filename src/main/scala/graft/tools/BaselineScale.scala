@@ -34,7 +34,9 @@ import graft.core.TextPipeline
   *
   * Run: `tools/run.sh graft.tools.BaselineScale`
   * (env: GRAFT_BASELINE_LINES, default 17,000,000; GRAFT_BASELINE_OUT,
-  * default /tmp/graft-baseline; SPARK_GRAFT_CPUS).
+  * default /tmp/graft-baseline; GRAFT_BASELINE_JSON — if set, the JSON
+  * line is also written there, the committed `BASELINE_SCALE.json`
+  * artifact; SPARK_GRAFT_CPUS).
   */
 object BaselineScale {
 
@@ -57,7 +59,10 @@ object BaselineScale {
     spark.sparkContext.setLogLevel("WARN")
 
     val vocabN = 7400
-    val corpus = s"$out/corpus"
+    // line count embedded in the path (round-13 ADVICE): rerunning with
+    // a different GRAFT_BASELINE_LINES can never silently reuse a stale
+    // corpus generated for another size
+    val corpus = s"$out/corpus-$lines"
 
     // ---- generate (untimed): 9..16 words per line (sequence() is
     // upper-inclusive), xxhash64-keyed ----
@@ -71,9 +76,18 @@ object BaselineScale {
           .as("value"))
         .write.mode("overwrite").text(corpus)
     }
-    val bytes = new java.io.File(corpus).listFiles()
-      .filter(_.getName.endsWith(".txt")).map(_.length()).sum
+    val parts = new java.io.File(corpus).listFiles()
+      .filter(_.getName.endsWith(".txt"))
+    // fail loudly (round-13 ADVICE): a host-level compression codec
+    // would rename parts to .txt.gz etc. and silently zero corpus_bytes
+    require(parts.nonEmpty,
+      s"no .txt part files under $corpus — unexpected codec/layout; " +
+        "refusing to report corpus_bytes=0")
+    val bytes = parts.map(_.length()).sum
     val mb = bytes / 1e6
+    require(bytes >= lines * 30L,
+      s"corpus $corpus is implausibly small ($bytes B for $lines lines) " +
+        "— stale or truncated; delete it and rerun")
 
     // ---- the flagship plans over the text source ----
     def words = TextPipeline.words(spark.read.text(corpus), "value")
@@ -98,7 +112,7 @@ object BaselineScale {
 
     val wcMed = med(wc)
     def f(d: Double) = f"$d%.2f"
-    println(
+    val json =
       s"""{"corpus_lines":$lines,"corpus_bytes":$bytes,"corpus_mb":${f(mb)},""" +
       s""""distinct_words":$nDistinct,""" +
       s""""wordcount_sec":{"median":${f(wcMed)},"min":${f(wc.min)},"runs":[${wc.map(f).mkString(",")}]},""" +
@@ -106,7 +120,15 @@ object BaselineScale {
       s""""mb_per_sec":${f(mb / wcMed)},""" +
       s""""ref_best_sec":87,"ref_mb_per_sec":12,""" +
       s""""ratio_vs_ref_best":${f(wcMed / 87.0)},""" +
-      s""""load":[${f(la0)},${f(la1)}]}""")
+      s""""load":[${f(la0)},${f(la1)}]}"""
+    println(json)
+    // tracked artifact (round-13 VERDICT Next #3): the one direct
+    // reference comparison, committed machine-readable so the number is
+    // regression-tracked instead of living in SURVEY prose
+    sys.env.get("GRAFT_BASELINE_JSON").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

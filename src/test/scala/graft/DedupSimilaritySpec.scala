@@ -1128,6 +1128,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == want, s"spans: got=$got want=$want")
   }
 
+  test("substring dedup at the production threshold L=50: exact boundaries, same-doc repeat counts, 49-token near-miss excluded") {
+    import spark.implicits._
+    // letter-only distinct tokens (the normalizer strips non-letters, so
+    // numbered tokens would collapse)
+    def toks(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    def j(xs: Seq[String]) = xs.mkString(" ")
+    val p = toks("p", 55) // 55-token passage shared across docs 1 and 2
+    val q = toks("q", 50) // exactly-50-token passage repeated INSIDE doc 4
+    val m = toks("m", 49) // 49-token NEAR-MISS shared by docs 5 and 6
+    val docs = Seq(
+      (1L, j(toks("xa", 7) ++ p ++ toks("ya", 5))),  // P at pos 7
+      (2L, j(toks("zb", 3) ++ p ++ toks("wb", 9))),  // P at pos 3
+      (3L, j(toks("uu", 60))),                       // unique filler
+      (4L, j(q ++ Seq("gap", "gop") ++ q)),          // Q at 0 and 52
+      (5L, j(toks("hc", 4) ++ m ++ toks("kc", 4))),  // N at pos 4 …
+      (6L, j(m ++ toks("vd", 11)))                   // … and pos 0: no span
+    ).toDF("doc_id", "text")
+    val got = graft.queries.Dedup
+      .dedupSubstrings(docs, graft.queries.Dedup.SubstrL50).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // spans are MAXIMAL duplicated regions: the full 55-token passage in
+    // docs 1/2 (not just its 50-gram core), both exact-50 repeats in
+    // doc 4, and NOTHING from the 49-token near-miss pair
+    val want = Set((1L, 7, 55L), (2L, 3, 55L), (4L, 0, 50L), (4L, 52, 50L))
+    assert(got == want, s"L=50 spans: got=$got want=$want")
+  }
+
   test("nprobe curve: monotone, exact at full probe, and consistent with the recall dashboard at nprobe=2") {
     val d = "/root/testdata/sf0.01"
     val rows = Similarity.qAnnNprobeCurve(spark, d).collect()
