@@ -85,6 +85,14 @@ object VectorFunctions {
     ExpressionUtils.column(agg.toAggregateExpression())
   }
 
+  /** Unicode NFC normalization of a STRING column (UAX #15 canonical
+    * composition; ASCII rows zero-copy — see graft.plans.NfcNormalize).
+    * Spark has no normalization builtin; DuckDB's `nfc_normalize` is the
+    * oracle twin. */
+  def nfc(s: Column): Column =
+    ExpressionUtils.column(graft.plans.NfcNormalize(
+      ExpressionUtils.expression(s)))
+
   /** Quantized Shannon-entropy numerator Σ round(c·log2(c)·1e6) over an
     * ARRAY<STRING>'s term frequencies (one hash-count pass, codegen;
     * replaces both the corpus-shuffling explode/groupBy spelling and the

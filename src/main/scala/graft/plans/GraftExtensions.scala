@@ -67,6 +67,8 @@ object GraftExtensions {
       arity("topk_min", 3)(c => TopKMin(c(0), c(1), c(2)))),
     (FunctionIdentifier("hll_det"), HllDet.info,
       arity("hll_det", 1)(c => HllDet(c(0)))),
+    (FunctionIdentifier("nfc"), NfcNormalize.info,
+      arity("nfc", 1)(c => NfcNormalize(c(0)))),
   )
 
   /** Install the same functions on an already-built session (for hosts

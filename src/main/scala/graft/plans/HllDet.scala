@@ -180,10 +180,22 @@ object HllDet {
     s"sum(1::BIGINT << CAST(25 - r AS INT)) + ($M - count(*)) * 33554432 AS z, " +
       s"$M - count(*) AS v"
 
-  def duckEstimateFromZV(alias: String): String =
-    s"round(CASE WHEN $RawC / CAST(z AS DOUBLE) <= $LcThreshold AND v > 0 " +
-      s"THEN $M.0 * ln($M.0 / v) " +
-      s"ELSE $RawC / CAST(z AS DOUBLE) END, 4) AS $alias"
+  def duckEstimateFromZV(alias: String): String = duckEstimate("z", "v", alias)
+
+  /** The same estimator over arbitrarily named z/v columns — the
+    * multi-window queries (q_hll_overlap) compute several (z, v) pairs
+    * per row and must share ONE spelling with the single-window chain. */
+  def duckEstimate(z: String, v: String, alias: String): String =
+    s"round(CASE WHEN $RawC / CAST($z AS DOUBLE) <= $LcThreshold AND $v > 0 " +
+      s"THEN $M.0 * ln($M.0 / $v) " +
+      s"ELSE $RawC / CAST($z AS DOUBLE) END, 4) AS $alias"
+
+  /** DuckDB z/v aggregates over a DENSE per-register relation (one row
+    * per (group, j) with r = 0 for absent registers — the windowed-grid
+    * chains): `sum(2^(25−r))` and the zero-register count, aliased. */
+  def duckZVDense(r: String, zAlias: String, vAlias: String): String =
+    s"sum(1::BIGINT << CAST(25 - $r AS INT)) AS $zAlias, " +
+      s"sum(CASE WHEN $r = 0 THEN 1 ELSE 0 END) AS $vAlias"
 
   val info: ExpressionInfo = new ExpressionInfo(classOf[HllDet].getName, "hll_det")
 }

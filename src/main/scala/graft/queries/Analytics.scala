@@ -750,6 +750,66 @@ object Analytics {
   }
 
 
+  /** Sketch SET-ALGEBRA over the persisted register store (round-13
+    * VERDICT Next #6) — the overlap questions a dashboard asks next once
+    * per-day sketches exist ("how many of last week's actives were
+    * active this week?"), answered WITHOUT touching raw events:
+    * per day, the trailing week's registers [d−6, d], the PRECEDING
+    * week's [d−13, d−7], their UNION via elementwise max (exact over
+    * sketches — the one set operation HLL supports losslessly), and the
+    * inclusion-exclusion intersection estimate
+    * est(A) + est(B) − est(A∪B), floored at 0 (sketch noise can push
+    * the difference slightly negative; a count can't be).
+    *
+    * All three estimates run through the ONE estimator spelling
+    * ([[graft.plans.HllDet.estimateFromZV]] / duckEstimate), and the
+    * intersection is computed from the ROUNDED estimates in both
+    * engines, so the row is hash-exact. The ERROR contract — unlike
+    * union, intersection is an estimate-of-estimates whose absolute
+    * error scales with the UNION size, the documented
+    * inclusion-exclusion caveat — is pinned against the exact recompute
+    * in AnalyticsSpec, not here.
+    *
+    * Scale stance (100 TB): serving reads 256 × #days tiny rows from
+    * the store — per-register windows over a calendar-bounded grid, no
+    * event scan, no per-user state; cost is independent of event
+    * history like every store-backed rung. */
+  def qHllOverlap(s: SparkSession, dir: String): DataFrame =
+    hllOverlapFrom(s.read.parquet(
+      s"${hllRegisterStoreDir(s, dir)}/day_registers.parquet"))
+
+  /** Core of [[qHllOverlap]] over any (day, regs) register table —
+    * exposed so the spec can feed engineered register stores whose two
+    * weekly audiences only PARTIALLY overlap (the fixture's 150 users
+    * are all active every week, so the store case alone cannot
+    * distinguish intersection from union). */
+  private[graft] def hllOverlapFrom(perDay: DataFrame): DataFrame = {
+    val ex = perDay
+      .withColumn("dn", datediff(col("day"), lit("1970-01-01")))
+      .select(col("day"), col("dn"), posexplode(col("regs")).as(Seq("j", "r")))
+    val wCur = Window.partitionBy(col("j")).orderBy(col("dn")).rangeBetween(-6, 0)
+    val wPrev = Window.partitionBy(col("j")).orderBy(col("dn")).rangeBetween(-13, -7)
+    def zv(r: Column, z: String, v: String) = Seq(
+      sum(call_function("shiftleft", lit(1L), lit(25) - r)).as(z),
+      sum(when(r === 0, 1L).otherwise(0L)).as(v))
+    val aggs = zv(col("rc"), "zc", "vc") ++ zv(col("rp"), "zp", "vp") ++
+      zv(col("ru"), "zu", "vu")
+    val st = ex
+      .withColumn("rc", max(col("r")).over(wCur))
+      .withColumn("rp", coalesce(max(col("r")).over(wPrev), lit(0)))
+      .withColumn("ru", greatest(col("rc"), col("rp")))
+      .groupBy(col("day"))
+      .agg(aggs.head, aggs.tail: _*)
+    import graft.plans.HllDet.estimateFromZV
+    st.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        estimateFromZV(col("zp"), col("vp")).as("prev_7d"),
+        estimateFromZV(col("zc"), col("vc")).as("cur_7d"),
+        estimateFromZV(col("zu"), col("vu")).as("union_14d"))
+      .withColumn("overlap_est",
+        round(greatest(lit(0.0), col("prev_7d") + col("cur_7d") - col("union_14d")), 4))
+      .orderBy("day")
+  }
+
   /** Incremental aggregate maintenance: the per-user rollup is kept as a
     * SNAPSHOT (events strictly before a data-anchored cutoff day,
     * min-day + 21) merged with the DELTA batch (everything since) via one
@@ -2514,6 +2574,7 @@ object Analytics {
     "q_rolling_distinct_approx" -> (qRollingDistinctApprox _),
     "q_hll_incremental" -> (qHllIncremental _),
     "q_hll_store_erase" -> (qHllStoreErase _),
+    "q_hll_overlap" -> (qHllOverlap _),
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_sessionize" -> (qSessionize _),
     "q_revenue_concentration" -> (qRevenueConcentration _),
@@ -3420,6 +3481,54 @@ object Analytics {
     // is not invertible).
     "q_hll_store_erase" -> rollingHllOracleSql("",
       s"WHERE user_id % ${Ingest.ErasureMod} <> 0"),
+    // The two-window register chain over the store's snapshot range
+    // (days before min+21), the shared estimator spelling for all three
+    // window estimates, inclusion-exclusion from the ROUNDED values.
+    "q_hll_overlap" -> {
+      import graft.plans.HllDet
+      s"""WITH cut AS (SELECT CAST(date_trunc('day', min(ts)) AS DATE) + 21
+         |    AS c FROM events),
+         |uh AS (
+         |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    ${TextPipeline.duckH32("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events
+         |  WHERE CAST(date_trunc('day', ts) AS DATE) < (SELECT c FROM cut)),
+         |regs AS (
+         |  SELECT day, ${HllDet.duckJ("h")} AS j,
+         |    max(${HllDet.duckRho("h")}) AS r
+         |  FROM uh GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT day, j FROM (SELECT DISTINCT day FROM uh),
+         |    (SELECT unnest(range(0, ${HllDet.M})) AS j)),
+         |dense AS (
+         |  SELECT grid.day, grid.j, coalesce(regs.r, 0) AS r,
+         |    date_diff('day', DATE '1970-01-01', grid.day) AS dn
+         |  FROM grid LEFT JOIN regs
+         |    ON grid.day = regs.day AND grid.j = regs.j),
+         |win AS (
+         |  SELECT day, j,
+         |    max(r) OVER (PARTITION BY j ORDER BY dn
+         |                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rc,
+         |    coalesce(max(r) OVER (PARTITION BY j ORDER BY dn
+         |                 RANGE BETWEEN 13 PRECEDING AND 7 PRECEDING), 0) AS rp
+         |  FROM dense),
+         |st AS (
+         |  SELECT day,
+         |    ${HllDet.duckZVDense("rc", "zc", "vc")},
+         |    ${HllDet.duckZVDense("rp", "zp", "vp")},
+         |    ${HllDet.duckZVDense("greatest(rc, rp)", "zu", "vu")}
+         |  FROM win GROUP BY day),
+         |est AS (
+         |  SELECT strftime(day, '%Y-%m-%d') AS day,
+         |    ${HllDet.duckEstimate("zp", "vp", "prev_7d")},
+         |    ${HllDet.duckEstimate("zc", "vc", "cur_7d")},
+         |    ${HllDet.duckEstimate("zu", "vu", "union_14d")}
+         |  FROM st)
+         |SELECT day, prev_7d, cur_7d, union_14d,
+         |  round(greatest(0.0, prev_7d + cur_7d - union_14d), 4)
+         |    AS overlap_est
+         |FROM est ORDER BY day""".stripMargin
+    },
     // Single-pass recompute over ALL events — the Spark side answers via
     // snapshot-merge-delta, so agreement proves the maintenance algebra.
     "q_incremental_agg" ->

@@ -860,6 +860,137 @@ object Corpus {
       .orderBy("split", "lang")
   }
 
+  /** Contamination-ratio cut for [[qCorpusPipelineFull]]'s
+    * decontamination stage: a TRAIN document whose cleaned trigram set
+    * overlaps the held-out TEST slice by ≥ this fraction is dropped
+    * (sf0.01: cuts the 4 near-verbatim test clones, ratio ≥ 0.95, while
+    * the ~0.12-mean incidental overlap of a 31-word vocab passes). */
+  private[graft] val DecontT = 0.5
+
+  /** The FULL production pipeline capstone (round-13 VERDICT Next #4):
+    * [[qCorpusPipeline]] stops at exact-fingerprint dedup; this rung
+    * composes the complete ordering a pretraining corpus actually runs —
+    * clean/redact → quality gate → exact dedup → WINNOW NEAR-DUP
+    * survivor selection → DECONTAMINATION → train/val/test split →
+    * token-budget SHARD PACKING — as one gated DAG, because stage
+    * CONTRACTS (which token stream feeds the fingerprints, how dedup-
+    * induced row loss shifts shard boundaries, whether the split is
+    * stable under upstream drops) only break in composition.
+    *
+    * Stage semantics, each inherited from its individually-green rung:
+    *  - gate: nt ∈ [p10, p90] over the cleaned corpus (qCorpusPipeline);
+    *  - exact: md5 fingerprint of the cleaned token stream, min-doc_id
+    *    canon (qCorpusPipeline / q_dedup_exact);
+    *  - fuzzy: winnow fingerprints computed over the CLEANED tokens of
+    *    the exact survivors (NOT raw text — the contract composition
+    *    exists to pin), candidates per (lang, fingerprint), exact
+    *    trigram-jaccard ≥ Dedup.JaccardT verify, transitive clusters
+    *    (Dedup.components star contraction), survivor = most tokens,
+    *    tie → smaller doc_id (q_dedup_survivors' rep rule);
+    *  - decon: surviving train-bucket docs (h32 split, b < 80) whose
+    *    cleaned-trigram overlap with the surviving TEST slice (b ≥ 90)
+    *    is ≥ [[DecontT]] are dropped; val/test pass through
+    *    (q_decontaminate's measurement, turned into the cut it exists
+    *    to inform);
+    *  - split: the shared [[pipelineSplit]] content-hash buckets —
+    *    stable under every upstream drop because assignment is a pure
+    *    per-doc function, never a position;
+    *  - pack: per (split, lang), docs in doc_id order, shard_id =
+    *    exclusive-prefix token count / ShardBudget (q_token_shards).
+    *
+    * Output is PER-DOCUMENT — (doc_id, lang, split, n_tokens, shard_id)
+    * for every survivor — so the hash gate pins each stage's effect on
+    * each row, not a summary a stage bug could hide inside.
+    *
+    * Scale stance (100 TB): every stage keeps its own rung's shape —
+    * the gate is one broadcast percentile pair; exact dedup shuffles
+    * 16-byte fingerprints; the fuzzy stage shuffles winnowed postings
+    * (~2/(W+1) of the shingle stream) and verifies only candidates;
+    * components runs on the verified-pair graph (duplicate-density
+    * sized, not corpus-sized); decon broadcasts the distinct test-slice
+    * shingle hashes (the benchmark side is tiny by construction); the
+    * pack window partitions by (split, lang) — the one per-stratum
+    * sequential step, with the documented two-pass prefix-sum fallback
+    * for a giant stratum. */
+  def qCorpusPipelineFull(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cleaned = pipelineCleaned(s, dir)
+    val bounds = cleaned.agg(expr("percentile(nt, 0.1)").as("p10"),
+      expr("percentile(nt, 0.9)").as("p90"))
+    // exact-fingerprint survivors of the quality-gated corpus; cut: the
+    // relation feeds the winnow postings, the shingle fetch, AND the
+    // final anti-join chain
+    val exact = graft.core.Lineage.cut(
+      cleaned.crossJoin(broadcast(bounds))
+        .filter(col("nt") >= col("p10") && col("nt") <= col("p90"))
+        .withColumn("fp", md5(concat_ws(" ", col("w"))))
+        .withColumn("canon", min(col("doc_id")).over(Window.partitionBy("fp")))
+        .filter(col("doc_id") === col("canon"))
+        .select(col("doc_id"), col("lang"), col("w"), col("nt")))
+    // fuzzy near-dup over the CLEANED token stream of exact survivors
+    val fps = TextAnalysis.winnowFpsOf(exact.select("doc_id", "lang", "w"))
+    val cand = fps.select(col("lang"), col("fingerprint"), col("doc_id").as("a_id"))
+      .join(fps.select(col("lang"), col("fingerprint"), col("doc_id").as("b_id")),
+        Seq("lang", "fingerprint"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val ss = exact.select(col("doc_id"),
+      size(graft.core.TextPipeline.shinglesOf(col("w"))).as("n"),
+      array_sort(graft.core.TextPipeline.shinglesOf(col("w"))).as("ss"))
+    val pairs = cand
+      .join(ss.select(col("doc_id").as("a_id"), col("n").as("a_n"),
+        col("ss").as("a_ss")), "a_id")
+      .join(ss.select(col("doc_id").as("b_id"), col("n").as("b_n"),
+        col("ss").as("b_ss")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        graft.functions.VectorFunctions.sortedIntersectCount(
+          col("a_ss"), col("b_ss")).cast("long").as("inter"),
+        col("a_n"), col("b_n"))
+      .filter(col("inter").cast("double")
+        / (col("a_n") + col("b_n") - col("inter")) >= Dedup.JaccardT)
+    val clusters = Dedup.components(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+    val members = clusters.join(exact.select(col("doc_id"), col("nt")),
+      clusters("id") === col("doc_id"))
+    val reps = members.groupBy(col("lbl"))
+      .agg(max_by(col("doc_id"), struct(col("nt"), -col("doc_id"))).as("rep_id"))
+    val losers = members.join(broadcast(reps), "lbl")
+      .filter(col("doc_id") =!= col("rep_id")).select(col("doc_id"))
+    // decontamination over the fuzzy survivors; cut: test slice + train
+    // probe + final pass-through all read it
+    val fuzzy = graft.core.Lineage.cut(
+      exact.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("nt"),
+          pmod(graft.core.TextPipeline.h32(col("doc_id").cast("string")),
+            lit(100)).as("b"),
+          array_distinct(transform(
+            graft.core.TextPipeline.shinglesOf(col("w")),
+            t => graft.core.TextPipeline.h32(t))).as("hs")))
+    val testSh = fuzzy.filter(col("b") >= 90)
+      .select(explode(col("hs")).as("h")).distinct()
+    val contaminated = fuzzy.filter(col("b") < 80)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+        explode(col("hs")).as("h"))
+      .join(broadcast(testSh), "h")
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap").cast("double") / col("n_sh").cast("double")
+        >= DecontT)
+      .select(col("doc_id"))
+    // split + shard packing over the final survivors
+    val wPack = Window.partitionBy(col("split"), col("lang"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fuzzy.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("nt"),
+        pipelineSplit(col("doc_id")).as("split"))
+      .withColumn("cum", sum(col("nt")).over(wPack))
+      .select(col("doc_id"), col("lang"), col("split"),
+        col("nt").as("n_tokens"),
+        floor((col("cum") - col("nt")) / ShardBudget).as("shard_id"))
+      .orderBy("doc_id")
+  }
+
   /** Per-group sample size for [[qGroupSample]]. */
   private val GroupSampleK = 5
 
@@ -898,6 +1029,7 @@ object Corpus {
     "q_pii_report" -> (qPiiReport _),
     "q_group_sample" -> (qGroupSample _),
     "q_corpus_pipeline" -> (qCorpusPipeline _),
+    "q_corpus_pipeline_full" -> (qCorpusPipelineFull _),
     "q_heaps_law" -> (qHeapsLaw _),
     "q_context_truncation" -> (qContextTruncation _),
     "q_dataset_card" -> (qDatasetCard _),
@@ -1036,6 +1168,89 @@ object Corpus {
          |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(nt) AS BIGINT) AS n_tokens
          |FROM labeled GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    // The composed production DAG: every stage re-spelled as one CTE
+    // chain over the SAME cleaned token stream — scrub, percentile gate,
+    // exact-fp canon, winnow postings + jaccard verify + recursive
+    // min-label closure + rep rule, trigram decontamination cut,
+    // content-hash split, running-sum shard packing.
+    "q_corpus_pipeline_full" -> {
+      val wm1 = TextAnalysis.WinnowW - 1
+      val h32d = TextPipeline.duckH32("CAST(doc_id AS VARCHAR)")
+      val tri = TextPipeline.duckTrigrams("w")
+      s"""WITH RECURSIVE scrubbed AS (SELECT doc_id, lang,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+         |      '[0-9]{6,}', '<NUM>', 'g'),
+         |      'https?://[^ ]+', '<URL>', 'g') AS text
+         |  FROM documents),
+         |counted AS (SELECT doc_id, lang, $duckToks AS w,
+         |    CAST(len($duckToks) AS BIGINT) AS nt FROM scrubbed),
+         |bounds AS (SELECT quantile_cont(nt, 0.1) AS p10,
+         |                  quantile_cont(nt, 0.9) AS p90 FROM counted),
+         |gated AS (SELECT doc_id, lang, w, nt FROM counted, bounds
+         |          WHERE nt >= p10 AND nt <= p90),
+         |efps AS (SELECT doc_id, lang, w, nt,
+         |    md5(coalesce(list_aggr(w, 'string_agg', ' '), '')) AS fp
+         |  FROM gated),
+         |ex AS (SELECT doc_id, lang, w, nt FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS canon FROM efps)
+         |  WHERE doc_id = canon),
+         |g2 AS (SELECT doc_id, lang,
+         |    list_transform($tri, t -> ${TextPipeline.duckH32("t")}) AS hs
+         |  FROM ex),
+         |f AS (SELECT doc_id, lang, unnest(list_distinct(
+         |        list_transform(range(1, greatest(len(hs) - $wm1, 1) + 1),
+         |          i -> list_min(list_slice(hs, i, i + $wm1))))) AS wfp
+         |      FROM g2 WHERE len(hs) >= 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM f a JOIN f b ON a.lang = b.lang AND a.wfp = b.wfp
+         |           AND a.doc_id < b.doc_id),
+         |sh AS (SELECT doc_id, list_distinct($tri) AS s
+         |       FROM ex WHERE len(w) >= 3),
+         |pairs AS (SELECT c.a_id, c.b_id
+         |  FROM cand c JOIN sh a ON a.doc_id = c.a_id
+         |              JOIN sh b ON b.doc_id = c.b_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.s, b.s))) >= ${Dedup.JaccardT}),
+         |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.t AS id, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+         |clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+         |             FROM reach GROUP BY id),
+         |members AS (SELECT c.cluster_id, c.doc_id, e.nt
+         |            FROM clusters c JOIN ex e USING (doc_id)),
+         |reps AS (SELECT cluster_id, doc_id AS rep_id FROM (
+         |    SELECT cluster_id, doc_id, row_number() OVER (
+         |      PARTITION BY cluster_id ORDER BY nt DESC, doc_id ASC) AS rn
+         |    FROM members) WHERE rn = 1),
+         |losers AS (SELECT m.doc_id FROM members m
+         |           JOIN reps r USING (cluster_id) WHERE m.doc_id <> r.rep_id),
+         |fz AS (SELECT e.doc_id, e.lang, e.nt, $h32d % 100 AS b,
+         |    list_distinct(list_transform($tri,
+         |      t -> ${TextPipeline.duckH32("t")})) AS hs
+         |  FROM ex e ANTI JOIN losers l ON e.doc_id = l.doc_id),
+         |testh AS (SELECT DISTINCT unnest(hs) AS h FROM fz WHERE b >= 90),
+         |probe AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_sh,
+         |    unnest(hs) AS h FROM fz WHERE b < 80),
+         |cont AS (SELECT doc_id FROM (
+         |    SELECT p.doc_id, p.n_sh, count(*) AS n_overlap
+         |    FROM probe p SEMI JOIN testh t ON p.h = t.h
+         |    GROUP BY p.doc_id, p.n_sh)
+         |  WHERE CAST(n_overlap AS DOUBLE) / n_sh >= $DecontT),
+         |labeled AS (SELECT doc_id, lang, nt,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM fz ANTI JOIN cont USING (doc_id))
+         |SELECT doc_id, lang, split, CAST(nt AS BIGINT) AS n_tokens,
+         |  (CAST(sum(nt) OVER (PARTITION BY split, lang ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |   - nt) // $ShardBudget AS shard_id
+         |FROM labeled ORDER BY doc_id""".stripMargin
+    },
     // Same hash-random slices, same min-slice vocabulary attribution,
     // cumulative window over the 10-row spine.
     "q_heaps_law" ->

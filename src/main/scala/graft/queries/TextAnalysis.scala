@@ -550,16 +550,24 @@ object TextAnalysis {
     * TextPipeline.trigrams documents for element_at-over-sequence). The
     * window shuffles narrow (doc_id, pos, hash) rows once — the same
     * volume the dedup join shuffles anyway. */
-  private[queries] def winnowFps(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def winnowFps(s: SparkSession, dir: String): DataFrame =
+    winnowFpsOf(Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), toks.as("w")))
+
+  /** [[winnowFps]] over any pre-tokenized (doc_id, lang, w) relation —
+    * the composed pipeline (Corpus.qCorpusPipelineFull) fingerprints the
+    * CLEANED token stream, not raw text, so the selection core must not
+    * bake the raw-document scan in. */
+  private[queries] def winnowFpsOf(rel: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = transform(TextPipeline.trigrams(toks), t => TextPipeline.h32(t))
+    val g = transform(TextPipeline.trigrams(col("w")), t => TextPipeline.h32(t))
     // ONLY posexplode references the pipeline. A `size(g).as("n")` sibling
     // column looks free but lands in the Project ABOVE the Generate — the
     // optimizer then re-derives the whole tokenize→trigram→md5 chain per
     // EXPLODED ROW (O(n²) again, measured 6.3 s); the k-gram count is
     // recovered from max(pos) over the doc partition instead, which rides
     // the window's existing sort for free.
-    val rows = Tables.documents(s, dir)
+    val rows = rel
       .select(col("doc_id"), col("lang"), posexplode(g).as(Seq("pos", "h")))
     // min over hashes [pos, pos+W-1]; keep window STARTS (pos ≤ n−W), or
     // pos 0 alone when the doc has fewer than W k-grams (its frame then
@@ -905,7 +913,68 @@ object TextAnalysis {
       .orderBy("k")
   }
 
+  /** Whole-word unicode decorations for [[qUnicodeTokens]] — each a fine
+    * point the ASCII reference tokenizer cannot see, applied identically
+    * in both engines (the list is ordered; the oracle mirrors it as a
+    * CASE):
+    *  - `data` → the NFD spelling of "dátá" (a + U+0301 combining acute
+    *    twice) — NFC must COMPOSE it to precomposed U+00E1;
+    *  - `big` → full-width Ｂ Ｉ Ｇ (U+FF22…) — NFC is canonical-only, so
+    *    full-width survives normalization (NFC ≠ NFKC, pinned in spec)
+    *    and only casefolding maps it to full-width small;
+    *  - `filter` → FİLTER with the Turkish dotted capital İ (U+0130) —
+    *    the ONE casefold rule the engines' `lower()` disagree on
+    *    (Java: i + U+0307 combining dot, DuckDB: bare i), so the full
+    *    Unicode casefold İ → i + U+0307 is spelled EXPLICITLY as a
+    *    pre-`lower` replacement in both engines;
+    *  - `fast` → the NFD spelling of "FÁST" — composition before
+    *    casefolding (the production order: NFC, then fold);
+    *  - `slow` → "slow—down" with an em-dash (U+2014) — a non-ASCII
+    *    non-letter the letter-class tokenizer must split on. */
+  private[graft] val UnicodeDeco: Seq[(String, String)] = Seq(
+    "data" -> "da\u0301ta\u0301",   // NFD: a + combining acute, twice
+    "big" -> "\uFF22\uFF29\uFF27", // full-width B I G
+    "filter" -> "F\u0130LTER",       // Turkish dotted capital I
+    "fast" -> "FA\u0301ST",          // NFD: capital + combining acute
+    "slow" -> "slow\u2014down")      // em-dash separator
+
+  /** Unicode/multilingual tokenizer rung (round-13 VERDICT Next #5): the
+    * real-crawl tokenization chain — NFC normalize → explicit Turkish-İ
+    * full casefold → `lower()` → letter-class tokenize ([\p{L}\p{M}]+ —
+    * marks INCLUDED so a combining sequence like i+U+0307 stays one
+    * token) — as a word count over the documents fixture. The fixture is
+    * pure ASCII (driver-generated), so the non-ASCII surface is a
+    * DETERMINISTIC whole-word decoration ([[UnicodeDeco]]) applied
+    * identically in both engines: the unicode path is exercised on known
+    * hard cases while the oracle still recomputes every byte from the
+    * same parquet.
+    *
+    * The reference-faithful `[a-zA-Z]` path (TextPipeline, §2.3) is
+    * untouched — this is the extension tokenizer a multilingual corpus
+    * needs beside it. NFC on the Spark side is the engine's own codegen
+    * expression (graft.plans.NfcNormalize — Spark ships no normalization
+    * builtin); DuckDB's `nfc_normalize` is the oracle twin, both
+    * implementing UAX #15.
+    *
+    * Scale stance (100 TB): per-row scalar chain (ASCII rows take the
+    * zero-copy NFC fast path) → explode → one partial-aggregated count —
+    * exactly the wordcount shape, nothing new to shuffle. */
+  def qUnicodeTokens(s: SparkSession, dir: String): DataFrame = {
+    val decorate = (t: Column) => UnicodeDeco.foldRight(t) {
+      case ((k, v), els) => when(t === k, lit(v)).otherwise(els) }
+    val norm = lower(regexp_replace(
+      graft.functions.VectorFunctions.nfc(
+        concat_ws(" ", transform(split(col("text"), " "), decorate))),
+      "\u0130", "i\u0307"))
+    Tables.documents(s, dir)
+      .select(explode(regexp_extract_all(norm,
+        lit("[\\p{L}\\p{M}]+"), lit(0))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy("token")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unicode_tokens" -> (qUnicodeTokens _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_distinct_ngrams" -> (qDistinctNgrams _),
     "q_lang_id_eval" -> (qLangIdEval _),
@@ -933,7 +1002,41 @@ object TextAnalysis {
     "q_fingerprint_winnow" -> (qFingerprintWinnow _),
   )
 
+  /** DuckDB literal for a (possibly non-ASCII) string as ASCII-only SQL:
+    * runs of ASCII stay quoted text, every non-ASCII codepoint becomes
+    * chr(n) — so the oracle file carries no raw unicode the transport
+    * could mangle, and the decoration values are derived from the ONE
+    * [[UnicodeDeco]] list the Spark plan uses. */
+  private def duckLit(v: String): String = {
+    val parts = scala.collection.mutable.Buffer[String]()
+    val sb = new StringBuilder
+    def flush(): Unit =
+      if (sb.nonEmpty) { parts += s"'${sb.result()}'"; sb.clear() }
+    v.foreach { c =>
+      if (c < 128) sb.append(c) else { flush(); parts += s"chr(${c.toInt})" } }
+    flush()
+    parts.mkString(" || ")
+  }
+
   val oracle: Map[String, String] = Map(
+    // Identical decoration CASE (derived from the same UnicodeDeco list),
+    // same NFC -> explicit Turkish-fold -> lower -> letter+mark-class
+    // tokenize chain, same count.
+    "q_unicode_tokens" -> {
+      val cases = UnicodeDeco.map { case (k, v) =>
+        s"WHEN '$k' THEN ${duckLit(v)}" }.mkString(" ")
+      s"""WITH deco AS (SELECT doc_id,
+         |    list_transform(string_split(text, ' '),
+         |      t -> CASE t $cases ELSE t END) AS ws
+         |  FROM documents),
+         |norm AS (SELECT lower(replace(
+         |    nfc_normalize(list_aggr(ws, 'string_agg', ' ')),
+         |    chr(304), 'i' || chr(775))) AS s FROM deco),
+         |tok AS (SELECT unnest(regexp_extract_all(s,
+         |    '[\\p{L}\\p{M}]+')) AS token FROM norm)
+         |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         |FROM tok GROUP BY token ORDER BY token""".stripMargin
+    },
     // Same wordcount, same (f DESC, word) rank, same k-spine coverage.
     "q_vocab_coverage" ->
       s"""WITH wc AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS f

@@ -592,6 +592,53 @@ class AnalyticsSpec extends SparkSpec {
     assert(regFiles.nonEmpty, "plan must scan the persisted register store")
   }
 
+  test("HLL overlap: sketch union exact over sketches; inclusion-exclusion error contract; week-day edge; store face consistent with rolling twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // engineered PARTIAL overlap (the fixture's 150 users are all active
+    // every week, so the store alone cannot distinguish A∩B from A∪B):
+    // week-1 audience = users 0..99 (day 1), week-2 = 50..149 (day 8) —
+    // true prev=100, cur=100, union=150, overlap=50
+    def evOf(users: Range, day: String) =
+      users.map(u => (s"$day 00:00:00", u.toLong)).toDF("ts_s", "user_id")
+        .select(to_timestamp(col("ts_s")).as("ts"), col("user_id"))
+    val store = graft.streaming.Windows.hllDayRegisters(
+      evOf(0 until 100, "2024-01-01").unionByName(evOf(50 until 150, "2024-01-08")))
+    val rows = Analytics.hllOverlapFrom(store).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (p, c, u, o) = rows("2024-01-08")
+    // (a) union via elementwise max is EXACT over sketches: the unioned
+    // registers estimate exactly what one sketch of the unioned
+    // population estimates
+    val uAll = graft.streaming.Windows.hllDayRegisters(
+      evOf(0 until 150, "2024-01-01"))
+      .select(graft.plans.HllDet.estimate(col("regs"))).collect()(0).getDouble(0)
+    assert(u == uAll, s"sketch-union estimate $u != union-sketch estimate $uAll")
+    // (b) each weekly estimate inside the m=256 band (±6.5% σ; 2σ gate —
+    // the deterministic week-1 draw sits at +10.9%, i.e. 1.7σ)
+    assert(math.abs(p - 100) / 100 <= 0.13 && math.abs(c - 100) / 100 <= 0.13,
+      s"weekly estimates out of band: prev=$p cur=$c")
+    // (c) the inclusion-exclusion ERROR CONTRACT: intersection is an
+    // estimate-of-estimates whose absolute error scales with the UNION
+    // size (the documented caveat) — gate at 15% of the true union
+    assert(math.abs(o - 50.0) <= 0.15 * 150, s"overlap_est=$o exact=50")
+    // (d) a day with no previous week reports prev=0, overlap=0
+    val d1 = rows("2024-01-01")
+    assert(d1._1 == 0.0 && d1._4 == 0.0, s"empty prev window: $d1")
+    // (e) store face: cur_7d IS the rolling twin's window math, row for
+    // row on the store's days, and union never undercuts a side
+    val ov = Analytics.qHllOverlap(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val roll = Analytics.qRollingDistinctApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ov.nonEmpty)
+    ov.foreach { case (d, (cur, un)) =>
+      assert(cur == roll(d), s"cur_7d != rolling twin on $d")
+      assert(un >= cur, s"union < cur on $d")
+    }
+  }
+
   test("HLL store erase: rebuild lowers a register no merge could (non-invertibility), serves only survivors, reads the erased artifact") {
     import org.apache.spark.sql.functions._
     val em = graft.queries.Ingest.ErasureMod

@@ -417,4 +417,55 @@ class ExpressionsSpec extends SparkSpec {
     assert(expr.eval(InternalRow(arr("", "", null))) == EntropyQsum.quant(2L))
     assert(proj(InternalRow(arr("", "", null))).getLong(0) == EntropyQsum.quant(2L))
   }
+
+  test("nfc: composes NFD to NFC, is idempotent, ASCII takes the zero-copy path, NFC is canonical-only (full-width survives)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.plans.NfcNormalize
+    // NFD a + U+0301 composes to precomposed U+00E1
+    val nfd = UTF8String.fromString("da\u0301ta\u0301")
+    val out = NfcNormalize.nfc(nfd).toString
+    assert(out == "d\u00E1t\u00E1", s"NFC composition: ${out.map(_.toInt.toHexString)}")
+    // idempotent
+    assert(NfcNormalize.nfc(UTF8String.fromString(out)).toString == out)
+    // ASCII fast path returns the SAME buffer (zero-copy)
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(NfcNormalize.nfc(ascii) eq ascii)
+    // canonical-only: full-width compatibility forms are NOT folded
+    // (that would be NFKC) — width survives normalization
+    val fw = UTF8String.fromString("\uFF22\uFF29\uFF27")
+    assert(NfcNormalize.nfc(fw).toString == "\uFF22\uFF29\uFF27")
+    // i + combining dot above has no precomposed form: NFC keeps it
+    val idot = UTF8String.fromString("i\u0307")
+    assert(NfcNormalize.nfc(idot).toString == "i\u0307")
+    // DataFrame/codegen face agrees with the static helper
+    import spark.implicits._
+    val viaQuery = Seq("da\u0301ta\u0301").toDF("s")
+      .select(VectorFunctions.nfc(col("s"))).collect()(0).getString(0)
+    assert(viaQuery == "d\u00E1t\u00E1")
+  }
+
+  test("unicode tokenizer fine points: combining marks kept, full-width distinct from ASCII, Turkish-I fold explicit, em-dash splits") {
+    // the one casefold divergence the chain pre-maps: Java lower() of the
+    // Turkish dotted capital yields i + COMBINING DOT ABOVE (2 code
+    // points); DuckDB's lower() yields bare i — so the query spells the
+    // full Unicode fold explicitly BEFORE lower on both engines
+    assert("\u0130".toLowerCase(java.util.Locale.ROOT) == "i\u0307",
+      "JDK Turkish-I lowering changed — re-audit the explicit fold")
+    val toks = graft.queries.TextAnalysis.qUnicodeTokens(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // decorated forms present with exact codepoints
+    assert(toks.contains("d\u00E1t\u00E1"), s"NFD input must surface as precomposed: ${toks.keys.filter(_.startsWith("d"))}")
+    assert(toks.contains("\uFF42\uFF49\uFF47"), "full-width big must lowercase to full-width small, not fold to ASCII")
+    assert(toks.contains("fi\u0307lter"), "Turkish fold must keep the combining dot as part of ONE token (marks in class)")
+    assert(toks.contains("f\u00E1st"), "NFC-then-casefold must yield precomposed lowercase")
+    // em-dash is a non-letter: slow\u2014down splits into two tokens
+    assert(toks.contains("slow") && toks.contains("down"))
+    assert(toks("slow") == toks("down"), "every decorated slow produced exactly one down")
+    // raw decorated words are gone (decoration replaced every whole-word
+    // occurrence before tokenization)
+    Seq("data", "big", "filter", "fast").foreach(w =>
+      assert(!toks.contains(w), s"undiversified token $w survived decoration"))
+    // and the full-width token is NOT the ASCII token
+    assert(!toks.contains("big") && toks.contains("\uFF42\uFF49\uFF47"))
+  }
 }

@@ -577,6 +577,113 @@ class GraphTextSpec extends SparkSpec {
     assert(rows.values.map(_._1).sum == survivors.size.toLong)
   }
 
+  test("full corpus pipeline equals an independent driver-side replay of all six stages") {
+    // sf0.01, not the suite default: the decontamination cut needs the
+    // larger fixture's test-slice clones to have anything to do
+    val sf = "/root/testdata/sf0.01"
+    val got = Corpus.qCorpusPipelineFull(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def h32(sv: String): Long = java.lang.Long.parseLong(
+      md5hex(sv).take(8), 16)
+    // stage 1: scrub + tokenize (the same Java regex chain the plan runs)
+    val toks = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map { r =>
+        val clean = r.getString(2)
+          .replaceAll("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>")
+          .replaceAll("[0-9]{6,}", "<NUM>")
+          .replaceAll("https?://[^ ]+", "<URL>")
+        (r.getLong(0), r.getString(1), clean.split(" ", -1)
+          .map(_.toLowerCase.replaceAll("[^a-z]", "")).filter(_.nonEmpty).toSeq)
+      }
+    // stage 2: percentile gate (exact-interpolation, Spark `percentile`)
+    val sorted = toks.map(_._3.length.toLong).sorted
+    def pct(q: Double): Double = {
+      val pos = q * (sorted.length - 1)
+      val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
+    }
+    val gated = toks.filter(t =>
+      t._3.length >= pct(0.1) && t._3.length <= pct(0.9))
+    // stage 3: exact min-id-per-fingerprint dedup
+    val exact = gated.groupBy(t => md5hex(t._3.mkString(" ")))
+      .values.map(_.minBy(_._1)).toSeq
+    // stage 4: winnow fingerprints over the CLEANED tokens (trigram h32
+    // stream, sliding min of WinnowW=4, short-doc single-window
+    // fallback), same-lang candidates, exact trigram-set jaccard >= 0.2,
+    // union-find closure, rep = (max tokens, min id)
+    def trigrams(w: Seq[String]): Seq[String] =
+      if (w.length < 3) Seq.empty else w.sliding(3).map(_.mkString(" ")).toSeq
+    def winnow(w: Seq[String]): Set[Long] = {
+      val hs = trigrams(w).map(h32)
+      if (hs.isEmpty) Set.empty
+      else if (hs.length < 4) Set(hs.min)
+      else (0 to hs.length - 4).map(i => hs.slice(i, i + 4).min).toSet
+    }
+    val byDoc = exact.map(t => t._1 -> t).toMap
+    val fpOf = exact.map(t => t._1 -> winnow(t._3)).toMap
+    val candPairs = (for {
+      a <- exact; b <- exact
+      if a._1 < b._1 && a._2 == b._2 && (fpOf(a._1) & fpOf(b._1)).nonEmpty
+    } yield (a._1, b._1))
+    def jac(a: Long, b: Long): Double = {
+      val (sa, sb) = (trigrams(byDoc(a)._3).toSet, trigrams(byDoc(b)._3).toSet)
+      (sa & sb).size.toDouble / (sa | sb).size
+    }
+    val verified = candPairs.filter { case (a, b) => jac(a, b) >= 0.2 }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long =
+      if (parent.getOrElse(x, x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    verified.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val clusters = verified.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find)
+    val fuzzyLosers = clusters.values.flatMap { ms =>
+      val rep = ms.maxBy(id => (byDoc(id)._3.length, -id))
+      ms.filter(_ != rep)
+    }.toSet
+    val fuzzy = exact.filterNot(t => fuzzyLosers(t._1))
+    // stage 5: decontamination (train docs >= 50% trigram-hash overlap
+    // with the surviving test slice)
+    def bucket(id: Long): Long = h32(id.toString) % 100
+    val testH = fuzzy.filter(t => bucket(t._1) >= 90)
+      .flatMap(t => trigrams(t._3).map(h32).distinct).toSet
+    val deconDrops = fuzzy.filter { t =>
+      val hs = trigrams(t._3).map(h32).distinct
+      bucket(t._1) < 80 && hs.nonEmpty &&
+        hs.count(testH).toDouble / hs.size >= 0.5
+    }.map(_._1).toSet
+    val kept = fuzzy.filterNot(t => deconDrops(t._1))
+    // stage 6: split + per-(split, lang) doc_id-ordered shard packing
+    val expect = kept.map { case (id, lang, w) =>
+      val b = bucket(id)
+      val split = if (b < 80) "train" else if (b < 90) "val" else "test"
+      (id, lang, split, w.length.toLong)
+    }.groupBy(t => (t._3, t._2)).flatMap { case (_, xs) =>
+      val inOrder = xs.sortBy(_._1)
+      val cums = inOrder.scanLeft(0L)(_ + _._4)
+      inOrder.zip(cums).map { case ((id, lang, split, nt), pre) =>
+        id -> (lang, split, nt, pre / 4096L) }
+    }
+    assert(got == expect,
+      s"full pipeline diverged: extra=${(got.keySet -- expect.keySet).take(3)} " +
+        s"missing=${(expect.keySet -- got.keySet).take(3)} " +
+        s"changed=${got.collect { case (k, v) if expect.get(k).exists(_ != v) =>
+          (k, v, expect(k)) }.take(3)}")
+    // composition must exercise every cutting stage on this fixture:
+    // the gate, the fuzzy near-dup rung, and the decon cut each drop >=1
+    // (exact dedup's clones happen to fall outside the gate at sf0.01 —
+    // its 0 here is data, pinned by the full-map equality above)
+    assert(gated.length < toks.length, "quality gate dropped nobody")
+    assert(fuzzyLosers.nonEmpty, "winnow near-dup stage dropped nobody")
+    assert(deconDrops.nonEmpty, "decontamination dropped nobody")
+  }
+
   test("vocab coverage@k equals the driver-side Zipf-ranked recompute") {
     val rows = TextAnalysis.qVocabCoverage(spark, sf).collect()
       .sortBy(_.getLong(0))
