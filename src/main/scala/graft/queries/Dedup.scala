@@ -1488,14 +1488,68 @@ object Dedup {
   def qDedupSubstrings50(s: SparkSession, dir: String): DataFrame =
     dedupSubstrings(Tables.documents(s, dir), SubstrL50)
 
-  /** Core of [[qDedupSubstrings]] over any (doc_id, text) relation —
-    * exposed so the spec can pin exact span boundaries on engineered
-    * corpora with known repeated passages, and parameterized by the
-    * minimum span length L (general construction: doubling rounds to
-    * the largest power of two p ≤ L, then — unless p = L — one
-    * overlapping combine at offset L − p, valid because L − p < p). */
-  private[graft] def dedupSubstrings(docs: DataFrame, L: Int = SubstrL): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The CUT action the substring rung exists to feed (Lee et al.
+    * ACL'22's exact-substring tool doesn't just report duplicated spans
+    * — it removes every occurrence but one): for each duplicated
+    * [[SubstrL50]]-gram key, the corpus-wide canonical occurrence is the
+    * lexicographically first (doc_id, pos); every OTHER occurrence marks
+    * its L covered positions cut; per affected document, report total /
+    * cut / kept token counts — the before/after a training-data run
+    * records when it applies the dedup.
+    *
+    * Keep-first is per KEY, so overlapping duplicated regions union
+    * their cut positions (distinct), and a document repeating a passage
+    * internally keeps exactly its first copy — matching the span rung's
+    * ≥2-total-occurrences rule.
+    *
+    * Oracle = the direct string-space spelling: literal 50-grams,
+    * count(*) OVER (PARTITION BY gram) with row_number for the
+    * canonical, position explosion, distinct, per-doc counts — so the
+    * hash-chain cut set is re-proven against ground truth per verify.
+    *
+    * Scale stance (100 TB): the only step beyond the shared
+    * [[substringKeys]] chain is a join of dup occurrences against a
+    * (key, canonical) aggregate — both sized by DUPLICATE density, not
+    * the corpus — and an L× position explosion of the non-canonical
+    * occurrences only (bounded by dup volume; the corpus never
+    * explodes). Per-doc counts are one hash aggregate. */
+  def qDedupCut(s: SparkSession, dir: String): DataFrame =
+    dedupCut(Tables.documents(s, dir))
+
+  /** Core of [[qDedupCut]] over any (doc_id, text) relation — exposed so
+    * the spec pins exact cut counts (cross-doc canonical, same-doc
+    * keep-first, near-miss exclusion) on the engineered L=50 corpus. */
+  private[graft] def dedupCut(docs: DataFrame): DataFrame = {
+    val kL = substringKeys(docs, SubstrL50)
+    val canon = kL.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("c"))
+      .filter(col("n_occ") >= 2)
+      .select(col("k"), col("c.doc_id").as("c_doc"), col("c.pos").as("c_pos"))
+    val cutPos = kL.join(canon, Seq("k"))
+      .filter(!(col("doc_id") === col("c_doc") && col("pos") === col("c_pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (SubstrL50 - 1))).as("cp"))
+      .distinct()
+    val counts = docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+    cutPos.groupBy(col("doc_id")).agg(count(lit(1)).as("n_cut"))
+      .join(counts, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_cut"),
+        (col("n_tokens") - col("n_cut")).as("n_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** The width-L position-key relation (doc_id, pos, k) behind the
+    * substring family — the bounded Manber–Myers doubling chain shared
+    * by the span report ([[dedupSubstrings]]) and the cut action
+    * ([[qDedupCut]]): width-1 keys are 60-bit token hashes; doubling
+    * rounds reach width p = 2^⌊log₂L⌋ (offsets 1, 2, …, p/2); unless
+    * L is a power of two, one overlapping sparse-table combine at
+    * offset L − p (valid because L − p < p) lands width-L keys at every
+    * valid L-gram start. ⌈log₂L⌉ narrow 16-byte shuffles total; no
+    * L-token string ever materializes. Lineage-cut: every consumer
+    * reads the keyed relation at least twice. */
+  private def substringKeys(docs: DataFrame, L: Int): DataFrame = {
     // width-1 keys: one narrow (doc_id, pos, key) row per token
     val base = docs
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
@@ -1509,15 +1563,20 @@ object Dedup {
         .select(col("doc_id"), col("pos"),
           h60(concat_ws(":", col("ka"), col("kb"))).as("k"))
     }
-    // doubling rounds to width p = 2^⌊log₂L⌋ (offsets 1, 2, …, p/2),
-    // then — unless L is a power of two — the overlapping combine at
-    // offset L−p → width-L keys at every valid L-gram start;
-    // cut: 2 consumers below (the occurrence count and the semi-join)
     val p = Integer.highestOneBit(L)
     val offsets = Iterator.iterate(1)(_ * 2).takeWhile(_ < p).toSeq
     val kp = offsets.foldLeft(base)(widen)
-    val kL = graft.core.Lineage.cut(
-      if (p == L) kp else widen(kp, L - p))
+    graft.core.Lineage.cut(if (p == L) kp else widen(kp, L - p))
+  }
+
+  /** Core of [[qDedupSubstrings]] over any (doc_id, text) relation —
+    * exposed so the spec can pin exact span boundaries on engineered
+    * corpora with known repeated passages, and parameterized by the
+    * minimum span length L (general construction: see
+    * [[substringKeys]]). */
+  private[graft] def dedupSubstrings(docs: DataFrame, L: Int = SubstrL): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kL = substringKeys(docs, L)
     val dupKeys = kL.groupBy(col("k"))
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
@@ -1590,6 +1649,7 @@ object Dedup {
     "q_dedup_spans" -> (qDedupSpans _),
     "q_dedup_substrings" -> (qDedupSubstrings _),
     "q_dedup_substrings50" -> (qDedupSubstrings50 _),
+    "q_dedup_cut" -> (qDedupCut _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_minhash_signature" -> (qMinhashSignature _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -2065,6 +2125,35 @@ object Dedup {
     // production L=50 rung).
     "q_dedup_substrings" -> substringsOracleSql(SubstrL),
     "q_dedup_substrings50" -> substringsOracleSql(SubstrL50),
+    // Same literal 50-gram stream; canonical = first (doc_id, pos) per
+    // gram; non-canonical occurrences explode their covered positions.
+    "q_dedup_cut" -> {
+      val l = SubstrL50; val lm1 = l - 1
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |        list_transform(range(1, len(w) - $lm1 + 1),
+         |          i -> list_aggr(w[CAST(i AS INT) : CAST(i + $lm1 AS INT)],
+         |                 'string_agg', ' ')) AS gs
+         |      FROM toks WHERE len(w) >= $l),
+         |p AS (SELECT doc_id, unnest(gs) AS gram,
+         |        unnest(range(0, len(gs))) AS pos FROM g),
+         |occ AS (SELECT doc_id, pos,
+         |        count(*) OVER (PARTITION BY gram) AS n_occ,
+         |        row_number() OVER (PARTITION BY gram
+         |          ORDER BY doc_id, pos) AS rn
+         |      FROM p),
+         |cut AS (SELECT DISTINCT doc_id, cp FROM (
+         |        SELECT doc_id, unnest(range(pos, pos + $l)) AS cp
+         |        FROM occ WHERE n_occ >= 2 AND rn > 1)),
+         |cnt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens
+         |        FROM toks)
+         |SELECT c.doc_id, n.n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_cut,
+         |  n.n_tokens - count(*) AS n_kept
+         |FROM cut c JOIN cnt n ON c.doc_id = n.doc_id
+         |GROUP BY c.doc_id, n.n_tokens
+         |ORDER BY c.doc_id""".stripMargin
+    },
     "q_dedup_containment" ->
       s"""WITH $winnowCandCte,
          |scored AS (SELECT c.a_id, c.b_id,

@@ -1154,6 +1154,16 @@ class DedupSimilaritySpec extends SparkSpec {
     // doc 4, and NOTHING from the 49-token near-miss pair
     val want = Set((1L, 7, 55L), (2L, 3, 55L), (4L, 0, 50L), (4L, 52, 50L))
     assert(got == want, s"L=50 spans: got=$got want=$want")
+
+    // the CUT action on the same corpus: canonical = first (doc_id, pos)
+    // corpus-wide, so doc 1 keeps its copy of the shared passage and
+    // doc 2 loses all 55 covered positions; doc 4 keeps its FIRST
+    // internal repeat and cuts the second's 50; the near-miss pair and
+    // every fully-canonical doc are absent
+    val cut = graft.queries.Dedup.dedupCut(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val wantCut = Set((2L, 67L, 55L, 12L), (4L, 102L, 50L, 52L))
+    assert(cut == wantCut, s"L=50 cut: got=$cut want=$wantCut")
   }
 
   test("nprobe curve: monotone, exact at full probe, and consistent with the recall dashboard at nprobe=2") {
