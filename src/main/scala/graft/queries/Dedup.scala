@@ -1569,6 +1569,67 @@ object Dedup {
     graft.core.Lineage.cut(if (p == L) kp else widen(kp, L - p))
   }
 
+  /** Persisted substring-key index roots for [[qSubstrIncremental]]. */
+  private val substrIndexRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Writes the historical substring-key INDEX: per width-[[SubstrL50]]
+    * key of the even-doc_id corpus half (standing in for yesterday's
+    * already-processed corpus), its occurrence count — the aggregate a
+    * batch probe needs, 12 bytes per distinct key. */
+  private[graft] def substrIndexDir(s: SparkSession, dir: String): String =
+    substrIndexRoots.computeIfAbsent(dir, { d =>
+      val root = Ingest.scratchDir("substrix", d)
+      substringKeys(Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
+          SubstrL50)
+        .groupBy(col("k")).agg(count(lit(1)).as("idx_occ"))
+        .write.mode("overwrite").parquet(s"$root/keys.parquet")
+      root
+    })
+
+  /** Incremental substring dedup — the persisted-index doctrine applied
+    * to the SUFFIX tier, closing the family's lifecycle the way the
+    * winnow/ANN/HLL tiers already close theirs: the historical corpus's
+    * width-50 key COUNTS live in a parquet store ([[substrIndexDir]] —
+    * written once; at scale, yesterday's doubling chain never re-runs),
+    * and each ingestion runs the ⌈log₂50⌉-shuffle chain over the NEW
+    * BATCH ONLY (odd doc_ids), probing the store with one join on the
+    * 8-byte key. A batch position is duplicated iff its key's total
+    * occurrences — batch count + stored count — reach 2, which makes the
+    * output EXACTLY the full-corpus span report restricted to batch
+    * documents: the oracle is [[substringsOracleSql]]'s chain with the
+    * batch predicate on the final rows, so every verify re-proves
+    * store-probe ≡ full recompute (the associativity that makes the
+    * index sound).
+    *
+    * Scale stance (100 TB): the expensive object — the corpus-wide
+    * doubling chain — is amortized into the store; per arrival the
+    * chain costs O(batch · log L) narrow shuffles and the probe is a
+    * key join against a (key, count) table bounded by DISTINCT key
+    * count (hot boilerplate keys stay one row). Erasure composes like
+    * the dedup index: prune the erased docs' postings and re-aggregate
+    * counts (counts are summable — no rebuild needed, unlike the HLL
+    * max-fold store). */
+  def qSubstrIncremental(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = substrIndexDir(s, dir)
+    val idx = s.read.parquet(s"$root/keys.parquet")
+    val batch = graft.core.Lineage.cut(substringKeys(
+      Tables.documents(s, dir).filter(col("doc_id") % 2 === 1), SubstrL50))
+    val dupKeys = batch.groupBy(col("k")).agg(count(lit(1)).as("b_occ"))
+      .join(idx, Seq("k"), "left")
+      .filter(col("b_occ") + coalesce(col("idx_occ"), lit(0L)) >= 2)
+      .select("k")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    batch.join(dupKeys, Seq("k"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start_pos"), count(lit(1)).as("run"))
+      .select(col("doc_id"), col("start_pos"),
+        (col("run") + (SubstrL50 - 1)).as("span_tokens"))
+      .orderBy("doc_id", "start_pos")
+  }
+
   /** Core of [[qDedupSubstrings]] over any (doc_id, text) relation —
     * exposed so the spec can pin exact span boundaries on engineered
     * corpora with known repeated passages, and parameterized by the
@@ -1650,6 +1711,7 @@ object Dedup {
     "q_dedup_substrings" -> (qDedupSubstrings _),
     "q_dedup_substrings50" -> (qDedupSubstrings50 _),
     "q_dedup_cut" -> (qDedupCut _),
+    "q_substr_incremental" -> (qSubstrIncremental _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_minhash_signature" -> (qMinhashSignature _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -1773,7 +1835,7 @@ object Dedup {
   /** Direct string-space L-gram ground truth for the substring rungs —
     * one spelling parameterized by the threshold, so the L = 12 and
     * L = 50 oracles cannot drift from each other. */
-  private def substringsOracleSql(l: Int): String = {
+  private def substringsOracleSql(l: Int, finalWhere: String = ""): String = {
     val lm1 = l - 1
     s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
        |g AS (SELECT doc_id,
@@ -1792,7 +1854,7 @@ object Dedup {
        |        FROM dp)
        |SELECT doc_id, CAST(min(pos) AS INT) AS start_pos,
        |  CAST(count(*) + $lm1 AS BIGINT) AS span_tokens
-       |FROM isl GROUP BY doc_id, grp
+       |FROM isl $finalWhere GROUP BY doc_id, grp
        |ORDER BY doc_id, start_pos""".stripMargin
   }
 
@@ -2125,6 +2187,10 @@ object Dedup {
     // production L=50 rung).
     "q_dedup_substrings" -> substringsOracleSql(SubstrL),
     "q_dedup_substrings50" -> substringsOracleSql(SubstrL50),
+    // Store-probe == full recompute: the same 50-gram chain, batch
+    // (odd-doc) rows only — the index-soundness re-proof.
+    "q_substr_incremental" ->
+      substringsOracleSql(SubstrL50, "WHERE doc_id % 2 = 1"),
     // Same literal 50-gram stream; canonical = first (doc_id, pos) per
     // gram; non-canonical occurrences explode their covered positions.
     "q_dedup_cut" -> {

@@ -1166,6 +1166,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cut == wantCut, s"L=50 cut: got=$cut want=$wantCut")
   }
 
+  test("incremental substring index: store-probe equals the full recompute on batch docs; store holds only index-half keys; plan reads the artifact") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val inc = Dedup.qSubstrIncremental(spark, d)
+    val got = inc.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got.nonEmpty, "fixture must contain >=50-token duplicated spans in odd docs")
+    // (a) associativity: batch-chain + stored counts == the full-corpus
+    // span report restricted to the batch half
+    val full = Dedup.qDedupSubstrings50(spark, d)
+      .filter(col("doc_id") % 2 === 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == full,
+      s"probe != full recompute: extra=${(got -- full).take(3)} missing=${(full -- got).take(3)}")
+    // (b) every span is in a batch (odd) document
+    assert(got.forall(_._1 % 2 == 1), "index-half doc leaked into the batch report")
+    // (c) the store was built from the index half only: probing with an
+    // empty batch-side key (a doc sharing nothing) is covered by (a);
+    // here pin the artifact exists and the plan consumes it
+    val root = Dedup.substrIndexDir(spark, d)
+    assert(spark.read.parquet(s"$root/keys.parquet").count() > 0)
+    assert(inc.inputFiles.exists(_.contains("keys.parquet")),
+      "plan must scan the persisted substring-key store")
+  }
+
   test("nprobe curve: monotone, exact at full probe, and consistent with the recall dashboard at nprobe=2") {
     val d = "/root/testdata/sf0.01"
     val rows = Similarity.qAnnNprobeCurve(spark, d).collect()
