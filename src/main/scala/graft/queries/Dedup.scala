@@ -1575,14 +1575,37 @@ object Dedup {
 
   /** Writes the historical substring-key INDEX: per width-[[SubstrL50]]
     * key of the even-doc_id corpus half (standing in for yesterday's
-    * already-processed corpus), its occurrence count — the aggregate a
-    * batch probe needs, 12 bytes per distinct key. */
+    * already-processed corpus), its per-DOCUMENT occurrence count —
+    * postings keyed by (k, doc_id) so the erase verb can prune rows by
+    * subject, exactly the dedup-index doctrine (the store rows are
+    * per-document deterministic: no corpus statistic lives in them, so
+    * prune ≡ rebuild-over-survivors). The probe derives the serving
+    * aggregate sum(cnt) per key on read; a production store compacts
+    * that aggregate alongside, folding it on each generation flip. */
   private[graft] def substrIndexDir(s: SparkSession, dir: String): String =
     substrIndexRoots.computeIfAbsent(dir, { d =>
       val root = Ingest.scratchDir("substrix", d)
       substringKeys(Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
           SubstrL50)
-        .groupBy(col("k")).agg(count(lit(1)).as("idx_occ"))
+        .groupBy(col("k"), col("doc_id")).agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(s"$root/keys.parquet")
+      root
+    })
+
+  /** Erased-generation roots for [[qSubstrIndexErase]]. */
+  private val substrErasedRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Writes the erased GENERATION of the substring-key store: gen0's
+    * postings minus the erasure subjects' rows — a PRUNE, sound here
+    * because each (k, doc_id, cnt) row is a pure function of its own
+    * document (contrast [[graft.queries.Analytics.qHllStoreErase]],
+    * where max-fold registers force a rebuild). */
+  private[graft] def substrErasedIndexDir(s: SparkSession, dir: String): String =
+    substrErasedRoots.computeIfAbsent(dir, { d =>
+      val root = Ingest.scratchDir("substrixerase", d)
+      s.read.parquet(s"${substrIndexDir(s, d)}/keys.parquet")
+        .filter(!erasedDoc(col("doc_id")))
         .write.mode("overwrite").parquet(s"$root/keys.parquet")
       root
     })
@@ -1610,12 +1633,35 @@ object Dedup {
     * the dedup index: prune the erased docs' postings and re-aggregate
     * counts (counts are summable — no rebuild needed, unlike the HLL
     * max-fold store). */
-  def qSubstrIncremental(s: SparkSession, dir: String): DataFrame = {
+  def qSubstrIncremental(s: SparkSession, dir: String): DataFrame =
+    substrProbe(s, dir, substrIndexDir(s, dir), lit(true))
+
+  /** Right-to-be-forgotten for the substring-key store: the probe served
+    * from the ERASED generation ([[substrErasedIndexDir]] — gen0 minus
+    * the subjects' postings), with the deletion predicate applied to the
+    * incoming batch too (an erased subject must neither be matched
+    * against nor reported — the q_dedup_index_erase contract). Oracle =
+    * the direct string-space chain over the SURVIVING corpus, so every
+    * verify re-proves prune ≡ from-scratch rebuild over survivors — the
+    * per-document-determinism property that makes prune sound for
+    * posting stores (and that the HLL store's max-folds lack). */
+  def qSubstrIndexErase(s: SparkSession, dir: String): DataFrame =
+    substrProbe(s, dir, substrErasedIndexDir(s, dir),
+      !erasedDoc(col("doc_id")))
+
+  /** Shared probe of a substring-key store generation: batch = the odd
+    * half under `keep`, chain over the batch only, duplicated iff batch
+    * count + stored count ≥ 2, gaps-and-islands spans. ONE spelling for
+    * the incremental and erased-generation verbs so the match rule
+    * cannot drift. */
+  private def substrProbe(s: SparkSession, dir: String, idxRoot: String,
+      keep: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val root = substrIndexDir(s, dir)
-    val idx = s.read.parquet(s"$root/keys.parquet")
+    val idx = s.read.parquet(s"$idxRoot/keys.parquet")
+      .groupBy(col("k")).agg(sum(col("cnt")).as("idx_occ"))
     val batch = graft.core.Lineage.cut(substringKeys(
-      Tables.documents(s, dir).filter(col("doc_id") % 2 === 1), SubstrL50))
+      Tables.documents(s, dir).filter(col("doc_id") % 2 === 1 && keep),
+      SubstrL50))
     val dupKeys = batch.groupBy(col("k")).agg(count(lit(1)).as("b_occ"))
       .join(idx, Seq("k"), "left")
       .filter(col("b_occ") + coalesce(col("idx_occ"), lit(0L)) >= 2)
@@ -1712,6 +1758,7 @@ object Dedup {
     "q_dedup_substrings50" -> (qDedupSubstrings50 _),
     "q_dedup_cut" -> (qDedupCut _),
     "q_substr_incremental" -> (qSubstrIncremental _),
+    "q_substr_index_erase" -> (qSubstrIndexErase _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_minhash_signature" -> (qMinhashSignature _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -1835,9 +1882,10 @@ object Dedup {
   /** Direct string-space L-gram ground truth for the substring rungs —
     * one spelling parameterized by the threshold, so the L = 12 and
     * L = 50 oracles cannot drift from each other. */
-  private def substringsOracleSql(l: Int, finalWhere: String = ""): String = {
+  private def substringsOracleSql(l: Int, finalWhere: String = "",
+      docWhere: String = ""): String = {
     val lm1 = l - 1
-    s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+    s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents $docWhere),
        |g AS (SELECT doc_id,
        |        list_transform(range(1, len(w) - $lm1 + 1),
        |          i -> list_aggr(w[CAST(i AS INT) : CAST(i + $lm1 AS INT)],
@@ -2191,6 +2239,11 @@ object Dedup {
     // (odd-doc) rows only — the index-soundness re-proof.
     "q_substr_incremental" ->
       substringsOracleSql(SubstrL50, "WHERE doc_id % 2 = 1"),
+    // Erased generation: the same chain over the SURVIVING corpus only
+    // (subjects out of both the store and the batch), batch rows.
+    "q_substr_index_erase" ->
+      substringsOracleSql(SubstrL50, "WHERE doc_id % 2 = 1",
+        s"WHERE doc_id % ${Ingest.ErasureMod} <> 0"),
     // Same literal 50-gram stream; canonical = first (doc_id, pos) per
     // gram; non-canonical occurrences explode their covered positions.
     "q_dedup_cut" -> {

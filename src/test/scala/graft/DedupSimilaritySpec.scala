@@ -1191,6 +1191,33 @@ class DedupSimilaritySpec extends SparkSpec {
       "plan must scan the persisted substring-key store")
   }
 
+  test("substring index erase: prune equals gen0 minus subjects; verb has effect on the fixture; probe reads the erased artifact") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val em = graft.queries.Ingest.ErasureMod
+    val gen0 = spark.read.parquet(s"${Dedup.substrIndexDir(spark, d)}/keys.parquet")
+    // the verb must have subjects to erase, or it proves nothing
+    assert(gen0.filter(col("doc_id") % em === 0).count() > 0,
+      "gen0 store holds no erasure subjects — fixture regressed")
+    val gen1 = spark.read.parquet(
+      s"${Dedup.substrErasedIndexDir(spark, d)}/keys.parquet")
+    assert(gen1.filter(col("doc_id") % em === 0).count() == 0,
+      "subject postings survive the erased generation")
+    // prune == filter of gen0, row for row (per-document determinism)
+    val a = gen0.filter(col("doc_id") % em =!= 0)
+      .collect().map(_.toString).toSet
+    val b = gen1.collect().map(_.toString).toSet
+    assert(a == b, s"gen1 != pruned gen0: ${(a -- b).take(2)} ${(b -- a).take(2)}")
+    // the erased probe differs from the unerased one on this fixture
+    // (a subject participated in a reported span), and reads gen1
+    val er = Dedup.qSubstrIndexErase(spark, d)
+    val inc = Dedup.qSubstrIncremental(spark, d)
+    assert(er.collect().toSeq != inc.collect().toSeq,
+      "erase verb had no observable effect — fixture regressed")
+    assert(er.inputFiles.exists(_.contains("substrixerase")),
+      "erased probe must scan the erased generation")
+  }
+
   test("nprobe curve: monotone, exact at full probe, and consistent with the recall dashboard at nprobe=2") {
     val d = "/root/testdata/sf0.01"
     val rows = Similarity.qAnnNprobeCurve(spark, d).collect()
