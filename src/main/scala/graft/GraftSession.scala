@@ -22,6 +22,15 @@ object GraftSession {
 
   /** Build (or reuse) the recommended local session. */
   def local(threads: Int, appName: String = "graft"): SparkSession = {
+    // Locale.ROOT for the whole JVM, not just the mains that format JSON:
+    // Spark's lower()/upper() on non-ASCII strings fall back to
+    // String.toLowerCase() under the DEFAULT locale, so a Turkish/Azeri/
+    // Lithuanian host locale would lowercase 'I' to 'ı' in Spark while
+    // the DuckDB oracle is locale-independent — q_unicode_tokens (the one
+    // plan that lowercases non-ASCII text) would hash-mismatch only on
+    // such hosts. Pin here so every entry point (Verify/Bench/Smoke/
+    // tools/tests) shares the contract.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val s = SparkSession.builder()
       .master(s"local[$threads]")
       .appName(appName)

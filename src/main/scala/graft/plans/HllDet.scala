@@ -164,6 +164,18 @@ object HllDet {
     estimateFromZV(zScaled(regs), size(filter(regs, r => r === 0)))
   }
 
+  /** The (z, v) AGGREGATES over an exploded per-register rank column —
+    * the one Spark-side spelling of the estimator's grouped inputs
+    * (sum 2²⁵⁻ʳ + zero-register count), shared by the rolling chain and
+    * the multi-window overlap so a rank-domain change (e.g. the
+    * documented 64-bit variant) lands in one place. */
+  def zvAggs(r: org.apache.spark.sql.Column, zAlias: String,
+      vAlias: String): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    Seq(sum(call_function("shiftleft", lit(1L), lit(25) - r)).as(zAlias),
+      sum(when(r === 0, 1L).otherwise(0L)).as(vAlias))
+  }
+
   /** DuckDB spelling of the register derivation for a 32-bit hash
     * expression `h`: (j, rho). */
   def duckJ(h: String): String = s"($h) // 16777216"

@@ -623,8 +623,8 @@ object Analytics {
       .select(col("day"), col("dn"), posexplode(col("regs")).as(Seq("j", "r")))
       .withColumn("rm", max(col("r")).over(w))
       .groupBy(col("day"))
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - rm)")).as("z"),
-        sum(when(col("rm") === 0, 1L).otherwise(0L)).as("v"))
+      .agg(graft.plans.HllDet.zvAggs(col("rm"), "z", "v").head,
+        graft.plans.HllDet.zvAggs(col("rm"), "z", "v").tail: _*)
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         graft.plans.HllDet.estimateFromZV(col("z"), col("v"))
           .as("active_7d_approx"))
@@ -789,11 +789,9 @@ object Analytics {
       .select(col("day"), col("dn"), posexplode(col("regs")).as(Seq("j", "r")))
     val wCur = Window.partitionBy(col("j")).orderBy(col("dn")).rangeBetween(-6, 0)
     val wPrev = Window.partitionBy(col("j")).orderBy(col("dn")).rangeBetween(-13, -7)
-    def zv(r: Column, z: String, v: String) = Seq(
-      sum(call_function("shiftleft", lit(1L), lit(25) - r)).as(z),
-      sum(when(r === 0, 1L).otherwise(0L)).as(v))
-    val aggs = zv(col("rc"), "zc", "vc") ++ zv(col("rp"), "zp", "vp") ++
-      zv(col("ru"), "zu", "vu")
+    import graft.plans.HllDet.zvAggs
+    val aggs = zvAggs(col("rc"), "zc", "vc") ++ zvAggs(col("rp"), "zp", "vp") ++
+      zvAggs(col("ru"), "zu", "vu")
     val st = ex
       .withColumn("rc", max(col("r")).over(wCur))
       .withColumn("rp", coalesce(max(col("r")).over(wPrev), lit(0)))
@@ -2623,13 +2621,16 @@ object Analytics {
     * the incremental rung, and the erased generation — `finalWhere`
     * filters the reported days (the cutoff predicate), `userWhere` the
     * event scan (the erasure-subject predicate). */
-  private def rollingHllOracleSql(finalWhere: String,
-      userWhere: String = ""): String = {
+  /** The uh/regs/grid/dense register-chain CTE prelude — ONE spelling
+    * for every HLL oracle (rolling, incremental, erase, overlap); the
+    * caller injects its event-scan predicate and stacks its own window
+    * CTEs on top of `dense`. */
+  private def hllDenseCte(uhWhere: String): String = {
     import graft.plans.HllDet
-    s"""WITH uh AS (
+    s"""uh AS (
        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
        |    ${TextPipeline.duckH32("CAST(user_id AS VARCHAR)")} AS h
-       |  FROM events $userWhere),
+       |  FROM events $uhWhere),
        |regs AS (
        |  SELECT day, ${HllDet.duckJ("h")} AS j,
        |    max(${HllDet.duckRho("h")}) AS r
@@ -2641,16 +2642,20 @@ object Analytics {
        |  SELECT grid.day, grid.j, coalesce(regs.r, 0) AS r,
        |    date_diff('day', DATE '1970-01-01', grid.day) AS dn
        |  FROM grid LEFT JOIN regs
-       |    ON grid.day = regs.day AND grid.j = regs.j),
+       |    ON grid.day = regs.day AND grid.j = regs.j)""".stripMargin
+  }
+
+  private def rollingHllOracleSql(finalWhere: String,
+      userWhere: String = ""): String = {
+    import graft.plans.HllDet
+    s"""WITH ${hllDenseCte(userWhere)},
        |win AS (
        |  SELECT day, j,
        |    max(r) OVER (PARTITION BY j ORDER BY dn
        |                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rm
        |  FROM dense),
        |st AS (
-       |  SELECT day,
-       |    sum(1::BIGINT << CAST(25 - rm AS INT)) AS z,
-       |    sum(CASE WHEN rm = 0 THEN 1 ELSE 0 END) AS v
+       |  SELECT day, ${HllDet.duckZVDense("rm", "z", "v")}
        |  FROM win GROUP BY day)
        |SELECT strftime(day, '%Y-%m-%d') AS day,
        |  ${HllDet.duckEstimateFromZV("active_7d_approx")}
@@ -3488,23 +3493,8 @@ object Analytics {
       import graft.plans.HllDet
       s"""WITH cut AS (SELECT CAST(date_trunc('day', min(ts)) AS DATE) + 21
          |    AS c FROM events),
-         |uh AS (
-         |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
-         |    ${TextPipeline.duckH32("CAST(user_id AS VARCHAR)")} AS h
-         |  FROM events
-         |  WHERE CAST(date_trunc('day', ts) AS DATE) < (SELECT c FROM cut)),
-         |regs AS (
-         |  SELECT day, ${HllDet.duckJ("h")} AS j,
-         |    max(${HllDet.duckRho("h")}) AS r
-         |  FROM uh GROUP BY 1, 2),
-         |grid AS (
-         |  SELECT day, j FROM (SELECT DISTINCT day FROM uh),
-         |    (SELECT unnest(range(0, ${HllDet.M})) AS j)),
-         |dense AS (
-         |  SELECT grid.day, grid.j, coalesce(regs.r, 0) AS r,
-         |    date_diff('day', DATE '1970-01-01', grid.day) AS dn
-         |  FROM grid LEFT JOIN regs
-         |    ON grid.day = regs.day AND grid.j = regs.j),
+         |${hllDenseCte(
+        "WHERE CAST(date_trunc('day', ts) AS DATE) < (SELECT c FROM cut)")},
          |win AS (
          |  SELECT day, j,
          |    max(r) OVER (PARTITION BY j ORDER BY dn

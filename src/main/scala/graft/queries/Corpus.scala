@@ -827,10 +827,16 @@ object Corpus {
 
   /** The capstone's deterministic hash split of a doc id — shared with
     * the streaming twin. */
-  private[graft] def pipelineSplit(docId: Column): Column = {
-    val b = pmod(TextPipeline.h32(docId.cast("string")), lit(100))
+  private[graft] def pipelineSplit(docId: Column): Column =
+    pipelineSplitOf(pmod(TextPipeline.h32(docId.cast("string")), lit(100)))
+
+  /** Split label from an already-computed bucket — the ONE place the
+    * 80/90 thresholds live, so a stage that needs the raw bucket too
+    * (qCorpusPipelineFull's decontamination scope) derives both the
+    * predicate and the label from the same b and cannot drift from
+    * [[pipelineSplit]]. */
+  private[graft] def pipelineSplitOf(b: Column): Column =
     when(b < 80, "train").when(b < 90, "val").otherwise("test")
-  }
 
   /** Cleaned capstone input (doc_id, lang, w, nt) — exposed so the
     * streaming twin's spec derives the SAME quality-gate bounds the
@@ -961,14 +967,13 @@ object Corpus {
     val fuzzy = graft.core.Lineage.cut(
       exact.join(losers, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("nt"),
-          pmod(graft.core.TextPipeline.h32(col("doc_id").cast("string")),
-            lit(100)).as("b"),
+          pipelineSplit(col("doc_id")).as("split"),
           array_distinct(transform(
             graft.core.TextPipeline.shinglesOf(col("w")),
             t => graft.core.TextPipeline.h32(t))).as("hs")))
-    val testSh = fuzzy.filter(col("b") >= 90)
+    val testSh = fuzzy.filter(col("split") === "test")
       .select(explode(col("hs")).as("h")).distinct()
-    val contaminated = fuzzy.filter(col("b") < 80)
+    val contaminated = fuzzy.filter(col("split") === "train")
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
         explode(col("hs")).as("h"))
       .join(broadcast(testSh), "h")
@@ -982,8 +987,7 @@ object Corpus {
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     fuzzy.join(contaminated, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("nt"),
-        pipelineSplit(col("doc_id")).as("split"))
+      .select(col("doc_id"), col("lang"), col("nt"), col("split"))
       .withColumn("cum", sum(col("nt")).over(wPack))
       .select(col("doc_id"), col("lang"), col("split"),
         col("nt").as("n_tokens"),

@@ -1547,8 +1547,12 @@ object Dedup {
     * L is a power of two, one overlapping sparse-table combine at
     * offset L − p (valid because L − p < p) lands width-L keys at every
     * valid L-gram start. ⌈log₂L⌉ narrow 16-byte shuffles total; no
-    * L-token string ever materializes. Lineage-cut: every consumer
-    * reads the keyed relation at least twice. */
+    * L-token string ever materializes. The result ships lineage-cut:
+    * most consumers (span report, cut action, probes) read it twice
+    * (occurrence count + semi-join); the one single-read consumer
+    * ([[substrIndexDir]]'s store write) pays one redundant checkpoint
+    * at build time, accepted over a parameter that would let the two
+    * paths drift. */
   private def substringKeys(docs: DataFrame, L: Int): DataFrame = {
     // width-1 keys: one narrow (doc_id, pos, key) row per token
     val base = docs
@@ -1659,9 +1663,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val idx = s.read.parquet(s"$idxRoot/keys.parquet")
       .groupBy(col("k")).agg(sum(col("cnt")).as("idx_occ"))
-    val batch = graft.core.Lineage.cut(substringKeys(
+    // substringKeys already lineage-cuts its result — no second cut
+    val batch = substringKeys(
       Tables.documents(s, dir).filter(col("doc_id") % 2 === 1 && keep),
-      SubstrL50))
+      SubstrL50)
     val dupKeys = batch.groupBy(col("k")).agg(count(lit(1)).as("b_occ"))
       .join(idx, Seq("k"), "left")
       .filter(col("b_occ") + coalesce(col("idx_occ"), lit(0L)) >= 2)

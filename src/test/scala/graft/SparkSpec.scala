@@ -12,6 +12,10 @@ trait SparkSpec extends AnyFunSuite {
 object SparkSpec {
   // One session for the whole test JVM — suites share it.
   lazy val session: SparkSession = {
+    // same locale contract as GraftSession.local (q_unicode_tokens
+    // lowercases non-ASCII text; default-locale lower() would diverge
+    // from the oracle on tr/az/lt hosts)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
