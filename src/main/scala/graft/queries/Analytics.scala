@@ -808,6 +808,215 @@ object Analytics {
       .orderBy("day")
   }
 
+  // ===== Count-Min sketch tier (frequency dual of the HLL tier) =====
+
+  /** CMS depth (independent hash rows) and width (columns per row):
+    * d = 4, w = 256 → 1024 BIGINT counters total, broadcastable at any
+    * corpus size. The fixture's bigram key space (~930 keys) exceeds w
+    * deliberately — the sketch is SMALLER than the vocabulary, so the
+    * structural overestimate (colliding keys share a counter; the
+    * point estimate is min over the d rows) is visible in the real
+    * fixture output, not just in an engineered spec corpus. */
+  private[graft] val CmsD = 4
+  private[graft] val CmsW = 256
+
+  /** Heavy-hitter support floor: report keys whose ESTIMATE is at least
+    * total_occurrences div this (the q_assoc_rules named-constant
+    * convention — thresholds are relative, so they survive scale-up). */
+  private[graft] val CmsSupportDiv = 1000L
+
+  /** Column index of key `word` in CMS row `i`: h32 of the row-salted
+    * key, mod width — the [[graft.core.TextPipeline.h32]] discipline, so
+    * the DuckDB oracle recomputes every counter bit-identically. */
+  private[graft] def cmsColIdx(i: Column, word: Column): Column =
+    TextPipeline.h32(concat(i.cast("string"), lit(":"), word)) % CmsW
+
+  /** Exact bigram frequency table (word, n) of a documents corpus — the
+    * CMS key stream. Bigrams, not unigrams: the fixture vocabulary is 31
+    * words (every estimate would be collision-free and exact), while its
+    * ~930 distinct bigrams overfill the 256 columns ~3.6× — the regime a
+    * production sketch lives in. zip_with pairing per the
+    * [[graft.core.TextPipeline.trigrams]] O(tokens) doctrine. */
+  /** The raw bigram OCCURRENCE stream (one row per bigram instance) —
+    * shared by the batch tier below (which aggregates to distinct-key
+    * counts first) and the streaming face
+    * ([[graft.streaming.Windows.cmsCounters]], which cannot stack two
+    * aggregations under `readStream` and so hashes per occurrence). */
+  private[graft] def cmsKeyStream(docs: DataFrame): DataFrame =
+    docs.select(TextPipeline.normalizedTokens(col("text")).as("w"))
+      .select(explode(filter(
+        zip_with(col("w"),
+          slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+          (x, y) => concat(x, lit(" "), y)),
+        t => t.isNotNull)).as("word"))
+
+  private[graft] def cmsKeyCounts(docs: DataFrame): DataFrame =
+    cmsKeyStream(docs).groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** One row per (key, row-index) with its column index — the shared
+    * expansion under both sketch BUILD and point-estimate PROBE. Always
+    * fed the (word, n) AGGREGATE, never the raw occurrence stream: keys
+    * hash once per distinct key, not once per occurrence. */
+  private def cmsCells(counts: DataFrame): DataFrame =
+    counts.select(col("word"), col("n"),
+        explode(sequence(lit(0), lit(CmsD - 1))).as("i"))
+      .withColumn("c", cmsColIdx(col("i"), col("word")))
+
+  /** The sketch itself as a relation: (i, c, cnt) with cnt = Σn over
+    * keys hashing to that cell — ≤ d·w = 1024 rows regardless of corpus
+    * size. Counters are SUMS, so the state is a commutative GROUP (not
+    * just a monoid like HLL's max-registers): map-side partials collapse
+    * each partition to ≤1024 rows before the shuffle, stores merge by
+    * elementwise +, and — unlike every other sketch in this engine —
+    * erase by elementwise − is EXACT (see [[qCmsErase]]). */
+  private[graft] def cmsSketch(counts: DataFrame): DataFrame =
+    cmsCells(counts).groupBy(col("i"), col("c"))
+      .agg(sum(col("n")).as("cnt"))
+
+  /** Point-estimate every candidate key against a sketch and keep the
+    * heavy hitters: est = min over the d rows of the key's cell counter
+    * (never an undercount — each cell sums the key's own n plus
+    * non-negative collision mass), reported beside the exact count so
+    * the overestimate contract `est ≥ n_exact` is visible in the gated
+    * output, not just in a spec. The sketch side is ≤1024 rows →
+    * broadcast; the probe side is one narrow row per (candidate, row
+    * index) — d× the candidate relation, never the occurrence stream. */
+  /** (word, n, est) for EVERY candidate key — the threshold-free probe,
+    * exposed so the spec can assert the one-sided error contract over
+    * the full key set, not just the reported heavy hitters. */
+  private[graft] def cmsEstimates(counts: DataFrame, sketch: DataFrame)
+      : DataFrame =
+    cmsCells(counts)
+      .join(broadcast(sketch), Seq("i", "c"))
+      .groupBy(col("word"), col("n"))
+      .agg(min(col("cnt")).as("est"))
+
+  private[graft] def cmsHeavyHitters(counts: DataFrame, sketch: DataFrame)
+      : DataFrame = {
+    val thr = counts.agg(sum(col("n")).as("t"))
+      .select(expr(s"t div $CmsSupportDiv").as("thr"))
+    cmsEstimates(counts, sketch)
+      .crossJoin(broadcast(thr))
+      .filter(col("est") >= col("thr"))
+      .select(col("word"), col("est"), col("n").as("n_exact"),
+        (col("est") - col("n")).as("overcount"))
+      .orderBy("word")
+  }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan, J.Alg 2005) heavy
+    * hitters over the corpus bigram stream — the frequency dual of the
+    * HLL tier's distinct counts: a fixed d×w = 4×256 counter grid
+    * answers "how often does key x occur?" for any key, with a
+    * one-sided error (estimates never undercount; collision mass can
+    * inflate them by ≤ εN with ε ≈ e/w). Everything is deterministic
+    * relational algebra over the shared h32 hashes — no custom
+    * aggregate needed, because CMS counters are plain SUMS — so the
+    * DuckDB oracle recomputes the counters, the min-over-rows
+    * estimates, and the support floor bit-identically.
+    *
+    * Output: every bigram whose ESTIMATE clears total div 1000, with
+    * the exact count and the (≥0) overcount beside it. The fixture's
+    * ~930 bigrams over 256 columns make real collisions — most rows
+    * carry a nonzero overcount, the honest picture of a sketch run
+    * past its design load; AnalyticsSpec pins est ≥ exact for every
+    * key (not just reported ones) and the εN ceiling.
+    *
+    * Scale stance (100 TB): the key stream collapses to (key, n) in
+    * one word-count-shaped aggregate (hashing touches distinct keys,
+    * not occurrences), the sketch is 1024 rows → broadcast probe, and
+    * the candidate expansion is d× the candidate set. The sketch
+    * never grows with the corpus — that is its entire reason to
+    * exist; the exact column is the fixture-scale gate, not part of
+    * the production serving path. */
+  def qCmsFreq(s: SparkSession, dir: String): DataFrame = {
+    val counts = graft.core.Lineage.cut(
+      cmsKeyCounts(Tables.documents(s, dir)))
+    cmsHeavyHitters(counts, cmsSketch(counts))
+  }
+
+  /** Persisted CMS store roots — writes BOTH generations once per
+    * fixture dir: `sketch_hist` over the historical docs (doc_id mod 4
+    * ≠ 3, the lifecycle arrival-wave convention) for the incremental
+    * rung, and `sketch_full` over the whole corpus for the erase rung. */
+  private val cmsStoreRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def cmsStoreDir(s: SparkSession, dir: String): String =
+    cmsStoreRoots.computeIfAbsent(dir, { d =>
+      val root = Ingest.scratchDir("cmsstore", d)
+      val docs = Tables.documents(s, d)
+      cmsSketch(cmsKeyCounts(docs.filter(pmod(col("doc_id"), lit(4)) =!= 3)))
+        .write.mode("overwrite").parquet(s"$root/sketch_hist.parquet")
+      cmsSketch(cmsKeyCounts(docs))
+        .write.mode("overwrite").parquet(s"$root/sketch_full.parquet")
+      root
+    })
+
+  /** Incremental CMS maintenance — the persisted-store doctrine
+    * ([[qHllIncremental]]) on the frequency sketch: historical counters
+    * come from the parquet store (written once over the mod-4 ≠ 3
+    * docs), only the delta batch (mod-4 ≡ 3 arrivals) is scanned and
+    * sketched, and the two generations merge by elementwise SUM — one
+    * union + 1024-row aggregate. The oracle is the full-corpus
+    * recompute, so every verify re-proves store + delta ≡ full — the
+    * linearity that makes sketch stores maintainable without ever
+    * re-scanning history. */
+  def qCmsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val root = cmsStoreDir(s, dir)
+    val stored = s.read.parquet(s"$root/sketch_hist.parquet")
+    val docs = Tables.documents(s, dir)
+    val delta = cmsSketch(
+      cmsKeyCounts(docs.filter(pmod(col("doc_id"), lit(4)) === 3)))
+    val merged = stored.unionByName(delta)
+      .groupBy(col("i"), col("c")).agg(sum(col("cnt")).as("cnt"))
+    val counts = graft.core.Lineage.cut(cmsKeyCounts(docs))
+    cmsHeavyHitters(counts, merged)
+  }
+
+  /** Erasure-subject predicate for the CMS store — the shared
+    * q_erasure_audit scope on the DOCUMENT key (the takedown/
+    * right-to-be-forgotten unit of a text corpus), as the dedup index
+    * tiers use it. */
+  private def cmsErasedDoc(c: Column): Column = Ingest.erasureSubject(c)
+
+  /** The sketch-store erase verb CMS uniquely supports: SUBTRACTION.
+    * [[qHllStoreErase]] proves the opposite doctrine for HLL — max-fold
+    * registers are not invertible, so HLL erase must REBUILD from
+    * surviving events. CMS counters are sums, and sums form a group:
+    * sketch(full) − sketch(subjects) ≡ sketch(survivors) COUNTER-BY-
+    * COUNTER, exactly (linearity, not an approximation property). So
+    * the erased generation is computed by scanning ONLY the subjects'
+    * documents (doc_id ≡ 0 mod 17), negating their sketch, and folding
+    * it into the stored full-corpus counters — erase cost proportional
+    * to the ERASED data, while HLL pays a full survivor re-scan.
+    * Zero-count cells drop so the subtracted generation is row-equal to
+    * a from-scratch survivor rebuild (AnalyticsSpec pins that equality
+    * at counter level, plus the negative-fold never driving any cell
+    * below zero). The oracle recomputes heavy hitters directly over the
+    * surviving docs, so every verify re-proves subtraction ≡ rebuild
+    * end-to-end.
+    *
+    * Scale stance (100 TB): the subject scan is partition-prunable to
+    * the subjects' shards, the negated delta collapses map-side to
+    * ≤1024 rows, and the fold is a 1024-row aggregate — after which
+    * serving returns to broadcast-probe cost. The candidate/exact side
+    * (survivor recompute) is the fixture-scale GATE, not the
+    * production erase path. */
+  def qCmsErase(s: SparkSession, dir: String): DataFrame = {
+    val root = cmsStoreDir(s, dir)
+    val full = s.read.parquet(s"$root/sketch_full.parquet")
+    val docs = Tables.documents(s, dir)
+    val negated = cmsSketch(
+        cmsKeyCounts(docs.filter(cmsErasedDoc(col("doc_id")))))
+      .select(col("i"), col("c"), (-col("cnt")).as("cnt"))
+    val erased = full.unionByName(negated)
+      .groupBy(col("i"), col("c")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0)
+    val counts = graft.core.Lineage.cut(
+      cmsKeyCounts(docs.filter(!cmsErasedDoc(col("doc_id")))))
+    cmsHeavyHitters(counts, erased)
+  }
+
   /** Incremental aggregate maintenance: the per-user rollup is kept as a
     * SNAPSHOT (events strictly before a data-anchored cutoff day,
     * min-day + 21) merged with the DELTA batch (everything since) via one
@@ -2573,6 +2782,9 @@ object Analytics {
     "q_hll_incremental" -> (qHllIncremental _),
     "q_hll_store_erase" -> (qHllStoreErase _),
     "q_hll_overlap" -> (qHllOverlap _),
+    "q_cms_freq" -> (qCmsFreq _),
+    "q_cms_incremental" -> (qCmsIncremental _),
+    "q_cms_erase" -> (qCmsErase _),
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_sessionize" -> (qSessionize _),
     "q_revenue_concentration" -> (qRevenueConcentration _),
@@ -2661,6 +2873,32 @@ object Analytics {
        |  ${HllDet.duckEstimateFromZV("active_7d_approx")}
        |FROM st $finalWhere ORDER BY day""".stripMargin
   }
+
+  /** ONE CMS oracle spelling for all three rungs — the full counter
+    * recompute (bigram counts → row-salted h32 cells → cell sums →
+    * min-over-rows estimates → support floor) over the docs the rung's
+    * final answer covers. q_cms_incremental and q_cms_erase answer via
+    * stored generations (merge / subtraction), so gating them against
+    * the direct recompute re-proves the store algebra every verify. */
+  private def cmsOracleSql(docsWhere: String): String =
+    s"""WITH d AS (SELECT ${TextPipeline.duckToks} AS w
+       |  FROM documents $docsWhere),
+       |bg AS (SELECT unnest(list_transform(range(1, len(w)),
+       |    i -> w[i] || ' ' || w[i+1])) AS word FROM d),
+       |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+       |  FROM bg GROUP BY word),
+       |cells AS (SELECT word, n, i,
+       |    ${TextPipeline.duckH32("CAST(i AS VARCHAR) || ':' || word")}
+       |      % $CmsW AS c
+       |  FROM wc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+       |sk AS (SELECT i, c, CAST(sum(n) AS BIGINT) AS cnt
+       |  FROM cells GROUP BY i, c),
+       |est AS (SELECT word, n, min(cnt) AS est
+       |  FROM cells JOIN sk USING (i, c) GROUP BY word, n),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM wc)
+       |SELECT word, est, n AS n_exact, est - n AS overcount
+       |FROM est, tot WHERE est >= t // $CmsSupportDiv
+       |ORDER BY word""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // Same lookback join as q_attribution, equal split with the same
@@ -3519,6 +3757,18 @@ object Analytics {
          |    AS overlap_est
          |FROM est ORDER BY day""".stripMargin
     },
+    // Full CMS counter/estimate recompute over the whole corpus.
+    "q_cms_freq" -> cmsOracleSql(""),
+    // SAME full-corpus recompute: the Spark side answers from the
+    // persisted historical sketch + delta-batch merge, so agreement
+    // proves store + delta ≡ full (counter linearity), the
+    // q_incremental_agg doctrine applied to sketch state.
+    "q_cms_incremental" -> cmsOracleSql(""),
+    // Direct recompute over SURVIVING docs; the Spark side answers from
+    // sketch(full) − sketch(subjects), so agreement proves the
+    // subtraction erase verb ≡ a from-scratch survivor rebuild.
+    "q_cms_erase" -> cmsOracleSql(
+      s"WHERE doc_id % ${Ingest.ErasureMod} <> 0"),
     // Single-pass recompute over ALL events — the Spark side answers via
     // snapshot-merge-delta, so agreement proves the maintenance algebra.
     "q_incremental_agg" ->

@@ -835,6 +835,32 @@ object Windows {
       .agg(graft.functions.VectorFunctions.hllDet(
         graft.core.TextPipeline.h32(col("user_id").cast("string"))).as("regs"))
 
+  /** Streaming face of the CMS counter grid (the frequency dual of
+    * [[hllDayRegisters]]): (i, c, cnt) over a documents stream. A
+    * streaming plan cannot stack two aggregations, so this spelling
+    * hashes per bigram OCCURRENCE and runs ONE groupBy — the batch tier
+    * (`Analytics.cmsSketch` over `cmsKeyCounts`) aggregates to distinct
+    * keys first and hashes each key once; AnalyticsSpec pins the two
+    * spellings counter-equal (sums over occurrences == sums over
+    * (key, n)). Under update mode every emitted counter is a monotone
+    * refinement (counts only grow), so a consumer folds updates by
+    * max per cell and the final snapshot equals the batch grid
+    * (StreamingSpec).
+    *
+    * Scale stance: streaming state is the fixed d×w = 1024-cell grid —
+    * bounded by the sketch geometry, not the corpus, so no watermark is
+    * needed for state health; the grid is the persistable generation
+    * the q_cms store rungs maintain. */
+  def cmsCounters(docs: DataFrame): DataFrame = {
+    import graft.queries.Analytics
+    Analytics.cmsKeyStream(docs)
+      .select(col("word"),
+        explode(sequence(lit(0), lit(Analytics.CmsD - 1))).as("i"))
+      .select(col("i"), Analytics.cmsColIdx(col("i"), col("word")).as("c"))
+      .groupBy(col("i"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Convenience: run a streaming DataFrame to an in-memory table and block
     * until all available input is processed (test/dev harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

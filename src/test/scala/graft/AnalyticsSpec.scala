@@ -702,6 +702,106 @@ class AnalyticsSpec extends SparkSpec {
       s"cutoff $cut leaves an empty side: snap=$before delta=$after")
   }
 
+  test("CMS one-sided error: every estimate >= exact, ceiling eN/w holds, fixture shows real collisions") {
+    val docs = Tables.documents(spark, sf)
+    val counts = Analytics.cmsKeyCounts(docs)
+    val est = Analytics.cmsEstimates(counts, Analytics.cmsSketch(counts))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.length > Analytics.CmsW,
+      "key space must exceed the sketch width, or collisions prove nothing")
+    // (a) structural guarantee: a cell sums the key's own count plus
+    // non-negative collision mass, so min-over-rows never undercounts
+    est.foreach { case (w, n, e) =>
+      assert(e >= n, s"CMS undercounted '$w': est=$e exact=$n") }
+    // (b) the classic ceiling est <= exact + (e/w)·N (deterministic
+    // given the fixture + md5; measured max overcount 161 vs eN/w ~ 291)
+    val total = est.map(_._2).sum
+    val ceil = math.E * total / Analytics.CmsW
+    est.foreach { case (w, n, e) =>
+      assert(e - n <= ceil, s"'$w' overcount ${e - n} exceeds eN/w=$ceil") }
+    // (c) non-vacuity: the 916-key fixture over 256 columns MUST
+    // collide — a zero-overcount run means the hashing is broken
+    assert(est.count { case (_, n, e) => e > n } > 0,
+      "no overcounts: sketch wider than key space, contract untested")
+    // (d) the streaming face's occurrence-level spelling builds the
+    // identical grid (sums over occurrences == sums over (key, n))
+    val occ = graft.streaming.Windows.cmsCounters(docs).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val twoStage = Analytics.cmsSketch(counts).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(occ == twoStage, "occurrence spelling != two-stage sketch")
+  }
+
+  test("CMS incremental: store + delta == full recompute at counter level, plan reads the store artifact") {
+    val root = Analytics.cmsStoreDir(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val stored = spark.read.parquet(s"$root/sketch_hist.parquet")
+    // the store holds ONLY the historical wave (mod-4 != 3 docs)
+    val histCounters = Analytics.cmsSketch(Analytics.cmsKeyCounts(
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 3)))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val storedM = stored.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(storedM == histCounters, "store != historical-wave sketch")
+    // merge linearity: store + delta == full, counter by counter
+    val delta = Analytics.cmsSketch(Analytics.cmsKeyCounts(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 3)))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val fullM = Analytics.cmsSketch(Analytics.cmsKeyCounts(docs))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (storedM.keySet ++ delta.keySet).map(k =>
+      k -> (storedM.getOrElse(k, 0L) + delta.getOrElse(k, 0L))).toMap
+    assert(merged == fullM, "store + delta != full-corpus counters")
+    assert(delta.nonEmpty, "delta wave empty: merge untested")
+    // the served rung reads the artifact and answers exactly like the
+    // in-plan twin
+    val q = Analytics.qCmsIncremental(spark, sf)
+    assert(q.inputFiles.exists(f =>
+      f.contains("cmsstore") && f.contains("sketch_hist")),
+      "plan must scan the historical sketch store")
+    val twin = Analytics.qCmsFreq(spark, sf).collect().toSeq
+    assert(q.collect().toSeq == twin, "incremental != in-plan twin")
+  }
+
+  test("CMS erase by SUBTRACTION equals a from-scratch survivor rebuild (the verb HLL cannot have)") {
+    val em = graft.queries.Ingest.ErasureMod
+    val root = Analytics.cmsStoreDir(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(docs.filter(col("doc_id") % em === 0).count() > 0,
+      s"fixture has no mod-$em docs")
+    val fullM = spark.read.parquet(s"$root/sketch_full.parquet").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val subj = Analytics.cmsSketch(Analytics.cmsKeyCounts(
+        docs.filter(col("doc_id") % em === 0)))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // counter-level linearity: full − subjects ≡ survivors rebuilt from
+    // scratch (zero cells drop) — sums form a GROUP, so subtraction is
+    // exact; HLL's max-registers provably cannot do this
+    // (AnalyticsSpec's HLL-erase test pins the rebuild-only doctrine)
+    val subtracted = fullM.map { case (k, v) =>
+      k -> (v - subj.getOrElse(k, 0L)) }.filter(_._2 != 0L)
+    val rebuilt = Analytics.cmsSketch(Analytics.cmsKeyCounts(
+        docs.filter(col("doc_id") % em =!= 0)))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(subtracted == rebuilt, "subtraction != survivor rebuild")
+    assert(subtracted.forall(_._2 > 0L),
+      "negative counter after subtraction — subject sketch overshot")
+    // non-vacuity: the subjects actually lowered at least one counter
+    assert(subj.nonEmpty && subtracted != fullM.filter(_._2 != 0L),
+      "subjects contributed nothing, the verb is untested")
+    // the served rung reads the FULL store generation (subtraction needs
+    // the unpruned counters) and serves only surviving candidates
+    val q = Analytics.qCmsErase(spark, sf)
+    assert(q.inputFiles.exists(f =>
+      f.contains("cmsstore") && f.contains("sketch_full")),
+      "plan must scan the full-corpus sketch store")
+    val survCounts = Analytics.cmsKeyCounts(
+      docs.filter(col("doc_id") % em =!= 0))
+    val want = Analytics.cmsHeavyHitters(
+      survCounts, Analytics.cmsSketch(survCounts)).collect().toSeq
+    assert(q.collect().toSeq == want, "erase rung != rebuilt-sketch twin")
+  }
+
   test("sessionize event totals are conserved at sf0.001") {
     val sessions = Analytics.qSessionize(spark, sf)
     val nEvents = Tables.events(spark, sf).count()

@@ -660,4 +660,41 @@ class StreamingSpec extends SparkSpec {
     assert(b1.exists(_._1.toLocalDateTime.toLocalDate.toString == cutDay),
       "fixture split must straddle a day boundary")
   }
+
+  test("streaming CMS counters (update mode) equal the batch sketch grid") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real fixture docs, split mid-stream: the heavy bigrams occur in
+    // both halves, so their cells must MERGE across updates
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = Windows.cmsCounters(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("t_cms_cells")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+    // counters only grow, so the final snapshot per cell is the max row
+    // — never sink order
+    val got = spark.table("t_cms_cells").collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val want = graft.queries.Analytics.cmsSketch(
+        graft.queries.Analytics.cmsKeyCounts(
+          graft.io.Tables.documents(spark, sf)))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == want, "streaming CMS grid != batch sketch")
+    // the split must actually merge: some cell is populated by BOTH
+    // halves (counter strictly between either half's own count)
+    val h1 = graft.queries.Analytics.cmsSketch(
+        graft.queries.Analytics.cmsKeyCounts(
+          b1.toDF("doc_id", "text")))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(want.exists { case (k, v) =>
+      h1.getOrElse(k, 0L) > 0L && h1(k) < v },
+      "split must land occurrences of some cell in both batches")
+  }
 }
