@@ -831,17 +831,16 @@ object Analytics {
   private[graft] def cmsColIdx(i: Column, word: Column): Column =
     TextPipeline.h32(concat(i.cast("string"), lit(":"), word)) % CmsW
 
-  /** Exact bigram frequency table (word, n) of a documents corpus — the
-    * CMS key stream. Bigrams, not unigrams: the fixture vocabulary is 31
-    * words (every estimate would be collision-free and exact), while its
-    * ~930 distinct bigrams overfill the 256 columns ~3.6× — the regime a
-    * production sketch lives in. zip_with pairing per the
-    * [[graft.core.TextPipeline.trigrams]] O(tokens) doctrine. */
   /** The raw bigram OCCURRENCE stream (one row per bigram instance) —
     * shared by the batch tier below (which aggregates to distinct-key
     * counts first) and the streaming face
     * ([[graft.streaming.Windows.cmsCounters]], which cannot stack two
-    * aggregations under `readStream` and so hashes per occurrence). */
+    * aggregations under `readStream` and so hashes per occurrence).
+    * Bigrams, not unigrams: the fixture vocabulary is 31 words (every
+    * estimate would be collision-free and exact), while its ~930
+    * distinct bigrams overfill the 256 columns ~3.6× — the regime a
+    * production sketch lives in. zip_with pairing per the
+    * [[graft.core.TextPipeline.trigrams]] O(tokens) doctrine. */
   private[graft] def cmsKeyStream(docs: DataFrame): DataFrame =
     docs.select(TextPipeline.normalizedTokens(col("text")).as("w"))
       .select(explode(filter(
@@ -850,6 +849,8 @@ object Analytics {
           (x, y) => concat(x, lit(" "), y)),
         t => t.isNotNull)).as("word"))
 
+  /** Exact bigram frequency table (word, n) — the batch-tier key
+    * relation every sketch build and probe runs from. */
   private[graft] def cmsKeyCounts(docs: DataFrame): DataFrame =
     cmsKeyStream(docs).groupBy(col("word")).agg(count(lit(1)).as("n"))
 
@@ -873,17 +874,14 @@ object Analytics {
     cmsCells(counts).groupBy(col("i"), col("c"))
       .agg(sum(col("n")).as("cnt"))
 
-  /** Point-estimate every candidate key against a sketch and keep the
-    * heavy hitters: est = min over the d rows of the key's cell counter
-    * (never an undercount — each cell sums the key's own n plus
-    * non-negative collision mass), reported beside the exact count so
-    * the overestimate contract `est ≥ n_exact` is visible in the gated
-    * output, not just in a spec. The sketch side is ≤1024 rows →
-    * broadcast; the probe side is one narrow row per (candidate, row
-    * index) — d× the candidate relation, never the occurrence stream. */
-  /** (word, n, est) for EVERY candidate key — the threshold-free probe,
-    * exposed so the spec can assert the one-sided error contract over
-    * the full key set, not just the reported heavy hitters. */
+  /** (word, n, est) for EVERY candidate key — the threshold-free probe:
+    * est = min over the d rows of the key's cell counter (never an
+    * undercount — each cell sums the key's own n plus non-negative
+    * collision mass). The sketch side is ≤1024 rows → broadcast; the
+    * probe side is one narrow row per (candidate, row index) — d× the
+    * candidate relation, never the occurrence stream. Exposed so the
+    * spec can assert the one-sided error contract over the full key
+    * set, not just the reported heavy hitters. */
   private[graft] def cmsEstimates(counts: DataFrame, sketch: DataFrame)
       : DataFrame =
     cmsCells(counts)
@@ -891,6 +889,10 @@ object Analytics {
       .groupBy(col("word"), col("n"))
       .agg(min(col("cnt")).as("est"))
 
+  /** The heavy-hitter report: estimates cleared against the support
+    * floor, with the exact count beside so the overestimate contract
+    * `est ≥ n_exact` is visible in the gated output, not just in a
+    * spec. */
   private[graft] def cmsHeavyHitters(counts: DataFrame, sketch: DataFrame)
       : DataFrame = {
     val thr = counts.agg(sum(col("n")).as("t"))
