@@ -1019,6 +1019,63 @@ object Analytics {
     cmsHeavyHitters(counts, erased)
   }
 
+  /** Join-SIZE estimation from two CMS sketches (Cormode &
+    * Muthukrishnan, J.Alg 2005 §4.2) — the planner-statistics verb:
+    * |A ⋈ B| on a key equals Σ_u nA(u)·nB(u), and the INNER PRODUCT of
+    * the two sketches' rows bounds it from above (each cell product
+    * carries the true term plus non-negative collision cross-terms;
+    * min over the d rows tightens). So two 1024-cell grids — built
+    * independently, mergeable, persistable — answer "how big would
+    * this join be?" WITHOUT executing the join: the statistic a
+    * distributed optimizer wants before committing to a shuffle
+    * strategy at 100 TB, maintained incrementally like every sketch in
+    * this tier.
+    *
+    * Here: the view×purchase self-join of the events stream on
+    * user_id. Output is one row — exact size, sketch estimate, and the
+    * (≥0) overcount — gated hash-exact because both engines run the
+    * identical integer chain (cell products sum through a 38-digit
+    * decimal / HUGEINT intermediate: two 100 TB streams can hold ~2³⁰
+    * occurrences per hot cell, whose product overflows BIGINT).
+    *
+    * Scale stance: each sketch is one word-count-shaped aggregate over
+    * its stream (map-side partials to ≤1024 rows); the estimate is a
+    * 1024-row broadcast join. The exact column is the fixture-scale
+    * gate — at production scale it is precisely the join you did NOT
+    * want to run. */
+  def qCmsJoinSize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    def side(typ: String) = ev.filter(col("event_type") === typ)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .select(col("user_id").cast("string").as("word"), col("n"))
+    cmsJoinSizeFrom(s, side("view"), side("purchase"))
+  }
+
+  /** Core of [[qCmsJoinSize]] over any two (word, n) frequency vectors —
+    * exposed so the spec can pin the inner-product math on engineered
+    * single-key vectors (one shared key, no collisions → est must equal
+    * exact, not merely bound it). */
+  private[graft] def cmsJoinSizeFrom(
+      s: SparkSession, a: DataFrame, b: DataFrame): DataFrame = {
+    val spine = s.range(CmsD).select(col("id").cast("int").as("i"))
+    val ip = cmsSketch(a).withColumnRenamed("cnt", "ca")
+      .join(cmsSketch(b).withColumnRenamed("cnt", "cb"), Seq("i", "c"))
+      .groupBy(col("i"))
+      .agg(sum(col("ca").cast("decimal(19,0)") *
+        col("cb").cast("decimal(19,0)")).as("ip"))
+    val est = broadcast(spine).join(ip, Seq("i"), "left")
+      .agg(min(coalesce(col("ip"), lit(0))).as("e"))
+      .select(col("e").cast("long").as("est_join_size"))
+    val exact = a.withColumnRenamed("n", "na")
+      .join(b.withColumnRenamed("n", "nb"), Seq("word"))
+      .agg(coalesce(sum(col("na").cast("decimal(19,0)") *
+        col("nb").cast("decimal(19,0)")), lit(0)).cast("long")
+        .as("exact_join_size"))
+    broadcast(exact).crossJoin(est)
+      .select(col("exact_join_size"), col("est_join_size"),
+        (col("est_join_size") - col("exact_join_size")).as("overcount"))
+  }
+
   /** Incremental aggregate maintenance: the per-user rollup is kept as a
     * SNAPSHOT (events strictly before a data-anchored cutoff day,
     * min-day + 21) merged with the DELTA batch (everything since) via one
@@ -2787,6 +2844,7 @@ object Analytics {
     "q_cms_freq" -> (qCmsFreq _),
     "q_cms_incremental" -> (qCmsIncremental _),
     "q_cms_erase" -> (qCmsErase _),
+    "q_cms_join_size" -> (qCmsJoinSize _),
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_sessionize" -> (qSessionize _),
     "q_revenue_concentration" -> (qRevenueConcentration _),
@@ -3771,6 +3829,39 @@ object Analytics {
     // subtraction erase verb ≡ a from-scratch survivor rebuild.
     "q_cms_erase" -> cmsOracleSql(
       s"WHERE doc_id % ${Ingest.ErasureMod} <> 0"),
+    // The same cell grids, inner products, and min-over-rows bound,
+    // HUGEINT intermediate mirroring Spark's decimal(38,0).
+    "q_cms_join_size" ->
+      s"""WITH ka AS (SELECT CAST(user_id AS VARCHAR) AS k,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events WHERE event_type = 'view' GROUP BY 1),
+         |kb AS (SELECT CAST(user_id AS VARCHAR) AS k,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |ca AS (SELECT i,
+         |    ${TextPipeline.duckH32("CAST(i AS VARCHAR) || ':' || k")}
+         |      % $CmsW AS c, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM ka CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+         |  GROUP BY 1, 2),
+         |cb AS (SELECT i,
+         |    ${TextPipeline.duckH32("CAST(i AS VARCHAR) || ':' || k")}
+         |      % $CmsW AS c, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM kb CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+         |  GROUP BY 1, 2),
+         |ip AS (SELECT ca.i,
+         |    sum(CAST(ca.cnt AS HUGEINT) * cb.cnt) AS ip
+         |  FROM ca JOIN cb ON ca.i = cb.i AND ca.c = cb.c GROUP BY 1),
+         |est AS (SELECT CAST(min(coalesce(ip.ip, 0)) AS BIGINT)
+         |    AS est_join_size
+         |  FROM (SELECT unnest([0, 1, 2, 3]) AS i) spine
+         |  LEFT JOIN ip USING (i)),
+         |ex AS (SELECT CAST(coalesce(
+         |    sum(CAST(ka.n AS HUGEINT) * kb.n), 0) AS BIGINT)
+         |    AS exact_join_size
+         |  FROM ka JOIN kb USING (k))
+         |SELECT exact_join_size, est_join_size,
+         |  est_join_size - exact_join_size AS overcount
+         |FROM ex, est""".stripMargin,
     // Single-pass recompute over ALL events — the Spark side answers via
     // snapshot-merge-delta, so agreement proves the maintenance algebra.
     "q_incremental_agg" ->

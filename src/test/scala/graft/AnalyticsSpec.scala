@@ -763,6 +763,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(q.collect().toSeq == twin, "incremental != in-plan twin")
   }
 
+  test("CMS join-size estimate: exact on a collision-free key, one-sided on the fixture") {
+    import spark.implicits._
+    // single shared key, no collisions: the inner product has exactly
+    // one term nA·nB in every row, so min-over-rows must EQUAL exact
+    val one = Analytics.cmsJoinSizeFrom(spark,
+      Seq(("k", 5L)).toDF("word", "n"), Seq(("k", 3L)).toDF("word", "n"))
+      .collect()(0)
+    assert(one.getLong(0) == 15L && one.getLong(1) == 15L &&
+      one.getLong(2) == 0L, s"single-key inner product must be exact: $one")
+    // disjoint keys: exact 0; the estimate is pure collision mass, >= 0
+    val dis = Analytics.cmsJoinSizeFrom(spark,
+      Seq(("ka", 5L)).toDF("word", "n"), Seq(("kb", 3L)).toDF("word", "n"))
+      .collect()(0)
+    assert(dis.getLong(0) == 0L && dis.getLong(1) >= 0L,
+      s"disjoint vectors: $dis")
+    // fixture: the estimate never undercounts the true join size, and
+    // the true size is nonzero (the case is non-vacuous)
+    val r = Analytics.qCmsJoinSize(spark, sf).collect()(0)
+    assert(r.getLong(0) > 0L, "fixture view x purchase join is empty")
+    assert(r.getLong(1) >= r.getLong(0),
+      s"join-size estimate undercounts: $r")
+  }
+
   test("CMS erase by SUBTRACTION equals a from-scratch survivor rebuild (the verb HLL cannot have)") {
     val em = graft.queries.Ingest.ErasureMod
     val root = Analytics.cmsStoreDir(spark, sf)
