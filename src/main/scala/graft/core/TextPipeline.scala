@@ -55,6 +55,23 @@ object TextPipeline {
     "list_filter(list_transform(string_split(text, ' '), " +
       "t -> lower(regexp_replace(t, '[^a-zA-Z]', '', 'g'))), x -> x <> '')"
 
+  /** Non-distinct word-BIGRAM array over a token array `w` — the 2-gram
+    * twin of [[trigrams]] (same zip_with-over-shifted-slice mechanics:
+    * O(tokens), null-padded tail filtered, <2-token arrays yield empty).
+    * ONE spelling for every bigram consumer (top-bigram ranking, the
+    * bigram LM, the CMS key stream) so the pairing contract can't
+    * drift between tiers. */
+  def bigrams(w: Column): Column =
+    filter(
+      zip_with(w, slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+        (x, y) => concat(x, lit(" "), y)),
+      t => t.isNotNull)
+
+  /** DuckDB spelling of [[bigrams]] over a token-list expression `w` —
+    * the oracle-side twin, defined once like [[duckToks]]. */
+  def duckBigrams(w: String): String =
+    s"list_transform(($w)[1:len($w)-1], (x, i) -> x || ' ' || ($w)[i+1])"
+
   /** Non-distinct word-trigram array over a token array `w` (the 3-shingle
     * stream before dedup — repetition scoring needs the multiplicity).
     * zip_with formulation, NOT element_at-over-sequence: inlining the

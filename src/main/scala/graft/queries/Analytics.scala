@@ -839,29 +839,33 @@ object Analytics {
     * Bigrams, not unigrams: the fixture vocabulary is 31 words (every
     * estimate would be collision-free and exact), while its ~930
     * distinct bigrams overfill the 256 columns ~3.6× — the regime a
-    * production sketch lives in. zip_with pairing per the
-    * [[graft.core.TextPipeline.trigrams]] O(tokens) doctrine. */
+    * production sketch lives in. Pairing via the one shared
+    * [[graft.core.TextPipeline.bigrams]] spelling. */
   private[graft] def cmsKeyStream(docs: DataFrame): DataFrame =
     docs.select(TextPipeline.normalizedTokens(col("text")).as("w"))
-      .select(explode(filter(
-        zip_with(col("w"),
-          slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
-          (x, y) => concat(x, lit(" "), y)),
-        t => t.isNotNull)).as("word"))
+      .select(explode(TextPipeline.bigrams(col("w"))).as("word"))
 
   /** Exact bigram frequency table (word, n) — the batch-tier key
     * relation every sketch build and probe runs from. */
   private[graft] def cmsKeyCounts(docs: DataFrame): DataFrame =
     cmsKeyStream(docs).groupBy(col("word")).agg(count(lit(1)).as("n"))
 
+  /** THE sketch geometry: expand a relation carrying a `word` column to
+    * one row per (word, row-index i, column c) — shared by the batch
+    * cells below and the streaming face
+    * ([[graft.streaming.Windows.cmsCounters]]), so the row count, salt
+    * format, and column hashing live in exactly one place. Other
+    * columns ride along. */
+  private[graft] def cmsCellExpand(keyed: DataFrame): DataFrame =
+    keyed.withColumn("i", explode(sequence(lit(0), lit(CmsD - 1))))
+      .withColumn("c", cmsColIdx(col("i"), col("word")))
+
   /** One row per (key, row-index) with its column index — the shared
     * expansion under both sketch BUILD and point-estimate PROBE. Always
     * fed the (word, n) AGGREGATE, never the raw occurrence stream: keys
     * hash once per distinct key, not once per occurrence. */
   private def cmsCells(counts: DataFrame): DataFrame =
-    counts.select(col("word"), col("n"),
-        explode(sequence(lit(0), lit(CmsD - 1))).as("i"))
-      .withColumn("c", cmsColIdx(col("i"), col("word")))
+    cmsCellExpand(counts.select(col("word"), col("n")))
 
   /** The sketch itself as a relation: (i, c, cnt) with cnt = Σn over
     * keys hashing to that cell — ≤ d·w = 1024 rows regardless of corpus
@@ -1056,7 +1060,10 @@ object Analytics {
     * single-key vectors (one shared key, no collisions → est must equal
     * exact, not merely bound it). */
   private[graft] def cmsJoinSizeFrom(
-      s: SparkSession, a: DataFrame, b: DataFrame): DataFrame = {
+      s: SparkSession, aIn: DataFrame, bIn: DataFrame): DataFrame = {
+    // each vector feeds its sketch AND the exact join — cut once
+    val a = graft.core.Lineage.cut(aIn)
+    val b = graft.core.Lineage.cut(bIn)
     val spine = s.range(CmsD).select(col("id").cast("int").as("i"))
     val ip = cmsSketch(a).withColumnRenamed("cnt", "ca")
       .join(cmsSketch(b).withColumnRenamed("cnt", "cb"), Seq("i", "c"))
@@ -2934,6 +2941,11 @@ object Analytics {
        |FROM st $finalWhere ORDER BY day""".stripMargin
   }
 
+  /** DuckDB row-index spine derived from [[CmsD]] — the one sketch
+    * parameter the oracles would otherwise hardcode. */
+  private def duckCmsRows: String =
+    s"(SELECT unnest([${(0 until CmsD).mkString(", ")}]) AS i)"
+
   /** ONE CMS oracle spelling for all three rungs — the full counter
     * recompute (bigram counts → row-salted h32 cells → cell sums →
     * min-over-rows estimates → support floor) over the docs the rung's
@@ -2950,7 +2962,7 @@ object Analytics {
        |cells AS (SELECT word, n, i,
        |    ${TextPipeline.duckH32("CAST(i AS VARCHAR) || ':' || word")}
        |      % $CmsW AS c
-       |  FROM wc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+       |  FROM wc CROSS JOIN $duckCmsRows),
        |sk AS (SELECT i, c, CAST(sum(n) AS BIGINT) AS cnt
        |  FROM cells GROUP BY i, c),
        |est AS (SELECT word, n, min(cnt) AS est
@@ -3841,19 +3853,19 @@ object Analytics {
          |ca AS (SELECT i,
          |    ${TextPipeline.duckH32("CAST(i AS VARCHAR) || ':' || k")}
          |      % $CmsW AS c, CAST(sum(n) AS BIGINT) AS cnt
-         |  FROM ka CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+         |  FROM ka CROSS JOIN $duckCmsRows
          |  GROUP BY 1, 2),
          |cb AS (SELECT i,
          |    ${TextPipeline.duckH32("CAST(i AS VARCHAR) || ':' || k")}
          |      % $CmsW AS c, CAST(sum(n) AS BIGINT) AS cnt
-         |  FROM kb CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+         |  FROM kb CROSS JOIN $duckCmsRows
          |  GROUP BY 1, 2),
          |ip AS (SELECT ca.i,
          |    sum(CAST(ca.cnt AS HUGEINT) * cb.cnt) AS ip
          |  FROM ca JOIN cb ON ca.i = cb.i AND ca.c = cb.c GROUP BY 1),
          |est AS (SELECT CAST(min(coalesce(ip.ip, 0)) AS BIGINT)
          |    AS est_join_size
-         |  FROM (SELECT unnest([0, 1, 2, 3]) AS i) spine
+         |  FROM $duckCmsRows spine
          |  LEFT JOIN ip USING (i)),
          |ex AS (SELECT CAST(coalesce(
          |    sum(CAST(ka.n AS HUGEINT) * kb.n), 0) AS BIGINT)

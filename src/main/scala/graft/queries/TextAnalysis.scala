@@ -77,15 +77,10 @@ object TextAnalysis {
   def qBigramsTop(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(toks.as("w"))
-      // zip_with over a shifted slice, not element_at-over-sequence: the
-      // explode's inferred pushed-down filter can inline this whole
-      // expression, and element_at would re-derive `w` per element
-      // (O(n²)); zip_with pads the short side with null → concat
-      // propagates null → filtered out. Guards the <2-token case too.
-      .select(explode(filter(
-        zip_with(col("w"), slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
-          (x, y) => concat(x, lit(" "), y)),
-        t => t.isNotNull)).as("bigram"))
+      // the shared zip_with-over-shifted-slice spelling
+      // (TextPipeline.bigrams): O(tokens), not element_at-over-sequence
+      // (O(n²)); null-padded tail filtered; guards the <2-token case
+      .select(explode(TextPipeline.bigrams(col("w"))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram").asc)
       .limit(20)
@@ -123,10 +118,8 @@ object TextAnalysis {
     val qlog = (c: Column) => round(log2(c.cast("double")) * 1e6).cast("long")
     val bg = docs
       .select(col("doc_id"), toks.as("w"))
-      .select(col("doc_id"), explode(filter(
-        zip_with(col("w"), slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
-          (x, y) => concat(x, lit(" "), y)),
-        t => t.isNotNull)).as("bigram"))
+      .select(col("doc_id"),
+        explode(TextPipeline.bigrams(col("w"))).as("bigram"))
     // materialize the TF relation once: tf feeds the model (c12 → c1)
     // AND the scoring join — without this, each consumer re-derives the
     // scan + explode + aggregate lineage (3 document scans, measured)
@@ -1212,13 +1205,13 @@ object TextAnalysis {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_bigrams_top" ->
       s"""SELECT bigram, count(*) AS cnt FROM (
-         |  SELECT unnest(list_transform(l[1:len(l)-1], (x, i) -> x || ' ' || l[i+1])) AS bigram
+         |  SELECT unnest(${TextPipeline.duckBigrams("l")}) AS bigram
          |  FROM (SELECT $duckToks AS l FROM documents))
          |GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 20""".stripMargin,
     "q_bigram_lm" ->
       s"""WITH bg AS (
          |  SELECT doc_id,
-         |    unnest(list_transform(l[1:len(l)-1], (x, i) -> x || ' ' || l[i+1]))
+         |    unnest(${TextPipeline.duckBigrams("l")})
          |      AS bigram
          |  FROM (SELECT doc_id, $duckToks AS l FROM documents)),
          |tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY 1, 2),
@@ -1266,7 +1259,7 @@ object TextAnalysis {
     "q_perplexity_filter" ->
       s"""WITH bg AS (
          |  SELECT doc_id,
-         |    unnest(list_transform(l[1:len(l)-1], (x, i) -> x || ' ' || l[i+1]))
+         |    unnest(${TextPipeline.duckBigrams("l")})
          |      AS bigram
          |  FROM (SELECT doc_id, $duckToks AS l FROM documents)),
          |tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY 1, 2),

@@ -853,10 +853,7 @@ object Windows {
     * the q_cms store rungs maintain. */
   def cmsCounters(docs: DataFrame): DataFrame = {
     import graft.queries.Analytics
-    Analytics.cmsKeyStream(docs)
-      .select(col("word"),
-        explode(sequence(lit(0), lit(Analytics.CmsD - 1))).as("i"))
-      .select(col("i"), Analytics.cmsColIdx(col("i"), col("word")).as("c"))
+    Analytics.cmsCellExpand(Analytics.cmsKeyStream(docs))
       .groupBy(col("i"), col("c"))
       .agg(count(lit(1)).as("cnt"))
   }
