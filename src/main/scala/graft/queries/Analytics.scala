@@ -2281,6 +2281,83 @@ object Analytics {
       .select(lit(DivL.toLong).as("l"), col("n_groups"),
         col("n_violating"), col("rows_at_risk"), col("min_diversity"))
 
+  /** Closeness threshold for [[qTCloseness]]. */
+  private val CloseT = 0.2
+
+  /** Per-class (seg, nat, n, t) closeness relation — the core of
+    * [[qTCloseness]] over any (seg, nat, b) release-shaped input,
+    * exposed so the spec can pin the EMD algebra on engineered
+    * distributions (a class distributed exactly like the global
+    * population must read t = 0; an extreme-concentrated class must
+    * dominate a mirrored-global one). */
+  private[graft] def tClosenessFrom(base: DataFrame): DataFrame = {
+    val cls = graft.core.Lineage.cut(
+      base.groupBy(col("seg"), col("nat"), col("b"))
+        .agg(count(lit(1)).as("cnt")))
+    val gb = graft.core.Lineage.cut(
+      cls.groupBy(col("b")).agg(sum(col("cnt")).as("g")))
+    val classes = cls.groupBy(col("seg"), col("nat"))
+      .agg(sum(col("cnt")).as("n"))
+    val tot = gb.agg(sum(col("g")).as("nn"), count(lit(1)).as("m"))
+    val dense = classes.crossJoin(broadcast(gb))
+      .join(cls, Seq("seg", "nat", "b"), "left")
+      .na.fill(0, Seq("cnt"))
+    val w = Window.partitionBy(col("seg"), col("nat")).orderBy(col("b"))
+    dense
+      .withColumn("cc", sum(col("cnt")).over(w))
+      .withColumn("cg", sum(col("g")).over(w))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("seg"), col("nat"), col("n"), col("nn"), col("m"))
+      .agg(sum(abs(col("cc") * col("nn") - col("cg") * col("n")))
+        .as("num"))
+      .select(col("seg"), col("nat"), col("n"),
+        round(col("num").cast("double") /
+          (col("n") * col("nn") * (col("m") - 1)).cast("double"), 6)
+          .as("t"))
+  }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE'07) — the
+    * third rung of the release-governance ladder and the reason
+    * k-anonymity ([[qKAnonymity]]) plus l-diversity ([[qLDiversity]])
+    * are still not enough: a QI class can be large AND diverse yet leak
+    * through its sensitive-attribute DISTRIBUTION (all of one class's
+    * balances in the top bracket tells an observer plenty even if the
+    * exact values vary). A class violates t-closeness when the distance
+    * between its sensitive distribution and the GLOBAL one exceeds t;
+    * for an ORDERED attribute the distance is the Earth-Mover's
+    * Distance, which on a discrete ordered domain collapses to
+    * Σ|CDF_class − CDF_global| / (m−1). Same release as the k-audit:
+    * QI = (market segment, nation), sensitive = the $1000 balance
+    * bucket (ordered).
+    *
+    * Cross-engine exactness: the CDF comparison clears denominators —
+    * |cc·N − cg·n| is exact BIGINT per bucket (fits while
+    * N·max(cc) < 2⁶³, i.e. any release under ~3×10⁹ rows; widen the
+    * products to DECIMAL beyond), summed to one BIGINT numerator per
+    * class, with ONE shared double division + round(,6) at the end
+    * (the q_regression identical-expression-tree rule).
+    *
+    * Scale stance (100 TB): one partial-agg shuffle to the class×bucket
+    * grid; the bucket dimension and global CDF are broadcast (the
+    * sensitive domain is bounded — here ~11 buckets); per-class
+    * windows order at most m rows each. Cost is the k-audit's shape
+    * plus a broadcast — auditing the distribution costs what auditing
+    * size already cost. */
+  def qTCloseness(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir).select(
+      col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"),
+      floor(round(col("c_acctbal") * 100).cast("long") / 100000.0)
+        .cast("long").as("b"))
+    tClosenessFrom(base)
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("t") > CloseT, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("t") > CloseT, col("n")).otherwise(0L))
+          .as("rows_at_risk"),
+        max(col("t")).as("max_t"))
+      .select(lit(CloseT).as("t_threshold"), col("n_groups"),
+        col("n_violating"), col("rows_at_risk"), col("max_t"))
+  }
+
   /** Seasonally-adjusted anomaly days: daily revenue judged against its
     * WEEKDAY median (a Saturday against Saturdays), residuals screened
     * by the global median/MAD gate — the composition of q_seasonality's
@@ -2824,6 +2901,7 @@ object Analytics {
     "q_top_paths" -> (qTopPaths _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_l_diversity" -> (qLDiversity _),
+    "q_t_closeness" -> (qTCloseness _),
     "q_seasonality" -> (qSeasonality _),
     "q_incremental_join" -> (qIncrementalJoin _),
     "q_auc" -> (qAuc _),
@@ -3261,6 +3339,44 @@ object Analytics {
         |    AS rows_at_risk,
         |  CAST(min(d) AS BIGINT) AS min_diversity
         |FROM g""".stripMargin,
+    // Same bucket grid, cleared-denominator EMD numerator, and ONE
+    // division + round(,6) epilogue.
+    "q_t_closeness" ->
+      s"""WITH base AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+         |    CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+         |      / 100000.0) AS BIGINT) AS b
+         |  FROM customer),
+         |cls AS (SELECT seg, nat, b, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM base GROUP BY 1, 2, 3),
+         |g AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS g
+         |  FROM cls GROUP BY 1),
+         |classes AS (SELECT seg, nat, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM cls GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(g) AS BIGINT) AS nn,
+         |    CAST(count(*) AS BIGINT) AS m FROM g),
+         |dense AS (SELECT c.seg, c.nat, c.n, g.b,
+         |    coalesce(cl.cnt, 0) AS cnt, g.g
+         |  FROM classes c CROSS JOIN g
+         |  LEFT JOIN cls cl
+         |    ON cl.seg = c.seg AND cl.nat = c.nat AND cl.b = g.b),
+         |cum AS (SELECT seg, nat, n,
+         |    sum(cnt) OVER (PARTITION BY seg, nat ORDER BY b) AS cc,
+         |    sum(g) OVER (PARTITION BY seg, nat ORDER BY b) AS cg
+         |  FROM dense),
+         |emd AS (SELECT seg, nat, n,
+         |    round(CAST(sum(abs(cc * (SELECT nn FROM tot) - cg * n))
+         |        AS DOUBLE)
+         |      / CAST(n * (SELECT nn FROM tot)
+         |          * ((SELECT m FROM tot) - 1) AS DOUBLE), 6) AS t
+         |  FROM cum GROUP BY 1, 2, 3)
+         |SELECT $CloseT AS t_threshold,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(CASE WHEN t > $CloseT THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating,
+         |  CAST(sum(CASE WHEN t > $CloseT THEN n ELSE 0 END) AS BIGINT)
+         |    AS rows_at_risk,
+         |  max(t) AS max_t
+         |FROM emd""".stripMargin,
     "q_k_anonymity" ->
       """WITH g AS (
         |  SELECT c_mktsegment, c_nationkey,

@@ -763,6 +763,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(q.collect().toSeq == twin, "incremental != in-plan twin")
   }
 
+  test("t-closeness EMD: global-shaped class reads 0, extreme concentration dominates, fixture is non-vacuous") {
+    import spark.implicits._
+    // domain {0,1,2}; class A mirrors the global SHAPE, class B piles
+    // on one extreme. Global = A + B, so A is NOT exactly global —
+    // engineer A so large that the global is A-dominated: A holds 90
+    // rows spread 30/30/30, B holds 3 rows all at bucket 0
+    val rows =
+      (1 to 30).flatMap(_ => Seq(("A", 0L, 0L), ("A", 0L, 1L), ("A", 0L, 2L))) ++
+      Seq(("B", 0L, 0L), ("B", 0L, 0L), ("B", 0L, 0L))
+    val t = Analytics.tClosenessFrom(rows.toDF("seg", "nat", "b"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // B (all mass at the low extreme) must be far LESS close to the
+    // global distribution than A (which tracks it to within B's tilt)
+    assert(t("B") > 10 * t("A"), s"concentration must dominate: $t")
+    // exact-zero check: a universe of ONE class is its own global
+    val solo = Analytics.tClosenessFrom(
+      Seq(("S", 0L, 0L), ("S", 0L, 1L), ("S", 0L, 2L)).toDF("seg", "nat", "b"))
+      .collect()
+    assert(solo.length == 1 && solo(0).getDouble(3) == 0.0,
+      s"class identical to global must read t=0: ${solo.toSeq}")
+    // fixture non-vacuity: some classes violate, most don't
+    val r = Analytics.qTCloseness(spark, sf).collect()(0)
+    val (groups, viol) = (r.getLong(1), r.getLong(2))
+    assert(viol > 0 && viol < groups,
+      s"threshold must split the fixture: $viol of $groups")
+    // and the audit never flags more rows than exist
+    assert(r.getLong(3) <= Tables.customer(spark, sf).count())
+  }
+
   test("CMS join-size estimate: exact on a collision-free key, one-sided on the fixture") {
     import spark.implicits._
     // single shared key, no collisions: the inner product has exactly
