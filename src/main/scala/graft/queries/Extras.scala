@@ -213,7 +213,55 @@ object Extras {
   }
 
   /** Histogram-quantile buckets. */
-  private val QsBuckets = 128
+  private[graft] val QsBuckets = 128
+
+  /** Bucket index of `x` under a FIXED equi-width grid over [lo, hi],
+    * with out-of-range values clamped into the edge buckets. The clamp
+    * is the store contract: a persisted histogram pins its geometry at
+    * creation, and later delta batches may drift outside it — drifted
+    * mass accumulates visibly in buckets 0 / B−1 (the signal a
+    * production store watches to decide when to re-grid) instead of
+    * silently corrupting the bucket meaning. ONE spelling for the
+    * single-pass rung and both store verbs, so the grid semantics
+    * cannot diverge between them. */
+  private[graft] def qsBucket(x: Column, lo: Column, hi: Column): Column =
+    when(hi === lo, lit(0L))
+      .otherwise(greatest(lit(0L),
+        least(floor((x - lo) / (hi - lo) * QsBuckets), lit(QsBuckets - 1L))))
+
+  /** (bucket, c) histogram of a 1-column `x` relation under a broadcast
+    * 1-row (lo, hi) geometry — O(buckets) state, partial-aggregatable,
+    * merge-order-free. */
+  private[graft] def qsHist(values: DataFrame, geom: DataFrame): DataFrame =
+    values.crossJoin(broadcast(geom))
+      .select(qsBucket(col("x"), col("lo"), col("hi")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+
+  /** Interpolated p50/p90 estimates from a (bucket, c) histogram + its
+    * (lo, hi) geometry: first bucket whose cumulative count reaches q·n
+    * wins the min — its in-bucket fraction is in (0,1]; later qualifying
+    * buckets clamp to their bucket START (fraction floored at 0), which
+    * is strictly larger. n is recomputed as Σc so the estimator works
+    * identically over single-pass, merged, and subtracted histograms. */
+  private[graft] def qsEstimates(hist: DataFrame, geom: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      .withColumn("cum_before", col("cum") - col("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      .crossJoin(broadcast(geom))
+    def estimate(q: Double): Column = {
+      val target = lit(q) * col("n")
+      min(when(col("cum") >= target,
+        col("lo") + (col("hi") - col("lo")) / QsBuckets
+          * (col("bucket") + greatest(lit(0.0),
+              (target - col("cum_before")) / col("c")))))
+    }
+    cum.agg(round(estimate(0.5), 4).as("p50_est"),
+        round(estimate(0.9), 4).as("p90_est"),
+        min(col("n")).as("n"))
+  }
 
   /** Approximate quantiles from a fixed equi-width histogram — the
     * MERGEABLE quantile structure for 100 TB (O(buckets) state, partial-
@@ -226,33 +274,103 @@ object Extras {
     * cumulative count reaches q·n; spec-checked against the exact
     * percentile within a bucket width. */
   def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(s, dir).select(col("o_totalprice").as("x"))
-    val bounds = broadcast(o.agg(
-      min(col("x")).as("lo"), max(col("x")).as("hi"), count(lit(1)).as("n")))
-    val hist = o.crossJoin(bounds)
-      .select(when(col("hi") === col("lo"), lit(0L))
-          .otherwise(least(floor((col("x") - col("lo")) / (col("hi") - col("lo"))
-            * QsBuckets), lit(QsBuckets - 1L))).as("bucket"),
-        col("lo"), col("hi"), col("n"))
-      .groupBy("bucket", "lo", "hi", "n").agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum(col("c")).over(w))
-      .withColumn("cum_before", col("cum") - col("c"))
-    def estimate(q: Double): org.apache.spark.sql.Column = {
-      val target = lit(q) * col("n")
-      // first bucket reaching the target wins the min: its in-bucket
-      // fraction is in (0,1]; later qualifying buckets clamp to their
-      // bucket START (fraction floored at 0), which is strictly larger
-      min(when(col("cum") >= target,
-        col("lo") + (col("hi") - col("lo")) / QsBuckets
-          * (col("bucket") + greatest(lit(0.0),
-              (target - col("cum_before")) / col("c")))))
-    }
-    cum.agg(round(estimate(0.5), 4).as("p50_est"),
-        round(estimate(0.9), 4).as("p90_est"),
-        first(col("n")).as("n"))
+    val geom = o.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    qsEstimates(qsHist(o, geom), geom)
+  }
+
+  /** Persisted quantile-histogram store roots — written once per fixture
+    * dir (the cmsStoreDir pattern): the HISTORICAL generation
+    * (o_orderkey mod 4 ≠ 3, the lifecycle arrival-wave convention) with
+    * its geometry for the incremental rung, and the FULL-corpus
+    * generation with its geometry for the erase rung. The geometry rides
+    * BESIDE the counters because bucket i is meaningless without the
+    * (lo, hi) it was cut from — the store contract [[qsBucket]]
+    * documents. */
+  private val qsStoreRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def qsStoreDir(s: SparkSession, dir: String): String =
+    qsStoreRoots.computeIfAbsent(dir, { d =>
+      val root = Ingest.scratchDir("qsstore", d)
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice").as("x"))
+      val hist = o.filter(pmod(col("o_orderkey"), lit(4)) =!= 3).select(col("x"))
+      val histGeom = hist.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      histGeom.write.mode("overwrite").parquet(s"$root/geom_hist.parquet")
+      qsHist(hist, histGeom)
+        .write.mode("overwrite").parquet(s"$root/hist_hist.parquet")
+      val full = o.select(col("x"))
+      val fullGeom = full.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      fullGeom.write.mode("overwrite").parquet(s"$root/geom_full.parquet")
+      qsHist(full, fullGeom)
+        .write.mode("overwrite").parquet(s"$root/hist_full.parquet")
+      root
+    })
+
+  /** Incremental quantile-histogram maintenance — the persisted-store
+    * doctrine (qCmsIncremental) on the quantile family: historical
+    * bucket counts AND their pinned (lo, hi) geometry come from the
+    * parquet store, only the delta batch (o_orderkey mod 4 ≡ 3) is
+    * scanned, bucketized UNDER THE STORED GRID (out-of-range delta
+    * values clamp to the edge buckets — the documented drift signal),
+    * and the generations merge by elementwise SUM. Histogram counters
+    * are a commutative group like CMS counters — but ONLY under a shared
+    * grid: re-deriving bounds per batch would silently change what
+    * bucket i MEANS, which is why the geometry is part of the persisted
+    * state, not recomputed. The oracle recomputes the single-pass
+    * histogram of the WHOLE corpus under the historical geometry, so
+    * store + delta ≡ full-under-stored-grid is re-proven every verify.
+    *
+    * Scale stance (100 TB): the delta scan partial-aggregates to ≤128
+    * rows map-side; the merge is a 128-row aggregate; serving cost is
+    * independent of history size. */
+  def qQsketchIncremental(s: SparkSession, dir: String): DataFrame = {
+    val root = qsStoreDir(s, dir)
+    val geom = s.read.parquet(s"$root/geom_hist.parquet")
+    val stored = s.read.parquet(s"$root/hist_hist.parquet")
+    val delta = qsHist(Tables.orders(s, dir)
+      .filter(pmod(col("o_orderkey"), lit(4)) === 3)
+      .select(col("o_totalprice").as("x")), geom)
+    val merged = stored.unionByName(delta)
+      .groupBy("bucket").agg(sum(col("c")).as("c"))
+    qsEstimates(merged, geom)
+  }
+
+  /** The quantile-store erase verb: SUBTRACTION, like qCmsErase and
+    * unlike the HLL store's rebuild — bucket counts are sums, and
+    * sketch(full) − sketch(subjects) ≡ sketch(survivors) bucket-by-
+    * bucket, EXACTLY, provided both sides share the store's pinned
+    * geometry. That proviso is the lesson this rung adds to the CMS
+    * one: a from-scratch survivor rebuild would re-derive (lo, hi) from
+    * the survivors and land on a DIFFERENT grid — linearity holds only
+    * under the grid the store froze at creation, so erase keeps serving
+    * estimates in the original geometry (the correct production
+    * semantic: deletions must not silently re-bucket history). The
+    * erase scans ONLY the subjects' rows (the shared q_erasure_audit
+    * scope, o_orderkey ≡ 0 mod 17); zero-count buckets drop so the
+    * subtracted generation is row-equal to a survivor recount under the
+    * same grid (ExtrasSpec pins that equality, plus no-negative-cells).
+    * The oracle recomputes the survivor histogram directly under the
+    * full-corpus geometry, so subtraction ≡ recount is re-proven every
+    * verify.
+    *
+    * Scale stance: subject scan partition-prunable to the subjects'
+    * shards; the negated delta collapses map-side to ≤128 rows; the
+    * fold is a 128-row aggregate — erase cost proportional to the
+    * ERASED data. */
+  def qQsketchErase(s: SparkSession, dir: String): DataFrame = {
+    val root = qsStoreDir(s, dir)
+    val geom = s.read.parquet(s"$root/geom_full.parquet")
+    val full = s.read.parquet(s"$root/hist_full.parquet")
+    val negated = qsHist(Tables.orders(s, dir)
+      .filter(Ingest.erasureSubject(col("o_orderkey")))
+      .select(col("o_totalprice").as("x")), geom)
+      .select(col("bucket"), (-col("c")).as("c"))
+    val erased = full.unionByName(negated)
+      .groupBy("bucket").agg(sum(col("c")).as("c"))
+      .filter(col("c") =!= 0)
+    qsEstimates(erased, geom)
   }
 
   /** Window navigation-function sampler: lag/lead/ntile/cume_dist per
@@ -813,6 +931,8 @@ object Extras {
     "q_interpolate" -> (qInterpolate _),
     "q_profile" -> (qProfile _),
     "q_quantile_sketch" -> (qQuantileSketch _),
+    "q_qsketch_incremental" -> (qQsketchIncremental _),
+    "q_qsketch_erase" -> (qQsketchErase _),
     "q_window_nav" -> (qWindowNav _),
     "q_resample" -> (qResample _),
     "q_min_max_by" -> (qMinMaxBy _),
@@ -834,6 +954,41 @@ object Extras {
   )
 
   private val duckToksE = TextPipeline.duckToks
+
+  /** ONE quantile-histogram oracle spelling for all three rungs: grid
+    * bounds from `geomWhere`'s rows, clamped single-pass bucket counts
+    * over `histWhere`'s rows UNDER that grid, interpolated estimates —
+    * the [[qsBucket]]/[[qsEstimates]] spelling in SQL. The store rungs
+    * answer from persisted generations (merge / subtraction), so gating
+    * them against this direct recompute re-proves the store algebra
+    * every verify. */
+  private def qsOracleSql(geomWhere: String, histWhere: String): String = {
+    def est(q: String) =
+      s"""round(min(CASE WHEN CAST(cum AS DOUBLE) >= $q * n THEN
+         |  lo + (hi - lo) / $QsBuckets
+         |    * (bucket + greatest(0.0,
+         |        ($q * n - CAST(cum_before AS DOUBLE)) / c)) END), 4)""".stripMargin
+    s"""WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+       |  FROM orders $geomWhere),
+       |h AS (
+       |  SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+       |    ELSE greatest(CAST(0 AS BIGINT),
+       |      least(CAST(floor((o_totalprice - lo) / (hi - lo) * $QsBuckets)
+       |        AS BIGINT), ${QsBuckets - 1})) END AS bucket,
+       |    count(*) AS c
+       |  FROM orders, b $histWhere GROUP BY 1),
+       |cum AS (
+       |  SELECT bucket, c,
+       |    CAST(sum(c) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT)
+       |      AS cum_before,
+       |    CAST(sum(c) OVER () AS BIGINT) AS n
+       |  FROM h)
+       |SELECT ${est("0.5")} AS p50_est, ${est("0.9")} AS p90_est,
+       |  min(n) AS n FROM cum, b""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // Same h32 mins, same merge/intersect estimator, same ppm arithmetic.
@@ -988,30 +1143,18 @@ object Extras {
       }.mkString("\nUNION ALL\n")
       s"WITH a AS (SELECT count(*) AS n,\n  $aggSel\nFROM orders)\n$branches\nORDER BY \"column\""
     },
-    "q_quantile_sketch" -> {
-      def est(q: String) =
-        s"""round(min(CASE WHEN CAST(cum AS DOUBLE) >= $q * n THEN
-           |  lo + (hi - lo) / $QsBuckets
-           |    * (bucket + greatest(0.0,
-           |        ($q * n - CAST(cum_before AS DOUBLE)) / c)) END), 4)""".stripMargin
-      s"""WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi,
-         |  count(*) AS n FROM orders),
-         |h AS (
-         |  SELECT CASE WHEN hi = lo THEN 0
-         |    ELSE least(CAST(floor((o_totalprice - lo) / (hi - lo) * $QsBuckets)
-         |      AS BIGINT), ${QsBuckets - 1}) END AS bucket, lo, hi, n,
-         |    count(*) AS c
-         |  FROM orders, b GROUP BY 1, 2, 3, 4),
-         |cum AS (
-         |  SELECT bucket, lo, hi, n, c,
-         |    CAST(sum(c) OVER (ORDER BY bucket
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
-         |    CAST(sum(c) OVER (ORDER BY bucket
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT) AS cum_before
-         |  FROM h)
-         |SELECT ${est("0.5")} AS p50_est, ${est("0.9")} AS p90_est,
-         |  min(n) AS n FROM cum""".stripMargin
-    },
+    "q_quantile_sketch" -> qsOracleSql(geomWhere = "", histWhere = ""),
+    // Bounds from the HISTORICAL generation (the store's pinned grid),
+    // single-pass histogram of the WHOLE corpus under that grid — the
+    // store+delta merge must reproduce it bucket-by-bucket.
+    "q_qsketch_incremental" -> qsOracleSql(
+      geomWhere = "WHERE o_orderkey % 4 <> 3", histWhere = ""),
+    // Bounds from the FULL corpus (the grid the store froze at
+    // creation), survivor-only recount under it — the subtraction must
+    // reproduce it bucket-by-bucket.
+    "q_qsketch_erase" -> qsOracleSql(
+      geomWhere = "",
+      histWhere = s"WHERE o_orderkey % ${Ingest.ErasureMod} <> 0"),
     "q_resample" ->
       """WITH c AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS n

@@ -741,4 +741,55 @@ class ExtrasSpec extends SparkSpec {
     assert(card("tokens_per_doc_p50") <= card("tokens_per_doc_p90"))
     assert(card("langs_distinct") >= 1L && card("sources_distinct") >= 1L)
   }
+
+  test("quantile store: merge and subtraction are exact under the stored " +
+      "grid; out-of-grid deltas clamp to the edge buckets") {
+    val root = Extras.qsStoreDir(spark, sf)
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice").as("x"))
+    def counters(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // (a) the store holds the historical wave's counters under its grid
+    val histGeom = spark.read.parquet(s"$root/geom_hist.parquet")
+    val storedM = counters(spark.read.parquet(s"$root/hist_hist.parquet"))
+    val wantHist = counters(Extras.qsHist(
+      o.filter(pmod(col("o_orderkey"), lit(4)) =!= 3).select("x"), histGeom))
+    assert(storedM == wantHist, "store != historical-wave histogram")
+    // (b) merge linearity — ONLY meaningful under the SHARED grid
+    val delta = counters(Extras.qsHist(
+      o.filter(pmod(col("o_orderkey"), lit(4)) === 3).select("x"), histGeom))
+    assert(delta.nonEmpty, "delta wave empty: merge untested")
+    val merged = (storedM.keySet ++ delta.keySet).map(k =>
+      k -> (storedM.getOrElse(k, 0L) + delta.getOrElse(k, 0L))).toMap
+    assert(merged == counters(Extras.qsHist(o.select("x"), histGeom)),
+      "store + delta != full recount under the stored grid")
+    assert(Extras.qQsketchIncremental(spark, sf).inputFiles.exists(f =>
+      f.contains("qsstore") && f.contains("hist_hist")),
+      "plan must scan the histogram store artifact")
+    // (c) erase by subtraction == survivor recount under the FULL grid,
+    // with no bucket driven negative and zero-buckets dropped
+    val fullGeom = spark.read.parquet(s"$root/geom_full.parquet")
+    val fullM = counters(spark.read.parquet(s"$root/hist_full.parquet"))
+    val subj = counters(Extras.qsHist(
+      o.filter(graft.queries.Ingest.erasureSubject(col("o_orderkey")))
+        .select("x"), fullGeom))
+    assert(subj.nonEmpty, "no erasure subjects: subtraction untested")
+    val subtracted = fullM.map { case (k, v) =>
+      k -> (v - subj.getOrElse(k, 0L)) }.filter(_._2 != 0L)
+    val survivors = counters(Extras.qsHist(
+      o.filter(!graft.queries.Ingest.erasureSubject(col("o_orderkey")))
+        .select("x"), fullGeom))
+    assert(subtracted == survivors,
+      "sketch(full) - sketch(subjects) != sketch(survivors)")
+    assert(subtracted.values.forall(_ > 0L), "negative bucket after erase")
+    // (d) the store contract: a delta value outside the pinned grid
+    // clamps into an edge bucket instead of inventing a new one
+    val g = histGeom.collect()(0)
+    val (lo, hi) = (g.getDouble(0), g.getDouble(1))
+    import spark.implicits._
+    val drifted = counters(Extras.qsHist(
+      Seq(lo - 1000.0, hi + 1000.0).toDF("x"), histGeom))
+    assert(drifted == Map(0L -> 1L, (Extras.QsBuckets - 1).toLong -> 1L),
+      s"out-of-grid deltas must land in buckets 0/${Extras.QsBuckets - 1}")
+  }
 }
