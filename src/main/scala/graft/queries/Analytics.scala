@@ -137,7 +137,7 @@ object Analytics {
   // Bloom-filter geometry: M bits in M/64 longs, K salted h32 hashes.
   private val BloomM = 65536
   private val BloomK = 3
-  private val HighValue = 400000.0
+  private[graft] val HighValue = 400000.0
 
   private def bloomHashes(key: org.apache.spark.sql.Column) =
     array((0 until BloomK).map(i =>
@@ -169,15 +169,21 @@ object Analytics {
       .filter(col("o_totalprice") > HighValue)
       .select(col("o_orderkey"))
 
-  /** Stages 1–2: distinct probe keys surviving the broadcast Bloom filter
-    * (true matches + false positives; never drops a member). Exposed so
-    * AnalyticsSpec can assert both containment and REAL pruning. */
-  private[graft] def bloomCandidates(s: SparkSession, dir: String): DataFrame = {
-    val bloom = highValueKeys(s, dir)
-      .select(explode(bloomHashes(col("o_orderkey"))).as("h"))
+  /** (idx, bits) Bloom-filter rows of a 1-column `k` key relation —
+    * ≤ M/64 = 1024 longs, built by a bit_or aggregate: mergeable,
+    * partition-order-free, tiny. ONE spelling for the in-plan filter
+    * and the persisted store ([[bloomStoreDir]]), so the bit geometry
+    * cannot drift between them. */
+  private[graft] def bloomBits(keys: DataFrame): DataFrame =
+    keys.select(explode(bloomHashes(col("k"))).as("h"))
       .select((col("h") / 64).cast("long").as("idx"),
         expr("shiftleft(1L, cast(h % 64 as int))").as("bitv"))
       .groupBy("idx").agg(bit_or(col("bitv")).as("bits"))
+
+  /** Distinct probe keys surviving a broadcast (idx, bits) Bloom filter
+    * (true matches + false positives; never drops a member). */
+  private def bloomCandidatesFrom(
+      s: SparkSession, dir: String, bloom: DataFrame): DataFrame =
     Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
       .select(col("l_orderkey"), explode(bloomHashes(col("l_orderkey"))).as("h"))
       .select(col("l_orderkey"), (col("h") / 64).cast("long").as("idx"),
@@ -188,10 +194,21 @@ object Analytics {
       .groupBy("l_orderkey").agg(expr("bool_and(hit)").as("all_hit"))
       .filter(col("all_hit"))
       .select(col("l_orderkey"))
-  }
 
-  def qBloomSemi(s: SparkSession, dir: String): DataFrame = {
-    val verified = bloomCandidates(s, dir)
+  /** Stages 1–2: distinct probe keys surviving the broadcast Bloom filter
+    * (true matches + false positives; never drops a member). Exposed so
+    * AnalyticsSpec can assert both containment and REAL pruning. */
+  private[graft] def bloomCandidates(s: SparkSession, dir: String): DataFrame =
+    bloomCandidatesFrom(s, dir,
+      bloomBits(highValueKeys(s, dir).select(col("o_orderkey").as("k"))))
+
+  /** Stage 3 tail shared by [[qBloomSemi]] and [[qBloomIncremental]]:
+    * exact semi-join verification of the candidates (false positives
+    * drop; no false negatives exist to recover), then the lineitem
+    * aggregate. */
+  private def bloomSemiAgg(
+      s: SparkSession, dir: String, candidates: DataFrame): DataFrame = {
+    val verified = candidates
       .join(highValueKeys(s, dir),
         col("l_orderkey") === col("o_orderkey"), "left_semi")
     Tables.lineitem(s, dir)
@@ -201,6 +218,61 @@ object Analytics {
         sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
           .as("sum_qty"))
       .orderBy("l_returnflag")
+  }
+
+  def qBloomSemi(s: SparkSession, dir: String): DataFrame =
+    bloomSemiAgg(s, dir, bloomCandidates(s, dir))
+
+  /** Persisted Bloom store root — the historical wave's filter bits
+    * (build keys with o_orderkey mod 4 ≠ 3, the lifecycle arrival-wave
+    * convention), written once per fixture dir. */
+  private val bloomStoreRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def bloomStoreDir(s: SparkSession, dir: String): String =
+    bloomStoreRoots.computeIfAbsent(dir, { d =>
+      val root = Ingest.scratchDir("bloomstore", d)
+      bloomBits(highValueKeys(s, d)
+          .filter(pmod(col("o_orderkey"), lit(4)) =!= 3)
+          .select(col("o_orderkey").as("k")))
+        .write.mode("overwrite").parquet(s"$root/bits_hist.parquet")
+      root
+    })
+
+  /** Incremental Bloom maintenance — the persisted-store doctrine on the
+    * MEMBERSHIP sketch, and the monoid half of the store-algebra
+    * taxonomy the CMS/quantile stores prove the group half of: Bloom
+    * bits are OR-folds, so the store absorbs a delta batch by
+    * elementwise bit_or (one union + ≤1024-row aggregate — history is
+    * never re-scanned), but OR is NOT invertible — a set bit may be
+    * owned by any number of keys — so Bloom erase must REBUILD from
+    * surviving keys, exactly the HLL register doctrine
+    * ([[qHllStoreErase]]) on bits instead of maxes. AnalyticsSpec pins
+    * both halves: merged bits ≡ a from-scratch full build bit-for-bit,
+    * and a concrete shared-bit witness (a subject and a survivor key
+    * colliding on a cell) showing why clear-the-subject's-bits would
+    * drop a surviving member — the false negative a Bloom filter must
+    * never produce.
+    *
+    * The gated answer is the same revenue aggregate as [[qBloomSemi]]
+    * (probe → exact verify → aggregate) driven by the MERGED filter;
+    * the oracle is the plain semi join, so every verify re-proves the
+    * store-merged filter is still result-identical — pruning with zero
+    * false negatives.
+    *
+    * Scale stance (100 TB): the delta build scans only the arriving
+    * batch and collapses map-side to ≤1024 (idx, bits) rows; the merge
+    * is a 1024-row aggregate; the probe stays a broadcast of 8 KB of
+    * bits against the fact table — no shuffle of the probe side ever. */
+  def qBloomIncremental(s: SparkSession, dir: String): DataFrame = {
+    val root = bloomStoreDir(s, dir)
+    val stored = s.read.parquet(s"$root/bits_hist.parquet")
+    val delta = bloomBits(highValueKeys(s, dir)
+      .filter(pmod(col("o_orderkey"), lit(4)) === 3)
+      .select(col("o_orderkey").as("k")))
+    val merged = stored.unionByName(delta)
+      .groupBy("idx").agg(bit_or(col("bits")).as("bits"))
+    bloomSemiAgg(s, dir, bloomCandidatesFrom(s, dir, merged))
   }
 
   /** RFM customer segmentation: recency (last order date), frequency
@@ -2941,6 +3013,7 @@ object Analytics {
     "q_bm25_top" -> (qBm25Top _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_bloom_semi" -> (qBloomSemi _),
+    "q_bloom_incremental" -> (qBloomIncremental _),
     "q_rfm" -> (qRfm _),
     "q_stratified_sample" -> (qStratifiedSample _),
   )
@@ -4239,6 +4312,16 @@ object Analytics {
     // semi join it provably implements (no false negatives; false
     // positives removed by the exact verify step)
     "q_bloom_semi" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         |FROM lineitem
+         |WHERE l_orderkey IN
+         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > $HighValue)
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // The plain semi join again: the store-merged filter is a pure
+    // optimization, so gating against the direct answer re-proves
+    // store ∨ delta filters with zero false negatives every verify.
+    "q_bloom_incremental" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          |FROM lineitem

@@ -858,6 +858,27 @@ object Windows {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming face of the Bloom membership bits (the membership dual
+    * of [[cmsCounters]]): (idx, bits) over an ORDERS stream, the build
+    * predicate and the bit geometry both the shared batch spellings
+    * (`Analytics.bloomBits` — ONE aggregation, so the fragment is
+    * legal under `readStream`). Under update mode every emitted row is
+    * a monotone refinement in the bitwise-superset order — bits only
+    * GAIN — but unlike the CMS counters that order is NOT numeric
+    * (bit 63 makes a long negative), so the consumer fold is bit_or
+    * per idx, never max (StreamingSpec pins streaming ≡ batch under
+    * exactly that fold, across a forced cross-batch bit merge).
+    *
+    * Scale stance: streaming state is the fixed ≤ M/64 = 1024-row bit
+    * grid — bounded by the filter geometry, not the stream; the grid
+    * is the persistable generation `q_bloom_incremental` stores. */
+  def bloomBuildBits(orders: DataFrame): DataFrame = {
+    import graft.queries.Analytics
+    Analytics.bloomBits(
+      orders.filter(col("o_totalprice") > Analytics.HighValue)
+        .select(col("o_orderkey").as("k")))
+  }
+
   /** Convenience: run a streaming DataFrame to an in-memory table and block
     * until all available input is processed (test/dev harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

@@ -313,6 +313,61 @@ class AnalyticsSpec extends SparkSpec {
       s"bloom pruned nothing: ${candidates.size} of $probeTotal keys survive")
   }
 
+  test("bloom store: OR-merge equals a from-scratch build; a shared bit " +
+      "witnesses why bit-clearing erase would drop a survivor") {
+    val root = Analytics.bloomStoreDir(spark, sf)
+    val keys = Analytics.highValueKeys(spark, sf)
+    def bits(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // (a) the store holds the historical wave's bits exactly
+    val stored = bits(spark.read.parquet(s"$root/bits_hist.parquet"))
+    val wantHist = bits(Analytics.bloomBits(
+      keys.filter(pmod(col("o_orderkey"), lit(4)) =!= 3)
+        .select(col("o_orderkey").as("k"))))
+    assert(stored == wantHist, "store != historical-wave bloom bits")
+    // (b) monoid merge: store ∨ delta == full build, bit for bit
+    val delta = bits(Analytics.bloomBits(
+      keys.filter(pmod(col("o_orderkey"), lit(4)) === 3)
+        .select(col("o_orderkey").as("k"))))
+    assert(delta.nonEmpty, "delta wave empty: merge untested")
+    val merged = (stored.keySet ++ delta.keySet).map(k =>
+      k -> (stored.getOrElse(k, 0L) | delta.getOrElse(k, 0L))).toMap
+    val full = bits(Analytics.bloomBits(keys.select(col("o_orderkey").as("k"))))
+    assert(merged == full, "store | delta != full-build bits")
+    // (c) non-invertibility witness: two DIFFERENT keys colliding on a
+    // bit cell, so clearing one key's bits would clear the other's — a
+    // false negative, the one failure a Bloom filter must never
+    // produce. Erase must rebuild. The pair is found deterministically
+    // from the same md5 h32 math the filter runs (the fixture's ~600
+    // set bits in 65536 make a fixture-level collision a coin flip, so
+    // the witness is engineered, not hoped for).
+    def cells(key: Long): Set[Long] = (0 until 3).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"b$i:$key".getBytes("UTF-8")).take(4)
+        .foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xFF))
+      md % 65536
+    }.toSet
+    val pair = (for {
+      a <- (1L to 500L).iterator
+      b <- (a + 1) to 500L
+      if cells(a).intersect(cells(b)).nonEmpty
+    } yield (a, b)).next()
+    import spark.implicits._
+    val bitsA = bits(Analytics.bloomBits(Seq(pair._1).toDF("k")))
+    val bitsB = bits(Analytics.bloomBits(Seq(pair._2).toDF("k")))
+    val shared = bitsA.exists { case (idx, b) =>
+      (b & bitsB.getOrElse(idx, 0L)) != 0L }
+    assert(shared, s"keys $pair must share a bloom bit cell " +
+      "(driver-side md5 math diverged from the bloomBits spelling)")
+    // and the served rung answers exactly like the direct filter rung
+    assert(Analytics.qBloomIncremental(spark, sf).collect().toSeq ==
+      Analytics.qBloomSemi(spark, sf).collect().toSeq,
+      "store-merged filter diverged from the in-plan filter")
+    assert(Analytics.qBloomIncremental(spark, sf).inputFiles.exists(f =>
+      f.contains("bloomstore") && f.contains("bits_hist")),
+      "plan must scan the bloom store artifact")
+  }
+
   test("bm25 ranking is a descending top-10 with positive scores") {
     val rows = Analytics.qBm25Top(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))

@@ -697,4 +697,43 @@ class StreamingSpec extends SparkSpec {
       h1.getOrElse(k, 0L) > 0L && h1(k) < v },
       "split must land occurrences of some cell in both batches")
   }
+
+  test("streaming bloom bits (update mode) equal the batch filter under " +
+      "a bit_or fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val orders = graft.io.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sortBy(_._1)
+    val (b1, b2) = orders.splitAt(orders.length / 2)
+    val mem = MemoryStream[(Long, Double)]
+    val q = Windows.bloomBuildBits(
+        mem.toDF().toDF("o_orderkey", "o_totalprice"))
+      .writeStream.format("memory").queryName("t_bloom_bits")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+    // bits only gain; the consumer fold is bit_or per idx (NOT max —
+    // bit 63 makes a long negative)
+    val got = spark.table("t_bloom_bits").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).reduce(_ | _)).toMap
+    val want = graft.queries.Analytics.bloomBits(
+        graft.io.Tables.orders(spark, sf)
+          .filter(col("o_totalprice") > graft.queries.Analytics.HighValue)
+          .select(col("o_orderkey").as("k")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want, "streaming bloom bits != batch filter")
+    assert(want.nonEmpty)
+    // the split must actually merge: some idx gains bits across batches
+    val h1 = graft.queries.Analytics.bloomBits(
+        b1.toDF("o_orderkey", "o_totalprice")
+          .filter(col("o_totalprice") > graft.queries.Analytics.HighValue)
+          .select(col("o_orderkey").as("k")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(want.exists { case (k, v) =>
+      h1.get(k).exists(b => b != 0L && b != v && (b & v) == b) },
+      "split must land bits of some idx in both batches")
+  }
 }
