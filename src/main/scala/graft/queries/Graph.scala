@@ -86,6 +86,75 @@ object Graph {
       .limit(20)
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): the
+    * composition rung — [[qPagerank]]'s power iteration re-aimed at the
+    * word ADJACENCY graph, the graph-based keyword scorer a corpus
+    * pipeline runs where TF-IDF's bag-of-words scoring loses word
+    * context. Nodes are normalized words (reference tokenizer
+    * semantics via the one shared TextPipeline.bigrams pairing);
+    * undirected edges weight adjacent co-occurrence (both orientations
+    * summed, self-pairs of stuttered text dropped); the walk is
+    * WEIGHTED PageRank — each node spreads rank proportionally to edge
+    * weight w(v,u)/W(v) instead of 1/deg(v).
+    *
+    * Cross-engine exactness: the q_pagerank discipline verbatim —
+    * per-edge contributions quantize to round(rank·w/W · 1e12) BIGINT
+    * before the commutative long sum; the damping update is a fixed
+    * sequence of exact double ops; both engines run the identical
+    * 3-iteration unrolled program, and ranks round to 6 decimals with
+    * word-asc tie-break in the top-20 cut.
+    *
+    * Scale stance (100 TB): the token stream collapses to (a, b, n)
+    * pair counts in one word-count-shaped aggregate — the graph is
+    * vocabulary², in practice vocabulary-sized times a small constant
+    * (adjacency, not co-occurrence-window blowup), so edges/weights are
+    * broadcastable at BPE-vocab scale; each iteration is one narrow
+    * (dst, long) shuffle like q_pagerank, with the same checkpointed
+    * edge-table discipline between supersteps. */
+  def qTextrank(s: SparkSession, dir: String): DataFrame =
+    textrankFrom(Tables.documents(s, dir))
+
+  /** Core of [[qTextrank]] over any relation with a `text` column —
+    * exposed so the spec can pin the weighted-walk semantics on an
+    * engineered corpus (hub vs leaf, self-pair exclusion). */
+  private[graft] def textrankFrom(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(explode(graft.core.TextPipeline.bigrams(
+        graft.core.TextPipeline.normalizedTokens(col("text")))).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("a"),
+        split(col("bg"), " ").getItem(1).as("b"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+    val e = pairs.select(col("a").as("src"), col("b").as("dst"), col("n"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"), col("n")))
+      .groupBy("src", "dst").agg(sum(col("n")).as("w"))
+      .repartition(col("src")).localCheckpoint()
+    val wt = e.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
+      .localCheckpoint()
+    val n = wt.agg(count(lit(1)).as("n_nodes"))
+    val r0 = wt.crossJoin(broadcast(n))
+      .select(col("src").as("node"), col("wtot"), col("n_nodes"),
+        (lit(1.0) / col("n_nodes").cast("double")).as("rank"))
+
+    def step(r: DataFrame): DataFrame =
+      r.join(e, r("node") === e("src"))
+        .select(col("dst"),
+          round(col("rank") * col("w").cast("double")
+            / col("wtot").cast("double") * QP).cast("long").as("q"))
+        .groupBy(col("dst")).agg(sum(col("q")).as("sq"))
+        .join(wt, col("dst") === wt("src"))
+        .crossJoin(broadcast(n))
+        .select(col("dst").as("node"), col("wtot"), col("n_nodes"),
+          ((lit(1.0) - Damping) / col("n_nodes").cast("double") +
+            lit(Damping) * (col("sq").cast("double") / QP)).as("rank"))
+
+    val r3 = (1 to Iters).foldLeft(r0)((r, _) => step(r))
+    r3.select(col("node").as("word"),
+        round(col("rank") * col("n_nodes").cast("double"), 6).as("nrank"))
+      .orderBy(col("nrank").desc, col("word"))
+      .limit(20)
+  }
+
   /** Triangle participation counts over the "parts ordered together"
     * graph (distinct part pairs sharing an order), top 20 parts — the
     * clustering-coefficient / community primitive.
@@ -449,6 +518,7 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hits" -> (qHits _),
     "q_pagerank" -> (qPagerank _),
+    "q_textrank" -> (qTextrank _),
     "q_triangles" -> (qTriangles _),
     "q_clustering_coeff" -> (qClusteringCoeff _),
     "q_kcore" -> (qKcore _),
@@ -458,6 +528,18 @@ object Graph {
   // ---- oracle SQL ----------------------------------------------------------
 
   /** One power-iteration CTE body over ranks `r` — the SQL twin of `step`. */
+  /** One weighted power-iteration CTE — [[duckStep]] with w/W(v) fan-out
+    * instead of 1/deg, the SQL twin of one [[qTextrank]] step. */
+  private def duckWStep(r: String): String =
+    s"""SELECT d.src AS node, d.wtot, n.n_nodes,
+       |    (1.0 - $Damping) / CAST(n.n_nodes AS DOUBLE)
+       |      + $Damping * (CAST(c.sq AS DOUBLE) / $QP) AS rank
+       |  FROM (
+       |    SELECT e.dst, sum(CAST(round(r.rank * CAST(e.w AS DOUBLE)
+       |      / CAST(r.wtot AS DOUBLE) * $QP) AS BIGINT)) AS sq
+       |    FROM $r r JOIN edges e ON r.node = e.src GROUP BY e.dst) c
+       |  JOIN wt d ON c.dst = d.src, n""".stripMargin
+
   private def duckStep(r: String): String =
     s"""SELECT d.src AS node, d.deg, c.sq, n.n_nodes,
        |    (1.0 - $Damping) / CAST(n.n_nodes AS DOUBLE)
@@ -562,6 +644,32 @@ object Graph {
          |r3 AS (${duckStep("r2")})
          |SELECT node, round(rank * CAST(n_nodes AS DOUBLE), 6) AS nrank
          |FROM r3 ORDER BY nrank DESC, node LIMIT 20""".stripMargin,
+    // Same adjacency pairing (the shared bigram spelling), same
+    // both-orientation weight sums, same quantized weighted power
+    // iteration unrolled 3 times.
+    "q_textrank" -> {
+      val toks = graft.core.TextPipeline.duckToks
+      s"""WITH d AS (SELECT $toks AS w FROM documents),
+         |bg AS (SELECT unnest(${graft.core.TextPipeline.duckBigrams("w")})
+         |         AS bgm FROM d),
+         |p AS (SELECT split_part(bgm, ' ', 1) AS a,
+         |             split_part(bgm, ' ', 2) AS b FROM bg),
+         |pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+         |       FROM p WHERE a <> b GROUP BY a, b),
+         |edges AS (SELECT src, dst, CAST(sum(n) AS BIGINT) AS w FROM (
+         |    SELECT a AS src, b AS dst, n FROM pc
+         |    UNION ALL SELECT b, a, n FROM pc) u GROUP BY src, dst),
+         |wt AS (SELECT src, CAST(sum(w) AS BIGINT) AS wtot
+         |       FROM edges GROUP BY src),
+         |n AS (SELECT count(*) AS n_nodes FROM wt),
+         |r0 AS (SELECT src AS node, wtot, n.n_nodes,
+         |         1.0 / CAST(n.n_nodes AS DOUBLE) AS rank FROM wt, n),
+         |r1 AS (${duckWStep("r0")}),
+         |r2 AS (${duckWStep("r1")}),
+         |r3 AS (${duckWStep("r2")})
+         |SELECT node AS word, round(rank * CAST(n_nodes AS DOUBLE), 6) AS nrank
+         |FROM r3 ORDER BY nrank DESC, word LIMIT 20""".stripMargin
+    },
     // Plain undirected 3-way self-join: brute-force triangle listing —
     // re-proves the degree-oriented plan's correctness each verify run.
     "q_triangles" ->

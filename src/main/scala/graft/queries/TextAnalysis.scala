@@ -287,6 +287,82 @@ object TextAnalysis {
           .otherwise(lit(null).cast("long")).as("alpha_log2_micros"))
   }
 
+  /** Multinomial Naive Bayes language classifier — the LEARNED twin of
+    * [[qLangId]]'s heuristic rule, and the shape of the
+    * quality/language classifier stage every production corpus pipeline
+    * runs (label with cheap heuristics, train a linear model, apply at
+    * scale — the CCNet / fastText-filter pattern). Train docs (content-
+    * hash split, the q_train_split doctrine: pmod(h32(doc_id), 4) ≠ 0)
+    * fit class priors and Laplace-smoothed unigram likelihoods; test
+    * docs score per class and take the argmax; the gated output is the
+    * confusion matrix (y_true, y_pred, n_docs) — which on THIS fixture
+    * honestly reads ≈ chance, because the corpus generator draws text
+    * independently of the lang column. The spec proves the learner on
+    * an engineered corpus with real signal (separable vocabularies →
+    * perfect diagonal; unseen-vocabulary docs fall back to the prior
+    * argmax; Laplace keeps cross-class words finite).
+    *
+    * Cross-engine exactness: every score is INTEGER — log-probabilities
+    * live on the verified 1e-6 BIGINT log2 grid (the q_benford /
+    * q_survival qlog discipline; all qlog arguments are integers):
+    * score = [qlog(n_docs_c) − qlog(n_docs)] + Σ_w tf_w ·
+    * [qlog(n_wc + 1) − qlog(n_c + V)], the Laplace term coalescing to
+    * qlog(1) = 0 for unseen (word, class) pairs. Integer sums are
+    * partition-order-free; argmax ties break to the smallest class
+    * name via the shared filter-on-max spelling (q_skew_advisor).
+    *
+    * Scale stance (100 TB): the model is the (class, word) count table
+    * — vocab × classes rows (BPE-vocab scale → broadcastable), built by
+    * one word-count-shaped aggregate over the training stream; n_c, V,
+    * and priors are tiny aggregates DERIVED from the model and doc
+    * counts, not second corpus scans. Scoring aggregates the test
+    * stream to (doc, word, tf) first (hash/join per distinct pair, not
+    * per occurrence), broadcast-joins the class spine, left-joins the
+    * model, and partial-aggregates the integer sum — one shuffle on the
+    * model key, one on doc_id. Docs with zero tokens carry no evidence
+    * and are out of scope (both engines drop them in the explode). */
+  def qNbLangId(s: SparkSession, dir: String): DataFrame =
+    nbConfusion(Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("y_true"), toks.as("w"),
+        pmod(TextPipeline.h32(col("doc_id").cast("string")), lit(4)).as("b")))
+
+  /** Core of [[qNbLangId]] over any (doc_id, y_true, w: array<string>,
+    * b: int) relation — exposed so the spec can drive an engineered
+    * corpus with real class signal through the exact production
+    * spelling. */
+  private[graft] def nbConfusion(docsIn: DataFrame): DataFrame = {
+    val qlog = (c: Column) => round(log2(c.cast("double")) * 1e6).cast("long")
+    val docs = graft.core.Lineage.cut(docsIn)
+    val model = graft.core.Lineage.cut(
+      docs.filter(col("b") =!= 0)
+        .select(col("y_true").as("y"), explode(col("w")).as("word"))
+        .groupBy("y", "word").agg(count(lit(1)).as("n_wc")))
+    val ctot = model.groupBy("y").agg(sum(col("n_wc")).as("n_c"))
+    val vocab = model.agg(countDistinct(col("word")).as("v"))
+    val cls = docs.filter(col("b") =!= 0)
+      .groupBy(col("y_true").as("y")).agg(count(lit(1)).as("n_docs"))
+    val nTot = cls.agg(sum(col("n_docs")).as("n_tot"))
+    val spine = broadcast(cls.join(ctot, "y").crossJoin(vocab).crossJoin(nTot))
+    val tf = docs.filter(col("b") === 0)
+      .select(col("doc_id"), col("y_true"), explode(col("w")).as("word"))
+      .groupBy("doc_id", "y_true", "word").agg(count(lit(1)).as("tf"))
+    val scored = tf.crossJoin(spine)
+      .join(model, Seq("y", "word"), "left")
+      .groupBy(col("doc_id"), col("y_true"), col("y"),
+        col("n_docs"), col("n_tot"))
+      .agg(sum(col("tf") * (coalesce(qlog(col("n_wc") + 1), lit(0L))
+        - qlog(col("n_c") + col("v")))).as("evidence"))
+      .select(col("doc_id"), col("y_true"), col("y"),
+        (qlog(col("n_docs")) - qlog(col("n_tot")) + col("evidence"))
+          .as("score"))
+    val best = scored.groupBy("doc_id").agg(max(col("score")).as("m"))
+    scored.join(best, "doc_id")
+      .filter(col("score") === col("m"))
+      .groupBy(col("doc_id"), col("y_true")).agg(min(col("y")).as("y_pred"))
+      .groupBy(col("y_true"), col("y_pred")).agg(count(lit(1)).as("n_docs"))
+      .orderBy("y_true", "y_pred")
+  }
+
   /** Language ID, n-gram/stopword heuristic: deterministic rule so the
     * oracle can replicate it — predicted 'en' iff stopword ratio > 0.05. */
   def qLangId(s: SparkSession, dir: String): DataFrame =
@@ -986,6 +1062,7 @@ object TextAnalysis {
     "q_tail_index" -> (qTailIndex _),
     "q_trigram_novelty" -> (qTrigramNovelty _),
     "q_lang_id" -> (qLangId _),
+    "q_nb_lang_id" -> (qNbLangId _),
     "q_tfidf_top" -> (qTfidfTop _),
     "q_cooccur_lift" -> (qCooccurLift _),
     "q_repetition" -> (qRepetition _),
@@ -1012,6 +1089,44 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    // Same content-hash split, same Laplace-smoothed integer-qlog
+    // scores, same filter-on-max argmax with min-class tie-break.
+    "q_nb_lang_id" -> {
+      def ql(e: String) = s"CAST(round(log2($e) * 1000000) AS BIGINT)"
+      s"""WITH d AS (SELECT doc_id, lang AS y_true, $duckToks AS w,
+         |    ${TextPipeline.duckH32("CAST(doc_id AS VARCHAR)")} % 4 AS b
+         |  FROM documents),
+         |tok_tr AS (SELECT y_true AS y, unnest(w) AS word
+         |  FROM d WHERE b <> 0),
+         |model AS (SELECT y, word, CAST(count(*) AS BIGINT) AS n_wc
+         |  FROM tok_tr GROUP BY y, word),
+         |ctot AS (SELECT y, CAST(sum(n_wc) AS BIGINT) AS n_c
+         |  FROM model GROUP BY y),
+         |vocab AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v
+         |  FROM model),
+         |cls AS (SELECT y_true AS y, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM d WHERE b <> 0 GROUP BY y_true),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_tot FROM cls),
+         |tf AS (SELECT doc_id, y_true, word, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, y_true, unnest(w) AS word
+         |        FROM d WHERE b = 0)
+         |  GROUP BY 1, 2, 3),
+         |scored AS (SELECT t.doc_id, t.y_true, c.y,
+         |    ${ql("c.n_docs")} - ${ql("n_tot")}
+         |      + sum(t.tf * (coalesce(${ql("m.n_wc + 1")}, 0)
+         |          - ${ql("ct.n_c + v.v")})) AS score
+         |  FROM tf t CROSS JOIN cls c
+         |  JOIN ctot ct ON ct.y = c.y
+         |  CROSS JOIN vocab v CROSS JOIN tot
+         |  LEFT JOIN model m ON m.y = c.y AND m.word = t.word
+         |  GROUP BY t.doc_id, t.y_true, c.y, c.n_docs, n_tot),
+         |mx AS (SELECT doc_id, max(score) AS m FROM scored GROUP BY doc_id),
+         |pred AS (SELECT s.doc_id, s.y_true, min(s.y) AS y_pred
+         |  FROM scored s JOIN mx ON s.doc_id = mx.doc_id AND s.score = mx.m
+         |  GROUP BY s.doc_id, s.y_true)
+         |SELECT y_true, y_pred, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM pred GROUP BY 1, 2 ORDER BY y_true, y_pred""".stripMargin
+    },
     // Identical decoration CASE (derived from the same UnicodeDeco list),
     // same NFC -> explicit Turkish-fold -> lower -> letter+mark-class
     // tokenize chain, same count.

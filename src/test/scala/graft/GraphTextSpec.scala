@@ -898,4 +898,96 @@ class GraphTextSpec extends SparkSpec {
       assert(dp == n * 1000000L + noise)
     }
   }
+
+  test("naive bayes learns separable vocabularies, falls back to the " +
+      "prior on unseen words, and Laplace keeps cross-class words finite") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def corpus(rows: Seq[(Long, String, Seq[String], Int)]) =
+      rows.toDF("doc_id", "y_true", "w", "b")
+    def confusion(rows: Seq[(Long, String, Seq[String], Int)]) =
+      graft.queries.TextAnalysis.nbConfusion(corpus(rows)).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // (a) fully separable vocabularies -> a perfect diagonal: class A
+    // speaks {alpha, beta}, class B speaks {gamma, delta}; 3 train docs
+    // each (b != 0), 2 test docs each (b = 0)
+    val aW = Seq("alpha", "beta"); val bW = Seq("gamma", "delta")
+    val sep =
+      (1L to 3L).map(i => (i, "A", aW, 1)) ++
+      (4L to 6L).map(i => (i, "B", bW, 1)) ++
+      Seq((7L, "A", Seq("alpha", "alpha", "beta"), 0),
+        (8L, "A", Seq("beta"), 0),
+        (9L, "B", Seq("gamma", "delta", "delta"), 0),
+        (10L, "B", Seq("gamma"), 0))
+    assert(confusion(sep) == Map(("A", "A") -> 2L, ("B", "B") -> 2L),
+      "separable classes must classify perfectly")
+    // (b) a test doc of entirely unseen words carries zero evidence for
+    // every class (all terms are the shared -qlog(n_c + V) fallback
+    // only when n_c ties) -> the argmax is decided by prior + fallback;
+    // with class A given 3x the training docs AND the same token count
+    // per class, A must win
+    val unseen =
+      (1L to 3L).map(i => (i, "A", Seq("alpha"), 1)) ++
+      Seq((4L, "B", Seq("gamma", "gamma", "gamma"), 1),
+        (9L, "B", Seq("zzz", "qqq"), 0))
+    assert(confusion(unseen) == Map(("B", "A") -> 1L),
+      "unseen-vocabulary doc must fall back to the prior argmax")
+    // (c) Laplace smoothing: a doc mixing one B-word into A-vocabulary
+    // still classifies A — without the +1 the B-class score would be
+    // log(0) = -inf and the A-class score equally undefined; with it
+    // the majority evidence wins
+    val mixed =
+      (1L to 3L).map(i => (i, "A", aW, 1)) ++
+      (4L to 6L).map(i => (i, "B", bW, 1)) ++
+      Seq((7L, "A", Seq("alpha", "beta", "alpha", "gamma"), 0))
+    assert(confusion(mixed) == Map(("A", "A") -> 1L),
+      "one cross-class word must not flip a majority-evidence doc")
+    // (d) the fixture rung is shaped right: confusion cells sum to the
+    // test-split size and predictions stay inside the label set
+    val fix = graft.queries.TextAnalysis.qNbLangId(spark, sf).collect()
+    val docs = graft.io.Tables.documents(spark, sf)
+    val langs = docs.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet
+    val testN = docs.select(col("doc_id"),
+        pmod(graft.core.TextPipeline.h32(col("doc_id").cast("string")),
+          lit(4)).as("b"))
+      .filter(col("b") === 0).count()
+    assert(fix.map(_.getLong(2)).sum == testN,
+      "confusion mass != test-split size")
+    assert(fix.forall(r => langs(r.getString(0)) && langs(r.getString(1))))
+  }
+
+  test("textrank: hub word outranks leaves, stuttered self-pairs are " +
+      "excluded, and normalized ranks average 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ranks(texts: Seq[String]): Map[String, Double] =
+      graft.queries.Graph.textrankFrom(texts.toDF("text")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // star graph: "hub" is adjacent to every leaf, leaves only to hub —
+    // the walk concentrates rank on the hub
+    val star = ranks(Seq("aa hub bb hub cc hub dd hub aa"))
+    assert(star("hub") > star("aa") && star("hub") > star("bb") &&
+      star("hub") > star("cc") && star("hub") > star("dd"),
+      s"hub must dominate a star graph: $star")
+    // stutter: "go go go stop" — the go-go self-pair must NOT create an
+    // edge; the graph is the single go—stop edge, a symmetric 2-node
+    // walk whose stationary ranks are equal
+    val stut = ranks(Seq("go go go stop"))
+    assert(stut.keySet == Set("go", "stop"))
+    assert(stut("go") == stut("stop"),
+      s"self-pairs must not skew a symmetric pair: $stut")
+    // weighted spreading: "a b a b a c" — b receives 2/3 of a's rank
+    // mass each step, c only 1/3, so b must outrank c
+    val wtd = ranks(Seq("a b a b a c"))
+    assert(wtd("b") > wtd("c"),
+      s"heavier edge must attract more rank: $wtd")
+    // fixture rung: top-20 cut, every rank positive, and since nranks
+    // are mean-normalized the fixture's 31-word graph must show spread
+    val fix = graft.queries.Graph.qTextrank(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    assert(fix.length == 20)
+    assert(fix.forall(_._2 > 0.0))
+    assert(fix.map(_._2).distinct.length > 1, "degenerate uniform ranks")
+  }
 }
