@@ -536,6 +536,37 @@ object Relational {
         .select(col("o_orderdate").as("d")))
       .orderBy("d")
 
+  /** INTERSECT ALL — the MULTISET intersection SQL defines as keeping
+    * min(mult_A, mult_B) copies of each row: order dates carrying both
+    * an urgent and a high-priority order, one output row per matched
+    * PAIRING, not per distinct date. The multiplicity is the semantic
+    * payload (a date with 3 urgent and 2 high orders appears twice) —
+    * the thing [[qIntersect]]'s set spelling erases. Spark plans this
+    * as one partial-aggregatable count-per-side hash aggregate plus a
+    * replicate-min generate — no join, one shuffle on the row value;
+    * the oracle is the identical ANSI operator in DuckDB. */
+  def qIntersectAll(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderdate").as("d"))
+      .intersectAll(o.filter(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_orderdate").as("d")))
+      .orderBy("d")
+  }
+
+  /** EXCEPT ALL — the multiset difference (max(0, mult_A − mult_B)
+    * copies survive): every order date, minus one copy per 300k+ order
+    * on that date — a date with 4 orders of which 1 is high-value keeps
+    * 3 rows, where [[qExcept]]'s set spelling would drop the date
+    * entirely. Same single-aggregate plan shape as [[qIntersectAll]]. */
+  def qExceptAll(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.select(col("o_orderdate").as("d"))
+      .exceptAll(o.filter(col("o_totalprice") > 300000)
+        .select(col("o_orderdate").as("d")))
+      .orderBy("d")
+  }
+
   /** Top-k without global sort: TakeOrderedAndProjectExec. */
   def qTopKOrders(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1063,6 +1094,8 @@ object Relational {
     "q_union" -> (qUnion _),
     "q_intersect" -> (qIntersect _),
     "q_except" -> (qExcept _),
+    "q_intersect_all" -> (qIntersectAll _),
+    "q_except_all" -> (qExceptAll _),
     "q_topk_orders" -> (qTopKOrders _),
     "q_topk_bounded" -> (qTopkBounded _),
     "q_distinct_segments" -> (qDistinctSegments _),
@@ -1193,6 +1226,19 @@ object Relational {
     "q_except" ->
       """SELECT o_orderdate AS d FROM orders
         |EXCEPT SELECT o_orderdate FROM orders
+        |  WHERE o_totalprice > 300000
+        |ORDER BY d""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT o_orderdate AS d FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT ALL
+        |SELECT o_orderdate FROM orders
+        |  WHERE o_orderpriority = '2-HIGH'
+        |ORDER BY d""".stripMargin,
+    "q_except_all" ->
+      """SELECT o_orderdate AS d FROM orders
+        |EXCEPT ALL
+        |SELECT o_orderdate FROM orders
         |  WHERE o_totalprice > 300000
         |ORDER BY d""".stripMargin,
     // row_number window spelling — re-proves the bounded topk_min

@@ -222,4 +222,42 @@ class SqlSurfaceSpec extends SparkSpec {
       windowed.map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq,
       "bounded aggregate must equal the window spelling row for row")
   }
+
+  test("INTERSECT ALL / EXCEPT ALL carry multiset multiplicities the " +
+      "set spellings erase") {
+    val o = Tables.orders(spark, sf)
+    def byDate(df: org.apache.spark.sql.DataFrame): Map[Any, Long] =
+      df.groupBy("d").count().collect()
+        .map(r => r.get(0) -> r.getLong(1)).toMap
+    val urgent = byDate(o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderdate").as("d")))
+    val high = byDate(o.filter(col("o_orderpriority") === "2-HIGH")
+      .select(col("o_orderdate").as("d")))
+    val ia = byDate(graft.queries.Relational.qIntersectAll(spark, sf))
+    // per-date multiplicity contract: min of the two sides
+    val want = urgent.keySet.intersect(high.keySet)
+      .map(d => d -> math.min(urgent(d), high(d))).toMap
+    assert(ia == want, "INTERSECT ALL multiplicity != min(multA, multB)")
+    // the >=2 multiplicity case the sf0.001 fixture lacks (sf0.01 shows
+    // it in the gated output), pinned on an engineered multiset:
+    // {1,1,1,2} ∩ALL {1,1,3} = {1,1}; {1,1,1,2} −ALL {1,1,3} = {1,2}
+    import spark.implicits._
+    val mA = Seq(1L, 1L, 1L, 2L).toDF("d")
+    val mB = Seq(1L, 1L, 3L).toDF("d")
+    assert(mA.intersectAll(mB).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 1L), "engineered INTERSECT ALL multiplicity wrong")
+    assert(mA.exceptAll(mB).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L), "engineered EXCEPT ALL multiplicity wrong")
+    val all = byDate(o.select(col("o_orderdate").as("d")))
+    val big = byDate(o.filter(col("o_totalprice") > 300000)
+      .select(col("o_orderdate").as("d")))
+    val ea = byDate(graft.queries.Relational.qExceptAll(spark, sf))
+    val wantEa = all.map { case (d, n) =>
+      d -> (n - big.getOrElse(d, 0L)) }.filter(_._2 > 0L)
+    assert(ea == wantEa, "EXCEPT ALL multiplicity != max(0, multA - multB)")
+    // and the set spelling really is coarser: EXCEPT drops whole dates
+    val exceptSet = graft.queries.Relational.qExcept(spark, sf).count()
+    assert(ea.values.sum > exceptSet,
+      "EXCEPT ALL must keep surviving copies EXCEPT erases")
+  }
 }
