@@ -214,6 +214,53 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Standalone k-means clustering report — the clustering verb
+    * surfaced first-class: the learned-IVF tier trains this exact
+    * quantizer ([[kmeansCentroids]]: hash seeds, 2 Lloyd iterations,
+    * exact quantized-BIGINT centroid sums) but only ever consumes it as
+    * routing state; a training-data pipeline also wants the clustering
+    * ITSELF (embedding-space corpus structure, per-cluster sampling
+    * budgets, semantic-dedup cell audits). Per cell: member count,
+    * EXACT quantized inertia (Σ round(d2·1e6) — per-vector quantization
+    * before the commutative long sum, so the total is partition-order-
+    * free like the centroid sums), and the centroid L2 norm (sqrt is
+    * correctly-rounded IEEE, so it is oracle-exact unlike ln/exp).
+    *
+    * Cross-engine exactness: d2 to the owning centroid is the same
+    * sequential left-fold (x−y)² spelling both engines already share in
+    * the assignment step (duckAssign parity), on identical centroid
+    * doubles (the quantized Lloyd update). The oracle re-runs the whole
+    * seeds → assign → update ×2 → assign chain in SQL, so the training
+    * determinism is re-proven every verify.
+    *
+    * Scale stance (100 TB): each Lloyd pass is scan + narrow
+    * (cell, pos, long) partial agg with the KCells-row centroid table
+    * broadcast; the report adds one broadcast join and a KCells-row
+    * aggregate — nothing scales beyond the assignment scan. */
+  /** Spec hooks: the deterministic trained centroids / assignments over
+    * any (vec_id, v) relation, for driver-side recompute pins. */
+  private[graft] def kmeansCentroidsFor(e: DataFrame): DataFrame =
+    kmeansCentroids(e)
+  private[graft] def kmeansAssignFor(e: DataFrame): DataFrame =
+    kmeansAssign(e, kmeansCentroids(e))
+
+  def qKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir).select(col("vec_id"), col("v"))
+    val c2 = kmeansCentroids(e)
+    val d2 = aggregate(
+      zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val g = kmeansAssign(e, c2).join(broadcast(c2), "cell")
+      .select(col("cell"), round(d2 * QScale).cast("long").as("dq"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"), sum(col("dq")).as("inertia_q"))
+    g.join(broadcast(c2), "cell")
+      .select(col("cell"), col("n_members"), col("inertia_q"),
+        round(sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)), 6)
+          .as("centroid_norm"))
+      .orderBy("cell")
+  }
+
   /** Embedding near-dup pairs blocked by the LEARNED k-means cells — the
     * scale upgrade over `q_dedup_embedding`'s label blocking (Dedup.scala):
     * the blocking key is computed from vector geometry, so it exists even
@@ -239,6 +286,62 @@ object Similarity {
       .filter(col("cos_raw") >= 0.4)
       .select(col("cell"), col("a_id"), col("b_id"),
         round(col("cos_raw"), 6).as("cosine"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Top-2-cell assignment: each vector lands in its TWO nearest cells
+    * (same sequential (x−y)² fold and (d2, cell) tie-break as the
+    * single-cell kernel, spelled as the probesall rank window since the
+    * fused argmin returns only the winner). 2× the index rows, cell
+    * count constant — the multi-assignment trade documented on
+    * [[qDedupSemantic]]. */
+  private def kmeansAssignTop2(e: DataFrame, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d2 = aggregate(
+      zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cell").asc)
+    e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cell"), d2.as("d2"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= 2)
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** The RECALL KNOB [[qDedupSemantic]]'s scaladoc declares out of its
+    * own contract, implemented: multi-assignment (nprobe=2 on the index
+    * side) — every vector joins its two nearest k-means cells, so a
+    * near-dup pair straddling one cell boundary is caught whenever the
+    * two vectors' top-2 cell sets intersect. Candidates are the
+    * DISTINCT same-cell id pairs (a pair sharing both cells must not
+    * double-report), then the exact full-precision cosine ≥ 0.4
+    * verifies — same contract as the single-probe rung, strictly more
+    * candidates, never fewer: the spec pins single-probe ⊆ probe-2 and
+    * that the fixture actually contains boundary-straddling pairs the
+    * upgrade recovers (non-vacuity).
+    *
+    * Scale stance (100 TB): 2× the index shuffle volume of the blocked
+    * join — exactly the "nprobe× the shuffle volume" price the
+    * single-probe scaladoc quotes; candidate work stays Σ_cell |cell|²
+    * (cells shrink only mildly under double assignment), the verify is
+    * per-candidate, and the id-pair distinct is a narrow (long, long)
+    * aggregate. The vectors rejoin by id AFTER the distinct so wide
+    * embedding arrays never ride through the pair explosion. */
+  def qDedupSemanticProbe2(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.core.Lineage.cut(vecs(s, dir).select(col("vec_id"), col("v")))
+    val idx = kmeansAssignTop2(e, kmeansCentroids(e))
+    val cand = idx.select(col("cell"), col("vec_id").as("a_id"))
+      .join(idx.select(col("cell"), col("vec_id").as("b_id")), "cell")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("v").as("a_v")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("b_v")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        cosine(col("a_v"), col("b_v")).as("cos_raw"))
+      .filter(col("cos_raw") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("cos_raw"), 6).as("cosine"))
       .orderBy("a_id", "b_id")
   }
 
@@ -1402,6 +1505,7 @@ object Similarity {
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_kmeans" -> (qKmeans _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_persisted" -> (qAnnPersisted _),
@@ -1416,6 +1520,7 @@ object Similarity {
     "q_ann_nprobe_curve" -> (qAnnNprobeCurve _),
     "q_ann_filtered" -> (qAnnFiltered _),
     "q_dedup_semantic" -> (qDedupSemantic _),
+    "q_dedup_semantic_probe2" -> (qDedupSemanticProbe2 _),
     "q_embed_quantize" -> (qEmbedQuantize _),
   )
 
@@ -1848,6 +1953,34 @@ object Similarity {
          |SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id,
          |  round(cos_raw, 6) AS cosine
          |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    // The same seeds -> assign -> update x2 -> assign chain as q_ann_ivf,
+    // surfaced as the clustering report: per-cell size, exact quantized
+    // inertia, centroid norm.
+    "q_kmeans" ->
+      s"""WITH $duckVecs,
+         |seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell,
+         |    v AS cv
+         |  FROM (SELECT vec_id, v,
+         |          ${TextPipeline.duckH32("CAST(vec_id AS VARCHAR)")} AS h FROM e)
+         |  ORDER BY h, vec_id LIMIT $KCells),
+         |a0 AS (${duckAssign("seeds")}),
+         |c1 AS (${duckUpdate("a0")}),
+         |a1 AS (${duckAssign("c1")}),
+         |c2 AS (${duckUpdate("a1")}),
+         |idx AS (${duckAssign("c2")}),
+         |d AS (SELECT i.cell,
+         |        CAST(round(list_sum(list_transform(i.v,
+         |          (x,j) -> (x - c.cv[j])*(x - c.cv[j]))) * ${QScale}) AS BIGINT)
+         |          AS dq
+         |      FROM idx i JOIN c2 c USING (cell)),
+         |g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+         |        CAST(sum(dq) AS BIGINT) AS inertia_q
+         |      FROM d GROUP BY cell)
+         |SELECT g.cell, g.n_members, g.inertia_q,
+         |  round(sqrt(list_sum(list_transform(c.cv, x -> x*x))), 6)
+         |    AS centroid_norm
+         |FROM g JOIN c2 c USING (cell) ORDER BY cell""".stripMargin,
     "q_ann_pq" ->
       s"""WITH $duckPqChain,
          |scored AS (SELECT d.q_id, s.vec_id AS neighbor_id,
@@ -1988,6 +2121,34 @@ object Similarity {
          |  SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id, $duckPairCos AS cos_raw
          |  FROM idx a JOIN idx b ON a.cell = b.cell AND a.vec_id < b.vec_id)
          |SELECT cell, a_id, b_id, round(cos_raw, 6) AS cosine
+         |FROM pairs WHERE cos_raw >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+    // Same Lloyd chain; rank <= 2 on the assignment window instead of
+    // r = 1, distinct id pairs, exact cosine verify after the rejoin.
+    "q_dedup_semantic_probe2" ->
+      s"""WITH $duckVecs,
+         |seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell,
+         |    v AS cv
+         |  FROM (SELECT vec_id, v,
+         |          ${TextPipeline.duckH32("CAST(vec_id AS VARCHAR)")} AS h FROM e)
+         |  ORDER BY h, vec_id LIMIT $KCells),
+         |a0 AS (${duckAssign("seeds")}),
+         |c1 AS (${duckUpdate("a0")}),
+         |a1 AS (${duckAssign("c1")}),
+         |c2 AS (${duckUpdate("a1")}),
+         |ar AS (SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_sum(list_transform(e.v, (x,i) -> (x - c.cv[i])*(x - c.cv[i]))) ASC,
+         |        c.cell ASC) AS r
+         |    FROM e, c2 c) WHERE r <= 2),
+         |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM ar x JOIN ar y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+         |pairs AS (
+         |  SELECT c.a_id, c.b_id, $duckPairCos AS cos_raw
+         |  FROM cand c JOIN e a ON a.vec_id = c.a_id
+         |              JOIN e b ON b.vec_id = c.b_id)
+         |SELECT a_id, b_id, round(cos_raw, 6) AS cosine
          |FROM pairs WHERE cos_raw >= 0.4 ORDER BY a_id, b_id""".stripMargin,
     "q_embed_quantize" -> {
       val hc = TextPipeline.duckH32("array_to_string(codes, ',')")

@@ -1353,4 +1353,69 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.view.mapValues(_._2).toMap == refDocs,
       s"per-class doc counts drifted: $out vs $refDocs")
   }
+
+  test("kmeans report: sizes conserve the corpus, every member is " +
+      "nearest its own centroid, inertia matches a driver recompute") {
+    val rep = Similarity.qKmeans(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = graft.io.Tables.embeddings(spark, sf).count()
+    assert(rep.values.map(_._1).sum == n, "cluster sizes != corpus size")
+    assert(rep.values.forall(_._2 >= 0L), "negative inertia")
+    // independent recompute from the exposed training internals:
+    // centroids + assignments collected, distances re-derived driver-side
+    val e = graft.io.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = Similarity.kmeansCentroidsFor(e).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val assigned = Similarity.kmeansAssignFor(e).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    def d2(v: Array[Double], c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { val d = v(i) - c(i); acc += d * d; i += 1 }
+      acc
+    }
+    // (a) optimality: each vector's own cell minimizes d2 (ties -> low cell)
+    assigned.foreach { case (id, v, cell) =>
+      val best = cents.toSeq.map { case (c, cv) => (d2(v, cv), c) }.min
+      assert(best._2 == cell && d2(v, cents(cell)) == best._1,
+        s"vec $id assigned to $cell but nearest is ${best._2}")
+    }
+    // (b) inertia: per-vector quantized d2 sums equal the gated report
+    val wantInertia = assigned.groupBy(_._3).view.mapValues(
+      _.map { case (_, v, cell) =>
+        math.round(d2(v, cents(cell)) * 1e6) }.sum).toMap
+    assert(rep.view.mapValues(_._2).toMap == wantInertia,
+      "gated inertia != driver-side quantized recompute")
+  }
+
+  test("probe-2 semantic dedup is a strict candidate superset of " +
+      "single-probe, and every recovered pair straddles a cell boundary") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.select("a_id", "b_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val single = pairs(Similarity.qDedupSemantic(spark, sf))
+    val probe2 = pairs(Similarity.qDedupSemanticProbe2(spark, sf))
+    // same verifier on a superset of candidates: never loses a pair,
+    // and on this fixture it must actually RECOVER some (non-vacuity)
+    assert(single.keySet.subsetOf(probe2.keySet),
+      "probe-2 lost a single-probe pair")
+    single.foreach { case (k, c) =>
+      assert(probe2(k) == c, s"pair $k cosine drifted between rungs") }
+    val recovered = probe2.keySet -- single.keySet
+    assert(recovered.nonEmpty,
+      "no boundary-straddling pairs at this scale: upgrade untested")
+    // every recovered pair: different top-1 cells (else single-probe
+    // would have it) but intersecting top-2 cell sets
+    val e = graft.io.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val top1 = Similarity.kmeansAssignFor(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    recovered.foreach { case (a, b) =>
+      assert(top1(a) != top1(b),
+        s"recovered pair ($a,$b) shares a top-1 cell — single-probe " +
+        "should have caught it")
+    }
+  }
 }
