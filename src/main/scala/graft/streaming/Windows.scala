@@ -879,6 +879,26 @@ object Windows {
         .select(col("o_orderkey").as("k")))
   }
 
+  /** Streaming face of EXACT dedup (the q_dedup_exact fingerprint under
+    * `readStream`): each arriving document fingerprints through the one
+    * shared tokenizer+md5 spelling and `dropDuplicates` keeps the FIRST
+    * arrival per fingerprint — which, on a stream ordered by doc_id,
+    * is exactly the batch rung's min-doc_id canonical, so StreamingSpec
+    * pins streaming survivors ≡ batch canonicals across a split that
+    * straddles a duplicate pair (the cross-batch state merge).
+    *
+    * Scale stance: state is one row per DISTINCT fingerprint — the
+    * streaming twin of the persisted exact-dedup index
+    * (q_dedup_index_add); a production job bounds it with
+    * dropDuplicatesWithinWatermark once the dedup horizon is an
+    * event-time window rather than all history. */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        md5(concat_ws(" ",
+          graft.core.TextPipeline.normalizedTokens(col("text"))))
+          .as("fingerprint"))
+      .dropDuplicates("fingerprint")
+
   /** Convenience: run a streaming DataFrame to an in-memory table and block
     * until all available input is processed (test/dev harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

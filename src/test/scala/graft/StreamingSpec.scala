@@ -736,4 +736,42 @@ class StreamingSpec extends SparkSpec {
       h1.get(k).exists(b => b != 0L && b != v && (b & v) == b) },
       "split must land bits of some idx in both batches")
   }
+
+  test("streaming exact dedup (append mode) keeps the batch canonicals " +
+      "across a duplicate-straddling batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // fixture docs plus two ENGINEERED duplicates (the sf0.001 fixture
+    // has none) placed so the pair straddles the batch split — and a
+    // same-fingerprint-different-raw-text pair (tab vs space) proving
+    // the face dedups on the NORMALIZED fingerprint, not raw text
+    val fixture = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val base = fixture.map(_._1).max
+    val ids = Seq(base + 1, base + 2)
+    val docs = (fixture :+ (ids.head, "alpha beta gamma")).sortBy(_._1) :+
+      (ids.last, "alpha  beta gamma")
+    val (b1, b2) = (docs.dropRight(1), Seq(docs.last))
+    // batch expectation: min doc_id per normalized fingerprint
+    val canonicals = docs
+      .groupBy(_._2.split(" ", -1).map(_.toLowerCase
+        .replaceAll("[^a-z]", "")).filter(_.nonEmpty).mkString(" "))
+      .values.map(_.map(_._1).min).toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = Windows.dedupStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("t_dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_dedup_stream").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == canonicals,
+      "streaming survivors != batch min-doc_id canonicals")
+    // and the straddling group's later copy was dropped by cross-batch
+    // state, not merely within-batch dedup
+    assert(!got.contains(ids.last) && got.contains(ids.head),
+      "cross-batch duplicate survived")
+  }
 }
