@@ -346,8 +346,11 @@ object TextAnalysis {
     val tf = docs.filter(col("b") === 0)
       .select(col("doc_id"), col("y_true"), explode(col("w")).as("word"))
       .groupBy("doc_id", "y_true", "word").agg(count(lit(1)).as("tf"))
+    // model is vocab × classes (BPE-vocab scale at 100 TB) — explicitly
+    // broadcast: the Lineage.cut hides its row count from the planner,
+    // which would otherwise fall back to a sort-merge join
     val scored = tf.crossJoin(spine)
-      .join(model, Seq("y", "word"), "left")
+      .join(broadcast(model), Seq("y", "word"), "left")
       .groupBy(col("doc_id"), col("y_true"), col("y"),
         col("n_docs"), col("n_tot"))
       .agg(sum(col("tf") * (coalesce(qlog(col("n_wc") + 1), lit(0L))
