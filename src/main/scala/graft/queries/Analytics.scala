@@ -2788,11 +2788,16 @@ object Analytics {
 
   def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
     val purch = purchases(s, dir)
-    val means = poissonResamples(s, dir)
+    // cut (r14): BOTH the resample output rows and the CI rank window
+    // consume this B-row relation; without the cut each consumer re-ran
+    // the 64× exploded resample stream (runtime exchange reuse only
+    // covered one of the two duplicated subtrees — PLANS.md reused: 1
+    // against 2 duplicated scans)
+    val means = graft.core.Lineage.cut(poissonResamples(s, dir)
       .groupBy("b")
       .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("cents")).as("sum_cents"))
       .withColumn("mean_milli",
-        when(col("n_eff") > 0, expr("sum_cents * 1000 div n_eff")))
+        when(col("n_eff") > 0, expr("sum_cents * 1000 div n_eff"))))
     val resamples = means.select(lit("resample").as("row_kind"), col("b"),
       col("n_eff"), col("sum_cents"), col("mean_milli"))
     val point = purch
@@ -2831,12 +2836,14 @@ object Analytics {
       .groupBy("b", "cents").agg(sum(col("w")).as("wv"))
     val wCum = Window.partitionBy("b").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val meds = grouped
+    // cut (r14): same double-consumption as qBootstrapCi's means — the
+    // B-row medians feed both the output rows and the CI rank window
+    val meds = graft.core.Lineage.cut(grouped
       .withColumn("cw", sum(col("wv")).over(wCum))
       .withColumn("tot", sum(col("wv")).over(Window.partitionBy("b")))
       .filter(col("cw") * 2 >= col("tot"))
       .groupBy("b").agg(min(col("cents")).as("median_cents"),
-        min(col("tot")).as("n_eff"))
+        min(col("tot")).as("n_eff")))
     val resamples = meds.select(lit("resample").as("row_kind"), col("b"),
       col("n_eff"), col("median_cents"))
     // point estimate: the same lower-median rule at weight 1

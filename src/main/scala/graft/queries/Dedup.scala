@@ -303,6 +303,11 @@ object Dedup {
         col("doc_id").as("b_id")), Seq("band_id", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
+    // NOTE (r14): the q_ref_integrity union-marker respelling was
+    // A/B-measured HERE and REVERTED (2.92 → 3.19 s at sf0.1): unlike
+    // the FK audit, cand's .distinct() already partitions by the join
+    // key, so the full-outer reuses it and only truth pays an exchange —
+    // while the union + groupBy spelling re-shuffles BOTH streams.
     truth.withColumn("t", lit(1L))
       .join(cand.withColumn("c", lit(1L)), Seq("a_id", "b_id"), "full_outer")
       .agg(
@@ -384,6 +389,10 @@ object Dedup {
         col("doc_id").as("b_id")), Seq("band_id", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
+    // NOTE (r14): the union-marker respelling was A/B-measured SLOWER
+    // here too (3.34 → 3.52 s at sf0.1) — see qDedupEvalImpl's note;
+    // cand's distinct partitioning makes the full-outer the cheaper
+    // merge. Keep the join spelling.
     truth.withColumn("t", lit(1L))
       .join(cand.withColumn("c", lit(1L)), Seq("a_id", "b_id"), "full_outer")
       .select(when(col("t").isNotNull, col("j_band")).otherwise(lit(-1L))
@@ -1294,8 +1303,10 @@ object Dedup {
     * (doc_id, n_tokens) pairs once. Nothing here touches text after the
     * token count, and no stage is proportional to corpus × clusters. */
   def qDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
-    val counted = Tables.documents(s, dir)
-      .select(col("doc_id"), size(toks).as("n_tokens"))
+    // cut (r14): consumed by the members join AND the final anti-join —
+    // without it each consumer re-scanned and re-tokenized the corpus
+    val counted = graft.core.Lineage.cut(Tables.documents(s, dir)
+      .select(col("doc_id"), size(toks).as("n_tokens")))
     val pairs = qDedupMinhash(s, dir)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
     val clusters = components(pairs)
@@ -1760,8 +1771,14 @@ object Dedup {
       when(isEvalDoc(id), lit("eval")).otherwise(lit("train"))
     // the SAME candidate relation + operating point as q_dedup_minhash
     // (shared minhashCandsM), minus its presentation sort — the
-    // classifier aggregates anyway
-    val cls = minhashCandsM(s, dir)
+    // classifier aggregates anyway. Lineage-cut (r14, guide §2.4): BOTH
+    // aggregates below consume this relation, and exchange reuse only
+    // deduplicated the band-join broadcast — the probe-side signature
+    // pipeline (tokenize, 32-hash sigs, band explode, agreement filter)
+    // executed once per consumer. The cut materializes the tiny verified
+    // pair set once (pair-cardinality ≪ corpus), so the doc-side scan +
+    // signature work runs exactly once.
+    val cls = graft.core.Lineage.cut(minhashCandsM(s, dir)
       .filter(col("m") >= 16)
       .select(col("a_id"), col("b_id"),
         bucket(col("a_id")).as("ab"), bucket(col("b_id")).as("bb"))
@@ -1769,7 +1786,7 @@ object Dedup {
         when(col("ab") === col("bb"),
           when(col("ab") === "eval", lit("eval_eval"))
             .otherwise(lit("train_train")))
-          .otherwise(lit("leak")).as("pair_class"))
+          .otherwise(lit("leak")).as("pair_class")))
     val pairsPer = cls.groupBy(col("pair_class"))
       .agg(count(lit(1)).as("n_pairs"))
     val docsPer = cls

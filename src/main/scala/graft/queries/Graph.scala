@@ -209,14 +209,24 @@ object Graph {
     * branches (hinted broadcast under it, bare join above it). */
   private[graft] def triangleCounts(edgesIn: DataFrame,
       broadcastRows: Long = BroadcastEdgeRows,
-      alreadyCut: Boolean = false): DataFrame = {
+      alreadyCut: Boolean = false,
+      degIn: Option[DataFrame] = None): DataFrame = {
     // alreadyCut: the caller hands an edge list it has itself just
     // localCheckpoint-materialized (qClusteringCoeff) — re-checkpointing
     // it here would persist a second identical block set and pay one
     // full extra materialization job (r14 fix)
     val e = if (alreadyCut) edgesIn else edgesIn.localCheckpoint()
-    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
-      .groupBy("v").agg(count(lit(1)).as("d"))
+    // deg is consumed TWICE below (the da / db orientation joins), and
+    // exchange reuse did NOT fire across the two aliased subtrees
+    // (PLANS.md r13: q_triangles reused: 0) — each join re-ran the
+    // explode + partial agg over the edge blocks. Node-cardinality, so
+    // the checkpoint is tiny and both consumers read cached blocks (r14,
+    // guide §2.4). degIn: a caller that already computed the identical
+    // degree relation (qClusteringCoeff) hands it in instead of paying
+    // a third computation.
+    val deg = degIn.getOrElse(
+      e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("d")).localCheckpoint())
     val dirE = e
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
@@ -290,9 +300,14 @@ object Graph {
       .filter(col("p") < col("q"))
       .select(col("p").as("a"), col("q").as("b"))
       .distinct().localCheckpoint()
+    // checkpointed: consumed by the final cc join here AND (renamed) by
+    // both orientation joins inside triangleCounts — one computation,
+    // three cached-block readers (r14; PLANS.md r13 showed reused: 0,
+    // i.e. every consumer re-ran the explode + aggregate)
     val deg = edges.select(explode(array(col("a"), col("b"))).as("part"))
-      .groupBy("part").agg(count(lit(1)).as("degree"))
-    val tri = triangleCounts(edges, alreadyCut = true)
+      .groupBy("part").agg(count(lit(1)).as("degree")).localCheckpoint()
+    val tri = triangleCounts(edges, alreadyCut = true,
+      degIn = Some(deg.select(col("part").as("v"), col("degree").as("d"))))
     deg.filter(col("degree") >= 2)
       .join(tri, Seq("part"), "left")
       .select(col("part"), col("degree"),

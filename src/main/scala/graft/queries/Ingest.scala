@@ -501,17 +501,31 @@ object Ingest {
     * nor match (SQL join semantics), mirrored in both engines. */
   def qRefIntegrity(s: SparkSession, dir: String): DataFrame = {
     val audits = FkEdges.map { case (edge, ct, ck, pt, pk) =>
+      // r14 (guide §2.4 "remove shuffles outright"): the former spelling
+      // paid per edge TWO distinct shuffles (child, parent) feeding a
+      // full-outer sort-merge join on k (full-outer cannot broadcast).
+      // Presence-per-side over one key space is a union + marker max —
+      // ONE exchange per edge, duplicates collapsed map-side by the
+      // partial aggregate, no join at all. Per distinct key: cm=1 iff it
+      // appears on the child side (nulls pre-filtered, as before), pm=1
+      // iff on the parent side — exactly the full-outer row the old plan
+      // built, so every downstream count is unchanged (parent-side NULL
+      // keys keep their own group: one parent_key, unreferenced, never
+      // matched — identical to the null-never-joins semantics before).
       val c = tableOf(s, dir, ct).select(col(ck).cast("long").as("k"))
-        .filter(col("k").isNotNull).distinct().withColumn("cm", lit(1))
-      val p = tableOf(s, dir, pt).select(col(pk).cast("long").as("k"))
-        .distinct().withColumn("pm", lit(1))
-      c.join(p, Seq("k"), "full_outer")
+        .filter(col("k").isNotNull)
+        .select(col("k"), lit(1).as("cm"), lit(0).as("pm"))
+      val p = tableOf(s, dir, pt).select(col(pk).cast("long").as("k"),
+        lit(0).as("cm"), lit(1).as("pm"))
+      c.unionAll(p)
+        .groupBy(col("k"))
+        .agg(max(col("cm")).as("cm"), max(col("pm")).as("pm"))
         .agg(
-          count(col("cm")).as("child_keys"),
-          count(col("pm")).as("parent_keys"),
-          sum(when(col("cm").isNotNull && col("pm").isNull, 1L)
+          sum(col("cm")).cast("long").as("child_keys"),
+          sum(col("pm")).cast("long").as("parent_keys"),
+          sum(when(col("cm") === 1 && col("pm") === 0, 1L)
             .otherwise(0L)).as("orphan_keys"),
-          sum(when(col("pm").isNotNull && col("cm").isNull, 1L)
+          sum(when(col("pm") === 1 && col("cm") === 0, 1L)
             .otherwise(0L)).as("unreferenced_keys"))
         .select(lit(edge).as("edge"), col("child_keys"), col("parent_keys"),
           col("orphan_keys"), col("unreferenced_keys"),
