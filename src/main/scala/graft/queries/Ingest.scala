@@ -290,9 +290,20 @@ object Ingest {
       .select("bucket")
     def drill(r: DataFrame): DataFrame =
       r.join(broadcast(dirty), Seq("bucket"), "left_semi")
-    drill(src).select(col("o_orderkey"), col("sig").as("sig_s"))
-      .join(drill(dst).select(col("o_orderkey"), col("sig").as("sig_d")),
-        Seq("o_orderkey"), "full_outer")
+    // r14 (guide §2.4, the q_ref_integrity respelling): the per-key sig
+    // compare is a union + per-key max instead of a full-outer SMJ —
+    // both drill sides are fresh bucket-pruned scans with no reusable
+    // partitioning (the condition under which the respelling wins; see
+    // the measured counter-case at Dedup.qDedupEvalImpl), so one
+    // combined key exchange replaces two sorted ones. o_orderkey is
+    // unique per side, so max() recovers exactly the side's sig (or
+    // NULL when the side lacks the key — the old full-outer row).
+    drill(src).select(col("o_orderkey"), col("sig").as("sig_s"),
+        lit(null).cast("long").as("sig_d"))
+      .unionAll(drill(dst).select(col("o_orderkey"),
+        lit(null).cast("long").as("sig_s"), col("sig").as("sig_d")))
+      .groupBy("o_orderkey")
+      .agg(max(col("sig_s")).as("sig_s"), max(col("sig_d")).as("sig_d"))
       .filter(col("sig_s").isNull || col("sig_d").isNull
         || col("sig_s") =!= col("sig_d"))
       .select(col("o_orderkey"),
